@@ -1,0 +1,252 @@
+"""Predicate/function registry for Datalog expression clauses.
+
+The reference allowlists ~230 clojure.core fns as query predicates
+(crux-core/resources/query-allowlist.edn, enforced at
+crux-core/src/crux/query.clj:1272-1283). Here the corpus-used subset maps to
+JVM-side Catalyst expressions (pyspark.sql.functions) so predicates stay
+inside whole-stage codegen; there is deliberately no row-at-a-time Python
+UDF path in the hot loop.
+
+Expression forms (Python analogue of the EDN clause):
+    ["+", "?a", 1]                -> F.col(a) + 1
+    ["<", "?qty", 24]             -> F.col(qty) < 24
+    ["re-find", "^forest.*", "?n"]-> F.col(n).rlike("^forest.*")
+    ["contains?", {"A","B"}, "?x"]-> F.col(x).isin("A","B")
+    ["subs", "?s", 0, 2]          -> substring(s, 1, 2)   (clojure subs is
+                                     0-based / end-exclusive; codegen'd)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def is_var(x: Any) -> bool:
+    return isinstance(x, str) and x.startswith("?")
+
+
+def is_kw(x: Any) -> bool:
+    return isinstance(x, str) and x.startswith(":")
+
+
+def is_blank(x: Any) -> bool:
+    return x == "_"
+
+
+def var_col(v: str) -> str:
+    """Column name for a logic var: strip the '?' sigil."""
+    return v[1:]
+
+
+def _lit(x: Any) -> Column:
+    if isinstance(x, str) and x.startswith(":"):
+        return F.lit(x)  # keyword literal stored as its string form
+    if isinstance(x, (_dt.datetime, _dt.date)):
+        return F.lit(x)
+    return F.lit(x)
+
+
+def _div(a: Column, b: Column) -> Column:
+    return a / b
+
+
+_BINARY_OPS: dict[str, Callable[[Column, Column], Column]] = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": _div,
+    "quot": lambda a, b: (a / b).cast("long"),
+    "rem": lambda a, b: a % b,
+    "mod": lambda a, b: ((a % b) + b) % b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "not=": lambda a, b: a != b,
+}
+
+
+class ExprBuilder:
+    """Builds Catalyst Column expressions from clause forms.
+
+    ``colmap`` maps logic var -> Column; ``env`` maps scalar :in vars to
+    Python literal values (substituted at compile time — the analogue of the
+    reference binding :in args into relation indexes, query.clj:1528-1533).
+    """
+
+    def __init__(self, columns: set[str], env: dict[str, Any]):
+        self.columns = columns
+        self.env = env
+
+    def vars_in(self, form: Any) -> set[str]:
+        """All logic vars referenced by an expression form (excluding
+        env-substituted scalars)."""
+        out: set[str] = set()
+        if is_var(form):
+            if form not in self.env:
+                out.add(form)
+        elif isinstance(form, (list, tuple)):
+            for a in form[1:]:
+                out |= self.vars_in(a)
+        return out
+
+    def build(self, form: Any) -> Column:
+        if is_var(form):
+            if form in self.env:
+                return _lit(self.env[form])
+            return F.col(var_col(form))
+        if isinstance(form, (list, tuple)):
+            return self._call(form[0], list(form[1:]))
+        if isinstance(form, (set, frozenset)):
+            raise ValueError("set literal only valid as contains?/isin argument")
+        return _lit(form)
+
+    # -- function dispatch ------------------------------------------------
+
+    def _call(self, fn: str, args: list[Any]) -> Column:
+        if fn in _BINARY_OPS:
+            cols = [self.build(a) for a in args]
+            out = cols[0]
+            for c in cols[1:]:
+                out = _BINARY_OPS[fn](out, c)
+            return out
+        meth = getattr(self, "_fn_" + fn.replace("-", "_").replace("?", "p").replace("/", "_"), None)
+        if meth is None:
+            raise NotImplementedError(f"Datalog builtin not implemented: {fn!r}")
+        return meth(args)
+
+    # arithmetic / numeric
+    def _fn_inc(self, a):
+        return self.build(a[0]) + 1
+
+    def _fn_dec(self, a):
+        return self.build(a[0]) - 1
+
+    def _fn_abs(self, a):
+        return F.abs(self.build(a[0]))
+
+    def _fn_min(self, a):
+        return F.least(*[self.build(x) for x in a])
+
+    def _fn_max(self, a):
+        return F.greatest(*[self.build(x) for x in a])
+
+    def _fn_round(self, a):
+        # (round x n) — engine extension for oracle-stable float compares
+        return F.round(self.build(a[0]), a[1] if len(a) > 1 else 0)
+
+    def _fn_long(self, a):
+        return self.build(a[0]).cast("long")
+
+    def _fn_double(self, a):
+        return self.build(a[0]).cast("double")
+
+    def _fn_int(self, a):
+        return self.build(a[0]).cast("int")
+
+    def _fn_bigdec(self, a):
+        return self.build(a[0]).cast("decimal(38,12)")
+
+    def _fn_decimal(self, a):
+        # deterministic-sum cast: float -> DECIMAL(28,8) so aggregation is
+        # order-independent and hash-matches the oracle exactly
+        return self.build(a[0]).cast("decimal(28,8)")
+
+    # boolean
+    def _fn_and(self, a):
+        out = self.build(a[0])
+        for x in a[1:]:
+            out = out & self.build(x)
+        return out
+
+    def _fn_or(self, a):
+        out = self.build(a[0])
+        for x in a[1:]:
+            out = out | self.build(x)
+        return out
+
+    def _fn_not(self, a):
+        return ~self.build(a[0])
+
+    def _fn_nilp(self, a):
+        return self.build(a[0]).isNull()
+
+    def _fn_somep(self, a):
+        return self.build(a[0]).isNotNull()
+
+    # strings (clojure.core + clojure.string subset used by the corpus —
+    # tpch.clj q20 re-find, q22 subs/contains?)
+    def _fn_str(self, a):
+        return F.concat(*[self.build(x).cast("string") for x in a])
+
+    def _fn_subs(self, a):
+        s = self.build(a[0])
+        start = a[1]
+        if len(a) > 2:
+            return s.substr(F.lit(start + 1), F.lit(a[2] - start))
+        return s.substr(F.lit(start + 1), F.length(s))
+
+    def _fn_count(self, a):
+        # clojure count: string length or collection size
+        c = self.build(a[0])
+        return F.length(c)
+
+    def _fn_size(self, a):
+        return F.size(self.build(a[0]))
+
+    def _fn_lower_case(self, a):
+        return F.lower(self.build(a[0]))
+
+    def _fn_upper_case(self, a):
+        return F.upper(self.build(a[0]))
+
+    def _fn_trim(self, a):
+        return F.trim(self.build(a[0]))
+
+    def _fn_starts_withp(self, a):
+        return self.build(a[0]).startswith(a[1])
+
+    def _fn_ends_withp(self, a):
+        return self.build(a[0]).endswith(a[1])
+
+    def _fn_includesp(self, a):
+        return self.build(a[0]).contains(a[1])
+
+    def _fn_re_find(self, a):
+        # (re-find #"pat" s) — truthy iff pattern matches anywhere
+        pattern, s = a[0], a[1]
+        return self.build(s).rlike(pattern)
+
+    def _fn_re_matches(self, a):
+        pattern, s = a[0], a[1]
+        p = pattern if pattern.startswith("^") else "^" + pattern
+        p = p if p.endswith("$") else p + "$"
+        return self.build(s).rlike(p)
+
+    def _fn_containsp(self, a):
+        # (contains? #{...} x) — set-membership filter
+        coll, x = a[0], a[1]
+        if isinstance(coll, (set, frozenset, list, tuple)):
+            vals = [self.env.get(v, v) if isinstance(v, str) else v for v in coll]
+            return self.build(x).isin(*vals)
+        return F.array_contains(self.build(coll), self.build(x))
+
+    def _fn_get(self, a):
+        return self.build(a[0]).getItem(self.build(a[1]))
+
+    # temporal helpers (dates are TimestampType, ms precision — codec.clj:252-255)
+    def _fn_year(self, a):
+        return F.year(self.build(a[0]))
+
+    def _fn_month(self, a):
+        return F.month(self.build(a[0]))
+
+    def _fn_date(self, a):
+        return F.lit(a[0]).cast("timestamp")

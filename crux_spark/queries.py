@@ -1,0 +1,797 @@
+"""Registered queries for the driver correctness gate + bench.
+
+Each entry: name -> fn(spark, sf_dir) -> DataFrame, with a DuckDB oracle in
+ORACLES. The TPC-H shapes mirror the reference's Datalog TPC-H suite
+(crux-test/src/crux/fixtures/tpch.clj:116-621), adapted to the columns the
+driver's synthetic tables carry (FIXTURES.md vs TESTDATA.md). Most run
+through the Datalog -> DataFrame compiler to exercise the engine's query
+surface; a few use the SQL/DataFrame surface directly (the reference's
+Calcite path, SURVEY.md §3.3, which we replace with spark.sql).
+
+Float discipline: every float aggregate is rounded identically on both
+sides (Spark + oracle) so the driver's value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crux_spark.bitemporal import latest_as_of
+from crux_spark.catalog import Catalog
+from crux_spark.datalog import q
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
+def catalog_for(spark: SparkSession, sf_dir: str) -> Catalog:
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = Catalog(spark, sf_dir)
+    return _CATALOGS[key]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _round(df: DataFrame, spec: dict[str, int]) -> DataFrame:
+    for c, n in spec.items():
+        df = df.withColumn(c, F.round(F.col(c), n))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary (agg-heavy full scan; tpch.clj:117-143)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 6)                                          AS avg_qty,
+           round(avg(l_extendedprice), 6)                                     AS avg_price,
+           round(avg(l_discount), 6)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [
+                "?flag",
+                "?status",
+                ["sum", "?qty", "sum_qty"],
+                ["sum", "?price", "sum_base_price"],
+                ["sum", "?disc_price", "sum_disc_price"],
+                ["sum", "?charge", "sum_charge"],
+                ["avg", "?qty", "avg_qty"],
+                ["avg", "?price", "avg_price"],
+                ["avg", "?disc", "avg_disc"],
+                ["count", "?qty", "count_order"],
+            ],
+            "where": [
+                ["?l", ":l_returnflag", "?flag"],
+                ["?l", ":l_linestatus", "?status"],
+                ["?l", ":l_quantity", "?qty"],
+                ["?l", ":l_extendedprice", "?price"],
+                ["?l", ":l_discount", "?disc"],
+                ["?l", ":l_tax", "?tax"],
+                ["?l", ":l_shipdate", "?sd"],
+                [["<=", "?sd", "1998-09-02"]],
+                [["*", "?price", ["-", 1, "?disc"]], "?disc_price"],
+                [["*", ["*", "?price", ["-", 1, "?disc"]], ["+", 1, "?tax"]], "?charge"],
+            ],
+        },
+    )
+    df = df.withColumnRenamed("flag", "l_returnflag").withColumnRenamed(
+        "status", "l_linestatus"
+    )
+    return _round(
+        df,
+        {
+            "sum_qty": 2,
+            "sum_base_price": 2,
+            "sum_disc_price": 2,
+            "sum_charge": 2,
+            "avg_qty": 6,
+            "avg_price": 6,
+            "avg_disc": 6,
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 — shipping priority (join + agg + top-k; tpch.clj:184-204)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [
+                "?ok",
+                "?od",
+                ["sum", "?rev", "revenue"],
+            ],
+            "keys": ["o_orderkey", "o_orderdate", "revenue"],
+            "where": [
+                ["?c", ":c_mktsegment", "BUILDING"],
+                ["?c", ":c_custkey", "?ck"],
+                ["?o", ":o_custkey", "?ck"],
+                ["?o", ":o_orderkey", "?ok"],
+                ["?o", ":o_orderdate", "?od"],
+                [["<", "?od", "1998-03-15"]],
+                ["?l", ":l_orderkey", "?ok"],
+                ["?l", ":l_shipdate", "?sd"],
+                [[">", "?sd", "1998-03-15"]],
+                ["?l", ":l_extendedprice", "?p"],
+                ["?l", ":l_discount", "?d"],
+                [["*", "?p", ["-", 1, "?d"]], "?rev"],
+            ],
+        },
+    )
+    return (
+        _round(df, {"revenue": 2})
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 — local supplier volume (6-way join; tpch.clj:221-240)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": ["?nname", ["sum", "?rev", "revenue"]],
+            "keys": ["n_name", "revenue"],
+            "where": [
+                ["?c", ":c_custkey", "?ck"],
+                ["?c", ":c_nationkey", "?nk"],
+                ["?o", ":o_custkey", "?ck"],
+                ["?o", ":o_orderkey", "?ok"],
+                ["?o", ":o_orderdate", "?od"],
+                [[">=", "?od", "1996-01-01"]],
+                [["<", "?od", "1997-01-01"]],
+                ["?l", ":l_orderkey", "?ok"],
+                ["?l", ":l_suppkey", "?sk"],
+                ["?l", ":l_extendedprice", "?p"],
+                ["?l", ":l_discount", "?d"],
+                ["?s", ":s_suppkey", "?sk"],
+                ["?s", ":s_nationkey", "?nk"],
+                ["?n", ":n_nationkey", "?nk"],
+                ["?n", ":n_name", "?nname"],
+                ["?n", ":n_regionkey", "?rk"],
+                ["?r", ":r_regionkey", "?rk"],
+                ["?r", ":r_name", "ASIA"],
+                [["*", "?p", ["-", 1, "?d"]], "?rev"],
+            ],
+        },
+    )
+    return _round(df, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 — forecast revenue (selective scan; tpch.clj:242-254)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [["sum", "?rev", "revenue"]],
+            "where": [
+                ["?l", ":l_shipdate", "?sd"],
+                ["?l", ":l_discount", "?d"],
+                ["?l", ":l_quantity", "?qty"],
+                ["?l", ":l_extendedprice", "?p"],
+                [[">=", "?sd", "1997-01-01"]],
+                [["<", "?sd", "1998-01-01"]],
+                [[">=", "?d", 0.05]],
+                [["<=", "?d", 0.07]],
+                [["<", "?qty", 24.0]],
+                [["*", "?p", "?d"], "?rev"],
+            ],
+        },
+    )
+    return _round(df, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 — volume shipping between two nations (or of and-pairs;
+# tpch.clj:256-282)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [
+                "?supp_nation",
+                "?cust_nation",
+                "?l_year",
+                ["sum", "?volume", "revenue"],
+            ],
+            "keys": ["supp_nation", "cust_nation", "l_year", "revenue"],
+            "where": [
+                ["?s", ":s_suppkey", "?sk"],
+                ["?s", ":s_nationkey", "?snk"],
+                ["?l", ":l_suppkey", "?sk"],
+                ["?l", ":l_orderkey", "?ok"],
+                ["?l", ":l_shipdate", "?sd"],
+                ["?l", ":l_extendedprice", "?p"],
+                ["?l", ":l_discount", "?d"],
+                ["?o", ":o_orderkey", "?ok"],
+                ["?o", ":o_custkey", "?ck"],
+                ["?c", ":c_custkey", "?ck"],
+                ["?c", ":c_nationkey", "?cnk"],
+                ["?n1", ":n_nationkey", "?snk"],
+                ["?n1", ":n_name", "?supp_nation"],
+                ["?n2", ":n_nationkey", "?cnk"],
+                ["?n2", ":n_name", "?cust_nation"],
+                [
+                    "or",
+                    [
+                        "and",
+                        [["=", "?supp_nation", "NATION_1"]],
+                        [["=", "?cust_nation", "NATION_2"]],
+                    ],
+                    [
+                        "and",
+                        [["=", "?supp_nation", "NATION_2"]],
+                        [["=", "?cust_nation", "NATION_1"]],
+                    ],
+                ],
+                [["year", "?sd"], "?l_year"],
+                [["*", "?p", ["-", 1, "?d"]], "?volume"],
+            ],
+        },
+    )
+    return _round(df, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 (adapted: no partsupp in testdata) — profit by nation/year for
+# parts matching a name pattern (tpch.clj:319-344, re-find pattern per q20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS profit
+    FROM lineitem JOIN part     ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE regexp_matches(p_name, 'widget')
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": ["?nation", "?o_year", ["sum", "?amount", "profit"]],
+            "keys": ["nation", "o_year", "profit"],
+            "where": [
+                ["?p", ":p_partkey", "?pk"],
+                ["?p", ":p_name", "?pname"],
+                [["re-find", "widget", "?pname"]],
+                ["?l", ":l_partkey", "?pk"],
+                ["?l", ":l_suppkey", "?sk"],
+                ["?l", ":l_orderkey", "?ok"],
+                ["?l", ":l_extendedprice", "?price"],
+                ["?l", ":l_discount", "?disc"],
+                ["?s", ":s_suppkey", "?sk"],
+                ["?s", ":s_nationkey", "?nk"],
+                ["?o", ":o_orderkey", "?ok"],
+                ["?o", ":o_orderdate", "?od"],
+                ["?n", ":n_nationkey", "?nk"],
+                ["?n", ":n_name", "?nation"],
+                [["year", "?od"], "?o_year"],
+                [["decimal", ["*", "?price", ["-", 1, "?disc"]]], "?amount"],
+            ],
+        },
+    )
+    return df.withColumn("profit", F.round("profit", 2).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 — returned items, top-20 customers by lost revenue
+# (tpch.clj:346-374)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [
+                "?ck",
+                "?cname",
+                ["sum", "?rev", "revenue"],
+                "?bal",
+                "?nname",
+            ],
+            "keys": ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"],
+            "where": [
+                ["?c", ":c_custkey", "?ck"],
+                ["?c", ":c_name", "?cname"],
+                ["?c", ":c_acctbal", "?bal"],
+                ["?c", ":c_nationkey", "?nk"],
+                ["?n", ":n_nationkey", "?nk"],
+                ["?n", ":n_name", "?nname"],
+                ["?o", ":o_custkey", "?ck"],
+                ["?o", ":o_orderkey", "?ok"],
+                ["?o", ":o_orderdate", "?od"],
+                [[">=", "?od", "1996-10-01"]],
+                [["<", "?od", "1997-01-01"]],
+                ["?l", ":l_orderkey", "?ok"],
+                ["?l", ":l_returnflag", "R"],
+                ["?l", ":l_extendedprice", "?p"],
+                ["?l", ":l_discount", "?d"],
+                [["*", "?p", ["-", 1, "?d"]], "?rev"],
+            ],
+        },
+    )
+    return (
+        _round(df, {"revenue": 2})
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 — customer order-count distribution (or-join in the reference,
+# tpch.clj:421-433; here: outer join + two-level aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 — promo revenue share (conditional agg; tpch.clj:435-453)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    l = cat.table("lineitem")
+    p = cat.table("part")
+    df = (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == "PROMO",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                )
+                / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 — large-volume customers (group-having subquery;
+# tpch.clj:518-537)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    l = cat.table("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    c, o = cat.table("customer"), cat.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "bok"), F.col("o_orderkey") == F.col("bok"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 — discounted revenue, 3-branch disjunction compiled to ONE
+# pushed-down filter (tpch.clj:539-568)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity >= 1  AND l_quantity <= 11 AND p_size <= 5)
+       OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 20 AND p_size <= 10)
+       OR (p_brand = 'Brand#3' AND l_quantity >= 20 AND l_quantity <= 30 AND p_size <= 15)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [["sum", "?rev", "revenue"]],
+            "where": [
+                ["?l", ":l_partkey", "?pk"],
+                ["?l", ":l_quantity", "?qty"],
+                ["?l", ":l_extendedprice", "?price"],
+                ["?l", ":l_discount", "?disc"],
+                ["?p", ":p_partkey", "?pk"],
+                ["?p", ":p_brand", "?brand"],
+                ["?p", ":p_size", "?size"],
+                [
+                    "or",
+                    [
+                        "and",
+                        [["=", "?brand", "Brand#1"]],
+                        [[">=", "?qty", 1.0]],
+                        [["<=", "?qty", 11.0]],
+                        [["<=", "?size", 5]],
+                    ],
+                    [
+                        "and",
+                        [["=", "?brand", "Brand#2"]],
+                        [[">=", "?qty", 10.0]],
+                        [["<=", "?qty", 20.0]],
+                        [["<=", "?size", 10]],
+                    ],
+                    [
+                        "and",
+                        [["=", "?brand", "Brand#3"]],
+                        [[">=", "?qty", 20.0]],
+                        [["<=", "?qty", 30.0]],
+                        [["<=", "?size", 15]],
+                    ],
+                ],
+                [["*", "?price", ["-", 1, "?disc"]], "?rev"],
+            ],
+        },
+    )
+    return _round(df, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-style anti-join: suppliers with no returned lineitems
+# (not-join; tpch.clj:596-620 / q4:206, q22:621)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21_anti",
+    """
+    SELECT DISTINCT s_name
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_suppkey = supplier.s_suppkey AND l2.l_returnflag = 'R'
+    )
+    """,
+)
+def tpch_q21_anti(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        {
+            "find": ["?sname"],
+            "keys": ["s_name"],
+            "where": [
+                ["?s", ":s_suppkey", "?sk"],
+                ["?s", ":s_name", "?sname"],
+                ["?l", ":l_suppkey", "?sk"],
+                ["not-join", ["?sk"], ["?l2", ":l_suppkey", "?sk"], ["?l2", ":l_returnflag", "R"]],
+            ],
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 — customers above-average balance with no orders
+# (scalar subquery + anti-join + subs; tpch.clj:621-650)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 1, 10) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) t
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.select(
+            F.substring("c_name", 1, 10).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal: as-of point lookup over the events stream (the reference's
+# entity-as-of, index_store.clj:774-795 -> window row_number)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof",
+    """
+    SELECT user_id, event_type AS last_type, round(value, 2) AS last_value
+    FROM (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-08'
+    ) v WHERE rn = 1
+    """,
+)
+def events_asof(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    ev = cat.table("events")
+    import datetime
+
+    snap = latest_as_of(
+        ev, "user_id", "ts", datetime.datetime(2024, 1, 8), tiebreak_cols=["event_id"]
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal rollup: per-type daily event aggregates (ts_weather.clj:70-100
+# style time-bucket group-by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n, round(sum(value), 2) AS total,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY event_type, day
+    """,
+)
+def events_rollup(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    ev = cat.table("events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datalog aggregate parity: median / stddev / count-distinct
+# (query.clj:284-408 — exact, population variants)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4)      AS median_price,
+           round(stddev_pop(o_totalprice), 4)  AS stddev_price,
+           count(DISTINCT o_custkey)           AS n_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    df = q(
+        cat,
+        {
+            "find": [
+                "?prio",
+                ["median", "?price", "median_price"],
+                ["stddev", "?price", "stddev_price"],
+                ["count-distinct", "?ck", "n_cust"],
+            ],
+            "keys": ["o_orderpriority", "median_price", "stddev_price", "n_cust"],
+            "where": [
+                ["?o", ":o_orderpriority", "?prio"],
+                ["?o", ":o_totalprice", "?price"],
+                ["?o", ":o_custkey", "?ck"],
+            ],
+        },
+    )
+    return _round(df, {"median_price": 4, "stddev_price": 4})

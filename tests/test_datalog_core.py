@@ -1,0 +1,257 @@
+"""Core Datalog compiler semantics, checked against direct DataFrame results.
+
+Models the reference's e2e corpus (crux-test/test/crux/query_test.clj):
+triple patterns, joins, range preds, not/or, in-bindings, aggregates,
+order/limit, set-result semantics.
+"""
+
+from pyspark.sql import functions as F
+
+from crux_spark.datalog import q
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scan_filter_range(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name", "?bal"],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_acctbal", "?bal"],
+                [[">", "?bal", 9000.0]],
+            ],
+        },
+    )
+    exp = (
+        catalog.table("customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select("c_name", "c_acctbal")
+        .distinct()
+    )
+    assert rows(res) == rows(exp)
+    assert res.columns == ["name", "bal"]
+
+
+def test_literal_value_binding(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?n", ":n_name", "?name"],
+                ["?n", ":n_regionkey", "?rk"],
+                ["?r", ":r_regionkey", "?rk"],
+                ["?r", ":r_name", "ASIA"],
+            ],
+        },
+    )
+    exp = (
+        catalog.table("nation")
+        .join(catalog.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_name")
+        .distinct()
+    )
+    assert rows(res) == rows(exp)
+
+
+def test_same_entity_multiple_attrs_single_scan(catalog):
+    # two attrs of one entity must NOT self-join: plan should contain exactly
+    # one scan of customer
+    df = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_mktsegment", "BUILDING"],
+            ],
+        },
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("relation") <= 1 or plan.count("customer") <= 1
+    exp = (
+        catalog.table("customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_name")
+        .distinct()
+    )
+    assert rows(df) == rows(exp)
+
+
+def test_join_across_entities(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?cname", "?nname"],
+            "where": [
+                ["?c", ":c_name", "?cname"],
+                ["?c", ":c_nationkey", "?nk"],
+                ["?n", ":n_nationkey", "?nk"],
+                ["?n", ":n_name", "?nname"],
+            ],
+        },
+    )
+    exp = (
+        catalog.table("customer")
+        .join(catalog.table("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_name", "n_name")
+        .distinct()
+    )
+    assert rows(res) == rows(exp)
+
+
+def test_in_scalar_and_collection(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "in": ["?seg", ["?nk", "..."]],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_mktsegment", "?seg"],
+                ["?c", ":c_nationkey", "?nk"],
+            ],
+        },
+        "BUILDING",
+        [1, 2, 3],
+    )
+    exp = (
+        catalog.table("customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & F.col("c_nationkey").isin(1, 2, 3))
+        .select("c_name")
+        .distinct()
+    )
+    assert rows(res) == rows(exp)
+
+
+def test_not_clause(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?n", ":n_name", "?name"],
+                ["not", ["?n", ":n_regionkey", 0]],
+            ],
+        },
+    )
+    exp = (
+        catalog.table("nation")
+        .filter(F.col("n_regionkey") != 0)
+        .select("n_name")
+        .distinct()
+    )
+    assert rows(res) == rows(exp)
+
+
+def test_or_clause(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?n", ":n_name", "?name"],
+                ["?n", ":n_regionkey", "?rk"],
+                ["or", [["=", "?rk", 0]], [["=", "?rk", 2]]],
+            ],
+        },
+    )
+    exp = (
+        catalog.table("nation")
+        .filter(F.col("n_regionkey").isin(0, 2))
+        .select("n_name")
+        .distinct()
+    )
+    assert rows(res) == rows(exp)
+
+
+def test_aggregates(catalog):
+    res = q(
+        catalog,
+        {
+            "find": [
+                "?flag",
+                ["sum", "?qty", "sum_qty"],
+                ["avg", "?qty", "avg_qty"],
+                ["count", "?qty", "n"],
+            ],
+            "where": [
+                ["?l", ":l_returnflag", "?flag"],
+                ["?l", ":l_quantity", "?qty"],
+            ],
+        },
+    )
+    exp = (
+        catalog.table("lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("l_quantity").alias("n"),
+        )
+    )
+    got, want = rows(res), rows(exp)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and abs(g[1] - w[1]) < 1e-6 and abs(g[2] - w[2]) < 1e-9
+
+
+def test_order_limit_offset(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name", "?bal"],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_acctbal", "?bal"],
+            ],
+            "order-by": [["?bal", "desc"], ["?name", "asc"]],
+            "limit": 5,
+            "offset": 2,
+        },
+    )
+    exp = (
+        catalog.table("customer")
+        .select(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal"))
+        .orderBy(F.col("bal").desc(), F.col("name").asc())
+        .offset(2)
+        .limit(5)
+    )
+    assert [tuple(r) for r in res.collect()] == [tuple(r) for r in exp.collect()]
+
+
+def test_pred_binding_and_expression(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?ok", ["sum", "?rev", "revenue"]],
+            "where": [
+                ["?l", ":l_orderkey", "?ok"],
+                ["?l", ":l_extendedprice", "?p"],
+                ["?l", ":l_discount", "?d"],
+                [["*", "?p", ["-", 1, "?d"]], "?rev"],
+            ],
+            "limit": 10,
+            "order-by": [["?ok", "asc"]],
+        },
+    )
+    assert res.columns == ["ok", "revenue"]
+    assert res.count() == 10
+
+
+def test_keys_renaming(catalog):
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "keys": ["nation_name"],
+            "where": [["?n", ":n_name", "?name"]],
+        },
+    )
+    assert res.columns == ["nation_name"]
+    assert res.count() == 25
