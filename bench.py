@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the registered query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The headline metric is total wall-clock seconds over the suite —
+comparable (scale-normalized) to the reference's per-query TPC-H timings
+in BASELINE.md (sf 0.05 single node; our sf 0.1 is 2x that data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from crux_spark import get_spark
+
+    spark = get_spark("crux-spark-bench")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch session costs
+    from crux_spark.queries import catalog_for
+
+    catalog_for(spark, sf_dir).table("lineitem").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # a failing query should show as slow+flagged
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
