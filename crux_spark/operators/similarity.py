@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. zip_with + aggregate dot
+  product — JVM-side, codegen'd; the query side is broadcast so the big
+  corpus never shuffles.
+- IVF (inverted-file) top-k: the 100 TB scale path. Corpus is
+  pre-partitioned into nlist cells by nearest centroid (a tiny broadcast
+  table); a query probes only nprobe cells, so the scan is
+  nprobe/nlist of the corpus. Centroids here come from a deterministic
+  sample + one Lloyd iteration in numpy on the driver (k-means over a
+  bounded sample — the standard IVF training shortcut).
+- LSH (random hyperplane) bucketed cosine: sign-bit signatures ->
+  bucket join, approximate but fully shuffle-local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set
+    against the corpus, window top-k. Returns (query_id, vec_id, sim, rank).
+    """
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            cosine(
+                F.col("cvec").cast("array<double>"), F.col("qvec").cast("array<double>")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    sample_limit: int = 10000,
+    iterations: int = 5,
+) -> np.ndarray:
+    """Deterministic k-means centroids from a bounded corpus sample
+    (IVF training). Driver-side numpy on <= sample_limit rows — the
+    bounded-sample pattern that stays O(1) in corpus size."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_limit).collect()],
+        dtype=np.float64,
+    )
+    cents = sample[:: max(1, len(sample) // nlist)][:nlist]
+    for _ in range(iterations):
+        d = sample @ cents.T
+        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(
+            cents, axis=1
+        )
+        assign = np.argmax(d / np.maximum(norms, 1e-12), axis=1)
+        for ci in range(len(cents)):
+            members = sample[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus rows to their nearest centroid
+    cell (broadcast centroid table, one narrow pass); each query probes its
+    nprobe nearest cells only. Returns (query_id, vec_id, sim, rank)."""
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cents = spark.createDataFrame(cent_rows, ["cell", "cvec_cent"])
+
+    def best_cells(df, vcol, out, n):
+        scored = (
+            df.join(F.broadcast(cents))
+            .withColumn(
+                "csim",
+                cosine(
+                    F.col(vcol).cast("array<double>"),
+                    F.col("cvec_cent").cast("array<double>"),
+                ),
+            )
+        )
+        w = Window.partitionBy(*df.columns).orderBy(F.col("csim").desc(), F.col("cell").asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(*df.columns, F.col("cell").alias(out))
+        )
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    c_cells = best_cells(c, "cvec", "cell_id", 1)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_cells = best_cells(qs, "qvec", "probe_cell", nprobe)
+    scored = (
+        c_cells.join(
+            F.broadcast(q_cells), F.col("cell_id") == F.col("probe_cell")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            cosine(
+                F.col("cvec").cast("array<double>"), F.col("qvec").cast("array<double>")
+            ),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def lsh_bucket_pairs(
+    corpus: DataFrame,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs: sign-bit signature ->
+    exact-signature bucket join -> verify cosine. Deterministic planes
+    (seeded numpy). Returns (id_a, id_b, sim)."""
+    rng = np.random.RandomState(42)
+    planes = rng.randn(num_planes, dim)
+    sig = None
+    vec = F.col(vec_col).cast("array<double>")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else sig.bitwiseOR(F.shiftleft(bit, i))
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn(
+            "sim",
+            cosine(
+                F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )

@@ -795,3 +795,163 @@ def agg_stats(spark, sf_dir):
         },
     )
     return _round(df, {"median_price": 4, "stddev_price": 4})
+
+
+# ===========================================================================
+# LLM-pipeline operators (dedup / similarity / text analysis / multimodal)
+# ===========================================================================
+
+from crux_spark.operators import dedup as _dedup
+from crux_spark.operators import multimodal as _mm
+from crux_spark.operators import similarity as _sim
+from crux_spark.operators import textops as _text
+
+
+@register(
+    "text_analysis",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 * 1.0 / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio,
+           round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           CASE WHEN round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 * 1.0 / len(string_split_regex(trim(text), '\s+')), 6) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_analysis(spark, sf_dir):
+    """Token counting, quality ratios, language-ID heuristic — all
+    JVM-side expressions (SURVEY.md extension ops)."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    t = F.col("text")
+    toks = _text.tokens(t)
+    stop_ratio = F.round(_text.stopword_ratio(t), 6)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        F.round(_text.punct_ratio(t), 6).alias("punct_ratio"),
+        F.when(t.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(stop_ratio >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("lang_guess"),
+    )
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT content_hash, n_docs, keep_id, dup_ids
+    FROM (
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+             count(*) AS n_docs, min(doc_id) AS keep_id,
+             list_sort(list(doc_id)) AS dup_ids
+      FROM documents GROUP BY 1
+    ) t WHERE n_docs > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    return _dedup.exact_duplicates(cat.table("documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i, t FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    return _dedup.ngram_jaccard_pairs(cat.table("documents"), threshold=0.2)
+
+
+@register("dedup_minhash_lsh")  # approx op: rows-only driver check; exact
+def dedup_minhash_lsh(spark, sf_dir):  # parity vs jaccard tested in pytest
+    cat = catalog_for(spark, sf_dir)
+    return _dedup.minhash_lsh_pairs(cat.table("documents"), threshold=0.2)
+
+
+@register("dedup_simhash")  # approx op: rows-only driver check
+def dedup_simhash(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    return _dedup.simhash_near_pairs(cat.table("documents"), max_hamming=3)
+
+
+@register(
+    "ann_brute_force",
+    """
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_brute_force(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.brute_force_topk(emb, queries_df, k=5, query_id_col="query_id")
+
+
+@register("ann_ivf")  # approx op: rows-only driver check; recall vs brute
+def ann_ivf(spark, sf_dir):  # force asserted in pytest
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings")
+    cents = _sim.train_centroids(emb, nlist=8)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.ivf_topk(emb, queries_df, cents, k=5, nprobe=3)
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column pipeline: encode text as blobs, Arrow-batched feature
+    extraction via mapInPandas (decode step stubbed — container has no
+    codecs; plumbing is real). Oracle checks the byte-length column; the
+    stub features are asserted deterministic in pytest."""
+    cat = catalog_for(spark, sf_dir)
+    media = _mm.documents_as_media(cat.table("documents"))
+    return _mm.extract_features(media).select("media_id", "byte_len")

@@ -1,0 +1,143 @@
+"""Pipeline operators: dedup / similarity / multimodal / text analysis.
+
+Approximate operators (MinHash-LSH, SimHash, IVF) are validated against
+their exact counterparts computed on the same data — the same
+foreign-oracle strategy the reference uses for query semantics
+(SURVEY.md §5).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crux_spark.operators import dedup, multimodal, similarity, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_duplicates_detects_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world"), (3, "unrelated text")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1
+    assert out[0]["dup_ids"] == [1, 2]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.35).collect()
+    }
+    # every strongly-similar exact pair must be recalled by LSH
+    missed = [p for p in exact if p not in approx]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    # estimates should correlate: no estimate may be wildly off
+    for p, est in approx.items():
+        if p in exact:
+            assert abs(est - exact[p]) < 0.35
+
+
+def test_simhash_deterministic_and_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely here")],
+        ["doc_id", "text"],
+    )
+    h1 = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    h2 = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert h1 == h2  # deterministic
+    assert h1[1] == h1[2]  # identical docs -> identical hash
+    pairs = dedup.simhash_near_pairs(df, max_hamming=3).collect()
+    assert any(r.id_a == 1 and r.id_b == 2 and r.hamming == 0 for r in pairs)
+
+
+def test_brute_force_topk_matches_numpy(emb, spark):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(emb, queries, k=3).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for qid in range(3):
+        qv = vecs[qid]
+        sims = {
+            vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expect = sorted(sims, key=lambda v: (-sims[v], v))[:3]
+        got_q = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert got_q == expect
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.train_centroids(emb, nlist=4)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_feature_plumbing(docs):
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    assert len(rows) == docs.count()
+    r0 = next(r for r in rows if r.media_id == 0)
+    # byte_len must equal utf-8 length of the text
+    n0 = docs.filter(F.col("doc_id") == 0).select(F.octet_length("text")).first()[0]
+    assert r0.byte_len == n0
+    assert len(r0.features) == 8
+    assert abs(sum(r0.features) - 1.0) < 1e-9  # histogram normalized
+    # deterministic
+    rows2 = {r.media_id: r.features for r in feats.collect()}
+    assert rows2[0] == r0.features
+
+
+def test_text_analysis_columns(docs):
+    out = textops.analyze(docs).select(
+        "doc_id", "n_tokens", "stop_ratio", "punct_ratio", "quality", "lang_guess", "fp"
+    )
+    rows = out.collect()
+    assert all(r.n_tokens > 0 for r in rows)
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.lang_guess in ("en", "zh", "unk") for r in rows)
+    # fingerprint is stable across invocations
+    fp1 = {r.doc_id: r.fp for r in rows}
+    fp2 = {r.doc_id: r.fp for r in out.collect()}
+    assert fp1 == fp2
