@@ -1,0 +1,214 @@
+"""Pure-Python bitemporal splice algebra (no Spark imports).
+
+Reproduces the reference's put/delete history-splicing semantics
+(crux-core/src/crux/tx.clj:59-95 ``put-delete-etxs``) in the materialized
+rectangle model of SURVEY.md §1.5: every version is a closed-open rectangle
+(valid_from <= vt < valid_to) x (tx_from <= tx < tx_to). The reference
+resolves visibility per read via descending index seeks; we pre-compute the
+rectangles at ingest so an as-of read is a pure filter.
+
+Semantics notes (tx_test.clj is the spec):
+- put without end-valid-time covers [vt, next-version-boundary) — future
+  versions are preserved (tx.clj:66-75 takes the history window up to the
+  next version start).
+- ranged put/delete covers [vt, end-vt); the version visible at end-vt
+  resumes afterwards (we keep its clipped remainder).
+- deletes are tombstone rows (deleted=True) so version boundaries survive
+  for later splices and history listing (nil-id tombstones,
+  index_store.clj:490-494).
+- corrections: superseded rectangles get tx_to = current tx_id and remain
+  queryable at earlier transaction times.
+- evict removes every rectangle of the entity (GDPR hard delete,
+  tx.clj:132-147).
+
+This module is deliberately per-entity and list-based: entity histories are
+small; scale comes from distributing entities (store.py wraps this in
+applyInPandas co-grouped on eid).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+from dataclasses import dataclass, replace
+from typing import Any
+
+# Time is int64 microseconds-since-epoch throughout this module: pandas /
+# Arrow ns-timestamps cannot represent an end-of-time sentinel (pandas
+# Timestamp.max is 2262), and long columns keep the rectangles
+# comparison-friendly and pruning-friendly in parquet.
+END_OF_TIME = 253402300799000000  # 9999-12-31T23:59:59 in micros
+END_OF_TX = 1 << 62
+
+
+def to_us(t: "dt.datetime | int | None") -> int | None:
+    if t is None or isinstance(t, int):
+        return t
+    return int(t.timestamp() * 1_000_000) if t.tzinfo else int(
+        t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def from_us(us: int) -> dt.datetime:
+    return dt.datetime.fromtimestamp(us / 1_000_000, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def content_hash(doc: dict | None) -> str | None:
+    if doc is None:
+        return None
+    return hashlib.sha1(
+        json.dumps(doc, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+@dataclass(frozen=True)
+class Version:
+    valid_from: int  # microseconds since epoch
+    valid_to: int
+    tx_from: int
+    tx_to: int  # END_OF_TX = still believed
+    tx_time: int
+    doc_json: str | None  # None for tombstones
+    deleted: bool
+    content_hash: str | None
+    # True for the rectangle created directly by an op; False for clipped
+    # remainders re-asserted by a later splice (rectangle bookkeeping, not a
+    # history event)
+    asserted: bool = True
+
+
+def _current(history: list[Version]) -> list[Version]:
+    return [r for r in history if r.tx_to == END_OF_TX]
+
+
+def _next_boundary(current: list[Version], vf: int) -> int:
+    starts = sorted(r.valid_from for r in current if r.valid_from > vf)
+    return starts[0] if starts else END_OF_TIME
+
+
+def _splice(
+    history: list[Version],
+    tx_id: int,
+    tx_time: int,
+    vf: int,
+    vt_end: int | None,
+    doc: dict | None,
+    deleted: bool,
+) -> list[Version]:
+    current = _current(history)
+    end = vt_end if vt_end is not None else _next_boundary(current, vf)
+    if end <= vf:
+        return history
+    out: list[Version] = []
+    for r in history:
+        if r.tx_to != END_OF_TX:
+            out.append(r)
+            continue
+        if r.valid_to <= vf or r.valid_from >= end:
+            out.append(r)  # disjoint in valid time
+            continue
+        # overlapping current rectangle: close it in tx time, keep the
+        # surviving valid-time remainders under the new belief
+        out.append(replace(r, tx_to=tx_id))
+        if r.valid_from < vf:
+            out.append(
+                replace(r, valid_to=vf, tx_from=tx_id, tx_to=END_OF_TX, asserted=False)
+            )
+        if r.valid_to > end:
+            out.append(
+                replace(r, valid_from=end, tx_from=tx_id, tx_to=END_OF_TX, asserted=False)
+            )
+    out.append(
+        Version(
+            valid_from=vf,
+            valid_to=end,
+            tx_from=tx_id,
+            tx_to=END_OF_TX,
+            tx_time=tx_time,
+            doc_json=None if doc is None else json.dumps(doc, sort_keys=True, default=str),
+            deleted=deleted,
+            content_hash=content_hash(doc),
+        )
+    )
+    return out
+
+
+def put(
+    history: list[Version],
+    doc: dict,
+    tx_id: int,
+    tx_time: "int | dt.datetime",
+    valid_from: "int | dt.datetime | None" = None,
+    valid_to: "int | dt.datetime | None" = None,
+) -> list[Version]:
+    tx_time, valid_from, valid_to = to_us(tx_time), to_us(valid_from), to_us(valid_to)
+    return _splice(
+        history, tx_id, tx_time, valid_from if valid_from is not None else tx_time,
+        valid_to, doc, False,
+    )
+
+
+def delete(
+    history: list[Version],
+    tx_id: int,
+    tx_time: "int | dt.datetime",
+    valid_from: "int | dt.datetime | None" = None,
+    valid_to: "int | dt.datetime | None" = None,
+) -> list[Version]:
+    tx_time, valid_from, valid_to = to_us(tx_time), to_us(valid_from), to_us(valid_to)
+    return _splice(
+        history, tx_id, tx_time, valid_from if valid_from is not None else tx_time,
+        valid_to, None, True,
+    )
+
+
+def evict(history: list[Version]) -> list[Version]:
+    return []
+
+
+def as_of(
+    history: list[Version], vt: "int | dt.datetime", tx: int = END_OF_TX - 1
+) -> Version | None:
+    """Visible version at (valid-time, tx) — entity-as-of
+    (index_store.clj:774-795). Returns None if absent or deleted."""
+    vt = to_us(vt)
+    for r in history:
+        if (
+            r.valid_from <= vt < r.valid_to
+            and r.tx_from <= tx < r.tx_to
+        ):
+            return None if r.deleted else r
+    return None
+
+
+def matches(
+    history: list[Version],
+    expected: dict | None,
+    vt: "int | dt.datetime",
+    tx: int = END_OF_TX - 1,
+) -> bool:
+    """::tx/match — doc visible at vt equals expected (nil = absent)
+    (tx.clj:100-111)."""
+    cur = as_of(history, vt, tx)
+    if expected is None:
+        return cur is None
+    return cur is not None and cur.content_hash == content_hash(expected)
+
+
+def entity_history(
+    history: list[Version],
+    ascending: bool = True,
+    with_corrections: bool = False,
+) -> list[Version]:
+    """Version sequence (index_store.clj:524-554). Without corrections:
+    only the current belief's rectangles, ordered by valid_from; with:
+    every rectangle ever asserted, ordered by (valid_from, tx_from)."""
+    if with_corrections:
+        rows = [r for r in history if r.asserted]
+    else:
+        rows = _current(history)
+    rows = sorted(rows, key=lambda r: (r.valid_from, r.tx_from))
+    return rows if ascending else list(reversed(rows))

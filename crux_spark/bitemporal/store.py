@@ -1,0 +1,354 @@
+"""Distributed bitemporal document store.
+
+The reference's write path (SURVEY.md §3.4): submit-tx appends events to a
+totally-ordered log; every node's ingester indexes each tx serially
+(tx.clj:424-479). The Spark recast keeps the *serial-per-entity* part —
+which is all the splice algebra needs — and distributes across entities:
+
+    tx batch (ordered ops)  ──┐
+    versions table (by eid) ──┴─ cogroup on eid ─ applyInPandas(splice) ─ new versions
+
+Per-entity histories are small; entities shard across executors. At 100 TB
+the versions table is partitioned/bucketed by eid so the cogroup is a
+single co-located shuffle, and a tx batch touches only the entities it
+writes (join-pruned).
+
+Match/CAS atomicity across entities is two-phase: a distributed evaluation
+pass computes per-tx match verdicts (only tx_ids come back to the driver),
+aborted txs are excluded, then the apply pass runs. Iterated to fixpoint
+because an abort can change a later tx's match input (rare; capped).
+
+Transaction functions (tx.clj:178-227) run on the driver at submit time via
+a registered deterministic Python fn that returns ops — the analogue of the
+serial tx-fn evaluation in the reference's single-threaded ingester.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crux_spark.bitemporal import splice
+from crux_spark.bitemporal.splice import END_OF_TIME, END_OF_TX, Version, to_us
+
+VERSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("eid", T.StringType(), False),
+        T.StructField("valid_from", T.LongType(), False),  # micros
+        T.StructField("valid_to", T.LongType(), False),
+        T.StructField("tx_from", T.LongType(), False),
+        T.StructField("tx_to", T.LongType(), False),
+        T.StructField("tx_time", T.LongType(), False),
+        T.StructField("doc_json", T.StringType(), True),
+        T.StructField("deleted", T.BooleanType(), False),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("asserted", T.BooleanType(), False),
+    ]
+)
+
+OPS_SCHEMA = T.StructType(
+    [
+        T.StructField("eid", T.StringType(), False),
+        T.StructField("tx_id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("tx_time", T.LongType(), False),
+        T.StructField("doc_json", T.StringType(), True),
+        T.StructField("expected_json", T.StringType(), True),
+        T.StructField("valid_from", T.LongType(), True),
+        T.StructField("valid_to", T.LongType(), True),
+    ]
+)
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("tx_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _rows_to_history(pdf: pd.DataFrame) -> list[Version]:
+    return [
+        Version(
+            valid_from=int(r.valid_from),
+            valid_to=int(r.valid_to),
+            tx_from=int(r.tx_from),
+            tx_to=int(r.tx_to),
+            tx_time=int(r.tx_time),
+            doc_json=r.doc_json if isinstance(r.doc_json, str) else None,
+            deleted=bool(r.deleted),
+            content_hash=r.content_hash if isinstance(r.content_hash, str) else None,
+            asserted=bool(r.asserted),
+        )
+        for r in pdf.itertuples()
+    ]
+
+
+def _history_to_pdf(eid: str, history: list[Version]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "eid": [eid] * len(history),
+            "valid_from": [v.valid_from for v in history],
+            "valid_to": [v.valid_to for v in history],
+            "tx_from": [v.tx_from for v in history],
+            "tx_to": [v.tx_to for v in history],
+            "tx_time": [v.tx_time for v in history],
+            "doc_json": [v.doc_json for v in history],
+            "deleted": [v.deleted for v in history],
+            "content_hash": [v.content_hash for v in history],
+            "asserted": [v.asserted for v in history],
+        }
+    )
+
+
+def _apply_ops(history: list[Version], ops: pd.DataFrame, aborted: set[int]):
+    """Apply ops (sorted by tx) to one entity's history; returns
+    (new_history, [(tx_id, match_ok)])."""
+    verdicts = []
+    for r in ops.sort_values(["tx_id", "seq"]).itertuples():
+        if int(r.tx_id) in aborted:
+            continue
+        op = r.op
+        vf = None if pd.isna(r.valid_from) else int(r.valid_from)
+        vt = None if pd.isna(r.valid_to) else int(r.valid_to)
+        if op == "put":
+            history = splice.put(
+                history, json.loads(r.doc_json), int(r.tx_id), int(r.tx_time), vf, vt
+            )
+        elif op == "delete":
+            history = splice.delete(history, int(r.tx_id), int(r.tx_time), vf, vt)
+        elif op == "evict":
+            history = splice.evict(history)
+        elif op == "match":
+            expected = None if r.expected_json is None or (
+                not isinstance(r.expected_json, str)
+            ) else json.loads(r.expected_json)
+            at = vf if vf is not None else int(r.tx_time)
+            ok = splice.matches(history, expected, at, tx=int(r.tx_id) - 1)
+            verdicts.append((int(r.tx_id), ok))
+        else:
+            raise ValueError(f"unknown op {op!r}")
+    return history, verdicts
+
+
+class TxStore:
+    """In-session bitemporal store over a versions DataFrame.
+
+    ``path``-backed persistence writes parquet partitioned by eid-hash
+    bucket; in-memory mode keeps a localCheckpointed DataFrame.
+    """
+
+    def __init__(self, spark: SparkSession, versions: DataFrame | None = None):
+        self.spark = spark
+        self.versions = versions or spark.createDataFrame([], VERSIONS_SCHEMA)
+        self._tx_id = 0
+        self._pending: list[dict] = []
+        self._tx_fns: dict[str, Callable] = {}
+        self.aborted_txs: set[int] = set()
+
+    # ------------------------------------------------------------- write API
+
+    def register_tx_fn(self, name: str, fn: Callable) -> None:
+        """Store a transaction function (tx.clj:178-227): fn(db, *args) ->
+        list of ops, evaluated deterministically at submit time."""
+        self._tx_fns[name] = fn
+
+    def submit_tx(self, ops: Iterable[Any], tx_time: dt.datetime | None = None) -> int:
+        """Queue one transaction. Ops (python analogue of the EDN tx ops):
+            ("put", doc, valid_from?, valid_to?)         doc must carry "id"
+            ("delete", eid, valid_from?, valid_to?)
+            ("match", eid, expected_doc_or_None, at_vt?)
+            ("evict", eid)
+            ("fn", name, *args)
+        Returns the tx_id (valid after commit()).
+        """
+        self._tx_id += 1
+        tx_id = self._tx_id
+        tx_us = to_us(tx_time) if tx_time else to_us(dt.datetime.now(dt.timezone.utc))
+        seq = 0
+        expanded: list[tuple] = []
+        for op in ops:
+            if op[0] == "fn":
+                fn = self._tx_fns[op[1]]
+                expanded.extend(fn(self, *op[2:]))
+            else:
+                expanded.append(op)
+        for op in expanded:
+            kind = op[0]
+            row = {
+                "tx_id": tx_id,
+                "seq": seq,
+                "op": kind,
+                "tx_time": tx_us,
+                "doc_json": None,
+                "expected_json": None,
+                "valid_from": None,
+                "valid_to": None,
+            }
+            if kind == "put":
+                doc = op[1]
+                if "id" not in doc:
+                    raise ValueError("put doc must carry an 'id' (:crux.db/id)")
+                row["eid"] = str(doc["id"])
+                row["doc_json"] = json.dumps(doc, sort_keys=True, default=str)
+                if len(op) > 2 and op[2] is not None:
+                    row["valid_from"] = to_us(op[2])
+                if len(op) > 3 and op[3] is not None:
+                    row["valid_to"] = to_us(op[3])
+            elif kind in ("delete", "evict"):
+                row["eid"] = str(op[1])
+                if kind == "delete":
+                    if len(op) > 2 and op[2] is not None:
+                        row["valid_from"] = to_us(op[2])
+                    if len(op) > 3 and op[3] is not None:
+                        row["valid_to"] = to_us(op[3])
+            elif kind == "match":
+                row["eid"] = str(op[1])
+                if op[2] is not None:
+                    row["expected_json"] = json.dumps(op[2], sort_keys=True, default=str)
+                if len(op) > 3 and op[3] is not None:
+                    row["valid_from"] = to_us(op[3])
+            else:
+                raise ValueError(f"unknown op {kind!r}")
+            self._pending.append(row)
+            seq += 1
+        return tx_id
+
+    def commit(self) -> set[int]:
+        """Apply all pending txs; returns the set of aborted tx_ids."""
+        if not self._pending:
+            return set()
+        ops_df = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in OPS_SCHEMA.fields) for r in self._pending],
+            OPS_SCHEMA,
+        )
+        has_match = any(r["op"] == "match" for r in self._pending)
+        aborted: set[int] = set()
+        def make_eval_fn(ab: frozenset):
+            def eval_fn(key, vpdf, opdf):
+                hist = _rows_to_history(vpdf)
+                _, verdicts = _apply_ops(hist, opdf, set(ab))
+                bad = sorted({t for t, ok in verdicts if not ok})
+                return pd.DataFrame({"tx_id": bad, "ok": [False] * len(bad)})
+
+            return eval_fn
+
+        if has_match:
+            # fixpoint: abort verdicts can cascade through the batch
+            for _ in range(10):
+                bad_rows = (
+                    self.versions.groupBy("eid")
+                    .cogroup(ops_df.groupBy("eid"))
+                    .applyInPandas(make_eval_fn(frozenset(aborted)), MATCH_SCHEMA)
+                    .collect()
+                )
+                # monotone: once aborted, stays aborted (its skipped ops can
+                # only flip OTHER txs' verdicts, evaluated next round)
+                new_aborted = aborted | {r.tx_id for r in bad_rows}
+                if new_aborted == aborted:
+                    break
+                aborted = new_aborted
+
+        final_aborted = frozenset(aborted)
+
+        def apply_fn(key, vpdf, opdf):
+            hist = _rows_to_history(vpdf)
+            hist, _ = _apply_ops(hist, opdf, set(final_aborted))
+            return _history_to_pdf(key[0], hist)
+
+        self.versions = (
+            self.versions.groupBy("eid")
+            .cogroup(ops_df.groupBy("eid"))
+            .applyInPandas(apply_fn, VERSIONS_SCHEMA)
+            .localCheckpoint()
+        )
+        self._pending = []
+        self.aborted_txs |= aborted
+        return aborted
+
+    # -------------------------------------------------------------- read API
+
+    def db(self, valid_time: dt.datetime | None = None, tx: int | None = None) -> DataFrame:
+        """Snapshot DataFrame (eid, doc_json, interval cols) visible at
+        (valid-time, tx) — the reference's `db` value (SURVEY.md §3.1).
+        Pure partition-prunable filters, no window needed."""
+        vt = to_us(valid_time) if valid_time else to_us(
+            dt.datetime.now(dt.timezone.utc)
+        )
+        tx = tx if tx is not None else END_OF_TX - 1
+        return self.versions.filter(
+            (F.col("valid_from") <= vt)
+            & (F.col("valid_to") > vt)
+            & (F.col("tx_from") <= tx)
+            & (F.col("tx_to") > tx)
+            & (~F.col("deleted"))
+        ).select("eid", "doc_json", "valid_from", "valid_to", "tx_from", "content_hash")
+
+    def entity(self, eid: str, valid_time: dt.datetime | None = None, tx: int | None = None) -> dict | None:
+        rows = self.db(valid_time, tx).filter(F.col("eid") == str(eid)).collect()
+        if not rows:
+            return None
+        return json.loads(rows[0].doc_json)
+
+    def entity_history(
+        self,
+        eid: str,
+        ascending: bool = True,
+        with_corrections: bool = False,
+    ) -> list[dict]:
+        rows = self.versions.filter(F.col("eid") == str(eid)).collect()
+        hist = [
+            Version(
+                r.valid_from, r.valid_to, r.tx_from, r.tx_to, r.tx_time,
+                r.doc_json, r.deleted, r.content_hash, r.asserted,
+            )
+            for r in rows
+        ]
+        out = splice.entity_history(hist, ascending, with_corrections)
+        return [
+            {
+                "valid_from": splice.from_us(v.valid_from),
+                "valid_to": None if v.valid_to == END_OF_TIME else splice.from_us(v.valid_to),
+                "tx_from": v.tx_from,
+                "doc": None if v.doc_json is None else json.loads(v.doc_json),
+                "deleted": v.deleted,
+            }
+            for v in out
+        ]
+
+    def with_tx(self, ops: Iterable[Any], tx_time: dt.datetime | None = None) -> "TxStore":
+        """Speculative fork (query.clj:1896-1913 / fork.clj): apply ops on a
+        copy; the base store is untouched."""
+        fork = TxStore(self.spark, self.versions)
+        fork._tx_id = self._tx_id
+        fork._tx_fns = dict(self._tx_fns)
+        fork.submit_tx(ops, tx_time)
+        fork.commit()
+        return fork
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str, buckets: int = 64) -> None:
+        """Persist partitioned by eid hash bucket (co-locates future
+        cogroups; at scale use .bucketBy on a metastore table)."""
+        (
+            self.versions.withColumn("bucket", F.abs(F.hash("eid")) % buckets)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "TxStore":
+        df = spark.read.parquet(path).drop("bucket")
+        store = cls(spark, df.localCheckpoint())
+        row = df.agg(F.max("tx_from").alias("m")).first()
+        store._tx_id = int(row.m or 0)
+        return store

@@ -1,0 +1,156 @@
+"""Distributed TxStore semantics (tx_test.clj model): put/delete/match/
+evict/tx-fn, corrections, speculative with-tx, persistence round-trip."""
+
+import datetime as dt
+
+import pytest
+
+from crux_spark.bitemporal.store import TxStore
+
+
+def t(day):
+    return dt.datetime(2021, 6, day)
+
+
+@pytest.fixture()
+def store(spark):
+    return TxStore(spark)
+
+
+def test_put_and_entity(store):
+    store.submit_tx([("put", {"id": "p1", "name": "Ann", "age": 30})], tx_time=t(1))
+    store.submit_tx([("put", {"id": "p2", "name": "Bob"})], tx_time=t(1))
+    assert store.commit() == set()
+    assert store.entity("p1", valid_time=t(2))["name"] == "Ann"
+    assert store.entity("p2", valid_time=t(2))["name"] == "Bob"
+    assert store.entity("p1", valid_time=dt.datetime(2021, 5, 1)) is None
+
+
+def test_correction_and_tx_travel(store):
+    store.submit_tx([("put", {"id": "p1", "v": 1}, t(1))], tx_time=t(1))
+    store.commit()
+    store.submit_tx([("put", {"id": "p1", "v": 2}, t(1))], tx_time=t(2))
+    store.commit()
+    assert store.entity("p1", valid_time=t(5))["v"] == 2
+    assert store.entity("p1", valid_time=t(5), tx=1)["v"] == 1  # pre-correction
+
+
+def test_delete_and_history(store):
+    store.submit_tx([("put", {"id": "p1", "v": 1}, t(1))], tx_time=t(1))
+    store.submit_tx([("delete", "p1", t(10))], tx_time=t(2))
+    store.commit()
+    assert store.entity("p1", valid_time=t(5))["v"] == 1
+    assert store.entity("p1", valid_time=t(11)) is None
+    hist = store.entity_history("p1")
+    assert [h["deleted"] for h in hist] == [False, True]
+    hist_desc = store.entity_history("p1", ascending=False)
+    assert hist_desc[0]["deleted"] is True
+
+
+def test_match_aborts_whole_tx(store):
+    store.submit_tx([("put", {"id": "p1", "v": 1})], tx_time=t(1))
+    store.commit()
+    # match expects wrong content -> both ops of the tx abort
+    aborted = None
+    tx = store.submit_tx(
+        [("match", "p1", {"id": "p1", "v": 99}, t(2)), ("put", {"id": "p2", "v": 5})],
+        tx_time=t(2),
+    )
+    aborted = store.commit()
+    assert aborted == {tx}
+    assert store.entity("p2", valid_time=t(3)) is None
+    # correct match -> applies
+    tx2 = store.submit_tx(
+        [("match", "p1", {"id": "p1", "v": 1}, t(3)), ("put", {"id": "p2", "v": 5})],
+        tx_time=t(3),
+    )
+    assert store.commit() == set()
+    assert store.entity("p2", valid_time=t(4))["v"] == 5
+
+
+def test_evict_hard_deletes(store):
+    store.submit_tx([("put", {"id": "p1", "v": 1}, t(1))], tx_time=t(1))
+    store.commit()
+    store.submit_tx([("evict", "p1")], tx_time=t(2))
+    store.commit()
+    assert store.entity("p1", valid_time=t(5)) is None
+    assert store.entity("p1", valid_time=t(5), tx=1) is None  # gone from history too
+    assert store.entity_history("p1") == []
+
+
+def test_tx_fn(store):
+    def increment(db, eid):
+        cur = db.entity(eid) or {"id": eid, "n": 0}
+        cur["n"] = cur.get("n", 0) + 1
+        return [("put", cur)]
+
+    store.register_tx_fn("inc", increment)
+    store.submit_tx([("put", {"id": "c1", "n": 41})], tx_time=t(1))
+    store.commit()
+    store.submit_tx([("fn", "inc", "c1")], tx_time=t(2))
+    store.commit()
+    assert store.entity("c1", valid_time=t(3))["n"] == 42
+
+
+def test_speculative_with_tx(store):
+    store.submit_tx([("put", {"id": "p1", "v": 1})], tx_time=t(1))
+    store.commit()
+    fork = store.with_tx([("put", {"id": "p1", "v": 2})], tx_time=t(2))
+    assert fork.entity("p1", valid_time=t(3))["v"] == 2
+    assert store.entity("p1", valid_time=t(3))["v"] == 1  # base unchanged
+
+
+def test_ranged_put_via_store(store):
+    store.submit_tx([("put", {"id": "p1", "v": 1}, t(1))], tx_time=t(1))
+    store.submit_tx([("put", {"id": "p1", "v": 2}, t(5), t(10))], tx_time=t(2))
+    store.commit()
+    assert store.entity("p1", valid_time=t(3))["v"] == 1
+    assert store.entity("p1", valid_time=t(7))["v"] == 2
+    assert store.entity("p1", valid_time=t(12))["v"] == 1
+
+
+def test_save_load_roundtrip(store, spark, tmp_path):
+    store.submit_tx([("put", {"id": "p1", "v": 1}, t(1))], tx_time=t(1))
+    store.submit_tx([("put", {"id": "p2", "v": 2}, t(1))], tx_time=t(1))
+    store.commit()
+    path = str(tmp_path / "versions")
+    store.save(path, buckets=4)
+    loaded = TxStore.load(spark, path)
+    assert loaded.entity("p1", valid_time=t(2))["v"] == 1
+    loaded.submit_tx([("put", {"id": "p3", "v": 3}, t(1))], tx_time=t(2))
+    loaded.commit()
+    assert loaded.entity("p3", valid_time=t(2))["v"] == 3
+
+
+def test_db_snapshot_queryable_via_datalog(store, spark):
+    """End-to-end: tx store snapshot -> typed docs -> Datalog query."""
+    from pyspark.sql import functions as F
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    store.submit_tx(
+        [
+            ("put", {"id": "u1", "uname": "ann", "score": 10}),
+            ("put", {"id": "u2", "uname": "bob", "score": 20}),
+            ("put", {"id": "u3", "uname": "cid", "score": 30}),
+        ],
+        tx_time=t(1),
+    )
+    store.commit()
+    snap = store.db(valid_time=t(2))
+    docs = snap.select(
+        F.col("eid"),
+        F.get_json_object("doc_json", "$.uname").alias("uname"),
+        F.get_json_object("doc_json", "$.score").cast("long").alias("score"),
+    )
+    cat = Catalog(spark)
+    cat.add_documents("users", docs, id_col="eid")
+    res = q(
+        cat,
+        {
+            "find": ["?n"],
+            "where": [["?u", ":uname", "?n"], ["?u", ":score", "?s"], [[">", "?s", 15]]],
+        },
+    )
+    assert sorted(r.n for r in res.collect()) == ["bob", "cid"]
