@@ -211,13 +211,26 @@ class Compiler:
 
     def apply_preds(self, df: DataFrame, preds: list) -> DataFrame:
         """Apply predicate clauses once their vars are bound; binding forms
-        (scalar / collection) per query.clj:933-952."""
+        (scalar / collection) per query.clj:933-952. Index-aware predicate
+        constraints (`q` subqueries, `get-attr`, `text-search`) dispatch
+        before expression building — the open pred-constraint multimethod
+        of query.clj:269-273."""
         pending = list(preds)
         progress = True
         while pending and progress:
             progress = False
             for p in list(pending):
                 form, binding = p[0], (p[1] if len(p) > 1 else None)
+                if isinstance(form, (list, tuple)) and form and form[0] in (
+                    "q",
+                    "get-attr",
+                    "text-search",
+                ):
+                    handled, df = self._special_pred(df, form, binding)
+                    if handled:
+                        pending.remove(p)
+                        progress = True
+                    continue
                 eb = ExprBuilder(set(df.columns), self.env)
                 need = eb.vars_in(form)
                 if not all(var_col(v) in df.columns for v in need):
@@ -244,6 +257,82 @@ class Compiler:
             missing = [p for p in pending]
             raise ValueError(f"predicates with unbound vars: {missing!r}")
         return df
+
+    def _special_pred(self, df: DataFrame, form, binding) -> tuple[bool, DataFrame]:
+        """Index-aware predicate constraints.
+
+        ["q", {subquery}, *args]       nested query (query.clj:973-986);
+            scalar binding -> broadcast cross join of the 1-row result;
+            relation binding [[?a ?b]] -> join on shared vars (or cross)
+        ["get-attr", "?e", ":attr"]    leaf attribute lookup
+            (query.clj:954-971) -> left join, nulls when absent
+        ["text-search", ":attr", "q"]  scored full-text relation
+            (crux-lucene/src/crux/lucene.clj:146-188) with relation
+            binding [[?e ?score]]
+        """
+        kind = form[0]
+        if kind == "q":
+            subq = form[1]
+            args = [self.env.get(a, a) for a in form[2:]]
+            from crux_spark.datalog.compile import compile_query
+
+            sub = compile_query(self.catalog, subq, *args)
+            if is_var(binding):
+                col = var_col(binding)
+                sub = sub.toDF(col)
+                return True, df.crossJoin(F.broadcast(sub))
+            if isinstance(binding, (list, tuple)) and binding and isinstance(
+                binding[0], (list, tuple)
+            ):
+                cols = [var_col(v) for v in binding[0]]
+                sub = sub.toDF(*cols)
+                shared = sorted(set(df.columns) & set(cols))
+                if shared:
+                    return True, df.join(sub, on=shared, how="inner")
+                return True, df.crossJoin(sub)
+            raise NotImplementedError(f"q binding form {binding!r}")
+        if kind == "get-attr":
+            evar, attr = form[1], form[2]
+            if var_col(evar) not in df.columns:
+                return False, df
+            ref = self.catalog.resolve_attr(attr)
+            t = self.catalog.table(ref.table)
+            vcol = var_col(binding)
+            if ref.is_array:
+                d2 = t.select(
+                    F.col(ID_COL).alias(var_col(evar)),
+                    F.explode(F.col(ref.column)).alias(vcol),
+                )
+            else:
+                d2 = t.select(
+                    F.col(ID_COL).alias(var_col(evar)), F.col(ref.column).alias(vcol)
+                )
+            return True, df.join(d2, on=var_col(evar), how="left")
+        if kind == "text-search":
+            attr, query_text = form[1], form[2]
+            ref = self.catalog.resolve_attr(attr)
+            from crux_spark.functions.text_search import (
+                build_text_index,
+                text_search,
+            )
+
+            key = ("__text_index__", ref.table, ref.column)
+            cache = getattr(self.catalog, "_text_indexes", None)
+            if cache is None:
+                cache = self.catalog._text_indexes = {}
+            if key not in cache:
+                cache[key] = build_text_index(
+                    self.catalog.table(ref.table), ID_COL, ref.column
+                )
+            postings, dfreq, n = cache[key]
+            scored = text_search(postings, dfreq, n, query_text)
+            cols = [var_col(v) for v in binding[0]]
+            scored = scored.toDF(*cols)
+            shared = sorted(set(df.columns) & set(cols))
+            if shared:
+                return True, df.join(scored, on=shared, how="inner")
+            return True, df.crossJoin(scored)
+        return False, df
 
     # ---------------------------------------------------------------- not / or
 

@@ -1,0 +1,115 @@
+"""Continuous ingest: Structured Streaming over the transaction log.
+
+The reference's one real streaming job is the tx-ingester: every node
+subscribes to the totally-ordered log and indexes each tx serially
+(crux-core/src/crux/tx.clj:424-479; subscription crux-core/src/crux/
+tx/subscribe.clj). The Spark recast (SURVEY.md §2.9):
+
+    tx_log parquet dir (append-only)  --readStream-->  foreachBatch
+        -> ops ordered by tx_id within the batch
+        -> TxStore cogrouped splice apply (store.py)
+        -> versions table advances; listeners notified
+
+``await_tx`` (read-your-writes, api.clj:36-61) maps to
+``processAllAvailable()``. Secondary-index registration (SURVEY.md §2.9 —
+how Lucene plugs in) maps to extra listeners maintaining derived tables in
+the same foreachBatch.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crux_spark.bitemporal.splice import to_us
+from crux_spark.bitemporal.store import OPS_SCHEMA, TxStore
+
+# parquet schema for the on-disk tx log (one row per op; tx_id orders txs)
+TX_LOG_SCHEMA = OPS_SCHEMA
+
+
+class TxLogStream:
+    """Structured-Streaming tx ingester: tails an append-only parquet tx
+    log directory into a TxStore, invoking listeners per indexed batch
+    (the event-bus `listen` surface, crux-core/src/crux/bus.clj)."""
+
+    def __init__(self, spark: SparkSession, log_dir: str, store: TxStore | None = None):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.store = store or TxStore(spark)
+        self.listeners: list[Callable[[int, DataFrame], None]] = []
+        self._query = None
+
+    def listen(self, fn: Callable[[int, DataFrame], None]) -> None:
+        """Register a ::indexed-tx listener (api.clj:63-73); called with
+        (epoch_id, ops_batch_df) after the batch is applied."""
+        self.listeners.append(fn)
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.orderBy("tx_id", "seq").collect()
+        if not rows:
+            return
+        for r in rows:
+            self.store._pending.append(r.asDict())
+        self.store._tx_id = max(self.store._tx_id, max(r.tx_id for r in rows))
+        self.store.commit()
+        for fn in self.listeners:
+            fn(epoch_id, batch_df)
+
+    def start(self, checkpoint_dir: str):
+        stream = (
+            self.spark.readStream.schema(TX_LOG_SCHEMA)
+            .parquet(self.log_dir)
+        )
+        self._query = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self._query
+
+    def await_tx(self) -> None:
+        """Read-your-writes barrier (api.clj:36-61)."""
+        if self._query is not None:
+            self._query.processAllAvailable()
+
+
+def write_tx_log(
+    spark: SparkSession, log_dir: str, txs: list[tuple[int, list]], mode: str = "append"
+) -> None:
+    """Append transactions to the on-disk log: txs = [(tx_id, ops)] with
+    ops in TxStore.submit_tx format."""
+    rows = []
+    for tx_id, ops in txs:
+        tmp = TxStore(spark)
+        tmp._tx_id = tx_id - 1
+        tmp.submit_tx(ops)
+        for r in tmp._pending:
+            r["tx_id"] = tx_id
+            rows.append(tuple(r.get(f.name) for f in TX_LOG_SCHEMA.fields))
+    spark.createDataFrame(rows, TX_LOG_SCHEMA).coalesce(1).write.mode(mode).parquet(
+        log_dir
+    )
+
+
+def stream_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    watermark: str = "1 hour",
+    window: str = "1 day",
+) -> DataFrame:
+    """Windowed streaming aggregation with late-data handling over an event
+    stream (the operator surface the reference lacks, SURVEY.md §2.9 — we
+    provide it as a first-class op): per event_type counts/sums in
+    event-time windows."""
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )

@@ -1,0 +1,241 @@
+"""Pull/EQL projection, text-search, q-subqueries, get-attr, streaming
+ingest (SURVEY.md §3.2, §2.10, §2.9)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crux_spark import Catalog
+from crux_spark.datalog import q
+from crux_spark.datalog.pull import pull
+from crux_spark.functions.text_search import (
+    build_text_index,
+    text_search,
+    wildcard_text_search,
+)
+
+
+@pytest.fixture(scope="module")
+def people_cat(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("follows", T.ArrayType(T.StringType())),
+        ]
+    )
+    data = [
+        ("a", "Ann", 30, ["b", "c"]),
+        ("b", "Bob", 40, ["c"]),
+        ("c", "Cid", 50, []),
+    ]
+    cat = Catalog(spark)
+    cat.add_documents("people", spark.createDataFrame(data, schema), id_col="id")
+    return cat
+
+
+def test_pull_plain_attrs(people_cat, spark):
+    base = spark.createDataFrame([("a",), ("b",)], ["e"])
+    out = pull(people_cat, base, "e", "people", [":name", ":age"]).collect()
+    by_id = {r.e: r.pull.asDict() for r in out}
+    assert by_id["a"] == {"name": "Ann", "age": 30}
+    assert by_id["b"] == {"name": "Bob", "age": 40}
+
+
+def test_pull_wildcard(people_cat, spark):
+    base = spark.createDataFrame([("c",)], ["e"])
+    out = pull(people_cat, base, "e", "people", ["*"]).collect()
+    d = out[0].pull.asDict()
+    assert d["name"] == "Cid" and d["age"] == 50
+
+
+def test_pull_forward_join(people_cat, spark):
+    base = spark.createDataFrame([("a",)], ["e"])
+    out = pull(
+        people_cat,
+        base,
+        "e",
+        "people",
+        [":name", {":follows": [":name"]}],
+        joins={":follows": "people"},
+    ).collect()
+    d = out[0].pull
+    names = sorted(s["name"] for s in d["follows"])
+    assert d["name"] == "Ann" and names == ["Bob", "Cid"]
+
+
+def test_pull_reverse_join(people_cat, spark):
+    # who follows c?
+    base = spark.createDataFrame([("c",)], ["e"])
+    out = pull(
+        people_cat,
+        base,
+        "e",
+        "people",
+        [":name", {":_follows": [":name"]}],
+        joins={":follows": "people"},
+    ).collect()
+    d = out[0].pull
+    names = sorted(s["name"] for s in d["_follows"])
+    assert names == ["Ann", "Bob"]
+
+
+def test_pull_bounded_recursion(people_cat, spark):
+    base = spark.createDataFrame([("a",)], ["e"])
+    out = pull(
+        people_cat,
+        base,
+        "e",
+        "people",
+        [":name", {":follows": 2}],
+        joins={":follows": "people"},
+    ).collect()
+    d = out[0].pull
+    level1 = {s["name"]: s for s in d["follows"]}
+    assert set(level1) == {"Bob", "Cid"}
+    bob_l2 = [s["name"] for s in (level1["Bob"]["follows"] or [])]
+    assert bob_l2 == ["Cid"]
+
+
+def test_text_search_scoring(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine for big data"),
+            (2, "spark spark spark tuning"),
+            (3, "cooking recipes for dinner"),
+        ],
+        ["doc_id", "body"],
+    )
+    postings, dfreq, n = build_text_index(docs, "doc_id", "body")
+    hits = text_search(postings, dfreq, n, "spark").collect()
+    assert [h.eid for h in hits] == [2, 1]  # tf ranks doc 2 first
+    assert hits[0].score > hits[1].score
+    wild = wildcard_text_search(postings, dfreq, n, "cook*").collect()
+    assert [h.eid for h in wild] == [3]
+
+
+def test_text_search_in_datalog(people_cat, spark):
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "beta beta delta"), ("d3", "epsilon")],
+        ["id", "body"],
+    )
+    cat = Catalog(spark)
+    cat.add_documents("docs", docs, id_col="id")
+    res = q(
+        cat,
+        {
+            "find": ["?e", "?score"],
+            "where": [
+                [["text-search", ":body", "beta"], [["?e", "?score"]]],
+            ],
+            "order-by": [["?score", "desc"]],
+        },
+    )
+    rows = res.collect()
+    assert [r.e for r in rows] == ["d2", "d1"]
+
+
+def test_scalar_subquery_pred(catalog):
+    # customers with balance above the global average (q22 shape)
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_acctbal", "?bal"],
+                [
+                    [
+                        "q",
+                        {
+                            "find": [["avg", "?b", "a"]],
+                            "where": [["?c2", ":c_acctbal", "?b"]],
+                        },
+                    ],
+                    "?avg",
+                ],
+                [[">", "?bal", "?avg"]],
+            ],
+        },
+    )
+    avg = catalog.table("customer").agg(F.avg("c_acctbal")).first()[0]
+    exp = (
+        catalog.table("customer")
+        .filter(F.col("c_acctbal") > avg)
+        .select("c_name")
+        .distinct()
+        .count()
+    )
+    assert res.count() == exp
+
+
+def test_get_attr_left_join(people_cat):
+    res = q(
+        people_cat,
+        {
+            "find": ["?n", "?f"],
+            "where": [
+                ["?p", ":name", "?n"],
+                [["get-attr", "?p", ":follows"], "?f"],
+            ],
+        },
+    )
+    rows = sorted((r.n, r.f) for r in res.collect())
+    # Cid has no follows -> null row kept (left join semantics)
+    assert ("Cid", None) in rows
+    assert ("Ann", "b") in rows and ("Ann", "c") in rows
+
+
+def test_streaming_tx_ingest(spark, tmp_path):
+    from crux_spark.streaming.ingest import TxLogStream, write_tx_log
+
+    log_dir = str(tmp_path / "txlog")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2023, 1, 1)
+    write_tx_log(
+        spark,
+        log_dir,
+        [
+            (1, [("put", {"id": "s1", "v": 1}, t0)]),
+            (2, [("put", {"id": "s2", "v": 2}, t0)]),
+        ],
+    )
+    seen = []
+    stream = TxLogStream(spark, log_dir)
+    stream.listen(lambda epoch, batch: seen.append(epoch))
+    sq = stream.start(ckpt)
+    sq.awaitTermination(60)
+    assert stream.store.entity("s1", valid_time=dt.datetime(2023, 1, 2))["v"] == 1
+    assert stream.store.entity("s2", valid_time=dt.datetime(2023, 1, 2))["v"] == 2
+    assert seen  # listener fired
+
+
+def test_streaming_windowed_rollup(spark, tmp_path):
+    from crux_spark.streaming.ingest import stream_rollup
+
+    src = str(tmp_path / "events_src")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2023, 5, 1, 10)
+    spark.createDataFrame(
+        [(t0, "click", 1.0), (t0, "click", 2.0), (t0, "view", 5.0)], schema
+    ).write.mode("overwrite").parquet(src)
+    agg = stream_rollup(spark, src, schema, watermark="1 hour", window="1 day")
+    sq = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(60)
+    rows = {r.event_type: (r.n, r.total) for r in spark.sql("SELECT * FROM rollup_out").collect()}
+    assert rows["click"] == (2, 3.0) and rows["view"] == (1, 5.0)
