@@ -30,6 +30,14 @@ def _norm_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before CPU-heavy per-row
+    expression work. Document corpora often arrive as few large files, and
+    AQE coalesces byte-small shuffles — but shingling/hashing cost is per
+    ROW, not per byte, so an explicit spread keeps all cores busy."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups after whitespace/case normalization.
 
@@ -75,28 +83,63 @@ def ngram_jaccard_pairs(
     at 100 TB add a `F.hash(shingle) % B` bucket cap or MinHash-LSH
     (below) to bound candidate fan-out.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    # Prefix filtering (exact similarity join): under ANY fixed global
+    # ordering of shingles, two sets with Jaccard >= t must share an element
+    # within each set's first |S| - ceil(t*|S|) + 1 shingles. Ordering by
+    # ascending GLOBAL document frequency puts the rarest shingles in the
+    # prefixes, so candidate pairs come from rare-shingle collisions — the
+    # hot-shingle pair explosion of a naive shared-shingle join disappears
+    # while the result set stays exactly the same.
+    # shingles are carried as 64-bit xxhash values from here on: set
+    # operations on long arrays are far cheaper than on strings, and at
+    # ~2^32 distinct shingles the collision probability is still ~1e-10
+    ex = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=False)  # reused by dfreq + join-back
     )
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
-    ex = base.select("id", F.explode("sh").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("c"))
+    base = (
+        ex.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("c"), F.col("h")))
+            ).alias("shc")
+        )
+        .select(
+            "id",
+            F.transform("shc", lambda st: st["h"]).alias("sh"),
+            F.size("shc").alias("n_sh"),
+        )
+        .localCheckpoint(eager=False)  # reused for prefixes + both verify sides
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefixes = base.select(
+        "id", F.explode(F.slice("sh", 1, prefix_len.cast("int"))).alias("s")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        inter.join(sa, "id_a")
+        _spread(cand).join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -114,25 +157,24 @@ def minhash_signatures(
     """MinHash signature per document: sig[i] = min over shingles of
     h_i(xxhash64(shingle)). All JVM-side array ops — one projection, no
     shuffle."""
+    # flat (id, base_hash) rows + ONE hash-aggregate computing all k
+    # minhash permutations as min() aggs — vectorized hash agg instead of
+    # k nested array transforms per row (an order of magnitude faster at
+    # bench scale, same single shuffle on id).
     sh = F.array_distinct(shingles(F.col(text_col), n))
-    # materialize the per-shingle base hash ONCE, then derive all k minhash
-    # permutations from the stored array — hashing shingles k times would
-    # multiply the scan cost by k.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % MERSENNE_P).alias("bh"),
-    )
-
-    def minhash_i(i: int):
-        # NOTE: a 2-arg lambda in F.transform receives (element, index) —
-        # capture i via this enclosing scope, never via a default arg.
-        a, b = 2 * i + 1, 7 * i + 3
-        return F.array_min(
-            F.transform(F.col("bh"), lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE_P)
+    exploded = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    ).select("id", (F.abs(F.xxhash64("s")) % MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(7 * i + 3)) % MERSENNE_P).alias(
+            f"m{i}"
         )
-
-    sig = F.array(*[minhash_i(i) for i in range(num_hashes)])
-    return hashed.select("id", sig.alias("sig"))
+        for i in range(num_hashes)
+    ]
+    sigs = exploded.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    ).localCheckpoint(eager=False)  # signatures feed both sides of the LSH self-join
 
 
 def minhash_lsh_pairs(
@@ -167,7 +209,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "sig", "bb.band", "bb.bucket").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -201,22 +243,26 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     token xxhash64 values. Pure array expressions, no shuffle."""
+    # flat (id, token_hash) rows + one hash-aggregate summing each of the
+    # 64 bit positions; per-bit majority then packs into the hash — again
+    # vectorized agg instead of 64 nested filter-lambdas per row.
     toks = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def majority_bit(b: int):
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        return (
-            F.when(ones * 2 > F.size(hashes), F.lit(1).cast("long"))
+    exploded = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(64)
+    ]
+    counts = exploded.groupBy("id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (
+            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
-
-    expr = F.lit(0).cast("long")
-    for b in range(64):
-        expr = expr.bitwiseOR(F.shiftleft(majority_bit(b), b))
-    return df.select(F.col(id_col).alias("id"), expr.alias("simhash"))
+        packed = packed.bitwiseOR(F.shiftleft(bit, b))
+    return counts.select("id", packed.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -248,7 +294,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bucket")
+    ).select("id", "simhash", "bb.band", "bb.bucket").localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

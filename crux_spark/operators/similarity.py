@@ -114,7 +114,7 @@ def ivf_topk(
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     cents = spark.createDataFrame(cent_rows, ["cell", "cvec_cent"])
 
-    def best_cells(df, vcol, out, n):
+    def best_cells(df, id_col_name, vcol, out, n):
         scored = (
             df.join(F.broadcast(cents))
             .withColumn(
@@ -125,7 +125,11 @@ def ivf_topk(
                 ),
             )
         )
-        w = Window.partitionBy(*df.columns).orderBy(F.col("csim").desc(), F.col("cell").asc())
+        # partition the top-n window on the scalar id only — partitioning
+        # on the vector column would shuffle/compare whole arrays
+        w = Window.partitionBy(id_col_name).orderBy(
+            F.col("csim").desc(), F.col("cell").asc()
+        )
         return (
             scored.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= n)
@@ -133,11 +137,11 @@ def ivf_topk(
         )
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
-    c_cells = best_cells(c, "cvec", "cell_id", 1)
+    c_cells = best_cells(c, "vec_id", "cvec", "cell_id", 1)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    q_cells = best_cells(qs, "qvec", "probe_cell", nprobe)
+    q_cells = best_cells(qs, "query_id", "qvec", "probe_cell", nprobe)
     scored = (
         c_cells.join(
             F.broadcast(q_cells), F.col("cell_id") == F.col("probe_cell")

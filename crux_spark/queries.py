@@ -883,18 +883,18 @@ def dedup_exact(spark, sf_dir):
            round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a
                JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
-    return _dedup.ngram_jaccard_pairs(cat.table("documents"), threshold=0.2)
+    return _dedup.ngram_jaccard_pairs(cat.table("documents"), threshold=0.5)
 
 
 @register("dedup_minhash_lsh")  # approx op: rows-only driver check; exact
 def dedup_minhash_lsh(spark, sf_dir):  # parity vs jaccard tested in pytest
     cat = catalog_for(spark, sf_dir)
-    return _dedup.minhash_lsh_pairs(cat.table("documents"), threshold=0.2)
+    return _dedup.minhash_lsh_pairs(cat.table("documents"), threshold=0.5)
 
 
 @register("dedup_simhash")  # approx op: rows-only driver check
@@ -955,3 +955,233 @@ def multimodal_features(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
     media = _mm.documents_as_media(cat.table("documents"))
     return _mm.extract_features(media).select("media_id", "byte_len")
+
+
+# ===========================================================================
+# Batch 3: as-of join, or-join, windows, top-N aggs, sessionization, JSON,
+# SQL surface, text search
+# ===========================================================================
+
+from crux_spark.functions.text_search import build_text_index as _bti
+from crux_spark.functions.text_search import text_search as _ts
+from crux_spark.operators.asof_join import asof_join as _asof
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_value,
+           c.ts AS asof_time
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (window carry-forward, single shuffle): each purchase
+    paired with the user's latest prior click."""
+    cat = catalog_for(spark, sf_dir)
+    ev = cat.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = _asof(purchases, clicks, "user_id", "ts", "ts", value_cols=[])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        "asof_time",
+    )
+
+
+@register(
+    "datalog_or_join",
+    """
+    SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_name FROM supplier
+    """,
+)
+def datalog_or_join(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        {
+            "find": ["?name"],
+            "keys": ["name"],
+            "where": [
+                [
+                    "or-join",
+                    ["?name"],
+                    [
+                        "and",
+                        ["?c", ":c_name", "?name"],
+                        ["?c", ":c_acctbal", "?b"],
+                        [[">", "?b", 9000.0]],
+                    ],
+                    ["?s", ":s_name", "?name"],
+                ],
+            ],
+        },
+    )
+
+
+@register(
+    "window_topk",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t WHERE rn <= 2
+    """,
+)
+def window_topk(spark, sf_dir):
+    """Top-k per group via window (SURVEY.md §2.5 - the engine exposes
+    Spark windows as first-class; the reference lacked them)."""
+    cat = catalog_for(spark, sf_dir)
+    o = cat.table("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "agg_min_max_n",
+    """
+    SELECT l_returnflag,
+           (list_sort(list(DISTINCT l_quantity)))[1:3]             AS min3_qty,
+           (list_reverse_sort(list(DISTINCT l_quantity)))[1:3]     AS max3_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_min_max_n(spark, sf_dir):
+    """min-N / max-N aggregates (query.clj:379-408)."""
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        {
+            "find": [
+                "?flag",
+                ["min", 3, "?qty", "min3_qty"],
+                ["max", 3, "?qty", "max3_qty"],
+            ],
+            "keys": ["l_returnflag", "min3_qty", "max3_qty"],
+            "where": [
+                ["?l", ":l_returnflag", "?flag"],
+                ["?l", ":l_quantity", "?qty"],
+            ],
+        },
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    SELECT user_id, count(*) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ) x
+    ) y WHERE new_session = 1
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session starts per user (lag + flag —
+    the guide's sessionization pattern; session_window in streaming)."""
+    cat = catalog_for(spark, sf_dir)
+    ev = cat.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.filter(F.col("new_session") == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+@register(
+    "events_json",
+    """
+    SELECT event_type, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json(spark, sf_dir):
+    """JSON extraction over the props column (the reference had no JSON
+    fns - SURVEY.md §2.8; Spark builtins give them free)."""
+    cat = catalog_for(spark, sf_dir)
+    return (
+        cat.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+        )
+    )
+
+
+@register(
+    "sql_surface",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_surface(spark, sf_dir):
+    """Direct spark.sql over registered snapshot views - the engine's SQL
+    surface replacing the reference's Calcite adapter (SURVEY.md §3.3)."""
+    cat = catalog_for(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "text_search_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+')) AS term
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT p.doc_id AS eid, round(sum(p.tf * ln(1 + n.n_docs * 1.0 / d.df)), 2) AS score
+    FROM postings p JOIN dfreq d USING (term), n
+    WHERE p.term IN ('spark', 'window', 'merge')
+    GROUP BY p.doc_id
+    """,
+)
+def text_search_docs(spark, sf_dir):
+    cat = catalog_for(spark, sf_dir)
+    postings, dfreq, n = _bti(cat.table("documents"), "doc_id", "text")
+    out = _ts(postings, dfreq, n, "spark window merge")
+    return out.select("eid", F.round("score", 2).alias("score"))

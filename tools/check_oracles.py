@@ -38,7 +38,9 @@ def norm(v):
 
 def normalize_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def main(only: list[str]):
