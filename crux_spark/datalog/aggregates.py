@@ -39,9 +39,24 @@ _SIMPLE = {
 
 AGG_FNS = set(_SIMPLE) | {"rand", "sample"}
 
+# open registry — the analogue of the reference's open `aggregate`
+# multimethod (query.clj:275): register_aggregate("geo-mean",
+# lambda c: F.exp(F.avg(F.log(c)))) makes ["geo-mean", "?x"] usable in
+# :find. The fn maps a Column to an aggregate Column expression, so custom
+# aggregates stay JVM-side (partial aggregation + codegen preserved).
+_CUSTOM: dict[str, Any] = {}
+
+
+def register_aggregate(name: str, fn) -> None:
+    _CUSTOM[name] = fn
+
 
 def is_agg_form(el: Any) -> bool:
-    return isinstance(el, (list, tuple)) and len(el) >= 2 and el[0] in AGG_FNS
+    return (
+        isinstance(el, (list, tuple))
+        and len(el) >= 2
+        and (el[0] in AGG_FNS or el[0] in _CUSTOM)
+    )
 
 
 def agg_expr(el: list) -> tuple[Column, str, str]:
@@ -66,6 +81,8 @@ def agg_expr(el: list) -> tuple[Column, str, str]:
     if not is_var(v):
         raise ValueError(f"aggregate over non-var: {el!r}")
     alias = el[2] if len(el) > 2 else f"{fn.replace('-', '_')}_{var_col(v)}"
+    if fn in _CUSTOM:
+        return _CUSTOM[fn](F.col(var_col(v))), alias, v
     agg = _SIMPLE[fn](var_col(v))
     if fn == "avg":
         agg = _SIMPLE[fn](F.col(var_col(v)).cast("double"))

@@ -248,5 +248,120 @@ class ExprBuilder:
     def _fn_month(self, a):
         return F.month(self.build(a[0]))
 
+    def _fn_day(self, a):
+        return F.dayofmonth(self.build(a[0]))
+
     def _fn_date(self, a):
         return F.lit(a[0]).cast("timestamp")
+
+    def _fn_current_date(self, a):
+        return F.current_date()
+
+    def _fn_current_timestamp(self, a):
+        return F.current_timestamp()
+
+    def _fn_last_day(self, a):
+        return F.last_day(self.build(a[0]))
+
+    def _fn_date_trunc(self, a):
+        return F.date_trunc(a[0], self.build(a[1]))
+
+    # SQL scalar surface parity (crux-sql/src/crux/calcite.clj:147-203)
+    def _fn_ceil(self, a):
+        return F.ceil(self.build(a[0]))
+
+    def _fn_floor(self, a):
+        return F.floor(self.build(a[0]))
+
+    def _fn_truncate(self, a):
+        c = self.build(a[0])
+        if len(a) > 1:
+            p = 10 ** a[1]
+            return (c * p).cast("long") / F.lit(p)
+        return c.cast("long")
+
+    def _fn_initcap(self, a):
+        return F.initcap(self.build(a[0]))
+
+    def _fn_concat(self, a):
+        return F.concat(*[self.build(x) for x in a])
+
+    def _fn_char_length(self, a):
+        return F.length(self.build(a[0]))
+
+    def _fn_replace(self, a):
+        return F.replace(self.build(a[0]), F.lit(a[1]), F.lit(a[2]))
+
+    def _fn_ltrim(self, a):
+        return F.ltrim(self.build(a[0]))
+
+    def _fn_rtrim(self, a):
+        return F.rtrim(self.build(a[0]))
+
+    def _fn_substring(self, a):
+        # SQL 1-based SUBSTRING(s, start, len?)
+        s = self.build(a[0])
+        if len(a) > 2:
+            return F.substring(s, a[1], a[2])
+        return s.substr(F.lit(a[1]), F.length(s))
+
+    # additional clojure.core corpus fns (query-allowlist.edn subset)
+    def _fn_name(self, a):
+        # (name :ns/kw) -> "kw"; our keywords are ":..." strings
+        c = self.build(a[0])
+        return F.element_at(F.split(F.regexp_replace(c, "^:", ""), "/"), -1)
+
+    def _fn_namespace(self, a):
+        c = self.build(a[0])
+        parts = F.split(F.regexp_replace(c, "^:", ""), "/")
+        return F.when(F.size(parts) > 1, F.element_at(parts, 1))
+
+    def _fn_keyword(self, a):
+        return F.concat(F.lit(":"), self.build(a[0]).cast("string"))
+
+    def _fn_first(self, a):
+        return F.element_at(self.build(a[0]), 1)
+
+    def _fn_last(self, a):
+        return F.element_at(self.build(a[0]), -1)
+
+    def _fn_nth(self, a):
+        return F.element_at(self.build(a[0]), self.build(a[1]) + 1)
+
+    def _fn_reverse(self, a):
+        return F.reverse(self.build(a[0]))
+
+    def _fn_sort(self, a):
+        return F.sort_array(self.build(a[0]))
+
+    def _fn_vec(self, a):
+        return self.build(a[0])
+
+    def _fn_set(self, a):
+        return F.array_distinct(self.build(a[0]))
+
+    def _fn_range(self, a):
+        if len(a) == 1:
+            return F.sequence(F.lit(0), self.build(a[0]) - 1)
+        return F.sequence(self.build(a[0]), self.build(a[1]) - 1)
+
+    def _fn_take(self, a):
+        return F.slice(self.build(a[1]), 1, a[0])
+
+    def _fn_conj(self, a):
+        return F.array_append(self.build(a[0]), self.build(a[1]))
+
+    def _fn_numberp(self, a):
+        return self.build(a[0]).cast("double").isNotNull()
+
+    def _fn_stringp(self, a):
+        return self.build(a[0]).cast("string").isNotNull()
+
+    def _fn_boolean(self, a):
+        return self.build(a[0]).cast("boolean")
+
+    def _fn_evenp(self, a):
+        return self.build(a[0]) % 2 == 0
+
+    def _fn_oddp(self, a):
+        return self.build(a[0]) % 2 == 1

@@ -1,0 +1,150 @@
+"""Sources: RDF/N-Triples and CSV document loaders + the schemaless EAV
+triples view.
+
+The reference ingests RDF for its LUBM/WatDiv benchmarks
+(crux.rdf/submit-ntriples, used from crux-bench/src/crux/bench/
+watdiv_crux.clj:33) and CSV for the TimescaleDB suites
+(crux-bench/src/crux/bench/ts_devices.clj:36-60). Spark recast: parse
+N-Triples lines into an (e, a, v) DataFrame, pivot to a wide document
+table per predicate set, or keep the typed EAV view for fully schemaless
+Datalog (SURVEY.md §1.5's `triples` view with one column per type class,
+the analogue of codec.clj's tagged value encoding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# <subj> <pred> "literal"^^<type> .  |  <subj> <pred> <obj> .
+_NT_REGEX = r"^<([^>]+)>\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Parse an N-Triples file into (e, a, v, v_type) rows.
+
+    IRIs become strings; literals keep their lexical form with an inferred
+    v_type ('iri' | 'string' | 'long' | 'double'). One narrow pass —
+    regex extraction is codegen'd, scales linearly with input splits."""
+    lines = spark.read.text(path).filter(
+        (F.length(F.trim("value")) > 0) & ~F.col("value").startswith("#")
+    )
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_REGEX, 1).alias("e"),
+        F.regexp_extract("value", _NT_REGEX, 2).alias("a"),
+        F.regexp_extract("value", _NT_REGEX, 3).alias("raw_v"),
+    ).filter(F.col("e") != "")
+    v_iri = F.regexp_extract("raw_v", r"^<([^>]+)>$", 1)
+    v_str = F.regexp_extract("raw_v", r'^"((?:[^"\\]|\\.)*)"', 1)
+    is_num = F.col("raw_v").rlike(r'^"-?[0-9.]+"\^\^.*(integer|int|long|double|decimal|float)')
+    is_int = F.col("raw_v").rlike(r'^"-?[0-9]+"\^\^.*(integer|int|long)')
+    return parsed.select(
+        "e",
+        "a",
+        F.when(v_iri != "", v_iri).otherwise(v_str).alias("v"),
+        F.when(v_iri != "", F.lit("iri"))
+        .when(is_int, F.lit("long"))
+        .when(is_num, F.lit("double"))
+        .otherwise(F.lit("string"))
+        .alias("v_type"),
+    )
+
+
+def pivot_triples(triples: DataFrame, attrs: list[str] | None = None) -> DataFrame:
+    """Pivot (e, a, v) rows into a wide document table (one column per
+    attribute; multi-valued attributes become arrays). The bridge from RDF
+    EAV form to the catalog's typed-table form."""
+    if attrs is None:
+        attrs = [r.a for r in triples.select("a").distinct().collect()]
+    agg = triples.groupBy("e").pivot("a", attrs).agg(F.collect_list("v"))
+    # single-valued columns collapse to scalars
+    single = {}
+    counts = (
+        triples.groupBy("e", "a").count().groupBy("a").agg(F.max("count").alias("m"))
+    )
+    for r in counts.collect():
+        single[r.a] = r.m == 1
+    cols = [F.col("e").alias("_id")]
+    for a in attrs:
+        c = F.col(f"`{a}`")
+        cols.append(
+            # F.get is null-safe on empty arrays (entities missing the attr)
+            (F.get(c, 0) if single.get(a, False) else c).alias(
+                a.split("/")[-1].split("#")[-1]
+            )
+        )
+    return agg.select(*cols)
+
+
+def read_csv_documents(
+    spark: SparkSession, path: str, id_col: str, **options
+) -> DataFrame:
+    """CSV → document table (ts-devices/ts-weather style ingestion)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    df = spark.read.options(**opts).csv(path)
+    return df.withColumn("_id", F.col(id_col).cast("string"))
+
+
+def triples_view(df: DataFrame, id_col: str = "_id") -> DataFrame:
+    """Explode a wide document table into the typed EAV view of
+    SURVEY.md §1.5: (e, a, v_type, v_long, v_double, v_string, v_bool,
+    v_ts, pos). One row per (entity, attribute, value); array attributes
+    emit one row per element with its position (the reference stores
+    vector positions in ECAV, index_store.clj:912-926, so documents
+    round-trip with order preserved)."""
+    import pyspark.sql.types as T
+
+    pieces = []
+    for f in df.schema.fields:
+        if f.name == id_col:
+            continue
+        a = F.lit(":" + f.name)
+        e = F.col(id_col).cast("string")
+        if isinstance(f.dataType, T.ArrayType):
+            ex = df.select(
+                e.alias("e"), F.posexplode(F.col(f.name)).alias("pos", "val")
+            )
+            elem = ex.schema["val"].dataType
+            pieces.append(_typed_row(ex, a, elem, pos=F.col("pos")))
+        else:
+            base = df.select(e.alias("e"), F.col(f.name).alias("val")).filter(
+                F.col("val").isNotNull()
+            )
+            pieces.append(_typed_row(base, a, f.dataType, pos=F.lit(None).cast("int")))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _typed_row(df: DataFrame, a, dtype, pos):
+    import pyspark.sql.types as T
+
+    val = F.col("val")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("boolean")
+    null_t = F.lit(None).cast("timestamp")
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        cols = ("long", val.cast("long"), null_d, null_s, null_b, null_t)
+    elif isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        cols = ("double", null_l, val.cast("double"), null_s, null_b, null_t)
+    elif isinstance(dtype, T.BooleanType):
+        cols = ("boolean", null_l, null_d, null_s, val.cast("boolean"), null_t)
+    elif isinstance(dtype, T.TimestampType):
+        cols = ("timestamp", null_l, null_d, null_s, null_b, val)
+    else:
+        cols = ("string", null_l, null_d, val.cast("string"), null_b, null_t)
+    v_type, v_long, v_double, v_string, v_bool, v_ts = cols
+    return df.select(
+        F.col("e"),
+        a.alias("a"),
+        F.lit(v_type).alias("v_type") if isinstance(v_type, str) else v_type,
+        v_long.alias("v_long"),
+        v_double.alias("v_double"),
+        v_string.alias("v_string"),
+        v_bool.alias("v_bool"),
+        v_ts.alias("v_ts"),
+        pos.alias("pos"),
+    )

@@ -113,3 +113,36 @@ def stream_rollup(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+def stream_stateful_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    key_col: str = "user_id",
+):
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running per-key event counter + value total that survives across
+    micro-batches (the arbitrary-stateful-op surface the reference's
+    secondary indexes would plug into; SURVEY.md §2.9/§2.10)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "key long, events long, total double"
+    state_schema = "events long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        events, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            events += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((events, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "events": [events], "total": [round(total, 2)]}
+        )
+
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        events.groupBy(F.col(key_col))
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )

@@ -239,3 +239,104 @@ def test_streaming_windowed_rollup(spark, tmp_path):
     sq.awaitTermination(60)
     rows = {r.event_type: (r.n, r.total) for r in spark.sql("SELECT * FROM rollup_out").collect()}
     assert rows["click"] == (2, 3.0) and rows["view"] == (1, 5.0)
+
+
+def test_stream_stateful_counts(spark, tmp_path):
+    from crux_spark.streaming.ingest import stream_stateful_counts
+
+    src = str(tmp_path / "sf_src")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], schema
+    ).write.mode("overwrite").parquet(src)
+    out = stream_stateful_counts(spark, src, schema)
+    sq = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(60)
+    rows = {r.key: (r.events, r.total) for r in spark.sql("SELECT * FROM stateful_out").collect()}
+    assert rows == {1: (2, 3.0), 2: (1, 5.0)}
+
+
+def test_custom_aggregate_registry(catalog):
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog.aggregates import register_aggregate
+
+    register_aggregate("geo-mean", lambda c: F.round(F.exp(F.avg(F.log(c))), 6))
+    res = q(
+        catalog,
+        {
+            "find": ["?flag", ["geo-mean", "?qty", "gm"]],
+            "where": [
+                ["?l", ":l_returnflag", "?flag"],
+                ["?l", ":l_quantity", "?qty"],
+            ],
+        },
+    )
+    rows = res.collect()
+    assert len(rows) == 3 and all(r.gm > 0 for r in rows)
+
+
+def test_temporal_sql_view(spark):
+    import datetime as dt
+
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.sql import temporal_view
+
+    store = TxStore(spark)
+    t = lambda d: dt.datetime(2021, 6, d)
+    store.submit_tx([("put", {"id": "a1", "balance": 100}, t(1))], tx_time=t(1))
+    store.submit_tx([("put", {"id": "a1", "balance": 200}, t(10))], tx_time=t(10))
+    store.commit()
+    temporal_view(store, "accounts_asof", valid_time=t(5), schema="id string, balance long")
+    rows = spark.sql("SELECT id, balance FROM accounts_asof").collect()
+    assert [(r.id, r.balance) for r in rows] == [("a1", 100)]
+    temporal_view(store, "accounts_now", valid_time=t(11), schema="id string, balance long")
+    assert spark.sql("SELECT balance FROM accounts_now").first()[0] == 200
+
+
+def test_ntriples_loader_and_pivot(spark, tmp_path):
+    from crux_spark.sources.loaders import pivot_triples, read_ntriples
+
+    nt = tmp_path / "data.nt"
+    nt.write_text(
+        '<http://ex/alice> <http://ex/name> "Alice" .\n'
+        '<http://ex/alice> <http://ex/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://ex/alice> <http://ex/knows> <http://ex/bob> .\n'
+        '<http://ex/bob> <http://ex/name> "Bob" .\n'
+        "# a comment\n"
+    )
+    triples = read_ntriples(spark, str(nt))
+    rows = {(r.e, r.a): (r.v, r.v_type) for r in triples.collect()}
+    assert rows[("http://ex/alice", "http://ex/name")] == ("Alice", "string")
+    assert rows[("http://ex/alice", "http://ex/age")] == ("30", "long")
+    assert rows[("http://ex/alice", "http://ex/knows")] == ("http://ex/bob", "iri")
+    wide = pivot_triples(triples)
+    alice = [r for r in wide.collect() if r._id == "http://ex/alice"][0]
+    assert alice.name == "Alice"
+
+
+def test_eav_triples_view(spark):
+    from crux_spark.sources.loaders import triples_view
+
+    df = spark.createDataFrame(
+        [("e1", "Ann", 30, ["x", "y"]), ("e2", "Bob", None, None)],
+        "_id string, name string, age long, tags array<string>",
+    )
+    tv = triples_view(df)
+    rows = {(r.e, r.a, r.pos): (r.v_type, r.v_long, r.v_string) for r in tv.collect()}
+    assert rows[("e1", ":name", None)] == ("string", None, "Ann")
+    assert rows[("e1", ":age", None)] == ("long", 30, None)
+    assert rows[("e1", ":tags", 0)] == ("string", None, "x")
+    assert rows[("e1", ":tags", 1)] == ("string", None, "y")
+    assert ("e2", ":age", None) not in rows  # nulls don't emit triples
