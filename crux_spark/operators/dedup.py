@@ -212,7 +212,16 @@ def minhash_lsh_pairs(
     ).select("id", "sig", "bb.band", "bb.bucket").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    # verify (cheap map-side zip) BEFORE dedup: within-bucket pair counts
+    # are quadratic in bucket size, so the dedup shuffle must only see the
+    # surviving pairs, not the raw candidate explosion
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -225,17 +234,9 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return (
-        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "est_jaccard")
     )
 
@@ -295,8 +296,14 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket").localCheckpoint(eager=False)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # shuffled sort-merge self-join on (band, bucket): hot buckets generate
+    # quadratic pair counts, and AQE's skew-join splitting only parallelizes
+    # shuffle joins — a broadcast join would compute every pair in however
+    # few partitions the probe side has
+    a, b = banded.hint("merge").alias("a"), banded.alias("b")
+    # hamming filter runs map-side on the raw (quadratic-in-bucket) pair
+    # stream; only survivors reach the dedup shuffle
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -306,14 +313,11 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )

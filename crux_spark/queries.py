@@ -1185,3 +1185,385 @@ def text_search_docs(spark, sf_dir):
     postings, dfreq, n = _bti(cat.table("documents"), "doc_id", "text")
     out = _ts(postings, dfreq, n, "spark window merge")
     return out.select("eid", F.round("score", 2).alias("score"))
+
+
+# ===========================================================================
+# Batch 4: remaining TPC-H shapes (q2/q4/q8/q11/q12/q15/q16/q17/q20 adapted
+# to available columns), recursive rules vs WITH RECURSIVE, relation :in
+# ===========================================================================
+
+
+@register(
+    "tpch_q2",
+    """
+    SELECT DISTINCT p_brand, s_name, s_acctbal FROM (
+      SELECT p.p_brand, s.s_name, s.s_acctbal,
+             min(s.s_acctbal) OVER (PARTITION BY p.p_brand) AS mn
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ) t WHERE s_acctbal = mn
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Min-cost supplier per brand (q2 shape: min-subquery + join;
+    tpch.clj:144-182 — partsupp absent, lineitem links parts/suppliers)."""
+    cat = catalog_for(spark, sf_dir)
+    l = cat.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = cat.table("part")
+    s = cat.table("supplier")
+    joined = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_brand", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        joined.withColumn("mn", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("mn"))
+        .select("p_brand", "s_name", "s_acctbal")
+        .distinct()
+    )
+
+
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """Order-priority checking (q4 shape: EXISTS semi-join;
+    tpch.clj:206-219 — commitdate absent, late-shipment predicate)."""
+    cat = catalog_for(spark, sf_dir)
+    o = cat.table("orders")
+    l = cat.table("lineitem")
+    late = l.join(
+        o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    return (
+        o.join(late.withColumnRenamed("l_orderkey", "ok"), F.col("o_orderkey") == F.col("ok"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n.n_name AS nation
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation n ON n.n_nationkey = s_nationkey
+                    JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ) t GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """National market share within a region (q8; tpch.clj:284-317)."""
+    cat = catalog_for(spark, sf_dir)
+    l, o = cat.table("lineitem"), cat.table("orders")
+    s, n, r = cat.table("supplier"), cat.table("nation"), cat.table("region")
+    base = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0006 FROM lineitem)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Important stock (q11 shape: scalar-subquery HAVING;
+    tpch.clj:376-398)."""
+    cat = catalog_for(spark, sf_dir)
+    l = cat.table("lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = l.groupBy("l_partkey").agg(F.sum(rev).alias("v"))
+    total = l.agg((F.sum(rev) * 0.0006).alias("cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("cut"))
+        .select("l_partkey", F.round("v", 2).alias("value"))
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping modes/priority (q12 shape: conditional counts;
+    tpch.clj:400-419 — shipmode absent, linestatus buckets)."""
+    cat = catalog_for(spark, sf_dir)
+    o, l = cat.table("orders"), cat.table("lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Top supplier (q15: view + scalar max subquery; tpch.clj:455-477)."""
+    cat = catalog_for(spark, sf_dir)
+    l, s = cat.table("lineitem"), cat.table("supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (q16: not= filter + count-distinct;
+    tpch.clj:479-499) — via the Datalog surface."""
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        {
+            "find": [
+                "?brand",
+                "?type",
+                "?size",
+                ["count-distinct", "?sk", "supplier_cnt"],
+            ],
+            "keys": ["p_brand", "p_type", "p_size", "supplier_cnt"],
+            "where": [
+                ["?l", ":l_partkey", "?pk"],
+                ["?l", ":l_suppkey", "?sk"],
+                ["?p", ":p_partkey", "?pk"],
+                ["?p", ":p_brand", "?brand"],
+                ["?p", ":p_type", "?type"],
+                ["?p", ":p_size", "?size"],
+                [["not=", "?brand", "Brand#1"]],
+                [["contains?", [1, 5, 9, 13, 17], "?size"]],
+            ],
+        },
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Small-quantity revenue (q17: correlated avg subquery -> per-part
+    avg join; tpch.clj:501-516)."""
+    cat = catalog_for(spark, sf_dir)
+    l, p = cat.table("lineitem"), cat.table("part")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(p.filter(F.col("p_brand") == "Brand#3"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    SELECT DISTINCT s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE regexp_matches(p_name, '^small')
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 100
+    )
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Potential promotion (q20: regex + grouped-having subquery semi-join;
+    tpch.clj:570-594) — regex via the Datalog re-find builtin."""
+    cat = catalog_for(spark, sf_dir)
+    inner = q(
+        cat,
+        {
+            "find": ["?sk", ["sum", "?qty", "sq"]],
+            "keys": ["sk", "sq"],
+            "where": [
+                ["?l", ":l_suppkey", "?sk"],
+                ["?l", ":l_partkey", "?pk"],
+                ["?l", ":l_quantity", "?qty"],
+                ["?p", ":p_partkey", "?pk"],
+                ["?p", ":p_name", "?pn"],
+                [["re-find", "^small", "?pn"]],
+            ],
+        },
+    ).filter(F.col("sq") > 100)
+    s = cat.table("supplier")
+    return (
+        s.join(inner, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name")
+        .distinct()
+    )
+
+
+@register(
+    "datalog_recursive_reach",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS src, n_nationkey + 1 AS dst
+      FROM nation WHERE (n_nationkey + 1) % 5 <> 0 AND n_nationkey + 1 <= 24
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+    """,
+)
+def datalog_recursive_reach(spark, sf_dir):
+    """Recursive rules (transitive closure) through the semi-naive fixpoint
+    driver loop (query.clj:1209-1270 recursion), oracled against DuckDB's
+    WITH RECURSIVE. Edge list derived deterministically from nation."""
+    cat = catalog_for(spark, sf_dir)
+    n = cat.table("nation")
+    edges = (
+        n.filter(((F.col("n_nationkey") + 1) % 5 != 0) & (F.col("n_nationkey") + 1 <= 24))
+        .select(
+            F.col("n_nationkey").cast("long").alias("src"),
+            (F.col("n_nationkey") + 1).cast("long").alias("dst"),
+        )
+    )
+    ecat = Catalog(spark)
+    ecat.add_documents("edges", edges.withColumn("_id", F.concat_ws("_", "src", "dst")))
+    return q(
+        ecat,
+        {
+            "find": ["?x", "?y"],
+            "keys": ["src", "dst"],
+            "rules": [
+                [
+                    ["reach", "?x", "?y"],
+                    ["?e", ":src", "?x"],
+                    ["?e", ":dst", "?y"],
+                ],
+                [
+                    ["reach", "?x", "?y"],
+                    ["?e", ":src", "?x"],
+                    ["?e", ":dst", "?z"],
+                    ["reach", "?z", "?y"],
+                ],
+            ],
+            "where": [["reach", "?x", "?y"]],
+        },
+    )
+
+
+@register(
+    "datalog_relation_in",
+    """
+    SELECT DISTINCT c_name FROM customer
+    WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 1)
+       OR (c_mktsegment = 'MACHINERY' AND c_nationkey = 2)
+    """,
+)
+def datalog_relation_in(spark, sf_dir):
+    """Relation :in binding (query.clj:156-157, :705-724): a literal
+    relation joins like any other."""
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        {
+            "find": ["?name"],
+            "keys": ["c_name"],
+            "in": [[["?seg", "?nk"]]],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_mktsegment", "?seg"],
+                ["?c", ":c_nationkey", "?nk"],
+            ],
+        },
+        [("BUILDING", 1), ("MACHINERY", 2)],
+    )
