@@ -360,6 +360,9 @@ class ExprBuilder:
     def _fn_boolean(self, a):
         return self.build(a[0]).cast("boolean")
 
+    def _fn_identity(self, a):
+        return self.build(a[0])
+
     def _fn_evenp(self, a):
         return self.build(a[0]) % 2 == 0
 

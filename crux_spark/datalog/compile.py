@@ -76,6 +76,8 @@ class Compiler:
             self.rules.setdefault(head[0], []).append((list(head[1:]), list(r[1:])))
         self._fresh_n = 0
         self._rule_cache: dict[str, DataFrame] = {}
+        # entity var -> table name, recorded by scan_group (used by pull)
+        self.entity_tables: dict[str, str] = {}
 
     # ------------------------------------------------------------------ util
 
@@ -118,13 +120,38 @@ class Compiler:
                 raise ValueError(f"unparseable where clause: {c!r}")
         dfs = [d for e, pats in triples.items() for d in self.scan_group(e, pats)]
         dfs.extend(rels)
-        for joinvars, branches in ors:
-            dfs.append(self.compile_or(joinvars, branches))
         df = self.join_all(dfs)
+        # or/not compile AFTER the base join so branches may be correlated
+        # with outer-bound vars (predicates over outer vars inside a
+        # negation/disjunction, query_test.clj's not/or corpus)
+        for joinvars, branches in ors:
+            rel = self.compile_or(joinvars, branches, outer=df)
+            shared = sorted(set(df.columns) & set(rel.columns))
+            df = df.join(rel, on=shared, how="inner") if shared else df.crossJoin(rel)
         df = self.apply_preds(df, preds)
         for joinvars, sub in negs:
             df = self.apply_not(df, joinvars, sub)
         return df
+
+    def _seed_for(self, outer: DataFrame | None, sub_vars: set[str]) -> list[DataFrame]:
+        """Correlation seed: the outer rows projected onto the vars the
+        sub-clauses reference. Lets a negation/disjunction branch consist
+        of predicates over outer-bound vars alone."""
+        if outer is None:
+            return []
+        shared = sorted({var_col(v) for v in sub_vars} & set(outer.columns))
+        if not shared:
+            return []
+        return [outer.select(*shared).distinct()]
+
+    def _clause_vars(self, form: Any) -> set[str]:
+        out = set()
+        if is_var(form) and form not in self.env:
+            out.add(form)
+        elif isinstance(form, (list, tuple)):
+            for x in form:
+                out |= self._clause_vars(x)
+        return out
 
     # ------------------------------------------------------------------ scans
 
@@ -150,6 +177,7 @@ class Compiler:
             if is_var(e) and e not in self.env:
                 select.append(F.col(ID_COL).alias(var_col(e)))
                 var_src[e] = ID_COL
+                self.entity_tables.setdefault(e, tname)
             elif not is_blank(e):
                 filters.append(F.col(ID_COL) == F.lit(self.env.get(e, e)))
             for ref, v in items:
@@ -337,7 +365,8 @@ class Compiler:
     # ---------------------------------------------------------------- not / or
 
     def apply_not(self, df: DataFrame, joinvars: list | None, sub: list) -> DataFrame:
-        sub_df = self.compile_clauses(sub)
+        seed = self._seed_for(df, self._clause_vars(sub))
+        sub_df = self.compile_clauses(sub, extra_rels=seed)
         if joinvars is None:
             shared = sorted(set(df.columns) & set(sub_df.columns))
         else:
@@ -362,13 +391,18 @@ class Compiler:
             branch_forms.append(["and", *forms] if len(forms) > 1 else forms[0])
         return ["or", *branch_forms]
 
-    def compile_or(self, joinvars: list | None, branches: list) -> DataFrame:
+    def compile_or(
+        self, joinvars: list | None, branches: list, outer: DataFrame | None = None
+    ) -> DataFrame:
         bdfs = []
         for b in branches:
-            if isinstance(b, (list, tuple)) and b and b[0] == "and":
-                bdfs.append(self.compile_clauses(list(b[1:])))
-            else:
-                bdfs.append(self.compile_clauses([b]))
+            cls = (
+                list(b[1:])
+                if isinstance(b, (list, tuple)) and b and b[0] == "and"
+                else [b]
+            )
+            seed = self._seed_for(outer, self._clause_vars(cls))
+            bdfs.append(self.compile_clauses(cls, extra_rels=seed))
         if joinvars is None:
             common = set(bdfs[0].columns)
             for d in bdfs[1:]:
@@ -441,31 +475,105 @@ class Compiler:
         """
         if name in self._rule_cache:
             return self._rule_cache[name]
-        defs = self.rules[name]
-        arity = len(defs[0][0])
-        canon = [f"__r{i}" for i in range(arity)]
-        rec = [d for d in defs if self._body_references(d[1], name, set())]
-        base = [d for d in defs if not self._body_references(d[1], name, set())]
-        base_dfs = [self._compile_rule_branch(a, b, canon) for a, b in base]
-        if not rec:
-            rel = reduce(lambda x, y: x.unionByName(y), base_dfs).distinct()
+        group = sorted(self._recursion_group(name))
+        if not group:
+            defs = self.rules[name]
+            canon = [f"__r{i}" for i in range(len(defs[0][0]))]
+            dfs = [self._compile_rule_branch(a, b, canon) for a, b in defs]
+            rel = reduce(lambda x, y: x.unionByName(y), dfs).distinct()
             self._rule_cache[name] = rel
             return rel
-        if not base_dfs:
-            raise ValueError(f"recursive rule {name!r} has no non-recursive branch")
-        total = reduce(lambda x, y: x.unionByName(y), base_dfs).distinct().localCheckpoint()
+        self._fixpoint_group(group)
+        return self._rule_cache[name]
+
+    def _recursion_group(self, name: str) -> set[str]:
+        """Rules mutually recursive with `name` (including `name` itself if
+        self-recursive): m is in the group iff m reaches name and name
+        reaches m through rule calls."""
+        reaches_name = {
+            m
+            for m in self.rules
+            if self._body_references(
+                [c for _, b in self.rules[m] for c in b], name, set()
+            )
+        }
+        group = set()
+        for m in reaches_name:
+            if m == name or self._body_references(
+                [c for _, b in self.rules[name] for c in b], m, set()
+            ):
+                group.add(m)
+        if name in reaches_name:
+            group.add(name)
+        return group if group else set()
+
+    def _fixpoint_group(self, group: list[str]) -> None:
+        """Joint naive fixpoint over a (possibly mutually) recursive rule
+        group: recompute every member from the current totals until no
+        member grows. Handles mutual recursion, which the reference
+        supports via tabled or-join recursion (query.clj:1079-1144)."""
+        canon_of = {
+            m: [f"__r{i}" for i in range(len(self.rules[m][0][0]))] for m in group
+        }
+        totals: dict[str, DataFrame | None] = {m: None for m in group}
+        counts: dict[str, int] = {m: -1 for m in group}
+
+        def direct_refs(body) -> set[str]:
+            out = set()
+            for c in body:
+                if not isinstance(c, (list, tuple)) or not c:
+                    continue
+                head = c[0] if isinstance(c[0], str) else None
+                if head in self.rules:
+                    out.add(head)
+                elif head in ("not", "or", "and"):
+                    out |= direct_refs(list(c[1:]))
+                elif head in ("not-join", "or-join"):
+                    out |= direct_refs(list(c[2:]))
+            return out
+
+        def branch_ready(body) -> bool:
+            # gate on DIRECT rule calls only: compilation consumes the
+            # referenced rules' current totals, never their bodies
+            return all(
+                totals.get(m) is not None or m not in group
+                for m in direct_refs(body)
+            )
+
         for _ in range(MAX_FIXPOINT_ITERATIONS):
-            self._rule_cache[name] = total
-            new_dfs = [self._compile_rule_branch(a, b, canon) for a, b in rec]
-            new = reduce(lambda x, y: x.unionByName(y), new_dfs).distinct()
-            delta = new.join(total, on=canon, how="left_anti").localCheckpoint()
-            if delta.isEmpty():
-                break
-            total = total.unionByName(delta).localCheckpoint()
+            grew = False
+            for m in group:
+                for k, v in totals.items():
+                    if v is not None:
+                        self._rule_cache[k] = v
+                dfs = [
+                    self._compile_rule_branch(a, b, canon_of[m])
+                    for a, b in self.rules[m]
+                    if branch_ready(b)
+                ]
+                if not dfs:
+                    continue
+                new = (
+                    reduce(lambda x, y: x.unionByName(y), dfs)
+                    .distinct()
+                    .localCheckpoint()
+                )
+                n = new.count()
+                if n != counts[m]:
+                    grew = True
+                    counts[m] = n
+                    totals[m] = new
+            if not grew:
+                if all(v is not None for v in totals.values()):
+                    break
+                raise ValueError(
+                    f"recursive rule group {group!r} has no reachable "
+                    "non-recursive branch"
+                )
         else:
-            raise RuntimeError(f"rule {name!r} did not reach fixpoint")
-        self._rule_cache[name] = total
-        return total
+            raise RuntimeError(f"rule group {group!r} did not reach fixpoint")
+        for m in group:
+            self._rule_cache[m] = totals[m]
 
     def compile_rule_call(self, name: str, args: list) -> DataFrame:
         rel = self.rule_relation(name)
@@ -526,9 +634,45 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
 
     plain = [el for el in find if is_var(el)]
     aggs = [el for el in find if agg.is_agg_form(el)]
-    if len(plain) + len(aggs) != len(find):
-        bad = [el for el in find if not (is_var(el) or agg.is_agg_form(el))]
+    pulls = [
+        el
+        for el in find
+        if isinstance(el, (list, tuple)) and len(el) >= 3 and el[0] == "pull"
+    ]
+    if len(plain) + len(aggs) + len(pulls) != len(find):
+        bad = [
+            el
+            for el in find
+            if not (is_var(el) or agg.is_agg_form(el) or el in pulls)
+        ]
         raise NotImplementedError(f"unsupported find elements: {bad!r}")
+    if pulls and aggs:
+        raise NotImplementedError("pull cannot be combined with aggregates")
+
+    pull_aliases: dict[int, str] = {}
+    if pulls:
+        # pull in :find (query.clj:120-123, compiled via pull.clj) — struct
+        # assembly joins attached per pulled entity var
+        from crux_spark.datalog.pull import pull as _pull
+
+        needed = [var_col(v) for v in plain] + [var_col(el[1]) for el in pulls]
+        df = df.select(*dict.fromkeys(needed))
+        for el in pulls:
+            evar, spec = el[1], el[2]
+            alias = el[3] if len(el) > 3 else f"pull_{var_col(evar)}"
+            table = comp.entity_tables.get(evar)
+            if table is None:
+                raise ValueError(f"pull entity var {evar!r} not bound to a table")
+            df = _pull(
+                catalog,
+                df,
+                var_col(evar),
+                table,
+                spec,
+                joins=query.get("pull-joins"),
+                out_col=alias,
+            )
+            pull_aliases[id(el)] = alias
 
     out_cols: list[str] = []
     if aggs:
@@ -544,7 +688,12 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             out_cols.append(var_col(el) if is_var(el) else alias_by_id[id(el)])
         df = df.select(*out_cols)
     else:
-        out_cols = [var_col(v) for v in plain]
+        out_cols = []
+        for el in find:
+            if is_var(el):
+                out_cols.append(var_col(el))
+            else:
+                out_cols.append(pull_aliases[id(el)])
         df = df.select(*out_cols)
         # set semantics: dedup unless ordered/limited (query.clj:1783)
         if not (order_by or limit is not None or offset is not None):

@@ -116,3 +116,84 @@ def test_recursive_rule_all_pairs(people_catalog):
             ("e", "f"),
         ]
     )
+
+
+def test_mutual_recursion(people_catalog, spark):
+    """Mutually recursive rules (query_test.clj datalog-paper programs):
+    even/odd walk over the follows chain a->b->c->d."""
+    res = q(
+        people_catalog,
+        {
+            "find": ["?y"],
+            "in": ["?start"],
+            "rules": [
+                # even-reach: zero or an even number of hops
+                [["even-reach", "?x", "?y"], ["?x", ":name", "_"], [["identity", "?x"], "?y"]],
+                [
+                    ["even-reach", "?x", "?y"],
+                    ["?x", ":follows", "?z"],
+                    ["odd-reach", "?z", "?y"],
+                ],
+                [
+                    ["odd-reach", "?x", "?y"],
+                    ["?x", ":follows", "?z"],
+                    ["even-reach", "?z", "?y"],
+                ],
+            ],
+            "where": [["even-reach", "?start", "?y"]],
+        },
+        "a",
+    )
+    # a=0 hops, c=2 hops (a->b->c); b,d are odd distances
+    assert sorted(r.y for r in res.collect()) == ["a", "c"]
+
+
+def test_correlated_not_with_pred(people_catalog):
+    # not over a predicate on an outer-bound var (query_test.clj not corpus)
+    res = q(
+        people_catalog,
+        {
+            "find": ["?n"],
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":age", "?a"],
+                ["not", [[">", "?a", 35]]],
+            ],
+        },
+    )
+    assert sorted(r.n for r in res.collect()) == ["Ann", "Eve", "Fay"]
+
+
+def test_correlated_or_mixing_pred_and_triple(people_catalog):
+    # or branch = pure pred over outer var; other branch = triple pattern
+    res = q(
+        people_catalog,
+        {
+            "find": ["?n"],
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":age", "?a"],
+                [
+                    "or-join",
+                    ["?p"],
+                    ["and", ["?p", ":age", "?a2"], [[">=", "?a2", 60]]],
+                    ["?p", ":follows", "b"],
+                ],
+            ],
+        },
+    )
+    # Dee (age 60) or follows-b (Ann)
+    assert sorted(r.n for r in res.collect()) == ["Ann", "Dee"]
+
+
+def test_pull_in_find(people_catalog):
+    res = q(
+        people_catalog,
+        {
+            "find": ["?n", ["pull", "?p", [":age", ":name"], "doc"]],
+            "where": [["?p", ":name", "?n"], ["?p", ":age", "?a"], [["<", "?a", 35]]],
+        },
+    )
+    rows = {r.n: r.doc.asDict() for r in res.collect()}
+    assert rows["Ann"] == {"age": 30, "name": "Ann"}
+    assert set(rows) == {"Ann", "Eve", "Fay"}
