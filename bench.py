@@ -25,11 +25,24 @@ def main() -> None:
     spark = get_spark("crux-spark-bench")
     queries = entrymod.queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not first-touch session costs
+    # warm the JVM, parquet footers, codegen and the Arrow/Python-UDF
+    # path once so per-query numbers measure the engine, not first-touch
+    # session costs (the first expression-heavy op otherwise pays ~10s of
+    # one-time warmup)
+    from pyspark.sql import functions as F
+
     from crux_spark.queries import catalog_for
 
-    catalog_for(spark, sf_dir).table("lineitem").count()
+    cat = catalog_for(spark, sf_dir)
+    cat.table("lineitem").count()
+    docs_warm = cat.table("documents").select("doc_id", "text").limit(64)
+    docs_warm.select(
+        F.explode(F.split("text", " ")).alias("t")
+    ).groupBy("t").count().count()
+    docs_warm.mapInPandas(
+        lambda it: (pdf.assign(n=pdf["text"].str.len()) for pdf in it),
+        "doc_id long, text string, n long",
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
