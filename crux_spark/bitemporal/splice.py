@@ -84,9 +84,25 @@ def _current(history: list[Version]) -> list[Version]:
     return [r for r in history if r.tx_to == END_OF_TX]
 
 
+def _boundaries(current: list[Version]) -> list[int]:
+    """Version-change points of the current belief: rectangle starts AND
+    ends. The reference writes an explicit etx at every version point —
+    including the implicit nil at a ranged op's end (tx.clj:59-95) — and
+    those points persist through later range-overwrites; rectangle ends
+    are how this model carries them."""
+    pts = set()
+    for r in current:
+        pts.add(r.valid_from)
+        if r.valid_to != END_OF_TIME:
+            pts.add(r.valid_to)
+    return sorted(pts)
+
+
 def _next_boundary(current: list[Version], vf: int) -> int:
-    starts = sorted(r.valid_from for r in current if r.valid_from > vf)
-    return starts[0] if starts else END_OF_TIME
+    for p in _boundaries(current):
+        if p > vf:
+            return p
+    return END_OF_TIME
 
 
 def _splice(
@@ -121,18 +137,26 @@ def _splice(
             out.append(
                 replace(r, valid_from=end, tx_from=tx_id, tx_to=END_OF_TX, asserted=False)
             )
-    out.append(
-        Version(
-            valid_from=vf,
-            valid_to=end,
-            tx_from=tx_id,
-            tx_to=END_OF_TX,
-            tx_time=tx_time,
-            doc_json=None if doc is None else json.dumps(doc, sort_keys=True, default=str),
-            deleted=deleted,
-            content_hash=content_hash(doc),
+    # split the new assertion at interior version points of the replaced
+    # belief: the reference writes one etx per overridden version point
+    # inside the range (tx.clj:59-95), so those boundaries persist for
+    # later unranged ops and for history listing
+    splits = [p for p in _boundaries(current) if vf < p < end]
+    doc_json = None if doc is None else json.dumps(doc, sort_keys=True, default=str)
+    chash = content_hash(doc)
+    for seg_from, seg_to in zip([vf] + splits, splits + [end]):
+        out.append(
+            Version(
+                valid_from=seg_from,
+                valid_to=seg_to,
+                tx_from=tx_id,
+                tx_to=END_OF_TX,
+                tx_time=tx_time,
+                doc_json=doc_json,
+                deleted=deleted,
+                content_hash=chash,
+            )
         )
-    )
     return out
 
 

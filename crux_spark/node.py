@@ -1,0 +1,141 @@
+"""Node façade — the engine's top-level API, mirroring the reference's
+ICruxAPI surface (crux-core/src/crux/api.clj): submit-tx / await-tx / db /
+entity / entity-history / q / pull / with-tx, over the Spark-native
+components.
+
+    node = Node(spark)
+    node.submit_tx([("put", {"id": "u1", "name": "Ann", "score": 10})])
+    node.await_tx()
+    db = node.db()                      # snapshot value at (now, latest-tx)
+    db.q({"find": ["?n"], "where": [["?u", ":name", "?n"]]})
+    db.entity("u1")
+    node.db(valid_time=t, tx=7).q(...)  # time travel
+
+Schemaless documents become a typed wide table per `schema` (Spark DDL
+string, the analogue of the reference's :crux.sql.table/columns mapping
+docs, crux-sql/src/crux/calcite.clj:459-466); without a schema the
+collection is exposed as (eid, doc_json) only.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from collections import OrderedDict
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crux_spark.bitemporal.store import TxStore
+from crux_spark.catalog import Catalog
+from crux_spark.datalog import compile_query
+from crux_spark.datalog.pull import pull as _pull
+
+_PLAN_CACHE_SIZE = 256
+
+
+class Db:
+    """An immutable database value at (valid_time, tx) —
+    the reference's `db` (query.clj:1806-1835)."""
+
+    def __init__(self, node: "Node", valid_time: dt.datetime | None, tx: int | None):
+        self.node = node
+        self.valid_time = valid_time
+        self.tx = tx
+        self._catalog: Catalog | None = None
+
+    # -- snapshot-backed catalog ------------------------------------------
+
+    def catalog(self) -> Catalog:
+        if self._catalog is None:
+            snap = self.node.store.db(self.valid_time, self.tx)
+            cat = Catalog(self.node.spark)
+            if self.node.schema:
+                docs = snap.select(
+                    "eid", F.from_json("doc_json", self.node.schema).alias("d")
+                ).select("eid", "d.*")
+            else:
+                docs = snap.select("eid", "doc_json")
+            cat.add_documents(self.node.collection, docs, id_col="eid")
+            self._catalog = cat
+        return self._catalog
+
+    # -- query surface ----------------------------------------------------
+
+    def q(self, query: dict, *args: Any) -> DataFrame:
+        """Datalog query against this snapshot (plan-cached per query text,
+        the analogue of the reference's query-cache, query.clj:1996)."""
+        key = (id(self), repr(query), repr(args))
+        cached = self.node._plan_cache.get(key)
+        if cached is not None:
+            self.node._plan_cache.move_to_end(key)
+            return cached
+        df = compile_query(self.catalog(), query, *args)
+        self.node._plan_cache[key] = df
+        if len(self.node._plan_cache) > _PLAN_CACHE_SIZE:
+            self.node._plan_cache.popitem(last=False)
+        return df
+
+    def entity(self, eid: str) -> dict | None:
+        return self.node.store.entity(eid, self.valid_time, self.tx)
+
+    def entity_history(
+        self, eid: str, ascending: bool = True, with_corrections: bool = False
+    ) -> list[dict]:
+        return self.node.store.entity_history(eid, ascending, with_corrections)
+
+    def pull(self, eid: str, spec: list, joins: dict | None = None) -> dict | None:
+        cat = self.catalog()
+        base = self.node.spark.createDataFrame([(str(eid),)], ["e"])
+        rows = _pull(cat, base, "e", self.node.collection, spec, joins=joins).collect()
+        if not rows or rows[0].pull is None:
+            return None
+        return rows[0].pull.asDict(recursive=True)
+
+    def sql_view(self, name: str) -> DataFrame:
+        from crux_spark.sql import temporal_view
+
+        return temporal_view(
+            self.node.store, name, self.valid_time, self.tx, self.node.schema
+        )
+
+
+class Node:
+    """The running engine instance (the reference's node, minus the wiring
+    we deliberately do not rebuild — SURVEY.md 'explicit non-goals')."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: str | None = None,
+        collection: str = "docs",
+    ):
+        self.spark = spark
+        self.store = TxStore(spark)
+        self.schema = schema
+        self.collection = collection
+        self._plan_cache: OrderedDict = OrderedDict()
+
+    def submit_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> int:
+        return self.store.submit_tx(ops, tx_time)
+
+    def await_tx(self) -> set[int]:
+        """Commit pending txs (read-your-writes barrier, api.clj:36-61).
+        Returns aborted tx ids."""
+        aborted = self.store.commit()
+        self._plan_cache.clear()
+        return aborted
+
+    def register_tx_fn(self, name: str, fn) -> None:
+        self.store.register_tx_fn(name, fn)
+
+    def db(self, valid_time: dt.datetime | None = None, tx: int | None = None) -> Db:
+        return Db(self, valid_time, tx)
+
+    def with_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> Db:
+        """Speculative db value (query.clj:1896-1913)."""
+        fork_store = self.store.with_tx(ops, tx_time)
+        fork = Node(self.spark, self.schema, self.collection)
+        fork.store = fork_store
+        return Db(fork, None, None)

@@ -1,0 +1,135 @@
+"""Node façade end-to-end (api.clj surface) + hypothesis property tests
+for the splice algebra (the reference's test.check layer, SURVEY §5)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crux_spark.bitemporal import splice
+from crux_spark.node import Node
+
+
+def t(day):
+    return dt.datetime(2022, 1, day)
+
+
+@pytest.fixture()
+def node(spark):
+    n = Node(spark, schema="id string, name string, score long")
+    n.submit_tx(
+        [
+            ("put", {"id": "u1", "name": "ann", "score": 10}),
+            ("put", {"id": "u2", "name": "bob", "score": 25}),
+            ("put", {"id": "u3", "name": "cid", "score": 40}),
+        ],
+        tx_time=t(1),
+    )
+    n.await_tx()
+    return n
+
+
+def test_node_q_and_entity(node):
+    db = node.db(valid_time=t(2))
+    res = db.q(
+        {
+            "find": ["?n"],
+            "where": [["?u", ":name", "?n"], ["?u", ":score", "?s"], [[">", "?s", 20]]],
+        }
+    )
+    assert sorted(r.n for r in res.collect()) == ["bob", "cid"]
+    assert db.entity("u1")["name"] == "ann"
+    assert db.pull("u2", [":name", ":score"]) == {"name": "bob", "score": 25}
+
+
+def test_node_time_travel(node):
+    node.submit_tx([("put", {"id": "u1", "name": "ann2", "score": 99})], tx_time=t(5))
+    node.await_tx()
+    assert node.db(valid_time=t(6)).entity("u1")["name"] == "ann2"
+    assert node.db(valid_time=t(2)).entity("u1")["name"] == "ann"
+    # tx-dimension travel: before the correction was known
+    assert node.db(valid_time=t(6), tx=1).entity("u1")["name"] == "ann"
+
+
+def test_node_speculative_with_tx(node):
+    spec_db = node.with_tx([("put", {"id": "u9", "name": "zed", "score": 1})], tx_time=t(3))
+    assert spec_db.entity("u9")["name"] == "zed"
+    assert node.db(valid_time=t(4)).entity("u9") is None
+
+
+def test_node_sql_view(node, spark):
+    node.db(valid_time=t(2)).sql_view("users_v")
+    rows = spark.sql("SELECT name FROM users_v ORDER BY name").collect()
+    assert [r.name for r in rows] == ["ann", "bob", "cid"]
+
+
+def test_plan_cache_reuse(node):
+    db = node.db(valid_time=t(2))
+    query = {"find": ["?n"], "where": [["?u", ":name", "?n"]]}
+    d1 = db.q(query)
+    d2 = db.q(query)
+    assert d1 is d2  # cached plan object
+
+
+# ---------------------------------------------------------------- hypothesis
+
+_times = st.integers(min_value=0, max_value=20)
+
+
+@st.composite
+def op_sequences(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    ops = []
+    for i in range(n):
+        kind = draw(st.sampled_from(["put", "put_ranged", "delete"]))
+        vf = draw(_times)
+        if kind == "put":
+            ops.append(("put", {"id": "e", "v": i}, vf, None))
+        elif kind == "put_ranged":
+            vt = draw(st.integers(min_value=vf + 1, max_value=25))
+            ops.append(("put", {"id": "e", "v": i}, vf, vt))
+        else:
+            ops.append(("delete", None, vf, None))
+    return ops
+
+
+def _model_visible(ops, at):
+    """Brute-force model: replay ops in order over integer time points;
+    the visible doc at `at` is decided by the LAST op whose effective
+    range covers `at` — where an unranged op covers [vf, next-boundary)
+    with boundaries taken from ALL ops already applied (matching the
+    reference's version-boundary semantics)."""
+    timeline: dict[int, Any] = {}  # time point -> doc or None(tombstone)
+    applied_starts: list[int] = []
+    for kind, doc, vf, vt in ops:
+        if vt is None:
+            later = [s for s in applied_starts if s > vf]
+            end = min(later) if later else 26
+        else:
+            end = vt
+        for p in range(vf, end):
+            timeline[p] = doc if kind == "put" else None
+        applied_starts.append(vf)
+        if vt is not None:
+            applied_starts.append(vt)
+    return timeline.get(at)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=op_sequences(), at=_times)
+def test_splice_matches_bruteforce_model(ops, at):
+    hist = []
+    for i, (kind, doc, vf, vt) in enumerate(ops):
+        if kind == "put":
+            hist = splice.put(hist, doc, i + 1, vf * 1000, vf * 1000, None if vt is None else vt * 1000)
+        else:
+            hist = splice.delete(hist, i + 1, vf * 1000, vf * 1000, None if vt is None else vt * 1000)
+    got = splice.as_of(hist, at * 1000)
+    expected = _model_visible(ops, at)
+    if expected is None:
+        assert got is None
+    else:
+        assert got is not None and got.doc_json == splice.json.dumps(
+            expected, sort_keys=True, default=str
+        )
