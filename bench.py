@@ -61,6 +61,9 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    tpch_total = round(
+        sum(v for k, v in timings.items() if k.startswith("tpch_") and v > 0), 3
+    )
     print(
         json.dumps(
             {
@@ -69,6 +72,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # directly comparable to BASELINE.md (reference: ~190s for
+                # its TPC-H suite at sf 0.05, i.e. HALF this data volume)
+                "tpch_total": tpch_total,
             }
         )
     )

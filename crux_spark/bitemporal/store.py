@@ -273,6 +273,48 @@ class TxStore:
         self.aborted_txs |= aborted
         return aborted
 
+    def bulk_ingest(
+        self,
+        df: DataFrame,
+        id_expr: str,
+        doc_cols: list[str],
+        valid_from_col: str,
+        tx_id_expr: str | None = None,
+    ) -> None:
+        """Distributed bulk put-ingest: every input row becomes a put op,
+        built entirely as DataFrame expressions (no driver collect — the
+        100 TB path). ``tx_id_expr`` must be monotone with event order per
+        entity (defaults to the valid-from micros, which is exactly the
+        'valid-time = tx-time' ingestion of the reference's ts-weather
+        bench, ts_weather.clj:23)."""
+        vf_us = (F.col(valid_from_col).cast("double") * 1_000_000).cast("long")
+        tx_id = F.expr(tx_id_expr) if tx_id_expr else vf_us
+        ops_df = df.select(
+            F.expr(id_expr).cast("string").alias("eid"),
+            tx_id.alias("tx_id"),
+            F.lit(0).alias("seq").cast("long"),
+            F.lit("put").alias("op"),
+            vf_us.alias("tx_time"),
+            F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias("doc_json"),
+            F.lit(None).cast("string").alias("expected_json"),
+            vf_us.alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+
+        def apply_fn(key, vpdf, opdf):
+            hist = _rows_to_history(vpdf)
+            hist, _ = _apply_ops(hist, opdf, set())
+            return _history_to_pdf(key[0], hist)
+
+        self.versions = (
+            self.versions.groupBy("eid")
+            .cogroup(ops_df.groupBy("eid"))
+            .applyInPandas(apply_fn, VERSIONS_SCHEMA)
+            .localCheckpoint()
+        )
+        row = self.versions.agg(F.max("tx_from").alias("m")).first()
+        self._tx_id = max(self._tx_id, int(row.m or 0))
+
     # -------------------------------------------------------------- read API
 
     def db(self, valid_time: dt.datetime | None = None, tx: int | None = None) -> DataFrame:

@@ -35,6 +35,9 @@ _SIMPLE = {
     "min": F.min,
     "max": F.max,
     "distinct": F.collect_set,
+    # approximate variants (not in the reference; declared explicitly so
+    # exact parity stays the default — SURVEY §2.4 note)
+    "count-distinct-approx": F.approx_count_distinct,
 }
 
 AGG_FNS = set(_SIMPLE) | {"rand", "sample"}

@@ -1567,3 +1567,83 @@ def datalog_relation_in(spark, sf_dir):
         },
         [("BUILDING", 1), ("MACHINERY", 2)],
     )
+
+
+# ===========================================================================
+# Batch 5: bitemporal store through the gate, skew-safe aggregation
+# ===========================================================================
+
+_STORES: dict[tuple[int, str], object] = {}
+
+
+@register(
+    "bitemporal_store_asof",
+    """
+    SELECT user_id, round(value, 2) AS last_value
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-10' AND event_type = 'purchase'
+    ) v WHERE rn = 1
+    """,
+)
+def bitemporal_store_asof(spark, sf_dir):
+    """The full bitemporal write path under the gate: purchase events
+    ingest as document puts (valid_from = event time) through the
+    cogrouped splice apply; the snapshot read at T must agree with the
+    SQL latest-version oracle. Exercises TxStore ingest + db() at data
+    volume, not just unit scenarios."""
+    import datetime as _dt
+
+    from crux_spark.bitemporal.splice import to_us
+    from crux_spark.bitemporal.store import TxStore
+
+    key = (id(spark), sf_dir)
+    if key not in _STORES:
+        cat = catalog_for(spark, sf_dir)
+        ev = (
+            cat.table("events")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "value",
+                F.concat(F.lit("u"), F.col("user_id")).alias("uid"),
+                F.col("ts").alias("vt"),
+            )
+        )
+        store = TxStore(spark)
+        # fully distributed put-ingest: ops built as DataFrame expressions,
+        # one cogrouped splice pass — no driver-side loop
+        store.bulk_ingest(
+            ev, "uid", ["uid", "value", "event_id"], "vt",
+            tx_id_expr="CAST(vt AS DOUBLE) * 1000000 + event_id % 1000",
+        )
+        _STORES[key] = store
+    store = _STORES[key]
+    snap = store.db(valid_time=_dt.datetime(2024, 1, 10))
+    return snap.select(
+        F.regexp_replace("eid", "^u", "").cast("long").alias("user_id"),
+        F.round(
+            F.get_json_object("doc_json", "$.value").cast("double"), 2
+        ).alias("last_value"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation over a low-cardinality (skew-prone)
+    key — result identical to the plain groupBy, execution spreads each
+    hot key over 16 partial tasks."""
+    from crux_spark.operators.skew import salted_count_sum
+
+    cat = catalog_for(spark, sf_dir)
+    out = salted_count_sum(cat.table("events"), ["event_type"], "value", salt=16)
+    return out.select("event_type", "n", F.round("total", 2).alias("total"))

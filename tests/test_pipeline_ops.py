@@ -141,3 +141,16 @@ def test_text_analysis_columns(docs):
     fp1 = {r.doc_id: r.fp for r in rows}
     fp2 = {r.doc_id: r.fp for r in out.collect()}
     assert fp1 == fp2
+
+
+def test_salted_join_matches_plain(spark):
+    from crux_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "cold")[: 1 if i % 10 else 2]],
+        ["k", "i"],
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], ["k", "tag"])
+    plain = big.join(small, "k").groupBy("tag").count().collect()
+    salted = salted_join(big, small, "k").groupBy("tag").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
