@@ -674,6 +674,14 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             )
             pull_aliases[id(el)] = alias
 
+    bound = set(df.columns)
+    for el in find:
+        if is_var(el) and var_col(el) not in bound:
+            raise ValueError(
+                f"find var {el!r} is not bound by any where clause "
+                f"(bound: {sorted('?' + c for c in bound)})"
+            )
+
     out_cols: list[str] = []
     if aggs:
         gcols = [var_col(v) for v in plain]

@@ -1647,3 +1647,24 @@ def skew_salted_agg(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
     out = salted_count_sum(cat.table("events"), ["event_type"], "value", salt=16)
     return out.select("event_type", "n", F.round("total", 2).alias("total"))
+
+
+@register(
+    "bitemporal_store_history",
+    """
+    SELECT user_id, count(*) AS n_versions
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def bitemporal_store_history(spark, sf_dir):
+    """Entity-history cardinality through the store: every purchase event
+    became one asserted version (history events = puts), so per-entity
+    asserted-version counts must equal the per-user event counts."""
+    bitemporal_store_asof(spark, sf_dir)  # ensure the store is built
+    store = _STORES[(id(spark), sf_dir)]
+    return (
+        store.versions.filter(F.col("asserted"))
+        .groupBy(F.regexp_replace("eid", "^u", "").cast("long").alias("user_id"))
+        .agg(F.count("*").alias("n_versions"))
+    )

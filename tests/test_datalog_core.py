@@ -255,3 +255,82 @@ def test_keys_renaming(catalog):
     )
     assert res.columns == ["nation_name"]
     assert res.count() == 25
+
+
+def test_find_var_unbound_error(catalog):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bound by any where clause"):
+        q(catalog, {"find": ["?zzz"], "where": [["?n", ":n_name", "?x"]]})
+
+
+def test_datascript_not_join_multi_var(catalog):
+    # not-join with explicit unification vars (datascript not corpus)
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?c", ":c_name", "?name"],
+                ["?c", ":c_nationkey", "?nk"],
+                ["not-join", ["?nk"], ["?s", ":s_nationkey", "?nk"]],
+            ],
+        },
+    )
+    from pyspark.sql import functions as _F
+
+    sup_nk = {r[0] for r in catalog.table("supplier").select("s_nationkey").collect()}
+    exp = (
+        catalog.table("customer")
+        .filter(~_F.col("c_nationkey").isin(*sup_nk))
+        .select("c_name")
+        .distinct()
+        .count()
+    )
+    assert res.count() == exp
+
+
+def test_datascript_nested_not_inside_or_branch(catalog):
+    # or-join branch containing a not (nested negation)
+    res = q(
+        catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?n", ":n_name", "?name"],
+                ["?n", ":n_regionkey", "?rk"],
+                [
+                    "or-join",
+                    ["?rk"],
+                    [["=", "?rk", 0]],
+                    ["and", ["?r", ":r_regionkey", "?rk"], ["not", ["?r", ":r_name", "ASIA"]], [[">", "?rk", 2]]],
+                ],
+            ],
+        },
+    )
+    # rk==0, or rk>2 and region not ASIA (ASIA is rk 2) -> rk in {0, 3, 4}
+    got = sorted(r.name for r in res.collect())
+    from pyspark.sql import functions as _F
+
+    exp = sorted(
+        r.n_name
+        for r in catalog.table("nation").filter(_F.col("n_regionkey").isin(0, 3, 4)).collect()
+    )
+    assert got == exp
+
+
+def test_aggregate_empty_input(catalog):
+    # aggregation over an empty match set: global agg -> one row with
+    # null/0 per Spark semantics; grouped agg -> zero rows
+    res = q(
+        catalog,
+        {
+            "find": ["?flag", ["sum", "?qty", "s"]],
+            "where": [
+                ["?l", ":l_returnflag", "?flag"],
+                ["?l", ":l_quantity", "?qty"],
+                [[">", "?qty", 1e9]],
+            ],
+        },
+    )
+    assert res.count() == 0
