@@ -137,6 +137,21 @@ class Catalog:
                 f"unknown attribute {attr!r}; known: {sorted(self._attrs)[:20]}..."
             ) from None
 
+    def eav_view(self) -> DataFrame:
+        """Union of the typed EAV triples views of every registered table
+        (SURVEY.md §1.5's `triples` view) — the fallback scan for
+        variable-attribute Datalog patterns ``[?e ?a ?v]``. Values bind in
+        stringified form; typed comparisons should use fixed attributes."""
+        if getattr(self, "_eav", None) is None:
+            from crux_spark.sources.loaders import triples_view
+
+            views = [triples_view(self._dfs[t]) for t in self._dfs]
+            out = views[0]
+            for v in views[1:]:
+                out = out.unionByName(v)
+            self._eav = out
+        return self._eav
+
     def register_views(self) -> None:
         """Expose every table as a temp view for the spark.sql() surface
         (replaces the reference's Calcite adapter, SURVEY.md §3.3)."""

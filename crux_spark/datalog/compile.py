@@ -112,6 +112,18 @@ class Compiler:
                 e = c[0]
                 v = c[2] if len(c) == 3 else "_"
                 triples[e].append((c[1], v))
+            elif (
+                isinstance(c, (list, tuple))
+                and len(c) in (2, 3)
+                and not isinstance(c[0], (list, tuple))
+                and c[0] not in self.rules
+                and is_var(c[1])
+            ):
+                # variable attribute position -> EAV fallback scan
+                # (rule calls also have a var in position 1 — they are
+                # dispatched by the `tag in self.rules` branch below, so
+                # this arm must exclude them)
+                rels.append(self.scan_var_attr(c))
             elif _is_pred(c):
                 preds.append(c)
             elif tag in self.rules:
@@ -152,6 +164,37 @@ class Compiler:
             for x in form:
                 out |= self._clause_vars(x)
         return out
+
+    def scan_var_attr(self, c: list) -> DataFrame:
+        """``[?e ?a ?v]`` over the catalog-wide EAV view (SURVEY §2.2 "var
+        in attribute position"): attribute names bind as keyword strings,
+        values bind stringified (the schemaless escape hatch; typed
+        predicates belong on fixed attributes)."""
+        e, a = c[0], c[1]
+        v = c[2] if len(c) == 3 else "_"
+        eav = self.catalog.eav_view()
+        sel = []
+        if is_var(e) and e not in self.env:
+            sel.append(F.col("e").alias(var_col(e)))
+        elif not is_blank(e):
+            eav = eav.filter(F.col("e") == F.lit(str(self.env.get(e, e))))
+        sel.append(F.col("a").alias(var_col(a)))
+        if is_var(v) and v not in self.env:
+            sel.append(F.coalesce(
+                F.col("v_string"),
+                F.col("v_long").cast("string"),
+                F.col("v_double").cast("string"),
+                F.col("v_bool").cast("string"),
+                F.col("v_ts").cast("string"),
+            ).alias(var_col(v)))
+        elif not is_blank(v):
+            lit = self.env.get(v, v)
+            eav = eav.filter(
+                (F.col("v_string") == F.lit(str(lit)))
+                | (F.col("v_long") == F.lit(lit) if isinstance(lit, int) else F.lit(False))
+                | (F.col("v_double") == F.lit(lit) if isinstance(lit, (int, float)) else F.lit(False))
+            )
+        return eav.select(*sel).distinct()
 
     # ------------------------------------------------------------------ scans
 

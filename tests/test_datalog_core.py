@@ -334,3 +334,30 @@ def test_aggregate_empty_input(catalog):
         },
     )
     assert res.count() == 0
+
+
+def test_var_attribute_position(spark):
+    from crux_spark import Catalog
+    from pyspark.sql import types as T
+
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+        ]
+    )
+    cat.add_documents(
+        "ppl", spark.createDataFrame([("a", "Ann", 30), ("b", "Bob", None)], schema), id_col="id"
+    )
+    # which attributes does entity a have?
+    res = q(
+        cat,
+        {"find": ["?a"], "in": ["?e"], "where": [["?e", "?a", "_"]]},
+        "a",
+    )
+    assert sorted(r.a for r in res.collect()) == [":age", ":id", ":name"]
+    # entities having ANY attribute with value "Ann"
+    res2 = q(cat, {"find": ["?e", "?a"], "where": [["?e", "?a", "Ann"]]})
+    assert [(r.e, r.a) for r in res2.collect()] == [("a", ":name")]
