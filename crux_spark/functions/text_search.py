@@ -64,6 +64,78 @@ def text_search(
     return scored.limit(limit) if limit else scored
 
 
+def bm25_search(
+    postings: DataFrame,
+    doc_freq: DataFrame,
+    n_docs: int,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranking over the same inverted index:
+    idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Document length is
+    derived from the postings themselves (sum tf per doc) so no extra
+    state is needed."""
+    spark = postings.sparkSession
+    terms = [t for t in query.lower().replace(",", " ").split() if t]
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], ["term"])
+    dl = postings.groupBy("eid").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(doc_freq), "term")
+        .join(dl, "eid")
+        .join(F.broadcast(avgdl))
+        .withColumn("w", idf * (F.col("tf") * (k1 + 1.0)) / denom)
+        .groupBy("eid")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("eid").asc())
+    )
+    return scored.limit(limit) if limit else scored
+
+
+class IncrementalTextIndex:
+    """Inverted index maintained incrementally from tx batches — the
+    secondary-index registration pattern of the reference
+    (`register-index!` crux-core/src/crux/tx.clj:400-410: external indexes
+    replay the log and stay current per indexed tx). Attach
+    :meth:`listener` to a TxLogStream; each batch's puts merge into the
+    postings (delete = drop the entity's postings)."""
+
+    def __init__(self, spark, text_field: str = "text"):
+        self.spark = spark
+        self.text_field = text_field
+        self.postings: DataFrame | None = None
+
+    def listener(self, epoch_id: int, ops_batch: DataFrame) -> None:
+        puts = ops_batch.filter(F.col("op") == "put").select(
+            "eid", F.get_json_object("doc_json", f"$.{self.text_field}").alias("body")
+        ).filter(F.col("body").isNotNull())
+        deletes = ops_batch.filter(F.col("op").isin("delete", "evict")).select("eid")
+        new_postings, _, _ = build_text_index(puts, "eid", "body")
+        touched = puts.select("eid").unionByName(deletes).distinct()
+        if self.postings is None:
+            merged = new_postings
+        else:
+            kept = self.postings.join(touched, "eid", "left_anti")
+            merged = kept.unionByName(new_postings)
+        self.postings = merged.localCheckpoint()
+
+    def search(self, query: str, limit: int | None = None) -> DataFrame:
+        if self.postings is None:
+            raise ValueError("index empty: no batches ingested yet")
+        dfreq = self.postings.groupBy("term").agg(
+            F.count_distinct("eid").alias("df")
+        )
+        n = self.postings.select("eid").distinct().count()
+        return text_search(self.postings, dfreq, n, query, limit)
+
+
 def wildcard_text_search(
     postings: DataFrame,
     doc_freq: DataFrame,

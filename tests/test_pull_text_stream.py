@@ -340,3 +340,54 @@ def test_eav_triples_view(spark):
     assert rows[("e1", ":tags", 0)] == ("string", None, "x")
     assert rows[("e1", ":tags", 1)] == ("string", None, "y")
     assert ("e2", ":age", None) not in rows  # nulls don't emit triples
+
+
+def test_bm25_ranking(spark):
+    from crux_spark.functions.text_search import bm25_search, build_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark core"),
+            (2, "spark " + "filler " * 50),  # long doc, same tf
+            (3, "unrelated content here"),
+        ],
+        ["doc_id", "body"],
+    )
+    postings, dfreq, n = build_text_index(docs, "doc_id", "body")
+    hits = bm25_search(postings, dfreq, n, "spark").collect()
+    assert [h.eid for h in hits] == [1, 2]  # length norm ranks short doc first
+    assert hits[0].score > hits[1].score
+
+
+def test_incremental_text_index_via_stream(spark, tmp_path):
+    from crux_spark.functions.text_search import IncrementalTextIndex
+    from crux_spark.streaming.ingest import TxLogStream, write_tx_log
+
+    log_dir, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    t0 = dt.datetime(2023, 6, 1)
+    write_tx_log(
+        spark,
+        log_dir,
+        [
+            (1, [("put", {"id": "d1", "text": "alpha beta"}, t0)]),
+            (2, [("put", {"id": "d2", "text": "beta gamma"}, t0)]),
+        ],
+    )
+    idx = IncrementalTextIndex(spark)
+    stream = TxLogStream(spark, log_dir)
+    stream.listen(idx.listener)
+    stream.start(ckpt).awaitTermination(60)
+    assert {r.eid for r in idx.search("beta").collect()} == {"d1", "d2"}
+    # second batch: update d1 (drops 'alpha'), delete d2
+    write_tx_log(
+        spark,
+        log_dir,
+        [
+            (3, [("put", {"id": "d1", "text": "delta only"}, dt.datetime(2023, 6, 2))]),
+            (4, [("delete", "d2", dt.datetime(2023, 6, 2))]),
+        ],
+    )
+    stream.start(ckpt).awaitTermination(60)
+    assert idx.search("alpha").count() == 0      # old content gone
+    assert idx.search("beta").count() == 0       # d2 deleted, d1 updated
+    assert {r.eid for r in idx.search("delta").collect()} == {"d1"}
