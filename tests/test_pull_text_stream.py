@@ -391,3 +391,19 @@ def test_incremental_text_index_via_stream(spark, tmp_path):
     assert idx.search("alpha").count() == 0      # old content gone
     assert idx.search("beta").count() == 0       # d2 deleted, d1 updated
     assert {r.eid for r in idx.search("delta").collect()} == {"d1"}
+
+
+def test_optimized_layout_partition_pruning(spark, tmp_path):
+    from crux_spark.sources.layout import bucket_pruned, save_optimized
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "lineitem_opt")
+    save_optimized(src, path, "l_orderkey", ["l_orderkey", "l_shipdate"], buckets=8)
+    key = src.select("l_orderkey").first()[0]
+    out = bucket_pruned(spark, path, "l_orderkey", key, buckets=8)
+    rows = out.collect()
+    exp = src.filter(F.col("l_orderkey") == key).count()
+    assert len(rows) == exp and exp > 0
+    # the scan must touch exactly ONE bucket directory
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
