@@ -178,6 +178,12 @@ class TxStore:
             if op[0] == "fn":
                 fn = self._tx_fns[op[1]]
                 expanded.extend(fn(self, *op[2:]))
+            elif op[0] == "cas":
+                # legacy compare-and-swap (tx.clj:113-130) = match + put
+                _, eid, old_doc, new_doc = op[0], op[1], op[2], op[3]
+                at = op[4] if len(op) > 4 else None
+                expanded.append(("match", eid, old_doc, at))
+                expanded.append(("put", new_doc) if at is None else ("put", new_doc, at))
             else:
                 expanded.append(op)
         for op in expanded:

@@ -197,3 +197,40 @@ def test_pull_in_find(people_catalog):
     rows = {r.n: r.doc.asDict() for r in res.collect()}
     assert rows["Ann"] == {"age": 30, "name": "Ann"}
     assert set(rows) == {"Ann", "Eve", "Fay"}
+
+
+def test_rule_call_with_literal_arg(people_catalog):
+    res = q(
+        people_catalog,
+        {
+            "find": ["?y"],
+            "rules": [
+                [["reach", "?x", "?y"], ["?x", ":follows", "?y"]],
+                [
+                    ["reach", "?x", "?y"],
+                    ["?x", ":follows", "?z"],
+                    ["reach", "?z", "?y"],
+                ],
+            ],
+            "where": [["reach", "b", "?y"]],  # literal entity in rule call
+        },
+    )
+    assert sorted(r.y for r in res.collect()) == ["c", "d"]
+
+
+def test_tuple_in_binding(people_catalog):
+    res = q(
+        people_catalog,
+        {
+            "find": ["?n"],
+            "in": [["?min", "?max"]],  # tuple binding
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":age", "?a"],
+                [[">=", "?a", "?min"]],
+                [["<=", "?a", "?max"]],
+            ],
+        },
+        (30, 45),
+    )
+    assert sorted(r.n for r in res.collect()) == ["Ann", "Bob"]

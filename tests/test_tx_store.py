@@ -154,3 +154,45 @@ def test_db_snapshot_queryable_via_datalog(store, spark):
         },
     )
     assert sorted(r.n for r in res.collect()) == ["bob", "cid"]
+
+
+def test_cas_op(store):
+    store.submit_tx([("put", {"id": "c1", "v": 1})], tx_time=t(1))
+    store.commit()
+    # wrong expected -> aborts
+    tx_bad = store.submit_tx(
+        [("cas", "c1", {"id": "c1", "v": 99}, {"id": "c1", "v": 2}, t(2))], tx_time=t(2)
+    )
+    assert store.commit() == {tx_bad}
+    assert store.entity("c1", valid_time=t(3))["v"] == 1
+    # correct expected -> swaps
+    store.submit_tx(
+        [("cas", "c1", {"id": "c1", "v": 1}, {"id": "c1", "v": 2}, t(3))], tx_time=t(3)
+    )
+    assert store.commit() == set()
+    assert store.entity("c1", valid_time=t(4))["v"] == 2
+
+
+def test_bitemp_paper_scenario(store):
+    """Miniature of the bitemporal-paper test (query_test.clj:1963-2105):
+    an entity's location history with late-arriving corrections."""
+    d = lambda day: dt.datetime(2021, 6, day)
+    # officially recorded: in NY from d2
+    store.submit_tx([("put", {"id": "p", "loc": "NY"}, d(2))], tx_time=d(2))
+    store.commit()
+    # later we LEARN (tx at d10) they had moved to LA back at d5
+    store.submit_tx([("put", {"id": "p", "loc": "LA"}, d(5))], tx_time=d(10))
+    store.commit()
+    # and later still, a correction: actually SF from d5
+    store.submit_tx([("put", {"id": "p", "loc": "SF"}, d(5))], tx_time=d(12))
+    store.commit()
+    # current belief
+    assert store.entity("p", valid_time=d(3))["loc"] == "NY"
+    assert store.entity("p", valid_time=d(6))["loc"] == "SF"
+    # what we believed at tx 2 (before the correction): LA
+    assert store.entity("p", valid_time=d(6), tx=2)["loc"] == "LA"
+    # what we believed at tx 1: still NY at d6
+    assert store.entity("p", valid_time=d(6), tx=1)["loc"] == "NY"
+    # audit trail shows all three assertions
+    hist = store.entity_history("p", with_corrections=True)
+    assert [h["doc"]["loc"] for h in hist] == ["NY", "LA", "SF"]
