@@ -363,6 +363,10 @@ class ExprBuilder:
     def _fn_identity(self, a):
         return self.build(a[0])
 
+    def _fn_vector(self, a):
+        # (vector 1 2 3) — array literal constructor
+        return F.array(*[self.build(x) for x in a])
+
     def _fn_evenp(self, a):
         return self.build(a[0]) % 2 == 0
 

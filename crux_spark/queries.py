@@ -1668,3 +1668,58 @@ def bitemporal_store_history(spark, sf_dir):
         .groupBy(F.regexp_replace("eid", "^u", "").cast("long").alias("user_id"))
         .agg(F.count("*").alias("n_versions"))
     )
+
+
+@register(
+    "sql_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def sql_rollup(spark, sf_dir):
+    """Grouping-set rollup (absent in the reference, SURVEY §2.4 'free via
+    Spark'): subtotals + grand total in one pass."""
+    cat = catalog_for(spark, sf_dir)
+    l = cat.table("lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id, round(value - prev_value, 2) AS delta
+    FROM (
+      SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events
+    ) t WHERE prev_value IS NOT NULL
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    """lag/lead window surface: per-user value deltas between consecutive
+    events (SURVEY §2.5)."""
+    cat = catalog_for(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        cat.table("events")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
+        )
+    )
