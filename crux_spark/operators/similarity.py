@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,6 +98,30 @@ def train_centroids(
     return cents
 
 
+def _cell_assign_udf(centroids: np.ndarray, n: int):
+    """Arrow-vectorized nearest-centroid assignment: each batch of vectors
+    is one numpy matmul against the (tiny, closure-captured) centroid
+    matrix. Returns the top-n cell ids by cosine, ties broken by ascending
+    cell id (stable argsort). This replaces a join-against-centroids +
+    window-topk plan — per-row work is a narrow projection with NO shuffle,
+    which is the posture that matters when the corpus is 100 TB and the
+    centroid table is kilobytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ Cn.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32") for row in top])
+
+    return assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,40 +133,21 @@ def ivf_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus rows to their nearest centroid
-    cell (broadcast centroid table, one narrow pass); each query probes its
+    cell (vectorized pandas UDF, narrow pass — at scale this column is
+    precomputed and used as the partition key); each query probes its
     nprobe nearest cells only. Returns (query_id, vec_id, sim, rank)."""
-    spark = corpus.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cents = spark.createDataFrame(cent_rows, ["cell", "cvec_cent"])
-
-    def best_cells(df, id_col_name, vcol, out, n):
-        scored = (
-            df.join(F.broadcast(cents))
-            .withColumn(
-                "csim",
-                cosine(
-                    F.col(vcol).cast("array<double>"),
-                    F.col("cvec_cent").cast("array<double>"),
-                ),
-            )
-        )
-        # partition the top-n window on the scalar id only — partitioning
-        # on the vector column would shuffle/compare whole arrays
-        w = Window.partitionBy(id_col_name).orderBy(
-            F.col("csim").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(*df.columns, F.col("cell").alias(out))
-        )
-
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
-    c_cells = best_cells(c, "vec_id", "cvec", "cell_id", 1)
-    qs = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    assign1 = _cell_assign_udf(centroids, 1)
+    assign_n = _cell_assign_udf(centroids, nprobe)
+    c_cells = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell_id"),
     )
-    q_cells = best_cells(qs, "query_id", "qvec", "probe_cell", nprobe)
+    q_cells = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(assign_n(F.col(vec_col))).alias("probe_cell"),
+    )
     scored = (
         c_cells.join(
             F.broadcast(q_cells), F.col("cell_id") == F.col("probe_cell")
