@@ -8,6 +8,11 @@ greedy join order + leapfrog n-ary join (crux-core/src/crux/query.clj:586-703,
 crux-core/src/crux/index.clj:179-320).
 """
 
-from crux_spark.datalog.compile import q, compile_query
+from crux_spark.datalog.compile import (
+    QueryTimeoutError,
+    compile_query,
+    q,
+    q_eager,
+)
 
-__all__ = ["q", "compile_query"]
+__all__ = ["q", "q_eager", "compile_query", "QueryTimeoutError"]

@@ -367,6 +367,13 @@ class ExprBuilder:
         # (vector 1 2 3) — array literal constructor
         return F.array(*[self.build(x) for x in a])
 
+    def _fn_tuple(self, a):
+        # (tuple 1 "x") — heterogeneous tuple as struct (Spark arrays are
+        # homogeneous under ANSI; a struct is the positional-tuple analogue)
+        return F.struct(
+            *[self.build(x).alias(f"_{i}") for i, x in enumerate(a)]
+        )
+
     def _fn_evenp(self, a):
         return self.build(a[0]) % 2 == 0
 

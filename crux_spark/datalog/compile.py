@@ -273,7 +273,15 @@ class Compiler:
                     remaining.pop(i)
                     break
             else:
-                cur = cur.crossJoin(remaining.pop(0))
+                # disconnected component -> cartesian product. Broadcast the
+                # right side: a plain CartesianProductExec MULTIPLIES
+                # partition counts (p*q tasks — a 4-scan chain at 8
+                # partitions each is 4096 tasks of scheduler overhead),
+                # while BroadcastNestedLoopJoin keeps the left layout.
+                # Disconnected relations in Datalog queries are small
+                # (literal :in relations, scalar subquery results); a huge
+                # one would be a cross-product bug in the query itself.
+                cur = cur.crossJoin(F.broadcast(remaining.pop(0)))
         if "__exists" in cur.columns:
             cur = cur.drop("__exists")
         return cur
@@ -320,6 +328,23 @@ class Compiler:
                     and binding[1] == "..."
                 ):
                     df = df.withColumn(var_col(binding[0]), F.explode(eb.build(form)))
+                elif (
+                    isinstance(binding, (list, tuple))
+                    and binding
+                    and isinstance(binding[0], (list, tuple))
+                ):
+                    # relation binding [[?x ?y]]: fn returns a collection of
+                    # tuples; explode then destructure (query.clj:933-952)
+                    inner = binding[0]
+                    df = df.withColumn("__rel", F.explode(eb.build(form)))
+                    df = self._destructure(df, "__rel", inner)
+                elif isinstance(binding, (list, tuple)) and all(
+                    is_var(v) or is_blank(v) for v in binding
+                ):
+                    # tuple binding [?x ?y]: fn returns one tuple; bind each
+                    # element positionally (query.clj:933-952)
+                    df = df.withColumn("__tup", eb.build(form))
+                    df = self._destructure(df, "__tup", binding)
                 else:
                     raise NotImplementedError(f"binding form {binding!r}")
                 pending.remove(p)
@@ -328,6 +353,30 @@ class Compiler:
             missing = [p for p in pending]
             raise ValueError(f"predicates with unbound vars: {missing!r}")
         return df
+
+    def _destructure(self, df: DataFrame, src: str, vars_: list) -> DataFrame:
+        """Bind positional elements of a tuple column to vars; an
+        already-bound var unifies (equality filter) instead of rebinding.
+        Tuples are structs (heterogeneous, via the `tuple` builtin) or
+        arrays (homogeneous, e.g. `vector`) — accessed positionally either
+        way."""
+        from pyspark.sql import types as T
+
+        dtype = df.schema[src].dataType
+        fields = dtype.names if isinstance(dtype, T.StructType) else None
+        for i, v in enumerate(vars_):
+            if is_blank(v):
+                continue
+            elem = (
+                F.col(src).getField(fields[i])
+                if fields is not None
+                else F.col(src).getItem(i)
+            )
+            if var_col(v) in df.columns:
+                df = df.filter(elem == F.col(var_col(v)))
+            else:
+                df = df.withColumn(var_col(v), elem)
+        return df.drop(src)
 
     def _special_pred(self, df: DataFrame, form, binding) -> tuple[bool, DataFrame]:
         """Index-aware predicate constraints.
@@ -555,6 +604,27 @@ class Compiler:
         group: recompute every member from the current totals until no
         member grows. Handles mutual recursion, which the reference
         supports via tabled or-join recursion (query.clj:1079-1144)."""
+        # stratification guard: negation over a rule in the SAME recursion
+        # group is non-monotone — the naive fixpoint would not converge to
+        # the stratified model (the reference's tabled recursion has the
+        # same restriction in practice; Datalog-paper stratified programs
+        # keep negation on lower strata)
+        def negated_refs(body) -> set[str]:
+            out = set()
+            for c in body:
+                if not isinstance(c, (list, tuple)) or not c:
+                    continue
+                head = c[0] if isinstance(c[0], str) else None
+                if head == "not":
+                    out |= direct_refs(list(c[1:]))
+                elif head == "not-join":
+                    out |= direct_refs(list(c[2:]))
+                elif head in ("or", "and"):
+                    out |= negated_refs(list(c[1:]))
+                elif head == "or-join":
+                    out |= negated_refs(list(c[2:]))
+            return out
+
         canon_of = {
             m: [f"__r{i}" for i in range(len(self.rules[m][0][0]))] for m in group
         }
@@ -582,6 +652,15 @@ class Compiler:
                 totals.get(m) is not None or m not in group
                 for m in direct_refs(body)
             )
+
+        for m in group:
+            for _, body in self.rules[m]:
+                bad = negated_refs(body) & set(group)
+                if bad:
+                    raise ValueError(
+                        f"non-stratified negation: rule {m!r} negates "
+                        f"{sorted(bad)!r} inside its own recursion group"
+                    )
 
         for _ in range(MAX_FIXPOINT_ITERATIONS):
             grew = False
@@ -775,6 +854,50 @@ def q(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
     """Run a Datalog query; returns the (lazy) result DataFrame.
 
     The eager set-vs-vector collection of the reference (query.clj:1781-1803)
-    is left to the caller: `.collect()` the returned frame.
+    is left to the caller: `.collect()` the returned frame (or `q_eager`
+    below for the reference's timeout-interrupted eager collection).
     """
     return compile_query(catalog, query, *args)
+
+
+DEFAULT_QUERY_TIMEOUT_MS = 30_000  # query.clj:2005-2007
+
+
+class QueryTimeoutError(TimeoutError):
+    pass
+
+
+def q_eager(catalog: Catalog, query: dict, *args: Any) -> list:
+    """Eager collection with the reference's timeout-interrupt semantics
+    (query.clj:1786-1794, default 30s): the running Spark jobs are
+    cancelled via their job group when `:timeout` (ms) elapses. Returns
+    collected Rows; raises QueryTimeoutError on expiry."""
+    import threading
+    import uuid
+
+    timeout_ms = query.get("timeout", DEFAULT_QUERY_TIMEOUT_MS)
+    df = compile_query(catalog, query, *args)
+    sc = catalog.spark.sparkContext
+    group = f"crux-q-{uuid.uuid4().hex[:12]}"
+    out: dict[str, Any] = {}
+
+    def run():
+        # job group is thread-local: set it in the runner so the cancel
+        # below targets exactly this query's jobs
+        sc.setJobGroup(group, "crux_spark datalog query", interruptOnCancel=True)
+        try:
+            out["rows"] = df.collect()
+        except Exception as e:  # surfaced by the caller below
+            out["err"] = e
+        finally:
+            sc.setJobGroup("", "")
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_ms / 1000.0)
+    if th.is_alive():
+        sc.cancelJobGroup(group)
+        raise QueryTimeoutError(f"query exceeded timeout of {timeout_ms} ms")
+    if "err" in out:
+        raise out["err"]
+    return out["rows"]

@@ -234,3 +234,93 @@ def test_tuple_in_binding(people_catalog):
         (30, 45),
     )
     assert sorted(r.n for r in res.collect()) == ["Ann", "Bob"]
+
+
+def test_pred_tuple_binding(people_catalog):
+    # [(vector ?a ?n) [?x ?y]] destructures the returned tuple positionally
+    res = q(
+        people_catalog,
+        {
+            "find": ["?x", "?y"],
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":age", "?a"],
+                [["tuple", "?a", "?n"], ["?x", "?y"]],
+                [[">", "?x", 45]],
+            ],
+        },
+    )
+    assert rows(res) == [(50, "Cid"), (60, "Dee")]
+
+
+def test_pred_relation_binding(people_catalog):
+    # [(f ?x) [[?a ?b]]] binds a relation: explode + positional destructure
+    res = q(
+        people_catalog,
+        {
+            "find": ["?n", "?pair"],
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":age", "?a"],
+                [["vector", ["vector", "?a", "?a"]], [["?pair", "_"]]],
+                [["=", "?n", "Ann"]],
+            ],
+        },
+    )
+    assert rows(res) == [("Ann", 30)]
+
+
+def test_pred_tuple_binding_unifies_bound_var(people_catalog):
+    # ?a is already bound -> positional element must UNIFY, not rebind
+    res = q(
+        people_catalog,
+        {
+            "find": ["?n"],
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":age", "?a"],
+                [["tuple", 30, "?n"], ["?a", "_"]],
+            ],
+        },
+    )
+    assert rows(res) == [("Ann",)]
+
+
+def test_non_stratified_negation_raises(people_catalog):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-stratified"):
+        q(
+            people_catalog,
+            {
+                "find": ["?x"],
+                "rules": [
+                    [["odd", "?x"], ["?x", ":follows", "?y"], ["not", ["odd", "?y"]]],
+                    [["odd", "?x"], ["?x", ":name", "Dee"]],
+                ],
+                "where": [["odd", "?x"]],
+            },
+        ).collect()
+
+
+def test_query_timeout_interrupts(people_catalog):
+    import pytest as _pytest
+
+    from crux_spark.datalog import QueryTimeoutError, q_eager
+
+    # a cross-join heavy enough to outlive a 1ms budget
+    slow = {
+        "find": [["count", "?a"]],
+        "where": [
+            ["?p", ":age", "?a"],
+            ["?q", ":age", "?b"],
+            ["?r", ":age", "?c"],
+            ["?s", ":age", "?d"],
+        ],
+        "timeout": 1,
+    }
+    with _pytest.raises(QueryTimeoutError):
+        q_eager(people_catalog, slow)
+    # and a sane budget completes eagerly
+    ok = dict(slow, timeout=120000)
+    assert q_eager(people_catalog, ok)[0][0] == 6 ** 4
