@@ -145,13 +145,24 @@ class TxStore:
     bucket; in-memory mode keeps a localCheckpointed DataFrame.
     """
 
-    def __init__(self, spark: SparkSession, versions: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        versions: DataFrame | None = None,
+        wal_path: str | None = None,
+    ):
         self.spark = spark
         self.versions = versions or spark.createDataFrame([], VERSIONS_SCHEMA)
         self._tx_id = 0
         self._pending: list[dict] = []
         self._tx_fns: dict[str, Callable] = {}
         self.aborted_txs: set[int] = set()
+        # write-ahead log: submitted txs are appended (already fn-expanded,
+        # so replay is deterministic without re-registering tx fns) before
+        # they are applied — the durable totally-ordered tx-log of the
+        # reference (crux-core/src/crux/kv/tx_log.clj), recast as an
+        # append-only JSONL file / object-store key
+        self.wal_path = wal_path
 
     # ------------------------------------------------------------- write API
 
@@ -225,6 +236,19 @@ class TxStore:
                 raise ValueError(f"unknown op {kind!r}")
             self._pending.append(row)
             seq += 1
+        if self.wal_path:
+            with open(self.wal_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "tx_id": tx_id,
+                            "rows": [
+                                r for r in self._pending if r["tx_id"] == tx_id
+                            ],
+                        }
+                    )
+                    + "\n"
+                )
         return tx_id
 
     def commit(self) -> set[int]:
@@ -392,6 +416,24 @@ class TxStore:
             .partitionBy("bucket")
             .parquet(path)
         )
+
+    @classmethod
+    def recover(cls, spark: SparkSession, wal_path: str) -> "TxStore":
+        """Rebuild a store by replaying the write-ahead log (deterministic
+        replay on every node, tx.clj:424-479). Ops in the WAL are already
+        tx-fn-expanded, so no fn registry is needed."""
+        import os
+
+        store = cls(spark, wal_path=None)
+        if os.path.exists(wal_path):
+            with open(wal_path) as f:
+                for line in f:
+                    entry = json.loads(line)
+                    store._pending.extend(entry["rows"])
+                    store._tx_id = max(store._tx_id, int(entry["tx_id"]))
+            store.commit()
+        store.wal_path = wal_path
+        return store
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TxStore":

@@ -42,6 +42,43 @@ def read_optimized(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_key: str,
+    buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a metastore-backed BUCKETED table (`bucketBy` +
+    `saveAsTable`). Two tables bucketed on the same key with the same
+    bucket count join with NO shuffle on either side — the cross-session
+    co-located-join layout (a derived `documents` table bucketed by eid
+    makes every TxStore cogroup and entity join shuffle-free). sort_cols
+    adds per-bucket-file ordering for row-group min/max skipping."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, bucket_key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+def bucketed_join_is_shuffle_free(a: DataFrame, b: DataFrame, on: str) -> bool:
+    """Plan check: True iff joining a and b on `on` plans as a sort-merge
+    join with no shuffle exchange (bucketed co-location held). Broadcast is
+    disabled for the check — a broadcast join has no hash exchange either,
+    which would make the check vacuous on small tables."""
+    spark = a.sparkSession
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = a.join(b, on)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return (
+        "Exchange hashpartitioning" not in plan
+        and "SortMergeJoin" in plan
+    )
+
+
 def bucket_pruned(
     spark: SparkSession, path: str, bucket_key: str, value, buckets: int = 64
 ) -> DataFrame:

@@ -196,3 +196,50 @@ def test_bitemp_paper_scenario(store):
     # audit trail shows all three assertions
     hist = store.entity_history("p", with_corrections=True)
     assert [h["doc"]["loc"] for h in hist] == ["NY", "LA", "SF"]
+
+
+def test_wal_recover(spark, tmp_path):
+    wal = str(tmp_path / "tx.wal")
+    store = TxStore(spark, wal_path=wal)
+    store.register_tx_fn("bump", lambda db, eid, n: [("put", {"id": eid, "n": n})])
+    store.submit_tx([("put", {"id": "w1", "v": 1})])
+    store.submit_tx([("fn", "bump", "w2", 42)])
+    store.submit_tx([("delete", "w1")])
+    store.commit()
+    # replay on a fresh store: no fn registry needed (WAL holds expanded ops)
+    rec = TxStore.recover(spark, wal)
+    assert rec.entity("w1") is None
+    assert rec.entity("w2") == {"id": "w2", "n": 42}
+    assert rec._tx_id == 3
+    # recovered store continues logging to the same WAL
+    rec.submit_tx([("put", {"id": "w3", "v": 3})])
+    rec.commit()
+    rec2 = TxStore.recover(spark, wal)
+    assert rec2.entity("w3") == {"id": "w3", "v": 3}
+
+
+def test_bucketed_table_join_is_shuffle_free(spark, tmp_path):
+    from crux_spark.sources.layout import (
+        bucketed_join_is_shuffle_free,
+        save_bucketed_table,
+    )
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    save_bucketed_table(orders, "b_orders", "o_orderkey", buckets=8)
+    save_bucketed_table(
+        lineitem, "b_lineitem", "l_orderkey", buckets=8, sort_cols=["l_orderkey"]
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    # co-located bucketed layout: the join plans with NO shuffle exchange
+    assert bucketed_join_is_shuffle_free(a, b, "o_orderkey")
+    n = a.join(b, "o_orderkey").count()
+    assert n == lineitem.count()
