@@ -177,6 +177,30 @@ def minhash_signatures(
     ).localCheckpoint(eager=False)  # signatures feed both sides of the LSH self-join
 
 
+def banded_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode (id, sig) into (id, sig, band, bucket) LSH band rows —
+    the persistable incremental LSH index (each row is one posting in a
+    band's bucket)."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -193,23 +217,8 @@ def minhash_lsh_pairs(
     single shuffle on (band, bucket-hash); only banded collisions are
     compared.
     """
-    rows = bands and num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket").localCheckpoint(eager=False)
+    banded = banded_signatures(sigs, num_hashes, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     agree = F.size(

@@ -941,6 +941,36 @@ def ann_ivf(spark, sf_dir):  # force asserted in pytest
 
 
 @register(
+    "embedding_threshold_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def embedding_threshold_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (SURVEY 'embedding-cosine
+    near-dup'): all-pairs cosine >= threshold. The exact counterpart the
+    LSH-bucketed variant (similarity.lsh_bucket_pairs) approximates; at
+    100 TB the LSH bucket join generates candidates and THIS predicate is
+    the per-pair verify."""
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = _sim.cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.45)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@register(
     "multimodal_features",
     """
     SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len

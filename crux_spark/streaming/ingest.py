@@ -146,3 +146,99 @@ def stream_stateful_counts(
         events.groupBy(F.col(key_col))
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
     )
+
+
+class StreamingNearDupDetector:
+    """Incrementally-maintained MinHash-LSH index over a document stream —
+    the secondary-index-registration pattern (SURVEY.md §2.9, how
+    crux-lucene replays/follows the log) applied to the training-data
+    pipeline: each micro-batch of new documents is signed, probed against
+    the accumulated band index (new-vs-corpus AND within-batch), and its
+    postings are appended to the index.
+
+    At 100 TB the band index is a parquet/Delta table bucketed by
+    (band, bucket) so the probe join is co-located; here it is a
+    localCheckpointed DataFrame advanced per batch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        schema,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = 32,
+        bands: int = 8,
+        threshold: float = 0.5,
+    ):
+        from crux_spark.operators import dedup as _dedup
+
+        self.spark = spark
+        self.source_dir = source_dir
+        self.schema = schema
+        self.id_col, self.text_col = id_col, text_col
+        self.n, self.num_hashes, self.bands = n, num_hashes, bands
+        self.threshold = threshold
+        self._dedup = _dedup
+        self.index: DataFrame | None = None  # (id, sig, band, bucket)
+        self.pairs: DataFrame = spark.createDataFrame(
+            [], "id_a string, id_b string, est_jaccard double"
+        )
+        self._query = None
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        d = self._dedup
+        sigs = d.minhash_signatures(
+            batch_df, self.id_col, self.text_col, self.n, self.num_hashes
+        )
+        new = d.banded_signatures(sigs, self.num_hashes, self.bands).localCheckpoint()
+        probe = new if self.index is None else self.index.unionByName(new)
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        )
+        a, b = new.alias("a"), probe.alias("b")
+        found = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .withColumn("est_jaccard", F.round(agree / F.lit(self.num_hashes), 6))
+            .filter(F.col("est_jaccard") >= self.threshold)
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "est_jaccard")
+        )
+        self.pairs = self.pairs.unionByName(found).dropDuplicates(
+            ["id_a", "id_b"]
+        ).localCheckpoint()
+        self.index = probe.localCheckpoint()
+
+    def start(self, checkpoint_dir: str):
+        # default micro-batch trigger (not availableNow): the detector is a
+        # long-lived follower of the document stream; await_all() drains
+        # whatever has arrived so far
+        stream = self.spark.readStream.schema(self.schema).parquet(self.source_dir)
+        self._query = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        return self._query
+
+    def await_all(self) -> None:
+        if self._query is not None:
+            self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None

@@ -407,3 +407,33 @@ def test_optimized_layout_partition_pruning(spark, tmp_path):
     # the scan must touch exactly ONE bucket directory
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__bucket" in plan
+
+
+def test_streaming_near_dup_detector(spark, tmp_path):
+    from crux_spark.streaming.ingest import StreamingNearDupDetector
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    batch1 = [("d1", base), ("d2", "completely different content about spark engines")]
+    # d3 is a near-dup of d1 (one word changed), arriving in a LATER batch
+    batch2 = [("d3", base.replace("lazy", "sleepy")), ("d4", "another unrelated text")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    det = StreamingNearDupDetector(spark, src, schema, threshold=0.3)
+    det.start(ckpt)
+    det.await_all()
+    assert det.pairs.count() == 0  # nothing similar within batch 1
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    det.await_all()
+    got = {(r.id_a, r.id_b) for r in det.pairs.collect()}
+    det.stop()
+    assert ("d1", "d3") in got  # cross-batch near-dup found via the index
+    assert all(p == ("d1", "d3") for p in got)
