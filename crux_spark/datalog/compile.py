@@ -754,6 +754,13 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
     comp = Compiler(catalog, rules, env)
     df = comp.compile_clauses(where, extra_rels=rels)
 
+    # a scalar :in arg is substituted into filters, never bound as a
+    # column; if it appears in :find, project it back as a literal
+    # (query_test.clj bug-247: the arg still constrains the query)
+    for el in find:
+        if is_var(el) and var_col(el) not in df.columns and el in env:
+            df = df.withColumn(var_col(el), F.lit(env[el]))
+
     plain = [el for el in find if is_var(el)]
     aggs = [el for el in find if agg.is_agg_form(el)]
     pulls = [

@@ -1,0 +1,210 @@
+"""Ports of issue-numbered regression tests from the reference corpus
+(crux-test/test/crux/query_test.clj) — the shapes that historically broke
+the reference engine, re-expressed over the typed-catalog model.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from crux_spark import Catalog
+from crux_spark.datalog import q
+
+
+@pytest.fixture(scope="module")
+def reg_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("friend", T.StringType()),
+            T.StructField("boss", T.StringType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    data = [
+        ("ivan", "Ivan", "Ivanov", 30, "ivan", "petr", "Petr"),
+        ("petr", "Petr", "Petrov", 40, None, None, None),
+        ("petr2", "Petr", "Ivanov", 20, None, None, None),
+        ("oleg", "Oleg", "Olegov", 30, None, None, "1980"),
+    ]
+    cat.add_documents("people", spark.createDataFrame(data, schema), id_col="id")
+    return cat
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_or_range_vars_bug_949(reg_catalog):
+    # (or [(= x y)]) over vars bound LATER by pred bindings — the or must
+    # wait for (not race) the bindings (query_test.clj:1727-1738)
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?e", "?name"],
+            "where": [
+                ["?e", ":name", "?name"],
+                [["get-attr", "?e", ":age"], "?age"],
+                ["or", [["=", "?x", "?y"]]],
+                [["str", "?age"], "?x"],
+                [["str", "?age"], "?y"],
+            ],
+        },
+    )
+    assert ("ivan", "Ivan") in rows(res)
+    assert len(rows(res)) == 4  # x == y holds for every row
+
+
+def test_query_limits_bug_71(reg_catalog):
+    # limit switches to vector semantics: duplicates retained, limit applied
+    res = q(
+        reg_catalog,
+        {"find": ["?l"], "where": [["?_e", ":last_name", "?l"]], "limit": 2},
+    )
+    assert len(res.collect()) == 2
+
+
+def test_self_join_bug_93(reg_catalog):
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?b"],
+            "where": [["?e", ":friend", "?e"], ["?e", ":boss", "?b"]],
+        },
+    )
+    assert rows(res) == [("petr",)]
+
+
+def test_or_join_absent_attr_bug_146(reg_catalog):
+    # or-join: attribute value when present, literal :none + not when absent
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?n", "?x", "?a", "?e"],
+            "where": [
+                ["?e", ":name", "?n"],
+                ["?e", ":age", "?a"],
+                [
+                    "or-join",
+                    ["?e", "?x"],
+                    ["?e", ":extra", "?x"],
+                    [
+                        "and",
+                        [["identity", "none"], "?x"],
+                        ["not", ["?e", ":extra", "?_any"]],
+                    ],
+                ],
+            ],
+        },
+    )
+    assert rows(res) == [
+        ("Ivan", "Petr", 30, "ivan"),
+        ("Oleg", "1980", 30, "oleg"),
+        ("Petr", "none", 20, "petr2"),
+        ("Petr", "none", 40, "petr"),
+    ]
+
+
+def test_arguments_bug_247(reg_catalog):
+    # :in-bound entity that does not satisfy the attr-exists pattern -> empty
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "in": ["?x"],
+            "where": [["?x", ":name"]],
+        },
+        "Clojure",
+    )
+    assert rows(res) == []
+
+
+def test_empty_find_distinct_set_semantics(reg_catalog):
+    # without order/limit the result is a SET (query.clj:1783): two Petrs
+    # collapse to one row
+    res = q(reg_catalog, {"find": ["?n"], "where": [["?e", ":name", "?n"]]})
+    assert rows(res) == [("Ivan",), ("Oleg",), ("Petr",)]
+
+
+@pytest.fixture(scope="module")
+def datalog_paper_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("d", T.StringType())]
+    )
+    cat.add_documents(
+        "nodes",
+        spark.createDataFrame([("a", "b"), ("b", "c"), ("e", "e")], schema),
+        id_col="id",
+    )
+    return cat
+
+
+DATALOG_PAPER_RULES = [
+    [["p", "?x", "?y"], ["not", ["q", "?x", "?y"]], ["s", "?x", "?y"]],
+    [["q", "?x", "?y"], ["q", "?x", "?z"], ["q", "?z", "?y"]],
+    [["q", "?x", "?y"], ["?x", ":d", "?y"], ["not", ["r", "?x", "?y"]]],
+    [["r", "?x", "?y"], ["?y", ":d", "?x"]],
+    [["s", "?x", "?y"], ["q", "?x", "?z"], ["q", "?y", "?t"], [["!=", "?x", "?y"]]],
+]
+
+
+def test_datalog_paper_stratified_program(datalog_paper_catalog):
+    # query_test.clj:3258-3310 — three strata over the same rule set
+    cat = datalog_paper_catalog
+    r1 = q(cat, {"find": ["?x", "?y"], "where": [["r", "?x", "?y"]],
+                 "rules": DATALOG_PAPER_RULES})
+    assert rows(r1) == [("b", "a"), ("c", "b"), ("e", "e")]
+    r2 = q(cat, {"find": ["?x", "?y"],
+                 "where": [["or", ["q", "?x", "?y"], ["s", "?x", "?y"]]],
+                 "rules": DATALOG_PAPER_RULES})
+    assert rows(r2) == [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c")]
+    r3 = q(cat, {"find": ["?x", "?y"], "where": [["p", "?x", "?y"]],
+                 "rules": DATALOG_PAPER_RULES})
+    assert rows(r3) == [("b", "a")]
+
+
+def test_datalog_paper_same_generation(spark):
+    # query_test.clj:3220-3256 — sgc over cardinality-many :parent
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("parent", T.ArrayType(T.StringType())),
+        ]
+    )
+    data = [
+        ("ann", ["dorothy", "hilary"]),
+        ("bertrand", ["dorothy"]),
+        ("charles", ["evelyn"]),
+        ("dorothy", ["george"]),
+        ("evelyn", ["george"]),
+        ("fred", None),
+        ("george", None),
+        ("hilary", None),
+    ]
+    cat.add_documents("persons", spark.createDataFrame(data, schema), id_col="id")
+    res = q(
+        cat,
+        {
+            "find": ["?x", "?y"],
+            "where": [["sgc", "?x", "?y"]],
+            "rules": [
+                [["sgc", "?x", "?y"], ["?x", ":id", "?y"]],
+                [
+                    ["sgc", "?x", "?y"],
+                    ["?x", ":parent", "?x1"],
+                    ["sgc", "?x1", "?y1"],
+                    ["?y", ":parent", "?y1"],
+                ],
+            ],
+        },
+    )
+    got = set(rows(res))
+    assert ("dorothy", "evelyn") in got and ("evelyn", "dorothy") in got
+    assert ("ann", "charles") in got and ("bertrand", "charles") in got
+    assert ("fred", "fred") in got
+    assert len(got) == 16
