@@ -47,7 +47,9 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         .when(is_num, F.lit("double"))
         .otherwise(F.lit("string"))
         .alias("v_type"),
-    )
+        # blank-node objects (`_:b0`) have no place in the typed-table
+        # model; drop them (the class-hierarchy IRI triples all survive)
+    ).filter(F.col("v") != "")
 
 
 def pivot_triples(triples: DataFrame, attrs: list[str] | None = None) -> DataFrame:
