@@ -697,7 +697,173 @@ class Compiler:
         for m in group:
             self._rule_cache[m] = totals[m]
 
+    # ------------------------------------------------- magic sets (top-down)
+
+    def _is_computation_group(self, name: str) -> bool:
+        """True for a self-recursive rule whose bodies are pure predicate
+        clauses + self-calls (no triple patterns, no or/not). Bottom-up
+        evaluation diverges for these (the arg domain is unbounded); they
+        need demand-driven evaluation — the reference gets this for free
+        from top-down tabled resolution (query.clj:1079-1144)."""
+        group = self._recursion_group(name)
+        if group != {name}:
+            return False
+        for _, body in self.rules[name]:
+            for c in body:
+                head = c[0] if isinstance(c, (list, tuple)) and c else None
+                if head == name:
+                    continue
+                if not _is_pred(c):
+                    return False
+        return True
+
+    def _magic_fixpoint(self, name: str, bound: list[int], seed_rows: list[tuple]) -> DataFrame:
+        """Demand-driven (magic-set) evaluation of a pure-computation
+        self-recursive rule, adorned by the `bound` arg positions.
+
+        Phase 1 seeds the demand relation with the caller's bound-arg tuple
+        and closes it: per branch, the predicate prefix computable from the
+        bound args alone derives the bound-arg tuples of each self-call.
+        Phase 2 runs the usual bottom-up fixpoint with every branch joined
+        to the (now finite) demand relation. This is the classical magic-set
+        transformation (Bancilhon/Maier/Sagiv/Ullman, PODS'86) — the Spark
+        recast of the reference's top-down tabling."""
+        defs = self.rules[name]
+        nargs = len(defs[0][0])
+        canon = [f"__r{i}" for i in range(nargs)]
+        dcols = [canon[i] for i in bound]
+        demands = self.spark.createDataFrame(seed_rows, dcols).distinct()
+
+        def branch_demand_plans(argvars, body):
+            """Compile the demand-prefix of one branch against the current
+            demand relation; yield one DF of new demand tuples per
+            self-call whose bound positions are prefix-computable."""
+            mapping = {v: f"?{c}" for v, c in zip(argvars, canon)}
+            for v in sorted(self._collect_vars(body)):
+                if v not in mapping:
+                    mapping[v] = self._fresh(v)
+            sub = [self._substitute(c, mapping) for c in body]
+            bound_vars = {f"?{c}" for c in dcols}
+            prefix: list = []
+            calls: list[list] = []
+            for c in sub:
+                if isinstance(c[0], str) and c[0] == name:
+                    calls.append(list(c[1:]))
+                    continue
+                if _is_pred(c):
+                    eb_vars = self._clause_vars(c[0])
+                    if eb_vars <= bound_vars:
+                        prefix.append(c)
+                        if len(c) > 1 and is_var(c[1]):
+                            bound_vars.add(c[1])
+            out = []
+            for call_args in calls:
+                dvars = [call_args[i] for i in bound]
+                if not all(
+                    (is_var(v) and v in bound_vars) or not is_var(v)
+                    for v in dvars
+                ):
+                    raise ValueError(
+                        f"rule {name!r}: self-call bound args {dvars!r} are "
+                        "not derivable from the caller's bound args"
+                    )
+                df = self.compile_clauses(list(prefix), extra_rels=[demands])
+                sel = [
+                    (F.col(var_col(v)) if is_var(v) else F.lit(v)).alias(dc)
+                    for v, dc in zip(dvars, dcols)
+                ]
+                out.append(df.select(*sel))
+            return out
+
+        for _ in range(MAX_FIXPOINT_ITERATIONS):
+            n0 = demands.count()
+            new = [demands]
+            for a, b in defs:
+                new.extend(branch_demand_plans(a, b))
+            demands = (
+                reduce(lambda x, y: x.unionByName(y), new)
+                .distinct()
+                .localCheckpoint()
+            )
+            if demands.count() == n0:
+                break
+        else:
+            raise RuntimeError(f"rule {name!r}: demand closure did not converge")
+
+        # phase 2: bottom-up fixpoint restricted to the demanded tuples.
+        # Branches containing a self-call are skipped until a first total
+        # exists (same gating as _fixpoint_group's branch_ready).
+        total: DataFrame | None = None
+        count = -1
+        for _ in range(MAX_FIXPOINT_ITERATIONS):
+            if total is not None:
+                self._rule_cache[name] = total
+            dfs = []
+            for a, b in defs:
+                has_self = any(
+                    isinstance(c[0], str) and c[0] == name for c in b
+                )
+                if has_self and total is None:
+                    continue
+                mapping = {v: f"?{c}" for v, c in zip(a, canon)}
+                for v in sorted(self._collect_vars(b)):
+                    if v not in mapping:
+                        mapping[v] = self._fresh(v)
+                sub_body = [self._substitute(c, mapping) for c in b]
+                df = self.compile_clauses(sub_body, extra_rels=[demands])
+                dfs.append(df.select(*canon))
+            if not dfs:
+                raise ValueError(
+                    f"computation rule {name!r} has no non-recursive branch"
+                )
+            new_total = (
+                reduce(lambda x, y: x.unionByName(y), dfs)
+                .distinct()
+                .localCheckpoint()
+            )
+            n = new_total.count()
+            if n == count:
+                break
+            total, count = new_total, n
+        else:
+            raise RuntimeError(f"rule {name!r}: magic fixpoint did not converge")
+        self._rule_cache.pop(name, None)
+        return total
+
     def compile_rule_call(self, name: str, args: list) -> DataFrame:
+        if name not in self._rule_cache and self._is_computation_group(name):
+            bound = [
+                i for i, a in enumerate(args) if (not is_var(a)) or a in self.env
+            ]
+            if not bound:
+                raise ValueError(
+                    f"computation rule {name!r} needs at least one bound "
+                    "argument at the call site (unbounded domain otherwise)"
+                )
+            seed = tuple(
+                self.env.get(a, a) for i, a in enumerate(args) if i in bound
+            )
+            rel = self._magic_fixpoint(name, bound, [seed])
+            sel, filters = [], []
+            seen: dict[str, int] = {}
+            for i, a in enumerate(args):
+                c = F.col(f"__r{i}")
+                if is_var(a) and a not in self.env:
+                    if a in seen:
+                        filters.append(c == F.col(f"__r{seen[a]}"))
+                    else:
+                        sel.append(c.alias(var_col(a)))
+                        seen[a] = i
+                elif is_blank(a):
+                    continue
+                else:
+                    filters.append(c == F.lit(self.env.get(a, a)))
+            df = rel
+            for f in filters:
+                df = df.filter(f)
+            return df.select(*sel).distinct() if sel else df.select(
+                F.lit(1).alias("__exists")
+            ).limit(1)
         rel = self.rule_relation(name)
         sel, filters = [], []
         seen: dict[str, int] = {}

@@ -208,3 +208,49 @@ def test_datalog_paper_same_generation(spark):
     assert ("ann", "charles") in got and ("bertrand", "charles") in got
     assert ("fred", "fred") in got
     assert len(got) == 16
+
+
+FIB_RULES = [
+    [["fib", "?n", "?f"], [["<=", "?n", 1]], [["identity", "?n"], "?f"]],
+    [
+        ["fib", "?n", "?f"],
+        [[">", "?n", 1]],
+        [["-", "?n", 1], "?n1"],
+        [["-", "?n", 2], "?n2"],
+        ["fib", "?n1", "?f1"],
+        ["fib", "?n2", "?f2"],
+        [["+", "?f1", "?f2"], "?f"],
+    ],
+]
+
+
+def test_racket_datalog_fib(reg_catalog):
+    # query_test.clj:3181-3215 — pure-computation recursion needs
+    # demand-driven (magic-set) evaluation; bottom-up diverges
+    res = q(
+        reg_catalog,
+        {"find": ["?f"], "where": [["fib", 10, "?f"]], "rules": FIB_RULES},
+    )
+    assert rows(res) == [(55,)]
+
+
+def test_racket_datalog_fib_in_arg(reg_catalog):
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?f"],
+            "in": ["?n"],
+            "where": [["fib", "?n", "?f"]],
+            "rules": FIB_RULES,
+        },
+        10,
+    )
+    assert rows(res) == [(55,)]
+
+
+def test_computation_rule_unbound_call_raises(reg_catalog):
+    with pytest.raises(ValueError, match="bound argument"):
+        q(
+            reg_catalog,
+            {"find": ["?n", "?f"], "where": [["fib", "?n", "?f"]], "rules": FIB_RULES},
+        ).collect()
