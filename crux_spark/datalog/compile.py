@@ -1010,10 +1010,17 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
 
     if order_by:
         sort_cols = []
+        avail = set(df.columns)
         for item in order_by:
             name, direction = (item if isinstance(item, (list, tuple)) else (item, "asc"))
             col_name = var_col(name) if is_var(name) else name
             col_name = renames.get(col_name, col_name)
+            if col_name not in avail:
+                # bug-418 semantics: ordering keys must be returned
+                raise ValueError(
+                    f"order-by requires an element from :find; "
+                    f"unreturned element: {name!r}"
+                )
             sort_cols.append(F.col(col_name).asc() if direction == "asc" else F.col(col_name).desc())
         df = df.orderBy(*sort_cols)
     if offset is not None:

@@ -254,3 +254,76 @@ def test_computation_rule_unbound_call_raises(reg_catalog):
             reg_catalog,
             {"find": ["?n", "?f"], "where": [["fib", "?n", "?f"]], "rules": FIB_RULES},
         ).collect()
+
+
+def test_mixing_expressions(spark):
+    # query_test.clj:665-683 — or containing not; not containing or
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+        ]
+    )
+    data = [
+        ("i", "Ivan", "Ivanov"),
+        ("d", "Derek", "Ivanov"),
+        ("b", "Bob", "Ivannotov"),
+        ("f", "Fred", "Ivannotov"),
+    ]
+    cat.add_documents("folks", spark.createDataFrame(data, schema), id_col="id")
+    r1 = q(
+        cat,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?e", ":name", "?name"],
+                [
+                    "or",
+                    ["?e", ":last_name", "Ivanov"],
+                    ["not", ["?e", ":name", "Bob"]],
+                ],
+            ],
+        },
+    )
+    assert rows(r1) == [("Derek",), ("Fred",), ("Ivan",)]
+    r2 = q(
+        cat,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?e", ":name", "?name"],
+                [
+                    "not",
+                    [
+                        "or",
+                        ["?e", ":last_name", "Ivanov"],
+                        ["?e", ":name", "Bob"],
+                    ],
+                ],
+            ],
+        },
+    )
+    assert rows(r2) == [("Fred",)]
+
+
+def test_bind_function_returns_to_falsy(reg_catalog):
+    # query_test.clj:2844-2860 — falsy return values still bind
+    r = q(reg_catalog, {"find": ["?b"], "where": [[["identity", False], "?b"]]})
+    assert rows(r) == [(False,)]
+    r = q(reg_catalog, {"find": ["?b"], "where": [[["identity", True], "?b"]]})
+    assert rows(r) == [(True,)]
+
+
+def test_order_by_unreturned_var_raises(reg_catalog):
+    # query_test.clj:3371-3382 (bug-418)
+    with pytest.raises(ValueError, match="unreturned element"):
+        q(
+            reg_catalog,
+            {
+                "find": ["?e"],
+                "where": [["?e", ":age", "?v"]],
+                "order-by": [["?v", "asc"]],
+            },
+        )
