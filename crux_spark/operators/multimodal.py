@@ -96,3 +96,114 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _fake_resize(blob: bytes, w: int, h: int) -> bytes:
+    """STUB resize: deterministic byte resampling to w*h bytes (nearest-
+    neighbor over the input byte stream). Replace with PIL/libvips
+    `thumbnail`; the batch plumbing stays identical."""
+    if blob is None:
+        return None
+    n = max(1, w * h)
+    if not blob:
+        return bytes(n)
+    return bytes(blob[(i * len(blob)) // n] for i in range(n))
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize over binary blobs: partition-preserving
+    mapInPandas (no shuffle), meta struct rewritten with the new
+    dimensions; mime and duration carry through."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(
+                {
+                    "mime": pdf["meta"].map(lambda m: m["mime"] if m else None),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": pdf["meta"].map(
+                        lambda m: m["duration_ms"] if m else None
+                    ),
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "blob": pdf["blob"].map(lambda b: _fake_resize(b, width, height)),
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.select("media_id", "blob", "meta").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video/audio blobs: the frame-timestamp fan-out is
+    a JVM-side `sequence`+`explode` over meta.duration_ms (NOT a Python
+    UDF — at 100 TB the fan-out multiplies row counts and must stay in
+    codegen); only the per-frame decode crosses into an Arrow-batched
+    pandas UDF, and it is stubbed like the other codecs.
+    """
+    with_ts = media.filter(F.col("meta.duration_ms").isNotNull()).select(
+        "media_id",
+        "blob",
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("meta.duration_ms") - 1).cast("long"),
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ).alias("frame_idx", "ts_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # STUB frame decode: 16-byte deterministic slice at the frame
+            # offset (replace with an ffmpeg seek+decode)
+            def frame_of(row):
+                b, ts = row["blob"], row["ts_ms"]
+                if b is None or not len(b):
+                    return None
+                off = int(ts) % max(1, len(b))
+                return bytes(b[off : off + 16])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "ts_ms": pdf["ts_ms"],
+                    "frame": pdf.apply(frame_of, axis=1) if len(pdf) else pdf["blob"],
+                }
+            )
+
+    return with_ts.mapInPandas(run, FRAME_SCHEMA)

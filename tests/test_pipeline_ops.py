@@ -154,3 +154,37 @@ def test_salted_join_matches_plain(spark):
     plain = big.join(small, "k").groupBy("tag").count().collect()
     salted = salted_join(big, small, "k").groupBy("tag").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_multimodal_resize_plumbing(docs):
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.resize_media(media, 4, 3).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert len(r.blob) == 12  # every blob resampled to w*h bytes
+        assert r.meta.width == 4 and r.meta.height == 3
+        assert r.meta.mime == "text/plain"
+    # determinism
+    again = multimodal.resize_media(media, 4, 3).collect()
+    assert sorted(r.blob for r in out) == sorted(r.blob for r in again)
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [
+        (1, b"0123456789abcdef" * 4, ("video/mp4", 16, 9, 3500)),
+        (2, b"xyz", ("video/mp4", 16, 9, 900)),
+        (3, None, ("video/mp4", None, None, None)),  # no duration -> no frames
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 3500ms at 1000ms cadence -> frames at 0,1000,2000,3000
+    assert [f.ts_ms for f in sorted(by_id[1], key=lambda x: x.frame_idx)] == [
+        0, 1000, 2000, 3000,
+    ]
+    assert len(by_id[2]) == 1  # 900ms -> just t=0
+    assert 3 not in by_id
+    for f in by_id[1]:
+        assert f.frame is not None and 1 <= len(f.frame) <= 16
