@@ -81,9 +81,17 @@ class ExprBuilder:
     reference binding :in args into relation indexes, query.clj:1528-1533).
     """
 
-    def __init__(self, columns: set[str], env: dict[str, Any]):
+    def __init__(
+        self,
+        columns: set[str],
+        env: dict[str, Any],
+        dtypes: dict[str, str] | None = None,
+    ):
         self.columns = columns
         self.env = env
+        # col name -> Spark simpleString type, for the few type-polymorphic
+        # builtins (clojure `count` = string length OR collection size)
+        self.dtypes = dtypes or {}
 
     def vars_in(self, form: Any) -> set[str]:
         """All logic vars referenced by an expression form (excluding
@@ -110,9 +118,25 @@ class ExprBuilder:
 
     # -- function dispatch ------------------------------------------------
 
+    _CHAINED_CMPS = {"<", "<=", ">", ">=", "=", "==", "!=", "not="}
+
     def _call(self, fn: str, args: list[Any]) -> Column:
+        # a callable :in arg used in function position is a user predicate
+        # (DataScript 'passing predicate as source', query_test.clj:2543);
+        # row-at-a-time Python UDF — the deliberate escape hatch, not the
+        # hot path
+        if is_var(fn) and callable(self.env.get(fn)):
+            udf = F.udf(self.env[fn], "boolean")
+            return udf(*[self.build(a) for a in args])
         if fn in _BINARY_OPS:
             cols = [self.build(a) for a in args]
+            if fn in self._CHAINED_CMPS and len(cols) > 2:
+                # variadic comparison chains pairwise: (< a 18 b) means
+                # a < 18 AND 18 < b (clojure semantics), NOT ((a<18)<b)
+                out = _BINARY_OPS[fn](cols[0], cols[1])
+                for x, y in zip(cols[1:], cols[2:]):
+                    out = out & _BINARY_OPS[fn](x, y)
+                return out
             out = cols[0]
             for c in cols[1:]:
                 out = _BINARY_OPS[fn](out, c)
@@ -194,8 +218,16 @@ class ExprBuilder:
         return s.substr(F.lit(start + 1), F.length(s))
 
     def _fn_count(self, a):
-        # clojure count: string length or collection size
+        # clojure count: string length or collection size (type-resolved
+        # at compile time from the bound column's dtype)
         c = self.build(a[0])
+        if is_var(a[0]) and self.dtypes.get(var_col(a[0]), "").startswith(
+            ("array", "map")
+        ):
+            return F.size(c)
+        if isinstance(a[0], (list, tuple)) and not is_var(a[0]):
+            # nested call — assume collection-returning (vec/sort/...)
+            return F.size(c)
         return F.length(c)
 
     def _fn_size(self, a):

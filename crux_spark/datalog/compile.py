@@ -310,7 +310,11 @@ class Compiler:
                         pending.remove(p)
                         progress = True
                     continue
-                eb = ExprBuilder(set(df.columns), self.env)
+                eb = ExprBuilder(
+                    set(df.columns),
+                    self.env,
+                    {f.name: f.dataType.simpleString() for f in df.schema.fields},
+                )
                 need = eb.vars_in(form)
                 if not all(var_col(v) in df.columns for v in need):
                     continue

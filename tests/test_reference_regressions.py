@@ -327,3 +327,66 @@ def test_order_by_unreturned_var_raises(reg_catalog):
                 "order-by": [["?v", "asc"]],
             },
         )
+
+
+def test_datascript_query_fns(reg_catalog, spark):
+    # query_test.clj:2454-2560 subset the reference supports
+    # constant predicate + :in relation
+    r = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "in": [["?x", "..."]],
+            "where": [[[">", 2, 1]]],
+        },
+        ["a", "b", "c"],
+    )
+    assert rows(r) == [("a",), ("b",), ("c",)]
+
+    # variadic comparison chains pairwise: (< a1 35 a2)
+    r = q(
+        reg_catalog,
+        {
+            "find": ["?e1", "?e2"],
+            "where": [
+                ["?e1", ":age", "?a1"],
+                ["?e2", ":age", "?a2"],
+                [["<", "?a1", 35, "?a2"]],
+            ],
+        },
+    )
+    assert rows(r) == [("ivan", "petr"), ("oleg", "petr"), ("petr2", "petr")]
+
+    # count on strings
+    r = q(
+        reg_catalog,
+        {
+            "find": ["?x", "?c"],
+            "in": [["?x", "..."]],
+            "where": [[["count", "?x"], "?c"]],
+        },
+        ["a", "abc"],
+    )
+    assert rows(r) == [("a", 1), ("abc", 3)]
+
+    # callable :in arg as predicate (row-at-a-time UDF escape hatch)
+    r = q(
+        reg_catalog,
+        {
+            "find": ["?e"],
+            "in": ["?adult"],
+            "where": [["?e", ":age", "?a"], [["?adult", "?a"]]],
+        },
+        lambda a: a > 25,
+    )
+    assert rows(r) == [("ivan",), ("oleg",), ("petr",)]
+
+    # two conflicting function values for one binding -> empty
+    r = q(
+        reg_catalog,
+        {
+            "find": ["?n"],
+            "where": [[["identity", 1], "?n"], [["identity", 2], "?n"]],
+        },
+    )
+    assert rows(r) == []
