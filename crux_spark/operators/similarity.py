@@ -169,6 +169,52 @@ def ivf_topk(
     )
 
 
+def cosine_threshold_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, block-matrix style: each Arrow
+    batch of rows is ONE numpy matmul against the broadcast normalized
+    corpus matrix — no 4M-row pair join, no per-pair lambda evaluation.
+    Returns (id_a, id_b, sim) with id_a < id_b.
+
+    Scale note: the broadcast side must fit in executor memory (fine to
+    ~10M x 64 f64). Beyond that, generate candidates with
+    `lsh_bucket_pairs` / `ivf_topk` cells first and use this only as the
+    within-bucket verify."""
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(Mn)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            sims = An @ b_m.value.T
+            aid = pdf[id_col].to_numpy()
+            mask = (sims >= threshold) & (aid[:, None] < b_ids.value[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": aid[ii],
+                    "id_b": b_ids.value[jj],
+                    "sim": np.round(sims[ii, jj], 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, "id_a long, id_b long, sim double"
+    )
+
+
 def lsh_bucket_pairs(
     corpus: DataFrame,
     num_planes: int = 16,

@@ -953,21 +953,13 @@ def ann_ivf(spark, sf_dir):  # force asserted in pytest
 )
 def embedding_threshold_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact (SURVEY 'embedding-cosine
-    near-dup'): all-pairs cosine >= threshold. The exact counterpart the
-    LSH-bucketed variant (similarity.lsh_bucket_pairs) approximates; at
-    100 TB the LSH bucket join generates candidates and THIS predicate is
-    the per-pair verify."""
+    near-dup'): all-pairs cosine >= threshold, block-matrix mapInPandas
+    (one numpy matmul per Arrow batch — no per-pair expression eval). At
+    100 TB the LSH bucket join generates candidates and this runs as the
+    within-bucket verify."""
     cat = catalog_for(spark, sf_dir)
     emb = cat.table("embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = _sim.cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= 0.45)
-        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
-    )
+    return _sim.cosine_threshold_pairs(emb, threshold=0.45)
 
 
 @register(
