@@ -42,6 +42,62 @@ PKEYS: dict[str, list[str]] = {
 
 ID_COL = "_id"
 
+# Confs the engine needs that are RUNTIME-settable, so a Catalog works even
+# on a SparkSession it did not build (e.g. the correctness driver's vanilla
+# session). `nanosAsLong` is the critical one: without it a vanilla session
+# cannot even *schema-infer* events.parquet (TIMESTAMP(NANOS)) and every
+# query dies in Catalog.__init__ — see session.py:45 for the builder-side
+# counterpart. timeZone=UTC keeps timestamp results hash-identical to a
+# UTC-naive DuckDB oracle regardless of host tz.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Best-effort apply engine-required runtime confs to any session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # locked-down session (spark.sql.conf.isModifiable=false for this
+            # key) — proceed; the builder path (session.py) sets it statically.
+            pass
+    try:
+        # Don't leave a vanilla session at the 200-partition default for
+        # local runs, but never override an explicit user choice.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+            )
+    except Exception:
+        pass
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) (footer read only).
+
+    With nanosAsLong=true Spark surfaces these as bigint; the catalog
+    converts them back to native (microsecond) timestamps so downstream
+    temporal operators see real timestamps.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if str(schema.field(f.name).type) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
 
 @dataclass
 class AttrRef:
@@ -66,21 +122,42 @@ class Catalog:
         self._dfs: dict[str, DataFrame] = {}
         self._attrs: dict[str, AttrRef] = {}
         self._table_attrs: dict[str, list[str]] = {}
+        # name -> (path, pkey): tables NOT yet read. Registration is lazy so
+        # one unreadable file can never zero every query (round-1 blocker:
+        # a vanilla session choked on events.parquet in __init__ and all 49
+        # correctness gates errored before any query logic ran).
+        self._pending: dict[str, tuple[str, list[str]]] = {}
+        self._errors: dict[str, Exception] = {}
+        ensure_runtime_confs(spark)
         if sf_dir:
             for name in PKEYS:
                 path = os.path.join(sf_dir, f"{name}.parquet")
                 if os.path.exists(path):
-                    self._register_lazy(name, path, PKEYS[name])
+                    self._pending[name] = (path, PKEYS[name])
 
     # -- registration -----------------------------------------------------
 
-    def _register_lazy(self, name: str, path: str, pkey: list[str]) -> None:
-        df = self.spark.read.parquet(path)
-        # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong);
-        # normalize to Spark's native microsecond timestamps.
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    def _materialize(self, name: str) -> None:
+        if name in self._dfs or name not in self._pending:
+            return
+        path, pkey = self._pending.pop(name)
+        try:
+            df = self.spark.read.parquet(path)
+            # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong);
+            # normalize to Spark's native microsecond timestamps.
+            for col in _nanos_ts_columns(path):
+                if dict(df.dtypes).get(col) == "bigint":
+                    df = df.withColumn(
+                        col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+                    )
+        except Exception as e:  # isolate: only queries touching `name` fail
+            self._errors[name] = e
+            return
         self._register_df(name, df, pkey)
+
+    def _materialize_all(self) -> None:
+        for name in list(self._pending):
+            self._materialize(name)
 
     def _register_df(self, name: str, df: DataFrame, pkey: list[str]) -> None:
         if pkey and ID_COL not in df.columns:
@@ -124,12 +201,21 @@ class Catalog:
     # -- lookup -----------------------------------------------------------
 
     def table(self, name: str) -> DataFrame:
+        if name not in self._dfs:
+            self._materialize(name)
+        if name in self._errors:
+            raise RuntimeError(
+                f"table {name!r} failed to load: {self._errors[name]}"
+            ) from self._errors[name]
         return self._dfs[name]
 
     def tables(self) -> list[str]:
+        self._materialize_all()
         return list(self._dfs)
 
     def resolve_attr(self, attr: str) -> AttrRef:
+        if attr not in self._attrs and self._pending:
+            self._materialize_all()
         try:
             return self._attrs[attr]
         except KeyError:
@@ -145,6 +231,7 @@ class Catalog:
         if getattr(self, "_eav", None) is None:
             from crux_spark.sources.loaders import triples_view
 
+            self._materialize_all()
             views = [triples_view(self._dfs[t]) for t in self._dfs]
             out = views[0]
             for v in views[1:]:
@@ -155,5 +242,6 @@ class Catalog:
     def register_views(self) -> None:
         """Expose every table as a temp view for the spark.sql() surface
         (replaces the reference's Calcite adapter, SURVEY.md §3.3)."""
+        self._materialize_all()
         for name, df in self._dfs.items():
             df.createOrReplaceTempView(name)

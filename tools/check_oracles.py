@@ -45,9 +45,19 @@ def normalize_rows(cols, rows):
 
 def main(only: list[str]):
     import __spark_entry__ as entrymod
-    from crux_spark import get_spark
 
-    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
+    # VANILLA session on purpose — the driver's harness builds one with no
+    # engine confs (round-1 lesson: the mirror used get_spark() and passed
+    # while the driver's session failed on every query). The engine must
+    # self-configure via Catalog.ensure_runtime_confs.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
