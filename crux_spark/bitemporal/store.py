@@ -260,6 +260,18 @@ class TxStore:
             OPS_SCHEMA,
         )
         has_match = any(r["op"] == "match" for r in self._pending)
+        aborted = self.apply_ops_df(ops_df, has_match=has_match)
+        self._pending = []
+        return aborted
+
+    def apply_ops_df(self, ops_df: DataFrame, has_match: bool | None = None) -> set[int]:
+        """Apply a whole ops DataFrame (OPS_SCHEMA) through the cogrouped
+        splice — the distributed write path. Nothing but per-tx match
+        verdicts (tx_ids) ever reaches the driver, so a 10^8-op batch is
+        fine; this is what the streaming ingester feeds micro-batches into
+        (tx.clj:424-479's serial ingest, distributed across entities)."""
+        if has_match is None:
+            has_match = bool(ops_df.filter(F.col("op") == "match").head(1))
         aborted: set[int] = set()
         def make_eval_fn(ab: frozenset):
             def eval_fn(key, vpdf, opdf):
@@ -299,7 +311,6 @@ class TxStore:
             .applyInPandas(apply_fn, VERSIONS_SCHEMA)
             .localCheckpoint()
         )
-        self._pending = []
         self.aborted_txs |= aborted
         return aborted
 

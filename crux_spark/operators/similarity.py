@@ -174,16 +174,88 @@ def cosine_threshold_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nblocks: int = 8,
+    strategy: str = "block",
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold, block-matrix style: each Arrow
-    batch of rows is ONE numpy matmul against the broadcast normalized
-    corpus matrix — no 4M-row pair join, no per-pair lambda evaluation.
-    Returns (id_a, id_b, sim) with id_a < id_b.
+    """Exact all-pairs cosine >= threshold. Returns (id_a, id_b, sim) with
+    id_a < id_b.
 
-    Scale note: the broadcast side must fit in executor memory (fine to
-    ~10M x 64 f64). Beyond that, generate candidates with
-    `lsh_bucket_pairs` / `ivf_topk` cells first and use this only as the
-    within-bucket verify."""
+    strategy="block" (default): distributed block-matrix product. Rows hash
+    into `nblocks` blocks; the upper triangle of block pairs (B*(B+1)/2
+    tasks) is cogrouped and each task does ONE numpy matmul between its two
+    blocks. Nothing is collected to the driver; shuffle volume is ~B/2
+    copies of the corpus, compute is the honest O(n^2) of an exact
+    all-pairs op spread over B*(B+1)/2 independent tasks. On a real
+    cluster set nblocks ~ sqrt(2 * total_cores) so every core gets a tile.
+    (Exact all-pairs is inherently quadratic — beyond ~10^7 rows use
+    `lsh_bucket_pairs` / IVF cells for candidates and keep this as the
+    within-bucket verify.)
+
+    strategy="broadcast": single narrow pass, each Arrow batch matmuls
+    against a driver-collected broadcast corpus matrix. Only valid when the
+    corpus fits driver/executor memory — explicit opt-in for small data.
+    """
+    if strategy == "broadcast":
+        return _cosine_pairs_broadcast(corpus, threshold, id_col, vec_col)
+
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nblocks)).alias("blk"),
+    )
+    tile_rows = [(i, j) for i in range(nblocks) for j in range(i, nblocks)]
+    # Each block's rows are replicated to every tile it participates in via
+    # a broadcast join against the (tiny) tile list, then cogrouped by tile.
+    # Two distinct tile DataFrames sidestep self-join column ambiguity.
+    tiles_l = spark.createDataFrame(tile_rows, "bi int, bj int")
+    tiles_r = spark.createDataFrame(tile_rows, "bi int, bj int")
+    left = base.join(F.broadcast(tiles_l), base.blk == tiles_l.bi).select(
+        "bi", "bj", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    right = base.join(F.broadcast(tiles_r), base.blk == tiles_r.bj).select(
+        "bi", "bj", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+
+    def tile_matmul(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        bi, bj = key
+        A = np.stack(lpdf["va"].map(np.asarray).to_numpy()).astype(np.float64)
+        B = np.stack(rpdf["vb"].map(np.asarray).to_numpy()).astype(np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        sims = An @ Bn.T
+        aid = lpdf["id_a"].to_numpy()
+        bid = rpdf["id_b"].to_numpy()
+        hit = sims >= threshold
+        if bi == bj:
+            # diagonal tile holds both orientations of every in-block pair;
+            # keep the canonical one
+            hit &= aid[:, None] < bid[None, :]
+        ii, jj = np.nonzero(hit)
+        a, b = aid[ii], bid[jj]
+        # off-diagonal tiles see each cross-block pair exactly once but in
+        # arbitrary id order — canonicalize to id_a < id_b
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "sim": np.round(sims[ii, jj], 6)}
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(tile_matmul, "id_a long, id_b long, sim double")
+    )
+
+
+def _cosine_pairs_broadcast(
+    corpus: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Small-corpus exact pairs: broadcast the full normalized matrix, one
+    matmul per Arrow batch. Driver-collects the corpus — opt-in only."""
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

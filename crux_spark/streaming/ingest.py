@@ -49,13 +49,16 @@ class TxLogStream:
         self.listeners.append(fn)
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.orderBy("tx_id", "seq").collect()
-        if not rows:
+        """Feed the micro-batch straight into the cogrouped splice apply —
+        no driver round-trip, so a batch far larger than driver memory is
+        fine. Per-entity op ordering happens inside the splice (sorted by
+        tx_id, seq within each entity group); only max(tx_id) and match
+        verdicts come back to the driver."""
+        mx = batch_df.agg(F.max("tx_id").alias("m")).first().m
+        if mx is None:  # empty batch
             return
-        for r in rows:
-            self.store._pending.append(r.asDict())
-        self.store._tx_id = max(self.store._tx_id, max(r.tx_id for r in rows))
-        self.store.commit()
+        self.store.apply_ops_df(batch_df)
+        self.store._tx_id = max(self.store._tx_id, int(mx))
         for fn in self.listeners:
             fn(epoch_id, batch_df)
 
