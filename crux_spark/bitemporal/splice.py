@@ -226,13 +226,53 @@ def entity_history(
     history: list[Version],
     ascending: bool = True,
     with_corrections: bool = False,
+    start_valid_time: "int | dt.datetime | None" = None,
+    end_valid_time: "int | dt.datetime | None" = None,
+    start_tx_id: int | None = None,
+    end_tx_id: int | None = None,
 ) -> list[Version]:
     """Version sequence (index_store.clj:524-554). Without corrections:
     only the current belief's rectangles, ordered by valid_from; with:
-    every rectangle ever asserted, ordered by (valid_from, tx_from)."""
-    if with_corrections:
+    every rectangle ever asserted, ordered by (valid_from, tx_from).
+
+    Bounds follow the reference's orientation (entity-history-seq-asc/desc):
+    ``start`` is where iteration begins — the LOW end when ascending, the
+    HIGH end when descending — and is inclusive; ``end`` is exclusive.
+    Valid-time bounds compare against valid_from, tx bounds against tx_from.
+    With tx bounds and no corrections, the per-valid-time collapse keeps the
+    latest assertion *within* the tx window (the reference filters raw
+    entries before partition-by vt), not the globally-current belief.
+    """
+    svt, evt = to_us(start_valid_time), to_us(end_valid_time)
+    has_tx_bounds = start_tx_id is not None or end_tx_id is not None
+    if with_corrections or has_tx_bounds:
         rows = [r for r in history if r.asserted]
     else:
         rows = _current(history)
+    if ascending:
+        if svt is not None:
+            rows = [r for r in rows if r.valid_from >= svt]
+        if evt is not None:
+            rows = [r for r in rows if r.valid_from < evt]
+        if start_tx_id is not None:
+            rows = [r for r in rows if r.tx_from >= start_tx_id]
+        if end_tx_id is not None:
+            rows = [r for r in rows if r.tx_from < end_tx_id]
+    else:
+        if svt is not None:
+            rows = [r for r in rows if r.valid_from <= svt]
+        if evt is not None:
+            rows = [r for r in rows if r.valid_from > evt]
+        if start_tx_id is not None:
+            rows = [r for r in rows if r.tx_from <= start_tx_id]
+        if end_tx_id is not None:
+            rows = [r for r in rows if r.tx_from > end_tx_id]
+    if not with_corrections and has_tx_bounds:
+        latest: dict[int, Version] = {}
+        for r in rows:
+            cur = latest.get(r.valid_from)
+            if cur is None or r.tx_from > cur.tx_from:
+                latest[r.valid_from] = r
+        rows = list(latest.values())
     rows = sorted(rows, key=lambda r: (r.valid_from, r.tx_from))
     return rows if ascending else list(reversed(rows))

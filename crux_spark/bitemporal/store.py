@@ -30,7 +30,7 @@ import json
 from typing import Any, Callable, Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -385,8 +385,39 @@ class TxStore:
         eid: str,
         ascending: bool = True,
         with_corrections: bool = False,
+        start_valid_time: dt.datetime | None = None,
+        end_valid_time: dt.datetime | None = None,
+        start_tx_id: int | None = None,
+        end_tx_id: int | None = None,
     ) -> list[dict]:
-        rows = self.versions.filter(F.col("eid") == str(eid)).collect()
+        """Bounded history scan (index_store.clj:524-554 opts;
+        query.clj:1740-1758 bound clamping is the caller's concern via a
+        snapshot store). Bounds are pushed into the versions scan — at
+        scale these are partition-prunable predicates, so a narrow vt/tx
+        window reads a sliver of the table, not the entity's whole history.
+        `start` = iteration origin (low end asc, high end desc, inclusive);
+        `end` exclusive; vt bounds compare valid_from, tx bounds tx_from."""
+        scan = self.versions.filter(F.col("eid") == str(eid))
+        svt, evt = to_us(start_valid_time), to_us(end_valid_time)
+        if ascending:
+            if svt is not None:
+                scan = scan.filter(F.col("valid_from") >= svt)
+            if evt is not None:
+                scan = scan.filter(F.col("valid_from") < evt)
+            if start_tx_id is not None:
+                scan = scan.filter(F.col("tx_from") >= start_tx_id)
+            if end_tx_id is not None:
+                scan = scan.filter(F.col("tx_from") < end_tx_id)
+        else:
+            if svt is not None:
+                scan = scan.filter(F.col("valid_from") <= svt)
+            if evt is not None:
+                scan = scan.filter(F.col("valid_from") > evt)
+            if start_tx_id is not None:
+                scan = scan.filter(F.col("tx_from") <= start_tx_id)
+            if end_tx_id is not None:
+                scan = scan.filter(F.col("tx_from") > end_tx_id)
+        rows = scan.collect()
         hist = [
             Version(
                 r.valid_from, r.valid_to, r.tx_from, r.tx_to, r.tx_time,
@@ -394,7 +425,15 @@ class TxStore:
             )
             for r in rows
         ]
-        out = splice.entity_history(hist, ascending, with_corrections)
+        out = splice.entity_history(
+            hist,
+            ascending,
+            with_corrections,
+            start_valid_time=svt,
+            end_valid_time=evt,
+            start_tx_id=start_tx_id,
+            end_tx_id=end_tx_id,
+        )
         return [
             {
                 "valid_from": splice.from_us(v.valid_from),
@@ -405,6 +444,41 @@ class TxStore:
             }
             for v in out
         ]
+
+    def history_scan(
+        self,
+        start_valid_time: dt.datetime | None = None,
+        end_valid_time: dt.datetime | None = None,
+        start_tx_id: int | None = None,
+        end_tx_id: int | None = None,
+        with_corrections: bool = False,
+    ) -> DataFrame:
+        """Set-based bounded history across ALL entities — the distributed
+        sibling of :meth:`entity_history` (same bound semantics, ascending
+        orientation: start inclusive / end exclusive on (valid_from,
+        tx_from)). Returns the asserted version events in the window as a
+        DataFrame; at scale the bounds are partition-prunable predicates so
+        an audit over a day's window scans a day, not the full store."""
+        scan = self.versions.filter(F.col("asserted"))
+        svt, evt = to_us(start_valid_time), to_us(end_valid_time)
+        if svt is not None:
+            scan = scan.filter(F.col("valid_from") >= svt)
+        if evt is not None:
+            scan = scan.filter(F.col("valid_from") < evt)
+        if start_tx_id is not None:
+            scan = scan.filter(F.col("tx_from") >= start_tx_id)
+        if end_tx_id is not None:
+            scan = scan.filter(F.col("tx_from") < end_tx_id)
+        if not with_corrections:
+            # latest assertion per (eid, valid_from) within the window —
+            # same collapse as splice.entity_history under tx bounds
+            w = F.row_number().over(
+                Window.partitionBy("eid", "valid_from").orderBy(
+                    F.col("tx_from").desc()
+                )
+            )
+            scan = scan.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+        return scan
 
     def with_tx(self, ops: Iterable[Any], tx_time: dt.datetime | None = None) -> "TxStore":
         """Speculative fork (query.clj:1896-1913 / fork.clj): apply ops on a

@@ -1693,6 +1693,43 @@ def bitemporal_store_history(spark, sf_dir):
 
 
 @register(
+    "bitemporal_history_bounded",
+    """
+    SELECT user_id, count(*) AS n_versions, round(sum(value), 2) AS sum_values
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY user_id
+    """,
+)
+def bitemporal_history_bounded(spark, sf_dir):
+    """Bounded entity-history scan (index_store.clj:524-554 takes
+    start/end valid-time + tx-id bounds): the store's history events inside
+    a valid-time window must equal the source events in that window. Uses
+    the distributed set-based surface (history_scan); the per-entity
+    entity_history carries the same bounds."""
+    import datetime as _dt
+
+    bitemporal_store_asof(spark, sf_dir)  # ensure the store is built
+    store = _STORES[(id(spark), sf_dir)]
+    hist = store.history_scan(
+        start_valid_time=_dt.datetime(2024, 1, 5),
+        end_valid_time=_dt.datetime(2024, 1, 20),
+    )
+    return (
+        hist.groupBy(
+            F.regexp_replace("eid", "^u", "").cast("long").alias("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.round(
+                F.sum(F.get_json_object("doc_json", "$.value").cast("double")), 2
+            ).alias("sum_values"),
+        )
+    )
+
+
+@register(
     "sql_rollup",
     """
     SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -243,3 +243,50 @@ def test_bucketed_table_join_is_shuffle_free(spark, tmp_path):
     assert bucketed_join_is_shuffle_free(a, b, "o_orderkey")
     n = a.join(b, "o_orderkey").count()
     assert n == lineitem.count()
+
+
+def test_entity_history_bounds(spark):
+    """vt/tt bounds on entity_history (index_store.clj:524-554 opts):
+    start inclusive at the iteration origin, end exclusive; tx bounds
+    collapse corrections within the window, not against the global
+    current belief."""
+    import datetime as dt
+
+    from crux_spark.bitemporal.store import TxStore
+
+    store = TxStore(spark)
+    t = lambda m, d: dt.datetime(2020, m, d)
+    store.submit_tx([("put", {"id": "e", "v": 1}, t(1, 1))])   # tx1
+    store.submit_tx([("put", {"id": "e", "v": 2}, t(2, 1))])   # tx2
+    store.submit_tx([("put", {"id": "e", "v": 10}, t(1, 1))])  # tx3 correction
+    store.submit_tx([("put", {"id": "e", "v": 3}, t(3, 1))])   # tx4
+    store.commit()
+
+    full = store.entity_history("e")
+    assert [h["doc"]["v"] for h in full] == [10, 2, 3]
+
+    # vt window [Jan 15, inf) ascending
+    vs = [h["doc"]["v"] for h in store.entity_history("e", start_valid_time=t(1, 15))]
+    assert vs == [2, 3]
+    # vt end exclusive: end at Feb 1 excludes the Feb 1 entry
+    vs = [h["doc"]["v"] for h in store.entity_history("e", end_valid_time=t(2, 1))]
+    assert vs == [10]
+    # tx window: before the correction (tx < 3) the Jan 1 belief was v=1
+    vs = [h["doc"]["v"] for h in store.entity_history("e", end_tx_id=3)]
+    assert vs == [1, 2]
+    # descending: start is the HIGH end, inclusive
+    vs = [
+        h["doc"]["v"]
+        for h in store.entity_history("e", ascending=False, start_valid_time=t(2, 15))
+    ]
+    assert vs == [2, 10]
+    # corrections view keeps both Jan 1 assertions in (vt, tx) order
+    vs = [
+        h["doc"]["v"] for h in store.entity_history("e", with_corrections=True)
+    ]
+    assert vs == [1, 10, 2, 3]
+    # history_scan (set-based) agrees with the per-entity window
+    n = store.history_scan(
+        start_valid_time=t(1, 15), end_valid_time=t(3, 15)
+    ).count()
+    assert n == 2
