@@ -86,12 +86,17 @@ class ExprBuilder:
         columns: set[str],
         env: dict[str, Any],
         dtypes: dict[str, str] | None = None,
+        typed: dict[str, dict[str, str]] | None = None,
     ):
         self.columns = columns
         self.env = env
         # col name -> Spark simpleString type, for the few type-polymorphic
         # builtins (clojure `count` = string length OR collection size)
         self.dtypes = dtypes or {}
+        # EAV-fallback vars with typed side-columns: var -> {kind: colname}.
+        # Numeric/temporal comparisons bind against these instead of the
+        # stringified value column (codec.clj:81-99's typed ordering).
+        self.typed = typed or {}
 
     def vars_in(self, form: Any) -> set[str]:
         """All logic vars referenced by an expression form (excluding
@@ -129,7 +134,12 @@ class ExprBuilder:
             udf = F.udf(self.env[fn], "boolean")
             return udf(*[self.build(a) for a in args])
         if fn in _BINARY_OPS:
-            cols = [self.build(a) for a in args]
+            ctx = (
+                "num"
+                if fn in ("+", "-", "*", "/", "quot", "rem", "mod")
+                else self._cmp_context(args)
+            )
+            cols = [self._build_ctx(a, ctx) for a in args]
             if fn in self._CHAINED_CMPS and len(cols) > 2:
                 # variadic comparison chains pairwise: (< a 18 b) means
                 # a < 18 AND 18 < b (clojure semantics), NOT ((a<18)<b)
@@ -145,6 +155,51 @@ class ExprBuilder:
         if meth is None:
             raise NotImplementedError(f"Datalog builtin not implemented: {fn!r}")
         return meth(args)
+
+    _NUMERIC_DTYPES = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+
+    def _cmp_context(self, args: list[Any]) -> str | None:
+        """Type context of a comparison: 'ts' if any operand is temporal,
+        'num' if any is numeric, else None (string compare)."""
+        ctx = None
+        for x in args:
+            if is_var(x) and x not in self.env:
+                dt = self.dtypes.get(var_col(x), "")
+                if dt in ("timestamp", "timestamp_ntz", "date"):
+                    return "ts"
+                if dt in self._NUMERIC_DTYPES or dt.startswith("decimal"):
+                    ctx = "num"
+            elif isinstance(x, (list, tuple)):
+                sub = self._cmp_context(list(x[1:]))
+                if sub == "ts":
+                    return "ts"
+                ctx = ctx or sub
+            else:
+                lit = self.env.get(x, x) if isinstance(x, str) else x
+                if isinstance(lit, (_dt.datetime, _dt.date)):
+                    return "ts"
+                if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                    ctx = "num"
+        return ctx
+
+    def _build_ctx(self, form: Any, ctx: str | None) -> Column:
+        """Build an operand under a comparison type context: an EAV-bound
+        var with typed side-columns binds the matching typed column instead
+        of its stringified form; raise if the typed column was projected
+        away (never silently string-compare a typed predicate)."""
+        if ctx in ("num", "ts") and is_var(form) and form in self.typed:
+            col = self.typed[form].get(ctx)
+            if col is None or col not in self.columns:
+                raise ValueError(
+                    f"typed ({ctx}) predicate over EAV-bound var {form}, but "
+                    f"its typed side-column is unavailable — bind the value "
+                    f"through a fixed attribute or keep {form} out of "
+                    f"projections before the predicate"
+                )
+            return F.col(col)
+        return self.build(form)
 
     # arithmetic / numeric
     def _fn_inc(self, a):

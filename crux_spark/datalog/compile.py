@@ -78,6 +78,11 @@ class Compiler:
         self._rule_cache: dict[str, DataFrame] = {}
         # entity var -> table name, recorded by scan_group (used by pull)
         self.entity_tables: dict[str, str] = {}
+        # value vars bound through the EAV fallback: var -> {kind: colname}
+        # typed side-columns so numeric/temporal predicates don't silently
+        # compare stringified values (the reference's tagged codec gives a
+        # typed order, codec.clj:81-99)
+        self.typed_vars: dict[str, dict[str, str]] = {}
 
     # ------------------------------------------------------------------ util
 
@@ -167,9 +172,11 @@ class Compiler:
 
     def scan_var_attr(self, c: list) -> DataFrame:
         """``[?e ?a ?v]`` over the catalog-wide EAV view (SURVEY §2.2 "var
-        in attribute position"): attribute names bind as keyword strings,
-        values bind stringified (the schemaless escape hatch; typed
-        predicates belong on fixed attributes)."""
+        in attribute position"): attribute names bind as keyword strings;
+        values bind stringified for joins/projection, but typed side-columns
+        (``<v>__typed_{num,ts}``) ride along so numeric/temporal predicates
+        over ``?v`` compare typed values, not strings (codec.clj:81-99's
+        tagged total order)."""
         e, a = c[0], c[1]
         v = c[2] if len(c) == 3 else "_"
         eav = self.catalog.eav_view()
@@ -180,13 +187,23 @@ class Compiler:
             eav = eav.filter(F.col("e") == F.lit(str(self.env.get(e, e))))
         sel.append(F.col("a").alias(var_col(a)))
         if is_var(v) and v not in self.env:
+            vc = var_col(v)
             sel.append(F.coalesce(
                 F.col("v_string"),
                 F.col("v_long").cast("string"),
                 F.col("v_double").cast("string"),
                 F.col("v_bool").cast("string"),
                 F.col("v_ts").cast("string"),
-            ).alias(var_col(v)))
+            ).alias(vc))
+            sel.append(
+                F.coalesce(F.col("v_double"), F.col("v_long").cast("double"))
+                .alias(f"{vc}__typed_num")
+            )
+            sel.append(F.col("v_ts").alias(f"{vc}__typed_ts"))
+            self.typed_vars[v] = {
+                "num": f"{vc}__typed_num",
+                "ts": f"{vc}__typed_ts",
+            }
         elif not is_blank(v):
             lit = self.env.get(v, v)
             eav = eav.filter(
@@ -267,9 +284,21 @@ class Compiler:
         cur = remaining.pop(0)
         while remaining:
             for i, d in enumerate(remaining):
-                shared = sorted(set(cur.columns) & set(d.columns) - {"__exists"})
+                shared = sorted(
+                    c
+                    for c in set(cur.columns) & set(d.columns) - {"__exists"}
+                    # typed EAV side-columns are carried data, never join
+                    # keys (null for non-numeric values, so null-equality
+                    # would wrongly drop rows); drop the right-side copy
+                    if "__typed_" not in c
+                )
                 if shared:
-                    cur = cur.join(d, on=shared, how="inner")
+                    dup_typed = [
+                        c
+                        for c in set(cur.columns) & set(d.columns)
+                        if "__typed_" in c
+                    ]
+                    cur = cur.join(d.drop(*dup_typed), on=shared, how="inner")
                     remaining.pop(i)
                     break
             else:
@@ -314,6 +343,7 @@ class Compiler:
                     set(df.columns),
                     self.env,
                     {f.name: f.dataType.simpleString() for f in df.schema.fields},
+                    typed=self.typed_vars,
                 )
                 need = eb.vars_in(form)
                 if not all(var_col(v) in df.columns for v in need):

@@ -661,6 +661,81 @@ def tpch_q21_anti(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+    WHERE l1.l_shipdate > o.o_orderdate
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers who kept waiting — the reference's full Q21 shape
+    (tpch.clj:596-620): or-join (order has another supplier) + correlated
+    not-join (no OTHER supplier was late on the same order) + count +
+    order/limit 100, all through the Datalog surface. The synthetic tables
+    lack l_receiptdate/l_commitdate, so 'late' is l_shipdate > o_orderdate
+    (same adaptation as tpch_q4)."""
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        {
+            "find": ["?sname", ["count", "?l", "numwait"]],
+            "keys": ["s_name", "numwait"],
+            "where": [
+                ["?l", ":l_suppkey", "?sk"],
+                ["?s", ":s_suppkey", "?sk"],
+                ["?s", ":s_name", "?sname"],
+                ["?s", ":s_nationkey", "?nk"],
+                ["?n", ":n_nationkey", "?nk"],
+                ["?n", ":n_name", "NATION_1"],
+                ["?l", ":l_orderkey", "?ok"],
+                ["?o", ":o_orderkey", "?ok"],
+                ["?o", ":o_orderstatus", "F"],
+                ["?l", ":l_shipdate", "?ship"],
+                ["?o", ":o_orderdate", "?odate"],
+                [[">", "?ship", "?odate"]],
+                # order involves at least one other supplier
+                [
+                    "or-join",
+                    ["?ok", "?sk"],
+                    [
+                        "and",
+                        ["?l2", ":l_orderkey", "?ok"],
+                        ["?l2", ":l_suppkey", "?sk2"],
+                        [["not=", "?sk2", "?sk"]],
+                    ],
+                ],
+                # ...but no other supplier was late on that order
+                [
+                    "not-join",
+                    ["?ok", "?sk", "?odate"],
+                    ["?l3", ":l_orderkey", "?ok"],
+                    ["?l3", ":l_suppkey", "?sk3"],
+                    [["not=", "?sk3", "?sk"]],
+                    ["?l3", ":l_shipdate", "?ship3"],
+                    [[">", "?ship3", "?odate"]],
+                ],
+            ],
+            "order-by": [["numwait", "desc"], ["s_name", "asc"]],
+            "limit": 100,
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q22 — customers above-average balance with no orders
 # (scalar subquery + anti-join + subs; tpch.clj:621-650)
@@ -1261,15 +1336,19 @@ def tpch_q2(spark, sf_dir):
 )
 def tpch_q4(spark, sf_dir):
     """Order-priority checking (q4 shape: EXISTS semi-join;
-    tpch.clj:206-219 — commitdate absent, late-shipment predicate)."""
+    tpch.clj:206-219 — commitdate absent, late-shipment predicate).
+    ONE semi-join with the non-equi late predicate inside the join
+    condition: orders is scanned once (round-1 plan read q4 twice)."""
     cat = catalog_for(spark, sf_dir)
     o = cat.table("orders")
-    l = cat.table("lineitem")
-    late = l.join(
-        o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
-    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    l = cat.table("lineitem").select("l_orderkey", "l_shipdate")
     return (
-        o.join(late.withColumnRenamed("l_orderkey", "ok"), F.col("o_orderkey") == F.col("ok"), "left_semi")
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )

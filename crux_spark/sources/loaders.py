@@ -134,8 +134,8 @@ def _typed_row(df: DataFrame, a, dtype, pos):
         cols = ("double", null_l, val.cast("double"), null_s, null_b, null_t)
     elif isinstance(dtype, T.BooleanType):
         cols = ("boolean", null_l, null_d, null_s, val.cast("boolean"), null_t)
-    elif isinstance(dtype, T.TimestampType):
-        cols = ("timestamp", null_l, null_d, null_s, null_b, val)
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        cols = ("timestamp", null_l, null_d, null_s, null_b, val.cast("timestamp"))
     else:
         cols = ("string", null_l, null_d, val.cast("string"), null_b, null_t)
     v_type, v_long, v_double, v_string, v_bool, v_ts = cols

@@ -361,3 +361,58 @@ def test_var_attribute_position(spark):
     # entities having ANY attribute with value "Ann"
     res2 = q(cat, {"find": ["?e", "?a"], "where": [["?e", "?a", "Ann"]]})
     assert [(r.e, r.a) for r in res2.collect()] == [("a", ":name")]
+
+
+def test_eav_typed_value_predicates(catalog):
+    """Numeric predicates over a var-attribute pattern must compare typed
+    values, not stringified ones ("950.5" > "9000.0" lexically but not
+    numerically — codec.clj:81-99's typed order)."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog import q
+
+    df = q(
+        catalog,
+        {
+            "find": ["?e", "?v"],
+            "keys": ["e", "v"],
+            "where": [
+                ["?e", "?a", "?v"],
+                [["=", "?a", ":c_acctbal"]],
+                [[">", "?v", 9000.0]],
+            ],
+        },
+    )
+    rows = df.collect()
+    direct = catalog.table("customer").filter(F.col("c_acctbal") > 9000.0).count()
+    assert direct > 0
+    assert len(rows) == direct
+    assert all(float(r.v) > 9000.0 for r in rows)
+
+
+def test_eav_temporal_value_predicate(catalog):
+    """Temporal predicate over an EAV-bound var binds the v_ts column."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog import q
+
+    cut = dt.datetime(1998, 1, 1)
+    df = q(
+        catalog,
+        {
+            "find": ["?e"],
+            "keys": ["e"],
+            "where": [
+                ["?e", "?a", "?v"],
+                [["=", "?a", ":o_orderdate"]],
+                [[">=", "?v", cut]],
+            ],
+        },
+    )
+    direct = (
+        catalog.table("orders").filter(F.col("o_orderdate") >= F.lit(cut)).count()
+    )
+    assert direct > 0
+    assert df.count() == direct
