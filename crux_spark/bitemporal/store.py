@@ -490,6 +490,22 @@ class TxStore:
         fork.commit()
         return fork
 
+    def catalog(
+        self,
+        valid_time: dt.datetime | None = None,
+        tx: int | None = None,
+        name: str = "docs",
+        schema=None,
+    ):
+        """Datalog-queryable view of this store's snapshot:
+        ``store.with_tx(ops).catalog()`` is the reference's speculative
+        with-tx → q flow (query.clj:1896-1913) in one call."""
+        from crux_spark.catalog import Catalog
+
+        return Catalog.from_store(
+            self, valid_time=valid_time, tx=tx, name=name, schema=schema
+        )
+
     # ------------------------------------------------------------ persistence
 
     def save(self, path: str, buckets: int = 64) -> None:

@@ -54,6 +54,11 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
+    # clojure merge/assoc are right-wins on duplicate map keys
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # dimension tables (region/nation/supplier/...) should broadcast in
+    # star joins even on a session the engine didn't build
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 
 
@@ -178,6 +183,41 @@ class Catalog:
                 is_array=isinstance(field.dataType, T.ArrayType),
             )
             self._table_attrs[name].append(attr)
+
+    @classmethod
+    def from_store(
+        cls,
+        store,
+        valid_time=None,
+        tx: int | None = None,
+        name: str = "docs",
+        schema=None,
+    ) -> "Catalog":
+        """Catalog over a TxStore snapshot — the reference's with-tx → q
+        flow (query.clj:1896-1913): ``Catalog.from_store(store.with_tx(ops))``
+        makes a speculative fork queryable through the Datalog surface in
+        one call.
+
+        Doc JSON is parsed into a wide typed table. Without an explicit
+        ``schema``, one inference pass over the snapshot's doc_json derives
+        it (fine for interactive/speculative use; at scale pass the schema
+        or maintain typed tables alongside the store).
+        """
+        from pyspark.sql import functions as _F
+
+        snap = store.db(valid_time, tx)
+        spark = store.spark
+        if schema is None:
+            schema = spark.read.json(
+                snap.select("doc_json").rdd.map(lambda r: r[0])
+            ).schema
+        docs = snap.select(
+            _F.col("eid").alias(ID_COL),
+            _F.from_json("doc_json", schema).alias("doc"),
+        ).select(ID_COL, "doc.*")
+        cat = cls(spark)
+        cat.add_documents(name, docs)
+        return cat
 
     def add_documents(
         self, name: str, df: DataFrame, id_col: str | None = None, prefix: str = ""

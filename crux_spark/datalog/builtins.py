@@ -131,6 +131,14 @@ class ExprBuilder:
         # row-at-a-time Python UDF — the deliberate escape hatch, not the
         # hot path
         if is_var(fn) and callable(self.env.get(fn)):
+            import warnings
+
+            warnings.warn(
+                f"callable :in predicate {fn} compiles to a row-at-a-time "
+                f"Python UDF — fine for small relations, a hot-path "
+                f"scale hazard; prefer a builtin or a pandas_udf",
+                stacklevel=2,
+            )
             udf = F.udf(self.env[fn], "boolean")
             return udf(*[self.build(a) for a in args])
         if fn in _BINARY_OPS:
@@ -306,27 +314,67 @@ class ExprBuilder:
     def _fn_includesp(self, a):
         return self.build(a[0]).contains(a[1])
 
+    @staticmethod
+    def _unwrap_pattern(pattern):
+        # accept (re-pattern "...") wrapping a literal pattern
+        if isinstance(pattern, (list, tuple)) and pattern and pattern[0] == "re-pattern":
+            return pattern[1]
+        return pattern
+
     def _fn_re_find(self, a):
         # (re-find #"pat" s) — truthy iff pattern matches anywhere
-        pattern, s = a[0], a[1]
+        pattern, s = self._unwrap_pattern(a[0]), a[1]
         return self.build(s).rlike(pattern)
 
     def _fn_re_matches(self, a):
-        pattern, s = a[0], a[1]
+        pattern, s = self._unwrap_pattern(a[0]), a[1]
         p = pattern if pattern.startswith("^") else "^" + pattern
         p = p if p.endswith("$") else p + "$"
         return self.build(s).rlike(p)
 
+    def _is_expr_form(self, x) -> bool:
+        """A list/tuple that is an expression form (fn-name head), not a
+        literal collection."""
+        if not (isinstance(x, (list, tuple)) and x and isinstance(x[0], str)):
+            return False
+        head = x[0]
+        return (
+            head in _BINARY_OPS
+            or hasattr(
+                self,
+                "_fn_"
+                + head.replace("-", "_").replace("?", "p").replace("/", "_"),
+            )
+        )
+
     def _fn_containsp(self, a):
-        # (contains? #{...} x) — set-membership filter
+        # (contains? #{...} x) — set-membership filter; map columns test
+        # key presence (clojure contains? on maps)
         coll, x = a[0], a[1]
-        if isinstance(coll, (set, frozenset, list, tuple)):
+        if isinstance(coll, (set, frozenset)) or (
+            isinstance(coll, (list, tuple)) and not self._is_expr_form(coll)
+        ):
             vals = [self.env.get(v, v) if isinstance(v, str) else v for v in coll]
             return self.build(x).isin(*vals)
+        is_map = (
+            is_var(coll)
+            and self.dtypes.get(var_col(coll), "").startswith("map")
+        ) or (
+            isinstance(coll, (list, tuple))
+            and coll
+            and coll[0]
+            in ("zipmap", "merge", "assoc", "dissoc", "select-keys", "frequencies")
+        )
+        if is_map:
+            return F.map_contains_key(self.build(coll), self.build(x))
         return F.array_contains(self.build(coll), self.build(x))
 
     def _fn_get(self, a):
-        return self.build(a[0]).getItem(self.build(a[1]))
+        key = a[1]
+        if not is_var(key) and not isinstance(key, (list, tuple)):
+            # plain literal key: pass raw (0-based array index / map key)
+            return self.build(a[0]).getItem(key)
+        return self.build(a[0]).getItem(self.build(key))
 
     # temporal helpers (dates are TimestampType, ms precision — codec.clj:252-255)
     def _fn_year(self, a):
@@ -466,3 +514,377 @@ class ExprBuilder:
 
     def _fn_oddp(self, a):
         return self.build(a[0]) % 2 == 1
+
+    # -- numeric predicates / bit ops (allowlist tier 2) -------------------
+
+    def _fn_zerop(self, a):
+        return self.build(a[0]) == 0
+
+    def _fn_posp(self, a):
+        return self.build(a[0]) > 0
+
+    def _fn_negp(self, a):
+        return self.build(a[0]) < 0
+
+    def _is_int_like(self, x) -> Column:
+        """Compile-time integer check: dtype for vars, Python type for
+        literals (clojure int?/integer? are type tests, not value tests)."""
+        if is_var(x) and x not in self.env:
+            dt = self.dtypes.get(var_col(x), "")
+            return F.lit(dt in ("tinyint", "smallint", "int", "bigint"))
+        lit = self.env.get(x, x) if isinstance(x, str) else x
+        return F.lit(isinstance(lit, int) and not isinstance(lit, bool))
+
+    def _fn_intp(self, a):
+        return self._is_int_like(a[0])
+
+    def _fn_integerp(self, a):
+        return self._is_int_like(a[0])
+
+    def _fn_pos_intp(self, a):
+        return self._is_int_like(a[0]) & (self.build(a[0]) > 0)
+
+    def _fn_neg_intp(self, a):
+        return self._is_int_like(a[0]) & (self.build(a[0]) < 0)
+
+    def _fn_nat_intp(self, a):
+        return self._is_int_like(a[0]) & (self.build(a[0]) >= 0)
+
+    def _fn_doublep(self, a):
+        if is_var(a[0]) and a[0] not in self.env:
+            return F.lit(self.dtypes.get(var_col(a[0]), "") in ("double", "float"))
+        lit = self.env.get(a[0], a[0]) if isinstance(a[0], str) else a[0]
+        return F.lit(isinstance(lit, float))
+
+    def _fn_floatp(self, a):
+        return self._fn_doublep(a)
+
+    def _fn_booleanp(self, a):
+        if is_var(a[0]) and a[0] not in self.env:
+            return F.lit(self.dtypes.get(var_col(a[0]), "") == "boolean")
+        lit = self.env.get(a[0], a[0]) if isinstance(a[0], str) else a[0]
+        return F.lit(isinstance(lit, bool))
+
+    def _is_bool_operand(self, x) -> bool:
+        if is_var(x) and x not in self.env:
+            return self.dtypes.get(var_col(x), "") == "boolean"
+        lit = self.env.get(x, x) if isinstance(x, str) else x
+        return isinstance(lit, bool)
+
+    def _fn_truep(self, a):
+        if not self._is_bool_operand(a[0]):
+            return F.lit(False)
+        return self.build(a[0]) == F.lit(True)
+
+    def _fn_falsep(self, a):
+        if not self._is_bool_operand(a[0]):
+            return F.lit(False)
+        return self.build(a[0]) == F.lit(False)
+
+    def _fn_anyp(self, a):
+        return F.lit(True)
+
+    def _fn_instp(self, a):
+        if is_var(a[0]) and a[0] not in self.env:
+            return F.lit(
+                self.dtypes.get(var_col(a[0]), "")
+                in ("timestamp", "timestamp_ntz", "date")
+            )
+        lit = self.env.get(a[0], a[0]) if isinstance(a[0], str) else a[0]
+        return F.lit(isinstance(lit, (_dt.datetime, _dt.date)))
+
+    def _fn_compare(self, a):
+        x, y = self.build(a[0]), self.build(a[1])
+        return F.when(x < y, -1).when(x > y, 1).otherwise(0)
+
+    def _fn_bit_and(self, a):
+        return self.build(a[0]).bitwiseAND(self.build(a[1]))
+
+    def _fn_bit_or(self, a):
+        return self.build(a[0]).bitwiseOR(self.build(a[1]))
+
+    def _fn_bit_xor(self, a):
+        return self.build(a[0]).bitwiseXOR(self.build(a[1]))
+
+    def _fn_bit_not(self, a):
+        return F.bitwise_not(self.build(a[0]))
+
+    def _fn_bit_and_not(self, a):
+        return self.build(a[0]).bitwiseAND(F.bitwise_not(self.build(a[1])))
+
+    def _fn_bit_shift_left(self, a):
+        return F.shiftleft(self.build(a[0]), a[1])
+
+    def _fn_bit_shift_right(self, a):
+        return F.shiftright(self.build(a[0]), a[1])
+
+    def _fn_unsigned_bit_shift_right(self, a):
+        return F.shiftrightunsigned(self.build(a[0]), a[1])
+
+    def _fn_bit_test(self, a):
+        return F.shiftright(self.build(a[0]), a[1]).bitwiseAND(F.lit(1)) == 1
+
+    def _fn_bit_set(self, a):
+        return self.build(a[0]).bitwiseOR(F.lit(1 << a[1]))
+
+    def _fn_bit_clear(self, a):
+        return self.build(a[0]).bitwiseAND(F.lit(~(1 << a[1])))
+
+    def _fn_bit_flip(self, a):
+        return self.build(a[0]).bitwiseXOR(F.lit(1 << a[1]))
+
+    # -- strings tier 2 ----------------------------------------------------
+
+    def _fn_format(self, a):
+        # clojure format's %s/%d/%f subset via format_string (JVM-side)
+        return F.format_string(a[0], *[self.build(x) for x in a[1:]])
+
+    def _fn_re_seq(self, a):
+        # (re-seq #"pat" s) -> all matches as array
+        pattern, s = a[0], a[1]
+        if isinstance(pattern, (list, tuple)) and pattern[0] == "re-pattern":
+            pattern = pattern[1]
+        return F.regexp_extract_all(self.build(s), F.lit(pattern), 0)
+
+    def _fn_re_pattern(self, a):
+        return F.lit(a[0])
+
+    def _fn_symbol(self, a):
+        return self.build(a[0]).cast("string")
+
+    def _fn_capitalize(self, a):
+        s = self.build(a[0])
+        return F.concat(F.upper(s.substr(F.lit(1), F.lit(1))), F.lower(s.substr(F.lit(2), F.length(s))))
+
+    def _fn_join(self, a):
+        # (join sep coll) / (join coll)
+        if len(a) == 2:
+            return F.array_join(self.build(a[1]).cast("array<string>"), a[0])
+        return F.array_join(self.build(a[0]).cast("array<string>"), "")
+
+    def _fn_split(self, a):
+        # (split s re) — clojure.string/split drops trailing empties, as
+        # does Spark's split with limit -1? (Spark keeps them); corpus use
+        # is simple separators
+        return F.split(self.build(a[0]), a[1])
+
+    def _fn_split_lines(self, a):
+        return F.split(self.build(a[0]), "\\r?\\n")
+
+    def _fn_index_of(self, a):
+        pos = F.instr(self.build(a[0]), a[1] if not is_var(a[1]) else self.build(a[1]))
+        return F.when(pos > 0, pos - 1)
+
+    def _fn_last_index_of(self, a):
+        s, sub = self.build(a[0]), a[1]
+        rev_pos = F.instr(F.reverse(s), sub[::-1] if isinstance(sub, str) else F.reverse(self.build(sub)))
+        sublen = len(sub) if isinstance(sub, str) else F.length(self.build(sub))
+        return F.when(rev_pos > 0, F.length(s) - rev_pos - sublen + 1)
+
+    def _fn_blankp(self, a):
+        s = self.build(a[0])
+        return s.isNull() | (F.length(F.trim(s)) == 0)
+
+    def _fn_like(self, a):
+        # crux.calcite/-like: SQL LIKE (calcite.clj:147-203 surface)
+        return self.build(a[0]).like(a[1])
+
+    def _fn_char(self, a):
+        x = a[0]
+        if isinstance(x, int):
+            return F.lit(chr(x))
+        return F.char(self.build(x))
+
+    # -- collections tier 2 ------------------------------------------------
+
+    def _fn_second(self, a):
+        c = self.build(a[0])
+        return F.when(F.size(c) >= 2, F.element_at(c, 2))
+
+    def _fn_ffirst(self, a):
+        return F.element_at(F.element_at(self.build(a[0]), 1), 1)
+
+    def _fn_rest(self, a):
+        c = self.build(a[0])
+        return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
+
+    def _fn_next(self, a):
+        c = self.build(a[0])
+        return F.when(F.size(c) > 1, F.slice(c, 2, F.size(c) - 1))
+
+    def _fn_butlast(self, a):
+        c = self.build(a[0])
+        return F.when(F.size(c) > 1, F.slice(c, 1, F.size(c) - 1))
+
+    def _fn_drop(self, a):
+        n, c = a[0], self.build(a[1])
+        return F.slice(c, n + 1, F.greatest(F.size(c) - n, F.lit(0)))
+
+    def _fn_drop_last(self, a):
+        if len(a) == 2:
+            n, c = a[0], self.build(a[1])
+        else:
+            n, c = 1, self.build(a[0])
+        return F.slice(c, 1, F.greatest(F.size(c) - n, F.lit(0)))
+
+    def _fn_take_last(self, a):
+        n, c = a[0], self.build(a[1])
+        return F.when(
+            F.size(c) > n, F.slice(c, -n, n)
+        ).otherwise(c)
+
+    def _fn_take_nth(self, a):
+        n, c = a[0], self.build(a[1])
+        return F.filter(c, lambda x, i: i % n == 0)
+
+    def _fn_distinct(self, a):
+        return F.array_distinct(self.build(a[0]))
+
+    def _fn_dedupe(self, a):
+        c = self.build(a[0])
+        return F.filter(c, lambda x, i: (i == 0) | (x != F.element_at(c, i)))
+
+    def _fn_distinctp(self, a):
+        cols = [self.build(x) for x in a]
+        if len(cols) == 1:
+            c = cols[0]
+            return F.size(F.array_distinct(c)) == F.size(c)
+        arr = F.array(*cols)
+        return F.size(F.array_distinct(arr)) == F.size(arr)
+
+    # expression heads that produce collections (for type-polymorphic
+    # builtins like empty?/count applied to nested forms)
+    _COLL_FNS = {
+        "vector", "vec", "set", "sort", "reverse", "range", "take", "conj",
+        "rest", "next", "butlast", "drop", "drop-last", "take-last",
+        "take-nth", "distinct", "dedupe", "not-empty", "flatten",
+        "interpose", "interleave", "cons", "pop", "subvec", "split-at",
+        "partition", "partition-all", "repeat", "keys", "vals", "re-seq",
+        "split", "split-lines", "shuffle",
+    }
+
+    def _is_coll_operand(self, x) -> bool:
+        if is_var(x) and x not in self.env:
+            return self.dtypes.get(var_col(x), "").startswith(("array", "map"))
+        return (
+            isinstance(x, (list, tuple))
+            and x
+            and isinstance(x[0], str)
+            and x[0] in self._COLL_FNS
+        )
+
+    def _fn_emptyp(self, a):
+        c = self.build(a[0])
+        if self._is_coll_operand(a[0]):
+            return F.size(c) == 0
+        return c.isNull() | (F.length(c) == 0)
+
+    def _fn_not_empty(self, a):
+        c = self.build(a[0])
+        return F.when(F.size(c) > 0, c)
+
+    def _fn_flatten(self, a):
+        return F.flatten(self.build(a[0]))
+
+    def _fn_interpose(self, a):
+        sep, c = self.build(a[0]), self.build(a[1])
+        return F.flatten(
+            F.transform(
+                c,
+                lambda x, i: F.when(i == 0, F.array(x)).otherwise(F.array(sep, x)),
+            )
+        )
+
+    def _fn_interleave(self, a):
+        x, y = self.build(a[0]), self.build(a[1])
+        return F.flatten(F.zip_with(x, y, lambda p, q: F.array(p, q)))
+
+    def _fn_cons(self, a):
+        return F.concat(F.array(self.build(a[0])), self.build(a[1]))
+
+    def _fn_peek(self, a):
+        return F.element_at(self.build(a[0]), -1)
+
+    def _fn_pop(self, a):
+        c = self.build(a[0])
+        return F.slice(c, 1, F.size(c) - 1)
+
+    def _fn_subvec(self, a):
+        c = self.build(a[0])
+        start = a[1]
+        if len(a) > 2:
+            return F.slice(c, start + 1, a[2] - start)
+        return F.slice(c, start + 1, F.size(c) - start)
+
+    def _fn_split_at(self, a):
+        n, c = a[0], self.build(a[1])
+        return F.array(
+            F.slice(c, 1, n),
+            F.slice(c, n + 1, F.greatest(F.size(c) - n, F.lit(0))),
+        )
+
+    def _fn_partition(self, a):
+        n, c = a[0], self.build(a[1])
+        k = F.greatest(F.floor(F.size(c) / n).cast("int"), F.lit(1))
+        chunks = F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.slice(c, (i - 1) * n + 1, n)
+        )
+        return F.filter(chunks, lambda ch: F.size(ch) == n)
+
+    def _fn_partition_all(self, a):
+        n, c = a[0], self.build(a[1])
+        k = F.greatest(F.ceil(F.size(c) / n).cast("int"), F.lit(1))
+        chunks = F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.slice(c, (i - 1) * n + 1, n)
+        )
+        return F.filter(chunks, lambda ch: F.size(ch) > 0)
+
+    def _fn_repeat(self, a):
+        # (repeat n x) — bounded only (clojure's unbounded form is lazy)
+        n, x = a[0], self.build(a[1])
+        return F.array_repeat(x, n)
+
+    def _fn_frequencies(self, a):
+        c = self.build(a[0])
+        ks = F.array_distinct(c)
+        return F.map_from_arrays(
+            ks, F.transform(ks, lambda k: F.size(F.filter(c, lambda y: y == k)))
+        )
+
+    def _fn_zipmap(self, a):
+        x, y = self.build(a[0]), self.build(a[1])
+        n = F.least(F.size(x), F.size(y))
+        return F.map_from_arrays(F.slice(x, 1, n), F.slice(y, 1, n))
+
+    def _fn_keys(self, a):
+        return F.map_keys(self.build(a[0]))
+
+    def _fn_vals(self, a):
+        return F.map_values(self.build(a[0]))
+
+    def _fn_merge(self, a):
+        # needs spark.sql.mapKeyDedupPolicy=LAST_WIN for clojure's
+        # right-wins semantics (set by ensure_runtime_confs)
+        return F.map_concat(*[self.build(x) for x in a])
+
+    def _fn_select_keys(self, a):
+        m = self.build(a[0])
+        keys = [self.env.get(k, k) if isinstance(k, str) else k for k in a[1]]
+        return F.map_filter(m, lambda k, v: k.isin(*keys))
+
+    def _fn_dissoc(self, a):
+        m = self.build(a[0])
+        keys = [self.env.get(k, k) if isinstance(k, str) else k for k in a[1:]]
+        return F.map_filter(m, lambda k, v: ~k.isin(*keys))
+
+    def _fn_assoc(self, a):
+        m = self.build(a[0])
+        return F.map_concat(
+            m, F.create_map(self.build(a[1]), self.build(a[2]))
+        )
+
+    def _fn_get_in(self, a):
+        c = self.build(a[0])
+        for k in a[1]:
+            c = c.getItem(k)
+        return c

@@ -1032,9 +1032,33 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             else:
                 out_cols.append(pull_aliases[id(el)])
         df = df.select(*out_cols)
-        # set semantics: dedup unless ordered/limited (query.clj:1783)
+        # set semantics: dedup unless ordered/limited (query.clj:1783).
+        # Map-typed results can't participate in Spark set ops — dedup via
+        # their JSON form instead (same value-equality, stable key order
+        # within a build).
         if not (order_by or limit is not None or offset is not None):
-            df = df.distinct()
+            from pyspark.sql import types as _T
+
+            map_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, _T.MapType)
+            ]
+            if map_cols:
+                from pyspark.sql import Window
+
+                others = [c for c in df.columns if c not in map_cols]
+                w = Window.partitionBy(
+                    *(others + [f"__mk_{c}" for c in map_cols])
+                ).orderBy(F.lit(1))
+                df = (
+                    df.select("*", *[F.to_json(F.map_entries(c)).alias(f"__mk_{c}") for c in map_cols])
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .select(*df.columns)
+                )
+            else:
+                df = df.distinct()
 
     if keys:
         df = df.toDF(*keys)

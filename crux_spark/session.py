@@ -43,6 +43,8 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (e.g. events.ts) reads as long; the
         # Catalog converts it back to a microsecond timestamp column
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # clojure merge/assoc are right-wins on duplicate map keys
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -75,6 +75,107 @@ CASES = [
     (["take", 2, ["vector", 30, 10, 20]], [30, 10]),
     (["conj", ["vector", 30, 10, 20], 99], [30, 10, 20, 99]),
     (["identity", "?n"], 7),
+    # --- allowlist tier 2 (query-allowlist.edn breadth pass) ---
+    (["zero?", ["-", "?n", 7]], True),
+    (["pos?", "?n"], True),
+    (["neg?", ["-", 0, "?n"]], True),
+    (["int?", "?n"], True),
+    (["int?", "?x"], False),
+    (["integer?", 5], True),
+    (["pos-int?", "?n"], True),
+    (["neg-int?", "?n"], False),
+    (["nat-int?", 0], True),
+    (["double?", "?x"], True),
+    (["double?", "?n"], False),
+    (["float?", 2.5], True),
+    (["boolean?", "?n"], False),
+    (["true?", True], True),
+    (["true?", 1], False),
+    (["false?", False], True),
+    (["any?", "?n"], True),
+    (["inst?", "?n"], False),
+    (["compare", 3, 7], -1),
+    (["compare", 7, 3], 1),
+    (["compare", "?n", 7], 0),
+    (["bit-and", 12, 10], 8),
+    (["bit-or", 12, 10], 14),
+    (["bit-xor", 12, 10], 6),
+    (["bit-not", 0], -1),
+    (["bit-and-not", 12, 10], 4),
+    (["bit-shift-left", 1, 4], 16),
+    (["bit-shift-right", 16, 2], 4),
+    (["unsigned-bit-shift-right", 16, 2], 4),
+    (["bit-test", 5, 2], True),
+    (["bit-test", 5, 1], False),
+    (["bit-set", 4, 0], 5),
+    (["bit-clear", 5, 0], 4),
+    (["bit-flip", 4, 0], 5),
+    (["format", "%s-%d", "a", "?n"], "a-7"),
+    (["re-seq", "[0-9]+", "a1b22c333"], ["1", "22", "333"]),
+    (["re-find", ["re-pattern", "^He"], "Hello"], True),
+    (["capitalize", "hELLO"], "Hello"),
+    (["join", ",", ["vector", 30, 10]], "30,10"),
+    (["split", "a,b,c", ","], ["a", "b", "c"]),
+    (["index-of", "Hello", "ll"], 2),
+    (["last-index-of", "abab", "ab"], 2),
+    (["blank?", "  "], True),
+    (["blank?", "?s"], False),
+    (["like", "Hello", "H%o"], True),
+    (["char", 65], "A"),
+    (["second", ["vector", 30, 10, 20]], 10),
+    (["ffirst", ["vector", ["vector", 5, 6]]], 5),
+    (["rest", ["vector", 30, 10, 20]], [10, 20]),
+    (["next", ["vector", 30]], None),
+    (["butlast", ["vector", 30, 10, 20]], [30, 10]),
+    (["drop", 1, ["vector", 30, 10, 20]], [10, 20]),
+    (["drop-last", ["vector", 30, 10, 20]], [30, 10]),
+    (["drop-last", 2, ["vector", 30, 10, 20]], [30]),
+    (["take-last", 2, ["vector", 30, 10, 20]], [10, 20]),
+    (["take-nth", 2, ["vector", 1, 2, 3, 4, 5]], [1, 3, 5]),
+    (["distinct", ["vector", 1, 2, 1, 3]], [1, 2, 3]),
+    (["dedupe", ["vector", 1, 1, 2, 2, 1]], [1, 2, 1]),
+    (["distinct?", ["vector", 1, 2, 3]], True),
+    (["distinct?", ["vector", 1, 2, 1]], False),
+    (["empty?", ["rest", ["vector", 1]]], True),
+    (["empty?", "?s"], False),
+    (["not-empty", ["vector", 1]], [1]),
+    (["flatten", ["vector", ["vector", 1, 2], ["vector", 3]]], [1, 2, 3]),
+    (["interpose", 0, ["vector", 1, 2, 3]], [1, 0, 2, 0, 3]),
+    (["interleave", ["vector", 1, 3], ["vector", 2, 4]], [1, 2, 3, 4]),
+    (["cons", 0, ["vector", 1, 2]], [0, 1, 2]),
+    (["peek", ["vector", 1, 2, 3]], 3),
+    (["pop", ["vector", 1, 2, 3]], [1, 2]),
+    (["subvec", ["vector", 10, 20, 30, 40], 1, 3], [20, 30]),
+    (["subvec", ["vector", 10, 20, 30, 40], 2], [30, 40]),
+    (["split-at", 2, ["vector", 1, 2, 3, 4]], [[1, 2], [3, 4]]),
+    (["partition", 2, ["vector", 1, 2, 3, 4, 5]], [[1, 2], [3, 4]]),
+    (["partition-all", 2, ["vector", 1, 2, 3, 4, 5]], [[1, 2], [3, 4], [5]]),
+    (["repeat", 3, "ab"], ["ab", "ab", "ab"]),
+    (["frequencies", ["vector", 1, 2, 1, 1]], {1: 3, 2: 1}),
+    (["zipmap", ["vector", 1, 2], ["vector", 10, 20, 30]], {1: 10, 2: 20}),
+    (["keys", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]]], [1, 2]),
+    (["vals", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]]], [10, 20]),
+    (
+        ["merge", ["zipmap", ["vector", 1], ["vector", 10]],
+         ["zipmap", ["vector", 1, 2], ["vector", 99, 20]]],
+        {1: 99, 2: 20},
+    ),
+    (
+        ["select-keys", ["zipmap", ["vector", 1, 2, 3], ["vector", 10, 20, 30]], [1, 3]],
+        {1: 10, 3: 30},
+    ),
+    (
+        ["dissoc", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]], 1],
+        {2: 20},
+    ),
+    (
+        ["assoc", ["zipmap", ["vector", 1], ["vector", 10]], 2, 20],
+        {1: 10, 2: 20},
+    ),
+    (["get-in", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]], [2]], 20),
+    (["get", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]], 1], 10),
+    (["contains?", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]], 99], False),
+    (["contains?", ["zipmap", ["vector", 1, 2], ["vector", 10, 20]], 2], True),
 ]
 
 

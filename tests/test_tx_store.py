@@ -290,3 +290,31 @@ def test_entity_history_bounds(spark):
         start_valid_time=t(1, 15), end_valid_time=t(3, 15)
     ).count()
     assert n == 2
+
+
+def test_with_tx_query_integration(spark):
+    """Speculative with-tx → q in one call (query.clj:1896-1913): the fork
+    is Datalog-queryable via .catalog(); the base store is untouched."""
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.datalog import q
+
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "ivan", "name": "Ivan", "age": 40})])
+    store.submit_tx([("put", {"id": "petr", "name": "Petr", "age": 44})])
+    store.commit()
+
+    fork = store.with_tx(
+        [
+            ("put", {"id": "ivan", "name": "Ivan", "age": 41}),
+            ("put", {"id": "oleg", "name": "Oleg", "age": 30}),
+        ]
+    )
+    spec = {
+        "find": ["?n", "?a"],
+        "keys": ["name", "age"],
+        "where": [["?e", ":name", "?n"], ["?e", ":age", "?a"]],
+    }
+    fork_rows = {(r.name, r.age) for r in q(fork.catalog(), spec).collect()}
+    assert fork_rows == {("Ivan", 41), ("Petr", 44), ("Oleg", 30)}
+    base_rows = {(r.name, r.age) for r in q(store.catalog(), spec).collect()}
+    assert base_rows == {("Ivan", 40), ("Petr", 44)}
