@@ -20,6 +20,80 @@ from pyspark.sql import functions as F
 from crux_spark.bitemporal.store import TxStore
 
 
+def parse_temporal_prefix(sql: str) -> tuple[str, dict]:
+    """Parse the reference's SQL temporal prefix
+    (crux-sql/src/crux/calcite.clj:51-71):
+
+        [-- comments] [VALIDTIME ('inst')] [TRANSACTIONTIME ('inst')]
+        [TRANSACTIONID (n)] SELECT ...
+
+    Keywords repeat in any order (last wins, like the reference's loop);
+    returns (bare_sql, params) with params keys 'valid_time' (datetime),
+    'tx_time' (datetime), 'tx_id' (int)."""
+    import re
+
+    params: dict = {}
+
+    def strip_comments(s: str) -> str:
+        s = s.strip()
+        while s.startswith("--"):
+            s = re.sub(r"^--.*", "", s, count=1).strip()
+        return s
+
+    q = strip_comments(sql)
+    while True:
+        m = re.match(r"^\s*(TRANSACTIONTIME|VALIDTIME|TRANSACTIONID)", q)
+        if not m:
+            return q.strip(), params
+        k = m.group(1)
+        q = strip_comments(q[m.end():])
+        if k == "TRANSACTIONID":
+            v = re.match(r"^\s*\((\d+)\)", q)
+            if not v:
+                raise ValueError(f"expected (n) after {k} in {sql!r}")
+            params["tx_id"] = int(v.group(1))
+        else:
+            v = re.match(r"^\s*\('(.+?)'\)", q)
+            if not v:
+                raise ValueError(f"expected ('inst') after {k} in {sql!r}")
+            inst = dt.datetime.fromisoformat(v.group(1).replace("Z", "+00:00"))
+            if inst.tzinfo is not None:
+                inst = inst.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            key = "valid_time" if k == "VALIDTIME" else "tx_time"
+            params[key] = inst
+        q = q[v.end():]
+
+
+def sql_q(
+    store: TxStore,
+    sql: str,
+    name: str = "docs",
+    schema: str | None = None,
+) -> DataFrame:
+    """Run a SQL string with the reference's temporal prefix against a
+    store: the prefix picks the snapshot, the rest runs through spark.sql
+    on the registered view. TRANSACTIONTIME maps to the tx *id* visible at
+    that wall-clock instant (the reference resolves tx-time → tx-id via the
+    log; here tx ids are totally ordered so max tx_from ≤ t serves)."""
+    bare, params = parse_temporal_prefix(sql)
+    tx = params.get("tx_id")
+    if tx is None and "tx_time" in params:
+        from crux_spark.bitemporal.splice import to_us
+
+        row = (
+            store.versions.filter(
+                F.col("tx_time") <= to_us(params["tx_time"])
+            )
+            .agg(F.max("tx_from").alias("m"))
+            .first()
+        )
+        tx = int(row.m) if row.m is not None else 0
+    temporal_view(
+        store, name, valid_time=params.get("valid_time"), tx=tx, schema=schema
+    )
+    return store.spark.sql(bare)
+
+
 def temporal_view(
     store: TxStore,
     name: str,

@@ -318,3 +318,48 @@ def test_with_tx_query_integration(spark):
     assert fork_rows == {("Ivan", 41), ("Petr", 44), ("Oleg", 30)}
     base_rows = {(r.name, r.age) for r in q(store.catalog(), spec).collect()}
     assert base_rows == {("Ivan", 40), ("Petr", 44)}
+
+
+def test_sql_temporal_prefix(spark):
+    """VALIDTIME/TRANSACTIONTIME/TRANSACTIONID SQL prefix
+    (calcite.clj:51-71) selects the snapshot the bare SQL runs against."""
+    import datetime as dt
+
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.sql import parse_temporal_prefix, sql_q
+
+    bare, params = parse_temporal_prefix(
+        "-- audit query\nVALIDTIME ('2020-06-01T00:00:00') "
+        "TRANSACTIONID (2) SELECT * FROM docs"
+    )
+    assert bare == "SELECT * FROM docs"
+    assert params == {
+        "valid_time": dt.datetime(2020, 6, 1),
+        "tx_id": 2,
+    }
+
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "acc1", "balance": 100}, dt.datetime(2020, 1, 1))])  # tx1
+    store.submit_tx([("put", {"id": "acc1", "balance": 250}, dt.datetime(2020, 7, 1))])  # tx2
+    store.commit()
+
+    cur = sql_q(
+        store,
+        "SELECT balance FROM docs WHERE eid = 'acc1'",
+        schema="id string, balance long",
+    ).collect()
+    assert [r.balance for r in cur] == [250]
+
+    past = sql_q(
+        store,
+        "VALIDTIME ('2020-06-01T00:00:00') SELECT balance FROM docs WHERE eid = 'acc1'",
+        schema="id string, balance long",
+    ).collect()
+    assert [r.balance for r in past] == [100]
+
+    pre_tx = sql_q(
+        store,
+        "TRANSACTIONID (1) SELECT balance FROM docs WHERE eid = 'acc1'",
+        schema="id string, balance long",
+    ).collect()
+    assert [r.balance for r in pre_tx] == [100]
