@@ -328,7 +328,14 @@ class TxStore:
         entity (defaults to the valid-from micros, which is exactly the
         'valid-time = tx-time' ingestion of the reference's ts-weather
         bench, ts_weather.clj:23)."""
-        vf_us = (F.col(valid_from_col).cast("double") * 1_000_000).cast("long")
+        vf_type = df.schema[valid_from_col].dataType.typeName()
+        if vf_type.startswith("timestamp"):
+            # ANSI (Spark 4 default) forbids timestamp→numeric casts, and a
+            # vanilla driver session can surface parquet nanos as NTZ;
+            # NTZ→LTZ is identity under the catalog-enforced UTC session tz.
+            vf_us = F.unix_micros(F.col(valid_from_col).cast("timestamp_ltz"))
+        else:
+            vf_us = (F.col(valid_from_col).cast("double") * 1_000_000).cast("long")
         tx_id = F.expr(tx_id_expr) if tx_id_expr else vf_us
         ops_df = df.select(
             F.expr(id_expr).cast("string").alias("eid"),

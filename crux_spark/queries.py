@@ -1202,11 +1202,16 @@ def events_sessionize(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
     ev = cat.table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros over an explicit LTZ cast: a timestamp→numeric cast is
+    # ANSI-illegal (Spark 4 default), and on a vanilla driver session the
+    # events ts column can surface as TIMESTAMP_NTZ — NTZ→LTZ is identity
+    # under the UTC session tz the catalog enforces.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev_us = F.unix_micros(F.col("prev_ts").cast("timestamp_ltz"))
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
         F.when(
-            F.col("prev_ts").isNull()
-            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            F.col("prev_ts").isNull() | (ts_us - prev_us > 1_800_000_000),
             1,
         ).otherwise(0),
     )
@@ -1719,7 +1724,7 @@ def bitemporal_store_asof(spark, sf_dir):
         # one cogrouped splice pass — no driver-side loop
         store.bulk_ingest(
             ev, "uid", ["uid", "value", "event_id"], "vt",
-            tx_id_expr="CAST(vt AS DOUBLE) * 1000000 + event_id % 1000",
+            tx_id_expr="unix_micros(CAST(vt AS TIMESTAMP_LTZ)) + event_id % 1000",
         )
         _STORES[key] = store
     store = _STORES[key]
