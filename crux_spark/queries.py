@@ -1695,15 +1695,10 @@ _STORES: dict[tuple[int, str], object] = {}
     ) v WHERE rn = 1
     """,
 )
-def bitemporal_store_asof(spark, sf_dir):
-    """The full bitemporal write path under the gate: purchase events
-    ingest as document puts (valid_from = event time) through the
-    cogrouped splice apply; the snapshot read at T must agree with the
-    SQL latest-version oracle. Exercises TxStore ingest + db() at data
-    volume, not just unit scenarios."""
-    import datetime as _dt
-
-    from crux_spark.bitemporal.splice import to_us
+def _purchase_store(spark, sf_dir):
+    """Shared fixture: purchase events ingested as document puts
+    (valid_from = event time) through the cogrouped splice apply — the
+    full distributed write path, no driver-side loop."""
     from crux_spark.bitemporal.store import TxStore
 
     key = (id(spark), sf_dir)
@@ -1720,14 +1715,21 @@ def bitemporal_store_asof(spark, sf_dir):
             )
         )
         store = TxStore(spark)
-        # fully distributed put-ingest: ops built as DataFrame expressions,
-        # one cogrouped splice pass — no driver-side loop
         store.bulk_ingest(
             ev, "uid", ["uid", "value", "event_id"], "vt",
             tx_id_expr="unix_micros(CAST(vt AS TIMESTAMP_LTZ)) + event_id % 1000",
         )
         _STORES[key] = store
-    store = _STORES[key]
+    return _STORES[key]
+
+
+def bitemporal_store_asof(spark, sf_dir):
+    """The full bitemporal write path under the gate: the snapshot read
+    at T must agree with the SQL latest-version oracle. Exercises TxStore
+    ingest + db() at data volume, not just unit scenarios."""
+    import datetime as _dt
+
+    store = _purchase_store(spark, sf_dir)
     snap = store.db(valid_time=_dt.datetime(2024, 1, 10))
     return snap.select(
         F.regexp_replace("eid", "^u", "").cast("long").alias("user_id"),
@@ -1865,4 +1867,128 @@ def window_lag_delta(spark, sf_dir):
             "user_id",
             F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
         )
+    )
+
+
+@register(
+    "datalog_pull",
+    """
+    SELECT c.c_custkey, c.c_name AS name, n.n_name AS nation,
+           COALESCE(list_sort(list(o.o_orderkey)
+                              FILTER (WHERE o.o_orderkey IS NOT NULL)),
+                    []) AS order_keys
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 300
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+)
+def datalog_pull(spark, sf_dir):
+    """EQL pull projection (crux-core/src/crux/pull.clj:50-201): forward
+    join (:c_nationkey -> nation doc) + reverse join (:_o_custkey -> the
+    orders pointing at this customer), flattened to hash-comparable
+    columns. The reference batches doc-store lookups (batch-size 100,
+    pull.clj:191); the Spark recast is left joins + struct assembly, so
+    Catalyst batches for free."""
+    from crux_spark.datalog.pull import pull
+
+    cat = catalog_for(spark, sf_dir)
+    cust = (
+        cat.table("customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(F.col("_id").alias("ce"), "c_custkey")
+    )
+    pulled = pull(
+        cat,
+        cust,
+        "ce",
+        "customer",
+        [":c_name", {":c_nationkey": [":n_name"]}, {":_o_custkey": [":o_orderkey"]}],
+        joins={":c_nationkey": "nation", ":o_custkey": "orders"},
+    )
+    return pulled.select(
+        "c_custkey",
+        F.col("pull.c_name").alias("name"),
+        F.col("pull.c_nationkey")[0]["n_name"].alias("nation"),
+        F.coalesce(
+            F.sort_array(
+                F.transform(F.col("pull._o_custkey"), lambda s: s["o_orderkey"])
+            ),
+            F.array().cast("array<long>"),
+        ).alias("order_keys"),
+    )
+
+
+@register(
+    "datalog_subquery",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+    """,
+)
+def datalog_subquery(spark, sf_dir):
+    """Scalar subquery predicate [(q {...}) ?avg] (query.clj:398-430's
+    sub-query pred): the inner aggregate binds a scalar that feeds an
+    outer range filter — the q22 shape, directly on the Datalog surface."""
+    cat = catalog_for(spark, sf_dir)
+    res = q(
+        cat,
+        {
+            "find": ["?ck", "?bal"],
+            "where": [
+                ["?c", ":c_custkey", "?ck"],
+                ["?c", ":c_acctbal", "?bal"],
+                [
+                    [
+                        "q",
+                        {
+                            "find": [["avg", "?b", "a"]],
+                            "where": [
+                                ["?c2", ":c_acctbal", "?b"],
+                                [[">", "?b", 0.0]],
+                            ],
+                        },
+                    ],
+                    "?avg",
+                ],
+                [[">", "?bal", "?avg"]],
+            ],
+        },
+    )
+    return res.select(
+        F.col("ck").alias("c_custkey"), F.round("bal", 2).alias("bal")
+    )
+
+
+@register(
+    "sql_temporal",
+    """
+    SELECT user_id, round(value, 2) AS last_value
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-20' AND event_type = 'purchase'
+    ) v WHERE rn = 1
+    """,
+)
+def sql_temporal(spark, sf_dir):
+    """The reference's SQL temporal prefix end-to-end
+    (crux-sql/src/crux/calcite.clj:51-71): a ``VALIDTIME ('inst') SELECT``
+    string picks the bitemporal snapshot, the SELECT runs through
+    spark.sql on the registered snapshot view."""
+    from crux_spark.sql import sql_q
+
+    store = _purchase_store(spark, sf_dir)
+    return sql_q(
+        store,
+        """VALIDTIME ('2024-01-20T00:00:00')
+        SELECT CAST(regexp_replace(eid, '^u', '') AS LONG) AS user_id,
+               round(CAST(get_json_object(doc_json, '$.value') AS DOUBLE), 2)
+                 AS last_value
+        FROM docs""",
     )
