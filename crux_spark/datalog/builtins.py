@@ -42,6 +42,17 @@ def var_col(v: str) -> str:
     return v[1:]
 
 
+def _mangle(fn: str) -> str:
+    """clojure fn name -> python method suffix."""
+    return (
+        fn.replace("-", "_")
+        .replace("?", "p")
+        .replace("/", "_")
+        .replace("!", "_bang")
+        .replace("*", "_star")
+    )
+
+
 def _lit(x: Any) -> Column:
     if isinstance(x, str) and x.startswith(":"):
         return F.lit(x)  # keyword literal stored as its string form
@@ -159,7 +170,7 @@ class ExprBuilder:
             for c in cols[1:]:
                 out = _BINARY_OPS[fn](out, c)
             return out
-        meth = getattr(self, "_fn_" + fn.replace("-", "_").replace("?", "p").replace("/", "_"), None)
+        meth = getattr(self, "_fn_" + _mangle(fn), None)
         if meth is None:
             raise NotImplementedError(f"Datalog builtin not implemented: {fn!r}")
         return meth(args)
@@ -340,11 +351,7 @@ class ExprBuilder:
         head = x[0]
         return (
             head in _BINARY_OPS
-            or hasattr(
-                self,
-                "_fn_"
-                + head.replace("-", "_").replace("?", "p").replace("/", "_"),
-            )
+            or hasattr(self, "_fn_" + _mangle(head))
         )
 
     def _fn_containsp(self, a):
@@ -888,3 +895,491 @@ class ExprBuilder:
         for k in a[1]:
             c = c.getItem(k)
         return c
+
+    # -- tier 3: the rest of the reference allowlist ---------------------
+    # (crux-core/resources/query-allowlist.edn; enforcement at
+    # query.clj:1272-1283). Type predicates resolve against the bound
+    # column's Catalyst dtype at COMPILE time — zero runtime cost — since
+    # a typed columnar engine knows statically what the reference's
+    # tagged-value codec (codec.clj:81-99) discovers per row.
+
+    # expression heads whose result dtype is statically known — used by
+    # the compile-time type predicates on nested forms
+    _MAP_HEADS = frozenset({
+        "zipmap", "merge", "assoc", "dissoc", "select-keys", "frequencies",
+        "hash-map", "array-map", "assoc!", "dissoc!",
+    })
+    _STRING_HEADS = frozenset({
+        "str", "subs", "substring", "concat", "lower-case", "upper-case",
+        "trim", "ltrim", "rtrim", "capitalize", "initcap", "replace",
+        "join", "name", "namespace", "ns-name", "keyword", "format",
+        "re-groups", "char",
+    })
+    _DECIMAL_HEADS = frozenset({"bigdec", "decimal", "bigint", "biginteger"})
+    _NUM_HEADS = frozenset({
+        "+", "-", "*", "/", "quot", "rem", "mod", "inc", "dec", "abs",
+        "count", "size", "long", "int", "double", "float", "short", "byte",
+        "ceil", "floor", "round", "truncate", "alength", "compare",
+        "index-of", "last-index-of", "char-length",
+    })
+
+    def _dtype_of(self, form) -> str:
+        """Best-effort Catalyst dtype of an expression form ('' unknown)."""
+        if is_var(form) and form not in self.env:
+            return self.dtypes.get(var_col(form), "")
+        if self._is_expr_form(form):
+            head = form[0]
+            if head in self._MAP_HEADS:
+                return "map"
+            if head in self._STRING_HEADS:
+                return "string"
+            if head in self._DECIMAL_HEADS:
+                return "decimal"
+            if head in self._NUM_HEADS:
+                return "bigint"
+            return "array"  # the remaining collection-returning builtins
+        v = self.env.get(form, form) if isinstance(form, str) else form
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "bigint"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return "timestamp"
+        if isinstance(v, (list, tuple, set, frozenset)):
+            return "array"
+        if isinstance(v, dict):
+            return "map"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        return ""
+
+    def _static_type_pred(self, a, kinds: tuple[str, ...]):
+        dt = self._dtype_of(a[0])
+        if not dt:
+            raise ValueError(
+                f"type predicate over untyped operand {a[0]!r} — bind it "
+                f"through a fixed attribute so the dtype is known"
+            )
+        hit = dt.startswith(kinds)
+        # null of the right dtype is still not a value of that type
+        c = self.build(a[0])
+        return (F.lit(hit) & c.isNotNull()) if hit else F.lit(False)
+
+    def _fn_collp(self, a):
+        return self._static_type_pred(a, ("array", "map"))
+
+    def _fn_mapp(self, a):
+        return self._static_type_pred(a, ("map",))
+
+    def _fn_vectorp(self, a):
+        return self._static_type_pred(a, ("array",))
+
+    def _fn_seqp(self, a):
+        return self._static_type_pred(a, ("array",))
+
+    def _fn_listp(self, a):
+        return self._static_type_pred(a, ("array",))
+
+    def _fn_setp(self, a):
+        # sets arrive as arrays in the columnar mapping; a column cannot
+        # carry clojure set identity, so set? is statically false
+        return F.lit(False)
+
+    def _fn_sequentialp(self, a):
+        return self._static_type_pred(a, ("array",))
+
+    def _fn_seqablep(self, a):
+        return self._static_type_pred(a, ("array", "map", "string"))
+
+    def _fn_associativep(self, a):
+        return self._static_type_pred(a, ("array", "map"))
+
+    def _fn_indexedp(self, a):
+        return self._static_type_pred(a, ("array",))
+
+    def _fn_countedp(self, a):
+        return self._static_type_pred(a, ("array", "map"))
+
+    def _fn_reversiblep(self, a):
+        return self._static_type_pred(a, ("array",))
+
+    def _fn_sortedp(self, a):
+        return F.lit(False)  # plain arrays/maps carry no sorted flag
+
+    def _fn_charp(self, a):
+        # chars are length-1 strings in the columnar mapping
+        c = self.build(a[0])
+        if not self._dtype_of(a[0]).startswith("string"):
+            return F.lit(False)
+        return F.length(c) == 1
+
+    def _fn_bytesp(self, a):
+        return self._static_type_pred(a, ("binary",))
+
+    def _fn_decimalp(self, a):
+        return self._static_type_pred(a, ("decimal",))
+
+    def _fn_ratiop(self, a):
+        return F.lit(False)  # no ratio type in the columnar mapping
+
+    def _fn_rationalp(self, a):
+        return self._static_type_pred(
+            a, ("tinyint", "smallint", "int", "bigint", "decimal")
+        )
+
+    def _fn_keywordp(self, a):
+        # keywords are ':'-prefixed strings in the columnar mapping
+        if not self._dtype_of(a[0]).startswith("string"):
+            return F.lit(False)
+        return self.build(a[0]).startswith(":")
+
+    def _fn_symbolp(self, a):
+        return F.lit(False)  # symbols don't survive serialization to columns
+
+    def _fn_identp(self, a):
+        return self._fn_keywordp(a)
+
+    def _fn_simple_keywordp(self, a):
+        if not self._dtype_of(a[0]).startswith("string"):
+            return F.lit(False)
+        c = self.build(a[0])
+        return c.startswith(":") & ~c.substr(F.lit(2), F.length(c)).contains("/")
+
+    def _fn_qualified_keywordp(self, a):
+        if not self._dtype_of(a[0]).startswith("string"):
+            return F.lit(False)
+        c = self.build(a[0])
+        return c.startswith(":") & c.contains("/")
+
+    def _fn_simple_identp(self, a):
+        return self._fn_simple_keywordp(a)
+
+    def _fn_qualified_identp(self, a):
+        return self._fn_qualified_keywordp(a)
+
+    def _fn_simple_symbolp(self, a):
+        return F.lit(False)
+
+    def _fn_qualified_symbolp(self, a):
+        return F.lit(False)
+
+    def _fn_uuidp(self, a):
+        if not self._dtype_of(a[0]).startswith("string"):
+            return F.lit(False)
+        return self.build(a[0]).rlike(
+            "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+        )
+
+    def _fn_urip(self, a):
+        if not self._dtype_of(a[0]).startswith("string"):
+            return F.lit(False)
+        return self.build(a[0]).rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+    def _fn_recordp(self, a):
+        return F.lit(False)
+
+    def _fn_identicalp(self, a):
+        # value identity is the only identity columns have
+        return self.build(a[0]) == self.build(a[1])
+
+    def _fn_instancep(self, a):
+        raise NotImplementedError(
+            "instance? needs JVM class reflection — use the type "
+            "predicates (string?/int?/map?/...) instead"
+        )
+
+    def _fn_type(self, a):
+        dt = self._dtype_of(a[0])
+        if not dt:
+            raise ValueError("type over untyped operand")
+        return F.lit(dt)
+
+    def _fn_cast(self, a):
+        raise NotImplementedError(
+            "cast needs a JVM class — use long/double/int/bigdec instead"
+        )
+
+    def _fn_gensym(self, a):
+        raise NotImplementedError(
+            "gensym is non-deterministic per row and meaningless in a "
+            "set-oriented query; bind a literal instead"
+        )
+
+    # seq-tail family
+    def _fn_fnext(self, a):
+        return F.element_at(self.build(a[0]), 2)
+
+    def _fn_nfirst(self, a):
+        # (nfirst x) = (next (first x))
+        inner = F.element_at(self.build(a[0]), 1)
+        return F.when(F.size(inner) > 1, F.slice(inner, 2, F.size(inner) - 1))
+
+    def _fn_nnext(self, a):
+        c = self.build(a[0])
+        return F.when(F.size(c) > 2, F.slice(c, 3, F.size(c) - 2))
+
+    def _fn_nthnext(self, a):
+        c, n = self.build(a[0]), a[1]
+        return F.when(F.size(c) > n, F.slice(c, n + 1, F.size(c) - n))
+
+    def _fn_nthrest(self, a):
+        # like nthnext but returns empty seq, not nil
+        c, n = self.build(a[0]), a[1]
+        return F.when(
+            F.size(c) > n, F.slice(c, n + 1, F.size(c) - n)
+        ).otherwise(F.slice(c, 1, 0))
+
+    def _fn_rseq(self, a):
+        return F.reverse(self.build(a[0]))
+
+    def _fn_seq(self, a):
+        # clojure seq: nil on empty collection — the idiomatic
+        # non-empty test (if (seq coll) ...)
+        c = self.build(a[0])
+        return F.when(F.size(c) > 0, c)
+
+    def _fn_empty(self, a):
+        return F.slice(self.build(a[0]), 1, 0)
+
+    def _fn_find(self, a):
+        # (find m k) -> [k v] entry or nil
+        m, k = self.build(a[0]), self.build(a[1])
+        return F.when(
+            F.map_contains_key(m, k), F.array(k.cast("string"), m.getItem(k).cast("string"))
+        )
+
+    # constructors
+    def _fn_list(self, a):
+        return F.array(*[self.build(x) for x in a])
+
+    def _fn_list_star(self, a):
+        # (list* a b coll) — prepend args onto coll
+        *heads, tail = a
+        out = self.build(tail)
+        for h in reversed(heads):
+            out = F.concat(F.array(self.build(h)), out)
+        return out
+
+    def _fn_hash_map(self, a):
+        return F.create_map(*[self.build(x) for x in a])
+
+    def _fn_array_map(self, a):
+        return F.create_map(*[self.build(x) for x in a])
+
+    def _fn_hash_set(self, a):
+        return F.array_distinct(F.array(*[self.build(x) for x in a]))
+
+    def _fn_sorted_set(self, a):
+        return F.array_sort(F.array_distinct(F.array(*[self.build(x) for x in a])))
+
+    def _fn_sorted_set_by(self, a):
+        raise NotImplementedError(
+            "sorted-set-by takes an arbitrary comparator fn; use "
+            "sorted-set (natural order) or sort the result"
+        )
+
+    def _fn_disj(self, a):
+        out = self.build(a[0])
+        for x in a[1:]:
+            out = F.array_remove(out, self.build(x))
+        return out
+
+    def _fn_vector_of(self, a):
+        # (vector-of :int x y ...) — the type tag is advisory here
+        return F.array(*[self.build(x) for x in a[1:]])
+
+    def _fn_into_array(self, a):
+        return self.build(a[-1])  # arrays are already arrays
+
+    def _fn_to_array_2d(self, a):
+        return self.build(a[0])
+
+    # numeric coercions
+    def _fn_num(self, a):
+        return self.build(a[0])
+
+    def _fn_bigint(self, a):
+        # clojure bigint truncates toward zero (decimal cast would round)
+        return self.build(a[0]).cast("long").cast("decimal(38,0)")
+
+    def _fn_biginteger(self, a):
+        return self._fn_bigint(a)
+
+    def _fn_short(self, a):
+        return self.build(a[0]).cast("smallint")
+
+    def _fn_byte(self, a):
+        return self.build(a[0]).cast("tinyint")
+
+    def _fn_float(self, a):
+        return self.build(a[0]).cast("float")
+
+    def _fn_rationalize(self, a):
+        return self.build(a[0])  # no ratio type; numbers pass through
+
+    def _array_cast(self, a, t: str):
+        return F.transform(self.build(a[0]), lambda x: x.cast(t))
+
+    def _fn_doubles(self, a):
+        return self._array_cast(a, "double")
+
+    def _fn_floats(self, a):
+        return self._array_cast(a, "float")
+
+    def _fn_ints(self, a):
+        return self._array_cast(a, "int")
+
+    def _fn_longs(self, a):
+        return self._array_cast(a, "bigint")
+
+    def _fn_shorts(self, a):
+        return self._array_cast(a, "smallint")
+
+    def _fn_booleans(self, a):
+        return self._array_cast(a, "boolean")
+
+    def _fn_bytes(self, a):
+        return self.build(a[0]).cast("binary")
+
+    def _fn_chars(self, a):
+        # string -> array of length-1 strings
+        return F.split(self.build(a[0]), "(?!^)(?=.)")
+
+    # java-array reads map to element access; writes have no place in an
+    # immutable columnar engine and say so
+    def _fn_aget(self, a):
+        return F.element_at(self.build(a[0]), self.build(a[1]) + 1)
+
+    def _fn_alength(self, a):
+        return F.size(self.build(a[0]))
+
+    def _aset_err(self, a):
+        raise NotImplementedError(
+            "aset* mutates a java array in place — columns are immutable; "
+            "build a new array (assoc/concat/transform) instead"
+        )
+
+    _fn_aset = _aset_err
+    _fn_aset_boolean = _aset_err
+    _fn_aset_byte = _aset_err
+    _fn_aset_char = _aset_err
+    _fn_aset_double = _aset_err
+    _fn_aset_float = _aset_err
+    _fn_aset_int = _aset_err
+    _fn_aset_long = _aset_err
+    _fn_aset_short = _aset_err
+
+    # transients: the persistent ops already have value semantics
+    def _fn_transient(self, a):
+        return self.build(a[0])
+
+    def _fn_persistent_bang(self, a):
+        return self.build(a[0])
+
+    def _fn_conj_bang(self, a):
+        return self._fn_conj(a)
+
+    def _fn_assoc_bang(self, a):
+        return self._fn_assoc(a)
+
+    def _fn_dissoc_bang(self, a):
+        return self._fn_dissoc(a)
+
+    def _fn_pop_bang(self, a):
+        return self._fn_pop(a)
+
+    # update family (fn argument restricted to builtin forms)
+    def _fn_update(self, a):
+        raise NotImplementedError(
+            "update's fn argument needs higher-order compilation; use "
+            "assoc with an explicit expression instead"
+        )
+
+    def _fn_assoc_in(self, a):
+        raise NotImplementedError(
+            "assoc-in/update-in need recursive struct rebuilds; flatten "
+            "the document or use assoc on the leaf map"
+        )
+
+    _fn_update_in = _fn_assoc_in
+
+    # randomness (reference-allowlisted; non-deterministic by nature so
+    # excluded from oracle-gated paths)
+    def _fn_rand(self, a):
+        r = F.rand()
+        return r * self.build(a[0]) if a else r
+
+    def _fn_rand_int(self, a):
+        return F.floor(F.rand() * self.build(a[0])).cast("long")
+
+    def _fn_rand_nth(self, a):
+        c = self.build(a[0])
+        return F.element_at(c, (F.floor(F.rand() * F.size(c)) + 1).cast("int"))
+
+    def _fn_shuffle(self, a):
+        return F.shuffle(self.build(a[0]))
+
+    def _fn_random_sample(self, a):
+        # (random-sample prob) as a row predicate — the common sampling use
+        if len(a) == 1:
+            return F.rand() < self.build(a[0])
+        raise NotImplementedError(
+            "random-sample over a collection needs per-element randomness "
+            "Spark HOF lambdas can't express; sample rows with "
+            "(random-sample p) as a predicate instead"
+        )
+
+    # subseq over sorted colls: (subseq coll op k) -> elements where
+    # (op element k)
+    _SUBSEQ_OPS = {
+        "<": lambda x, k: x < k,
+        "<=": lambda x, k: x <= k,
+        ">": lambda x, k: x > k,
+        ">=": lambda x, k: x >= k,
+    }
+
+    def _fn_subseq(self, a):
+        coll, op, k = a[0], a[1], self.build(a[2])
+        f = self._SUBSEQ_OPS[op]
+        return F.array_sort(F.filter(self.build(coll), lambda x: f(x, k)))
+
+    def _fn_rsubseq(self, a):
+        return F.reverse(self._fn_subseq(a))
+
+    def _fn_cycle(self, a):
+        raise NotImplementedError(
+            "cycle is an infinite lazy seq; use repeat with an explicit "
+            "count"
+        )
+
+    def _fn_max_key(self, a):
+        raise NotImplementedError(
+            "max-key/min-key take an arbitrary keyfn; use sort + last or "
+            "an aggregate instead"
+        )
+
+    _fn_min_key = _fn_max_key
+
+    def _fn_ns_name(self, a):
+        return self._fn_namespace(a)
+
+    def _fn_re_matcher(self, a):
+        # matcher = (pattern, subject) pair carried as a struct; consumed
+        # by re-groups/re-find
+        p = self._unwrap_pattern(a[0])
+        return F.struct(F.lit(p).alias("p"), self.build(a[1]).alias("s"))
+
+    def _fn_re_groups(self, a):
+        # after (re-matcher p s): the full match (group-less patterns —
+        # the groups-array form needs a known group count; use re-find
+        # with an explicit group index for that)
+        m = a[0]
+        if isinstance(m, (list, tuple)) and m and m[0] == "re-matcher":
+            p = self._unwrap_pattern(m[1])
+            return F.regexp_extract(self.build(m[2]), p, 0)
+        raise NotImplementedError("re-groups requires a (re-matcher p s) form")
