@@ -1691,19 +1691,6 @@ def datalog_relation_in(spark, sf_dir):
 _STORES: dict[tuple[int, str], object] = {}
 
 
-@register(
-    "bitemporal_store_asof",
-    """
-    SELECT user_id, round(value, 2) AS last_value
-    FROM (
-      SELECT user_id, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-      WHERE ts <= TIMESTAMP '2024-01-10' AND event_type = 'purchase'
-    ) v WHERE rn = 1
-    """,
-)
 def _purchase_store(spark, sf_dir):
     """Shared fixture: purchase events ingested as document puts
     (valid_from = event time) through the cogrouped splice apply — the
@@ -1732,6 +1719,19 @@ def _purchase_store(spark, sf_dir):
     return _STORES[key]
 
 
+@register(
+    "bitemporal_store_asof",
+    """
+    SELECT user_id, round(value, 2) AS last_value
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-10' AND event_type = 'purchase'
+    ) v WHERE rn = 1
+    """,
+)
 def bitemporal_store_asof(spark, sf_dir):
     """The full bitemporal write path under the gate: the snapshot read
     at T must agree with the SQL latest-version oracle. Exercises TxStore
