@@ -16,65 +16,90 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# <subj> <pred> "literal"^^<type> .  |  <subj> <pred> <obj> .
-_NT_REGEX = r"^<([^>]+)>\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
+# <subj>|_:bnode <pred> "literal"^^<type> .  |  ... <obj>|_:bnode .
+_NT_REGEX = r"^(<[^>]+>|_:\S+)\s+<([^>]+)>\s+(.+?)\s*\.\s*$"
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Parse an N-Triples file into (e, a, v, v_type) rows.
 
-    IRIs become strings; literals keep their lexical form with an inferred
-    v_type ('iri' | 'string' | 'long' | 'double'). One narrow pass —
-    regex extraction is codegen'd, scales linearly with input splits."""
+    IRIs become strings; blank nodes (``_:b0``) keep their label as an
+    opaque entity id (the reference keywordizes them the same way,
+    crux-rdf); literals keep their lexical form with an inferred v_type
+    ('iri' | 'string' | 'long' | 'double'). One narrow pass — regex
+    extraction is codegen'd, scales linearly with input splits."""
     lines = spark.read.text(path).filter(
         (F.length(F.trim("value")) > 0) & ~F.col("value").startswith("#")
     )
     parsed = lines.select(
-        F.regexp_extract("value", _NT_REGEX, 1).alias("e"),
+        F.regexp_extract("value", _NT_REGEX, 1).alias("raw_e"),
         F.regexp_extract("value", _NT_REGEX, 2).alias("a"),
         F.regexp_extract("value", _NT_REGEX, 3).alias("raw_v"),
-    ).filter(F.col("e") != "")
+    ).filter(F.col("raw_e") != "")
     v_iri = F.regexp_extract("raw_v", r"^<([^>]+)>$", 1)
+    v_bnode = F.regexp_extract("raw_v", r"^(_:\S+)$", 1)
     v_str = F.regexp_extract("raw_v", r'^"((?:[^"\\]|\\.)*)"', 1)
     is_num = F.col("raw_v").rlike(r'^"-?[0-9.]+"\^\^.*(integer|int|long|double|decimal|float)')
     is_int = F.col("raw_v").rlike(r'^"-?[0-9]+"\^\^.*(integer|int|long)')
     return parsed.select(
-        "e",
+        F.regexp_replace("raw_e", r"^<|>$", "").alias("e"),
         "a",
-        F.when(v_iri != "", v_iri).otherwise(v_str).alias("v"),
-        F.when(v_iri != "", F.lit("iri"))
+        F.when(v_iri != "", v_iri)
+        .when(v_bnode != "", v_bnode)
+        .otherwise(v_str)
+        .alias("v"),
+        F.when((v_iri != "") | (v_bnode != ""), F.lit("iri"))
         .when(is_int, F.lit("long"))
         .when(is_num, F.lit("double"))
         .otherwise(F.lit("string"))
         .alias("v_type"),
-        # blank-node objects (`_:b0`) have no place in the typed-table
-        # model; drop them (the class-hierarchy IRI triples all survive)
     ).filter(F.col("v") != "")
 
 
 def pivot_triples(triples: DataFrame, attrs: list[str] | None = None) -> DataFrame:
     """Pivot (e, a, v) rows into a wide document table (one column per
     attribute; multi-valued attributes become arrays). The bridge from RDF
-    EAV form to the catalog's typed-table form."""
+    EAV form to the catalog's typed-table form.
+
+    When the input carries a ``v_type`` column (read_ntriples output), a
+    uniformly-numeric attribute is cast to its native type, so typed
+    literals ("25"^^xsd:integer) compare numerically downstream — the
+    analogue of the reference's tagged value codec (codec.clj:81-99)."""
     if attrs is None:
         attrs = [r.a for r in triples.select("a").distinct().collect()]
     agg = triples.groupBy("e").pivot("a", attrs).agg(F.collect_list("v"))
-    # single-valued columns collapse to scalars
-    single = {}
+    # single-valued columns collapse to scalars; uniformly-typed numeric
+    # attrs get native types (two tiny agg passes over the triple set)
+    single, cast_to = {}, {}
     counts = (
         triples.groupBy("e", "a").count().groupBy("a").agg(F.max("count").alias("m"))
     )
     for r in counts.collect():
         single[r.a] = r.m == 1
+    if "v_type" in triples.columns:
+        tmix = (
+            triples.groupBy("a")
+            .agg(F.collect_set("v_type").alias("ts"))
+            .collect()
+        )
+        for r in tmix:
+            ts = set(r.ts)
+            if ts == {"long"}:
+                cast_to[r.a] = "long"
+            elif ts <= {"long", "double"} and "double" in ts:
+                cast_to[r.a] = "double"
     cols = [F.col("e").alias("_id")]
     for a in attrs:
         c = F.col(f"`{a}`")
-        cols.append(
+        t = cast_to.get(a)
+        if single.get(a, False):
             # F.get is null-safe on empty arrays (entities missing the attr)
-            (F.get(c, 0) if single.get(a, False) else c).alias(
-                a.split("/")[-1].split("#")[-1]
-            )
-        )
+            c = F.get(c, 0)
+            if t:
+                c = c.cast(t)
+        elif t:
+            c = F.transform(c, lambda x: x.cast(t))
+        cols.append(c.alias(a.split("/")[-1].split("#")[-1]))
     return agg.select(*cols)
 
 

@@ -1,0 +1,412 @@
+"""SPARQL -> Datalog compiler (subset).
+
+The reference ships this in labs/crux-rdf/src/crux/sparql.clj: it parses
+SPARQL with RDF4J and walks the algebra tree into the same Datalog the
+query engine already runs — triple patterns, FILTER comparisons/regex,
+OPTIONAL (LeftJoin -> get-attr), UNION, ORDER BY / LIMIT / OFFSET
+(crux-test/test/crux/sparql_test.clj is the conformance suite; the WatDiv
+bench drives it at scale, crux-bench/src/crux/bench/watdiv_crux.clj:130).
+
+No RDF4J here: a self-contained tokenizer + recursive-descent parser for
+the same subset, emitting the Python Datalog dict form `crux_spark.q`
+takes. Predicate IRIs map to catalog attributes by local name (the same
+convention `pivot_triples` uses for column names), overridable via
+``attr_fn``.
+
+Deliberate divergences from the reference (documented, not accidental):
+- OPTIONAL binds missing values as NULL (the reference binds the
+  sentinel :crux.sparql/optional, sparql.clj:139-152). NULL is the
+  idiomatic Spark representation of an absent left-join value.
+- FILTERs inside OPTIONAL keep unmatched rows (left-join semantics):
+  the condition is rewritten to (or cond (nil? ?v)).
+- MINUS raises, as in the reference ("MINUS not supported, use NOT
+  EXISTS", sparql.clj:62); FILTER NOT EXISTS compiles to a not-clause.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+
+  | \#[^\n]*                              # comment
+  | (?P<iri><[^>]*>)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
+  | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().,;*=<>!a])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "PREFIX", "SELECT", "DISTINCT", "WHERE", "FILTER", "OPTIONAL",
+    "UNION", "ORDER", "BY", "ASC", "DESC", "LIMIT", "OFFSET", "REGEX",
+    "NOT", "EXISTS", "MINUS", "A",
+}
+
+
+class _Tok:
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind: str, val: str):
+        self.kind = kind
+        self.val = val
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.kind}:{self.val}"
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    out: list[_Tok] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"SPARQL tokenizer stuck at: {text[pos:pos+40]!r}")
+        pos = m.end()
+        if m.lastgroup is None:
+            continue
+        kind, val = m.lastgroup, m.group(m.lastgroup)
+        if kind == "kw" and val.upper() in _KEYWORDS:
+            out.append(_Tok("KW", val.upper()))
+        elif kind == "op" and val == "a":  # rdf:type shorthand
+            out.append(_Tok("KW", "A"))
+        else:
+            out.append(_Tok(kind, val))
+    return out
+
+
+def local_name(iri: str) -> str:
+    """IRI -> catalog attribute local name (pivot_triples convention)."""
+    return iri.split("/")[-1].split("#")[-1]
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok], attr_fn):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.attr_fn = attr_fn
+
+    # -- token plumbing ---------------------------------------------------
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of SPARQL input")
+        self.i += 1
+        return t
+
+    def at(self, kind: str, val: str | None = None) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == kind and (val is None or t.val == val)
+
+    def eat(self, kind: str, val: str | None = None) -> _Tok:
+        if not self.at(kind, val):
+            raise ValueError(f"expected {val or kind}, got {self.peek()!r}")
+        return self.next()
+
+    # -- terms ------------------------------------------------------------
+
+    def expand(self, pname: str) -> str:
+        pre, _, local = pname.partition(":")
+        if pre not in self.prefixes:
+            raise ValueError(f"unknown prefix {pre!r} in {pname!r}")
+        return self.prefixes[pre] + local
+
+    def term(self) -> Any:
+        t = self.next()
+        if t.kind == "var":
+            return t.val
+        if t.kind == "iri":
+            return t.val[1:-1]
+        if t.kind == "pname":
+            return self.expand(t.val)
+        if t.kind == "str":
+            s = t.val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            if self.at("op", "^^"):  # typed literal
+                self.next()
+                dt = self.next()  # iri or pname
+                dtype = dt.val[1:-1] if dt.kind == "iri" else self.expand(dt.val)
+                ln = local_name(dtype)
+                if ln in ("integer", "int", "long", "short", "byte"):
+                    return int(s)
+                if ln in ("double", "float", "decimal"):
+                    return float(s)
+            elif self.at("pname"):  # @lang arrives glued? no — skip
+                pass
+            return s
+        if t.kind == "num":
+            return float(t.val) if "." in t.val else int(t.val)
+        if t.kind == "KW" and t.val == "A":
+            return _RDF_TYPE
+        raise ValueError(f"bad term {t!r}")
+
+    # -- where clauses ----------------------------------------------------
+
+    def group(self) -> list:
+        """Parse a { } group body into a list of Datalog clauses."""
+        clauses: list = []
+        while not self.at("op", "}"):
+            if self.at("op", "."):
+                self.next()
+                continue
+            if self.at("KW", "FILTER"):
+                self.next()
+                clauses.extend(self.filter_clause())
+            elif self.at("KW", "OPTIONAL"):
+                self.next()
+                self.eat("op", "{")
+                clauses.extend(self.optional_group())
+            elif self.at("KW", "MINUS"):
+                raise NotImplementedError(
+                    "MINUS not supported, use FILTER NOT EXISTS"
+                )
+            elif self.at("op", "{"):
+                clauses.append(self.union_block())
+            else:
+                clauses.extend(self.triple_block())
+        self.eat("op", "}")
+        return clauses
+
+    def union_block(self) -> list:
+        branches = []
+        self.eat("op", "{")
+        branches.append(self.group())
+        while self.at("KW", "UNION"):
+            self.next()
+            self.eat("op", "{")
+            branches.append(self.group())
+        if len(branches) == 1:
+            # plain grouping, not a union
+            inner = branches[0]
+            return inner[0] if len(inner) == 1 else ["and", *inner]
+        wrapped = [
+            b[0] if len(b) == 1 else ["and", *b] for b in branches
+        ]
+        return ["or", *wrapped]
+
+    def triple_block(self) -> list:
+        """subject predicate object (',' object)* (';' pred obj...)*"""
+        clauses = []
+        s = self.term()
+        while True:
+            p = self.term()
+            # variable predicate -> EAV fallback pattern [?e ?a ?v]
+            attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
+            while True:
+                o = self.term()
+                clauses.append([s, attr, o])
+                if self.at("op", ","):
+                    self.next()
+                    continue
+                break
+            if self.at("op", ";"):
+                self.next()
+                if self.at("op", ".") or self.at("op", "}"):
+                    break  # trailing ';'
+                continue
+            break
+        return clauses
+
+    def optional_group(self) -> list:
+        """OPTIONAL { triples... filters... } -> get-attr bindings with
+        filters rewritten to keep unmatched (NULL) rows."""
+        clauses: list = []
+        opt_vars: list[str] = []
+        filters: list = []
+        while not self.at("op", "}"):
+            if self.at("op", "."):
+                self.next()
+                continue
+            if self.at("KW", "FILTER"):
+                self.next()
+                filters.extend(self.filter_clause())
+                continue
+            for (s, attr, o) in self.triple_block():
+                if not (isinstance(o, str) and o.startswith("?")):
+                    raise NotImplementedError(
+                        "OPTIONAL objects must be variables"
+                    )
+                clauses.append([["get-attr", s, attr], o])
+                opt_vars.append(o)
+        self.eat("op", "}")
+        for f in filters:
+            cond = f[0]
+            touched = [v for v in opt_vars if _mentions(cond, v)]
+            if touched:
+                cond = ["or", cond, *[["nil?", v] for v in touched]]
+            clauses.append([cond])
+        return clauses
+
+    def filter_clause(self) -> list:
+        if self.at("KW", "NOT"):
+            self.next()
+            self.eat("KW", "EXISTS")
+            self.eat("op", "{")
+            inner = self.group()
+            return [["not", *inner]]
+        if self.at("KW", "EXISTS"):
+            self.next()
+            self.eat("op", "{")
+            # set semantics make an EXISTS semi-join equivalent to
+            # inlining its pattern
+            return self.group()
+        paren = self.at("op", "(")
+        if paren:
+            self.next()
+        expr = self.or_expr()
+        if paren:
+            self.eat("op", ")")
+        # split top-level conjunctions into separate clauses (each is a
+        # separately pushable filter)
+        parts = expr[1:] if isinstance(expr, list) and expr[0] == "and" else [expr]
+        return [[p] for p in parts]
+
+    # FILTER expression grammar: or <- and <- cmp <- add <- primary
+    def or_expr(self):
+        left = self.and_expr()
+        while self.at("op", "||"):
+            self.next()
+            left = ["or", left, self.and_expr()]
+        return left
+
+    def and_expr(self):
+        left = self.cmp_expr()
+        while self.at("op", "&&"):
+            self.next()
+            left = ["and", left, self.cmp_expr()]
+        return left
+
+    _CMP = {"=", "!=", "<", "<=", ">", ">="}
+
+    def cmp_expr(self):
+        left = self.add_expr()
+        t = self.peek()
+        if t and t.kind == "op" and t.val in self._CMP:
+            self.next()
+            right = self.add_expr()
+            return [t.val if t.val != "=" else "==", left, right]
+        return left
+
+    def add_expr(self):
+        left = self.primary()
+        while self.at("op", "+") or self.at("op", "-"):
+            op = self.next().val
+            left = [op, left, self.primary()]
+        return left
+
+    def primary(self):
+        if self.at("KW", "REGEX"):
+            self.next()
+            self.eat("op", "(")
+            v = self.term()
+            self.eat("op", ",")
+            pat = self.term()
+            flags = ""
+            if self.at("op", ","):
+                self.next()
+                flags = self.term()
+            self.eat("op", ")")
+            if "i" in flags:
+                pat = "(?i)" + pat
+            return ["re-find", pat, v]
+        if self.at("op", "("):
+            self.next()
+            e = self.or_expr()
+            self.eat("op", ")")
+            return e
+        if self.at("op", "!"):
+            self.next()
+            return ["not", self.primary()]
+        return self.term()
+
+    # -- top level --------------------------------------------------------
+
+    def query(self) -> dict:
+        while self.at("KW", "PREFIX"):
+            self.next()
+            pname = self.eat("pname").val
+            iri = self.eat("iri").val[1:-1]
+            self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri
+        self.eat("KW", "SELECT")
+        if self.at("KW", "DISTINCT"):
+            self.next()  # Datalog set semantics are already distinct
+        find: list[str] = []
+        star = False
+        if self.at("op", "*"):
+            self.next()
+            star = True
+        else:
+            while self.at("var"):
+                find.append(self.next().val)
+        if self.at("KW", "WHERE"):
+            self.next()
+        self.eat("op", "{")
+        where = self.group()
+        if star:
+            seen: list[str] = []
+            _collect_vars(where, seen)
+            find = seen
+        out: dict = {"find": find, "where": where}
+        if self.at("KW", "ORDER"):
+            self.next()
+            self.eat("KW", "BY")
+            order = []
+            while True:
+                if self.at("KW", "ASC") or self.at("KW", "DESC"):
+                    d = self.next().val.lower()
+                    self.eat("op", "(")
+                    v = self.eat("var").val
+                    self.eat("op", ")")
+                    order.append([v, d])
+                elif self.at("var"):
+                    order.append([self.next().val, "asc"])
+                else:
+                    break
+            out["order-by"] = order
+        if self.at("KW", "LIMIT"):
+            self.next()
+            out["limit"] = int(self.eat("num").val)
+        if self.at("KW", "OFFSET"):
+            self.next()
+            out["offset"] = int(self.eat("num").val)
+        if self.peek() is not None:
+            raise ValueError(f"trailing SPARQL input at {self.peek()!r}")
+        return out
+
+
+def _mentions(form: Any, var: str) -> bool:
+    if form == var:
+        return True
+    if isinstance(form, list):
+        return any(_mentions(x, var) for x in form)
+    return False
+
+
+def _collect_vars(clauses: list, out: list[str]) -> None:
+    for c in clauses:
+        if isinstance(c, list):
+            for x in c:
+                if isinstance(x, str) and x.startswith("?") and x not in out:
+                    out.append(x)
+                elif isinstance(x, list):
+                    _collect_vars([x], out)
+
+
+def sparql_to_datalog(text: str, attr_fn=local_name) -> dict:
+    """Compile a SPARQL SELECT (subset) to the Datalog dict `crux_spark.q`
+    runs. ``attr_fn`` maps a predicate IRI to the catalog attribute local
+    name (default: last path/fragment segment, matching pivot_triples)."""
+    return _Parser(_tokenize(text), attr_fn).query()

@@ -1,0 +1,219 @@
+"""SPARQL -> Datalog conformance, mirroring the reference's suite
+(crux-test/test/crux/sparql_test.clj over the Jena-tutorial vcard data).
+
+Divergences from the reference asserted here on purpose:
+- OPTIONAL binds missing values as NULL (reference uses the sentinel
+  :crux.sparql/optional).
+- Entity ids are the full IRI strings (reference keywordizes IRIs).
+"""
+
+import pytest
+
+from crux_spark import Catalog
+from crux_spark.datalog import q
+from crux_spark.sources.loaders import pivot_triples, read_ntriples
+from crux_spark.sources.sparql import sparql_to_datalog
+
+VCARD_NT = """\
+<http://somewhere/MattJones/>  <http://www.w3.org/2001/vcard-rdf/3.0#FN>   "Matt Jones" .
+<http://somewhere/MattJones/>  <http://www.w3.org/2001/vcard-rdf/3.0#N>    _:b0 .
+_:b0  <http://www.w3.org/2001/vcard-rdf/3.0#Family> "Jones" .
+_:b0  <http://www.w3.org/2001/vcard-rdf/3.0#Given>  "Matthew" .
+<http://somewhere/RebeccaSmith/> <http://www.w3.org/2001/vcard-rdf/3.0#FN>    "Becky Smith" .
+<http://somewhere/RebeccaSmith/> <http://somewhere/peopleInfo#age>            "23"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://somewhere/RebeccaSmith/> <http://www.w3.org/2001/vcard-rdf/3.0#N>     _:b1 .
+_:b1 <http://www.w3.org/2001/vcard-rdf/3.0#Family> "Smith" .
+_:b1 <http://www.w3.org/2001/vcard-rdf/3.0#Given>  "Rebecca" .
+<http://somewhere/JohnSmith/>    <http://www.w3.org/2001/vcard-rdf/3.0#FN>    "John Smith" .
+<http://somewhere/JohnSmith/>    <http://somewhere/peopleInfo#age>            "25"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://somewhere/JohnSmith/>    <http://www.w3.org/2001/vcard-rdf/3.0#N>     _:b2 .
+_:b2 <http://www.w3.org/2001/vcard-rdf/3.0#Family> "Smith" .
+_:b2 <http://www.w3.org/2001/vcard-rdf/3.0#Given> "John"  .
+<http://somewhere/SarahJones/>   <http://www.w3.org/2001/vcard-rdf/3.0#FN>    "Sarah Jones" .
+<http://somewhere/SarahJones/>   <http://www.w3.org/2001/vcard-rdf/3.0#N>     _:b3 .
+_:b3 <http://www.w3.org/2001/vcard-rdf/3.0#Family>  "Jones" .
+_:b3 <http://www.w3.org/2001/vcard-rdf/3.0#Given>   "Sarah" .
+"""
+
+JOHN = "http://somewhere/JohnSmith/"
+BECKY = "http://somewhere/RebeccaSmith/"
+SARAH = "http://somewhere/SarahJones/"
+MATT = "http://somewhere/MattJones/"
+
+
+@pytest.fixture(scope="module")
+def vcard_cat(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("vcard") / "vc-db-1.nt"
+    path.write_text(VCARD_NT)
+    tri = read_ntriples(spark, str(path))
+    wide = pivot_triples(tri).localCheckpoint()
+    cat = Catalog(spark)
+    cat.add_documents("vcard", wide)
+    return cat
+
+
+def run(cat, sparql):
+    return {tuple(r) for r in q(cat, sparql_to_datalog(sparql)).collect()}
+
+
+def test_literal_object(vcard_cat):
+    assert run(
+        vcard_cat,
+        'SELECT ?x WHERE { ?x  <http://www.w3.org/2001/vcard-rdf/3.0#FN>  "John Smith" }',
+    ) == {(JOHN,)}
+
+
+def test_var_object(vcard_cat):
+    assert run(
+        vcard_cat,
+        "SELECT ?x ?fname WHERE {?x  <http://www.w3.org/2001/vcard-rdf/3.0#FN>  ?fname}",
+    ) == {
+        (BECKY, "Becky Smith"),
+        (SARAH, "Sarah Jones"),
+        (JOHN, "John Smith"),
+        (MATT, "Matt Jones"),
+    }
+
+
+def test_join(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        SELECT ?givenName
+        WHERE
+          { ?y  <http://www.w3.org/2001/vcard-rdf/3.0#Family>  "Smith" .
+            ?y  <http://www.w3.org/2001/vcard-rdf/3.0#Given>  ?givenName .
+          }""",
+    ) == {("John",), ("Rebecca",)}
+
+
+def test_regex_filter_with_prefix(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?g
+        WHERE
+        { ?y vcard:Given ?g .
+          FILTER regex(?g, "r", "i") }""",
+    ) == {("Rebecca",), ("Sarah",)}
+
+
+def test_numeric_filter(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        SELECT ?resource
+        WHERE
+          {
+            ?resource info:age ?age .
+            FILTER (?age >= 24)
+          }""",
+    ) == {(JOHN,)}
+
+
+def test_optional(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX info:    <http://somewhere/peopleInfo#>
+        PREFIX vcard:   <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?name ?age
+        WHERE
+        {
+            ?person vcard:FN  ?name .
+            OPTIONAL { ?person info:age ?age }
+        }""",
+    ) == {
+        ("Becky Smith", 23),
+        ("Sarah Jones", None),
+        ("John Smith", 25),
+        ("Matt Jones", None),
+    }
+
+
+def test_inner_join_drops_missing(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX info:   <http://somewhere/peopleInfo#>
+        PREFIX vcard:  <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?name ?age
+        WHERE
+        {
+            ?person vcard:FN  ?name .
+            ?person info:age  ?age .
+        }""",
+    ) == {("Becky Smith", 23), ("John Smith", 25)}
+
+
+def test_optional_with_filter(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX info:        <http://somewhere/peopleInfo#>
+        PREFIX vcard:      <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?name ?age
+        WHERE
+        {
+            ?person vcard:FN  ?name .
+            OPTIONAL { ?person info:age ?age . FILTER ( ?age > 24 ) }
+        }""",
+    ) == {
+        ("Sarah Jones", None),
+        ("John Smith", 25),
+        ("Matt Jones", None),
+    }
+
+
+def test_union(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?n
+        WHERE
+        { { ?x vcard:Family "Smith" . ?x vcard:Given ?n }
+          UNION
+          { ?x vcard:FN ?n . FILTER regex(?n, "^Sarah") } }""",
+    ) == {("John",), ("Rebecca",), ("Sarah Jones",)}
+
+
+def test_not_exists(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX info:  <http://somewhere/peopleInfo#>
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?name
+        WHERE
+        {
+            ?person vcard:FN ?name .
+            FILTER NOT EXISTS { ?person info:age ?age }
+        }""",
+    ) == {("Sarah Jones",), ("Matt Jones",)}
+
+
+def test_order_limit(vcard_cat):
+    rows = q(
+        vcard_cat,
+        sparql_to_datalog(
+            """
+            PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+            SELECT ?fname
+            WHERE { ?x vcard:FN ?fname }
+            ORDER BY DESC(?fname) LIMIT 2"""
+        ),
+    ).collect()
+    assert [r[0] for r in rows] == ["Sarah Jones", "Matt Jones"]
+
+
+def test_semicolon_and_comma_syntax(vcard_cat):
+    assert run(
+        vcard_cat,
+        """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?g
+        WHERE { ?y vcard:Family "Smith" ; vcard:Given ?g . }""",
+    ) == {("John",), ("Rebecca",)}
