@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().,;*=<>!a])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().,;*=<>!a+])
     """,
     re.VERBOSE,
 )
@@ -95,6 +95,10 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.attr_fn = attr_fn
+        # attrs needing a transitive-closure rule (property path `p+`,
+        # the reference's ArbitraryLengthPath -> <pred>-PLUS rule head,
+        # sparql.clj:21-28); rule defs are generated at query() time
+        self.plus_attrs: set[str] = set()
 
     # -- token plumbing ---------------------------------------------------
 
@@ -205,9 +209,22 @@ class _Parser:
             p = self.term()
             # variable predicate -> EAV fallback pattern [?e ?a ?v]
             attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
+            path = None
+            if self.at("op", "+"):
+                self.next()
+                path = "PLUS"
+            elif self.at("op", "*") and not attr.startswith("?"):
+                raise NotImplementedError(
+                    "zero-length property paths (p*) need a binding domain; "
+                    "use p+ or an explicit UNION with the zero-length case"
+                )
             while True:
                 o = self.term()
-                clauses.append([s, attr, o])
+                if path == "PLUS":
+                    self.plus_attrs.add(attr)
+                    clauses.append([f"{attr[1:]}-PLUS", s, o])
+                else:
+                    clauses.append([s, attr, o])
                 if self.at("op", ","):
                     self.next()
                     continue
@@ -360,6 +377,21 @@ class _Parser:
             _collect_vars(where, seen)
             find = seen
         out: dict = {"find": find, "where": where}
+        if self.plus_attrs:
+            rules = []
+            for attr in sorted(self.plus_attrs):
+                rule = f"{attr[1:]}-PLUS"
+                rules.append(
+                    [[rule, "?__px", "?__py"], ["?__px", attr, "?__py"]]
+                )
+                rules.append(
+                    [
+                        [rule, "?__px", "?__py"],
+                        ["?__px", attr, "?__pz"],
+                        [rule, "?__pz", "?__py"],
+                    ]
+                )
+            out["rules"] = rules
         if self.at("KW", "ORDER"):
             self.next()
             self.eat("KW", "BY")

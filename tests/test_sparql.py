@@ -217,3 +217,33 @@ def test_semicolon_and_comma_syntax(vcard_cat):
         SELECT ?g
         WHERE { ?y vcard:Family "Smith" ; vcard:Given ?g . }""",
     ) == {("John",), ("Rebecca",)}
+
+
+KNOWS_NT = """\
+<http://ex/A> <http://ex/knows> <http://ex/B> .
+<http://ex/B> <http://ex/knows> <http://ex/C> .
+<http://ex/C> <http://ex/knows> <http://ex/D> .
+<http://ex/A> <http://ex/name> "Ann" .
+<http://ex/B> <http://ex/name> "Bob" .
+<http://ex/C> <http://ex/name> "Cid" .
+<http://ex/D> <http://ex/name> "Dan" .
+"""
+
+
+def test_property_path_plus(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("knows") / "knows.nt"
+    path.write_text(KNOWS_NT)
+    cat = Catalog(spark)
+    cat.add_documents(
+        "knows", pivot_triples(read_ntriples(spark, str(path))).localCheckpoint()
+    )
+    # transitive closure via `knows+` (reference ArbitraryLengthPath ->
+    # <pred>-PLUS recursive rule, sparql.clj:21-28)
+    got = run(
+        cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/A> ex:knows+ ?y . ?y ex:name ?n }""",
+    )
+    assert got == {("Bob",), ("Cid",), ("Dan",)}
