@@ -14,6 +14,20 @@ tx/subscribe.clj). The Spark recast (SURVEY.md §2.9):
 ``processAllAvailable()``. Secondary-index registration (SURVEY.md §2.9 —
 how Lucene plugs in) maps to extra listeners maintaining derived tables in
 the same foreachBatch.
+
+Kafka tx-log (crux-kafka/src/crux/kafka.clj — single-partition topic for
+total order): the sandbox has no broker, so the parquet-dir source stands
+in. On a real cluster the swap is mechanical and everything downstream of
+``readStream`` is unchanged:
+
+    spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", ...)
+        .option("subscribe", "tx-topic")
+        .load()
+        .select(from_json(col("value").cast("string"), TX_LOG_SCHEMA)...)
+
+with the same single-partition-total-order caveat the reference documents
+(kafka.clj topic config: 1 partition for the tx topic).
 """
 
 from __future__ import annotations
