@@ -387,6 +387,64 @@ class TxStore:
             return None
         return json.loads(rows[0].doc_json)
 
+    def entity_tx(
+        self, eid: str, valid_time: dt.datetime | None = None, tx: int | None = None
+    ) -> dict | None:
+        """Transaction metadata of the visible version — the reference's
+        `entity-tx` (api.clj entity-tx; index_store.clj:774-795 seek)."""
+        rows = (
+            self.db(valid_time, tx).filter(F.col("eid") == str(eid)).collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        return {
+            "eid": r.eid,
+            "tx_id": r.tx_from,
+            "valid_from": r.valid_from,
+            "valid_to": r.valid_to,
+            "content_hash": r.content_hash,
+        }
+
+    def latest_completed_tx(self) -> int | None:
+        """Highest tx id applied to the versions table (api.clj
+        latest-completed-tx)."""
+        row = self.versions.agg(F.max("tx_from").alias("m")).first()
+        return int(row.m) if row.m is not None else None
+
+    def latest_submitted_tx(self) -> int | None:
+        """Highest tx id handed out by submit_tx (api.clj
+        latest-submitted-tx); may exceed latest_completed_tx while txs
+        are pending commit()."""
+        return self._tx_id or None
+
+    def tx_log(self, after_tx_id: int | None = None, with_ops: bool = False) -> DataFrame:
+        """Committed transactions in tx order (api.clj open-tx-log).
+
+        Without ops: derived from the versions table (one row per tx:
+        tx_id, tx_time, n_versions) — a pure distributed aggregation.
+        With ops: requires a WAL (``wal_path``); replays the durable log
+        the same way recover() does."""
+        if with_ops:
+            if not self.wal_path:
+                raise ValueError("tx_log(with_ops=True) needs a wal_path")
+            log = self.spark.read.json(self.wal_path)
+            log = log.select("tx_id", F.explode("rows").alias("op")).select(
+                "tx_id", "op.*"
+            )
+        else:
+            log = (
+                self.versions.filter(F.col("asserted"))
+                .groupBy(F.col("tx_from").alias("tx_id"))
+                .agg(
+                    F.min("tx_time").alias("tx_time"),
+                    F.count("*").alias("n_versions"),
+                )
+            )
+        if after_tx_id is not None:
+            log = log.filter(F.col("tx_id") > after_tx_id)
+        return log.orderBy("tx_id")
+
     def entity_history(
         self,
         eid: str,

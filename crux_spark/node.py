@@ -80,6 +80,10 @@ class Db:
     def entity(self, eid: str) -> dict | None:
         return self.node.store.entity(eid, self.valid_time, self.tx)
 
+    def entity_tx(self, eid: str) -> dict | None:
+        """Tx metadata of the visible version (api.clj entity-tx)."""
+        return self.node.store.entity_tx(eid, self.valid_time, self.tx)
+
     def entity_history(
         self, eid: str, ascending: bool = True, with_corrections: bool = False
     ) -> list[dict]:
@@ -139,3 +143,48 @@ class Node:
         fork = Node(self.spark, self.schema, self.collection)
         fork.store = fork_store
         return Db(fork, None, None)
+
+    def open_tx_log(
+        self, after_tx_id: int | None = None, with_ops: bool = False
+    ) -> DataFrame:
+        """Committed tx stream in tx order (api.clj open-tx-log).
+        with_ops=True replays the WAL (needs a wal_path-backed store)."""
+        return self.store.tx_log(after_tx_id, with_ops)
+
+    def latest_completed_tx(self) -> int | None:
+        return self.store.latest_completed_tx()
+
+    def latest_submitted_tx(self) -> int | None:
+        return self.store.latest_submitted_tx()
+
+    def status(self) -> dict:
+        """Node status map (api.clj status): engine version, tx watermarks,
+        entity/version counts — all cheap aggregations."""
+        counts = self.store.versions.agg(
+            F.countDistinct("eid").alias("entities"),
+            F.count("*").alias("versions"),
+        ).first()
+        return {
+            "crux.version/version": "crux-spark",
+            "crux.index/index-version": "parquet-intervals",
+            "latest_completed_tx": self.store.latest_completed_tx(),
+            "latest_submitted_tx": self.store.latest_submitted_tx(),
+            "entities": counts.entities,
+            "versions": counts.versions,
+            "pending_ops": len(self.store._pending),
+        }
+
+    def attribute_stats(self) -> dict[str, int]:
+        """attr -> value count over the current snapshot (api.clj
+        attribute-stats; the reference maintains these counts in the index
+        for join ordering — Catalyst's CBO/AQE plays that role here, so
+        this surface is observability, computed as ONE aggregation pass).
+        Needs a document schema to know the attribute columns."""
+        if not self.schema:
+            raise ValueError("attribute_stats needs a document schema")
+        snap = self.db().catalog().table(self.collection)
+        attrs = [c for c in snap.columns if c not in ("_id", "eid")]
+        row = snap.agg(
+            *[F.count(F.col(c)).alias(c) for c in attrs]
+        ).first()
+        return {f":{c}": int(row[c]) for c in attrs}

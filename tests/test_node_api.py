@@ -64,6 +64,44 @@ def test_node_sql_view(node, spark):
     assert [r.name for r in rows] == ["ann", "bob", "cid"]
 
 
+def test_node_status_and_tx_log(node, spark, tmp_path):
+    # status / latest-tx watermarks (api.clj status, latest-completed-tx)
+    st = node.status()
+    assert st["latest_completed_tx"] == 1
+    assert st["entities"] == 3 and st["versions"] >= 3
+    assert node.latest_submitted_tx() == 1
+
+    # entity-tx: tx metadata of the visible version
+    etx = node.db(valid_time=t(2)).entity_tx("u1")
+    assert etx["tx_id"] == 1 and etx["content_hash"]
+    assert node.db(valid_time=t(2)).entity_tx("nope") is None
+
+    # attribute-stats: one agg pass, attr -> non-null count
+    stats = node.attribute_stats()
+    assert stats[":name"] == 3 and stats[":score"] == 3
+
+    # open-tx-log without ops: derived from versions
+    node.submit_tx([("put", {"id": "u4", "name": "dee", "score": 5})], tx_time=t(3))
+    node.await_tx()
+    log = node.open_tx_log().collect()
+    assert [r.tx_id for r in log] == [1, 2]
+    assert log[0].n_versions >= 3 and log[1].n_versions >= 1
+    assert [r.tx_id for r in node.open_tx_log(after_tx_id=1).collect()] == [2]
+
+    # open-tx-log with ops: replays the WAL
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.node import Node as _Node
+
+    wal = str(tmp_path / "wal.jsonl")
+    n2 = _Node(spark, schema="id string, name string")
+    n2.store = TxStore(spark, wal_path=wal)
+    n2.submit_tx([("put", {"id": "a", "name": "x"})], tx_time=t(1))
+    n2.submit_tx([("delete", "a")], tx_time=t(2))
+    n2.await_tx()
+    ops = n2.open_tx_log(with_ops=True).collect()
+    assert [(r.tx_id, r.op) for r in ops] == [(1, "put"), (2, "delete")]
+
+
 def test_plan_cache_reuse(node):
     db = node.db(valid_time=t(2))
     query = {"find": ["?n"], "where": [["?u", ":name", "?n"]]}
