@@ -441,6 +441,28 @@ class TxStore:
             "content_hash": r.content_hash,
         }
 
+    def tx_committed(self, tx_id: int) -> bool:
+        """Whether a submitted tx committed (api.clj tx-committed?):
+        raises if the tx is unknown or still pending."""
+        if tx_id in self.aborted_txs:
+            return False
+        completed = self.latest_completed_tx()
+        if completed is None or tx_id > completed:
+            raise ValueError(f"tx {tx_id} not yet indexed")
+        return True
+
+    def documents(self, content_hashes: list[str]) -> dict[str, dict]:
+        """Fetch docs by content hash (api.clj `documents`; the
+        reference's content-addressed doc-store fetch,
+        document_store.clj:1-121). One pruned filter over versions."""
+        rows = (
+            self.versions.filter(F.col("content_hash").isin(content_hashes))
+            .select("content_hash", "doc_json")
+            .dropDuplicates(["content_hash"])
+            .collect()
+        )
+        return {r.content_hash: json.loads(r.doc_json) for r in rows}
+
     def latest_completed_tx(self) -> int | None:
         """Highest tx id applied to the versions table (api.clj
         latest-completed-tx)."""

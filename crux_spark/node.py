@@ -154,6 +154,17 @@ class Node:
     def latest_completed_tx(self) -> int | None:
         return self.store.latest_completed_tx()
 
+    def tx_committed(self, tx_id: int) -> bool:
+        """api.clj tx-committed?"""
+        return self.store.tx_committed(tx_id)
+
+    def documents(self, content_hashes: list[str]) -> dict[str, dict]:
+        """Content-addressed doc fetch (api.clj documents)."""
+        return self.store.documents(content_hashes)
+
+    def document(self, content_hash: str) -> dict | None:
+        return self.store.documents([content_hash]).get(content_hash)
+
     def latest_submitted_tx(self) -> int | None:
         return self.store.latest_submitted_tx()
 

@@ -102,6 +102,27 @@ def test_node_status_and_tx_log(node, spark, tmp_path):
     assert [(r.tx_id, r.op) for r in ops] == [(1, "put"), (2, "delete")]
 
 
+def test_tx_committed_and_documents(node):
+    # committed tx
+    assert node.tx_committed(1) is True
+    # aborted tx: failing match
+    node.submit_tx([("match", "u1", {"id": "u1", "name": "WRONG", "score": 0}),
+                    ("put", {"id": "u1", "name": "nope", "score": 0})])
+    node.await_tx()
+    assert node.tx_committed(2) is False
+    # unknown/pending tx raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        node.tx_committed(99)
+
+    # content-addressed doc fetch
+    etx = node.db().entity_tx("u2")
+    docs = node.documents([etx["content_hash"]])
+    assert docs[etx["content_hash"]]["name"] == "bob"
+    assert node.document(etx["content_hash"])["id"] == "u2"
+    assert node.document("nope") is None
+
+
 def test_plan_cache_reuse(node):
     db = node.db(valid_time=t(2))
     query = {"find": ["?n"], "where": [["?u", ":name", "?n"]]}
