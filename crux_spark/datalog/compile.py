@@ -490,7 +490,31 @@ class Compiler:
 
     # ---------------------------------------------------------------- not / or
 
+    _local_counter = 0
+
+    def _rename_branch_locals(self, clauses: list, keep: list) -> list:
+        """α-rename vars not in `keep` to fresh names: or-join/not-join
+        listed vars are the ONLY unification interface — an inner var
+        reusing an outer name must NOT capture the outer binding
+        (DataScript or-join corpus, query_test.clj:2280-2286). :in-bound
+        env vars stay (they are global constants)."""
+        keep_set = set(keep)
+        locals_ = {
+            v
+            for v in self._clause_vars(clauses)
+            if v not in keep_set and v not in self.env
+        }
+        if not locals_:
+            return clauses
+        Compiler = type(self)
+        Compiler._local_counter += 1
+        n = Compiler._local_counter
+        mapping = {v: f"?__loc{n}_{var_col(v)}" for v in locals_}
+        return [self._substitute(c, mapping) for c in clauses]
+
     def apply_not(self, df: DataFrame, joinvars: list | None, sub: list) -> DataFrame:
+        if joinvars is not None:
+            sub = self._rename_branch_locals(sub, joinvars)
         seed = self._seed_for(df, self._clause_vars(sub))
         sub_df = self.compile_clauses(sub, extra_rels=seed)
         if joinvars is None:
@@ -527,6 +551,8 @@ class Compiler:
                 if isinstance(b, (list, tuple)) and b and b[0] == "and"
                 else [b]
             )
+            if joinvars is not None:
+                cls = self._rename_branch_locals(cls, joinvars)
             seed = self._seed_for(outer, self._clause_vars(cls))
             bdfs.append(self.compile_clauses(cls, extra_rels=seed))
         if joinvars is None:
