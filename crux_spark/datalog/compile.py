@@ -599,13 +599,27 @@ class Compiler:
                     return True
         return False
 
-    def _compile_rule_branch(self, argvars: list, body: list, canon: list[str]) -> DataFrame:
+    def _compile_rule_branch(
+        self,
+        argvars: list,
+        body: list,
+        canon: list[str],
+        const_args: dict[int, Any] | None = None,
+    ) -> DataFrame:
         mapping = {v: f"?{c}" for v, c in zip(argvars, canon)}
+        # call-site constant specialization (bug-507 shape: a rule body of
+        # pure predicates over a literal argument has no data clause to
+        # bind the canon var — push the literal INTO the body, the
+        # reference's rule-expansion behavior, query.clj:1193-1236)
+        for i, lit in (const_args or {}).items():
+            mapping[argvars[i]] = lit
         for v in sorted(self._collect_vars(body)):
             if v not in mapping:
                 mapping[v] = self._fresh(v)
         sub_body = [self._substitute(c, mapping) for c in body]
         df = self.compile_clauses(sub_body)
+        for i, lit in (const_args or {}).items():
+            df = df.withColumn(canon[i], F.lit(lit))
         return df.select(*canon)
 
     def _collect_vars(self, form: Any) -> set[str]:
@@ -625,15 +639,28 @@ class Compiler:
         (query.clj:1079-1144); localCheckpoint truncates lineage so the
         plan doesn't grow unboundedly across iterations.
         """
-        if name in self._rule_cache:
-            return self._rule_cache[name]
+        return self._rule_relation_specialized(name, None)
+
+    def _rule_relation_specialized(
+        self, name: str, const_args: dict[int, Any] | None
+    ) -> DataFrame:
+        key = (
+            name
+            if not const_args
+            else (name, tuple(sorted((i, repr(v)) for i, v in const_args.items())))
+        )
+        if key in self._rule_cache:
+            return self._rule_cache[key]
         group = sorted(self._recursion_group(name))
         if not group:
             defs = self.rules[name]
             canon = [f"__r{i}" for i in range(len(defs[0][0]))]
-            dfs = [self._compile_rule_branch(a, b, canon) for a, b in defs]
+            dfs = [
+                self._compile_rule_branch(a, b, canon, const_args)
+                for a, b in defs
+            ]
             rel = reduce(lambda x, y: x.unionByName(y), dfs).distinct()
-            self._rule_cache[name] = rel
+            self._rule_cache[key] = rel
             return rel
         self._fixpoint_group(group)
         return self._rule_cache[name]
@@ -924,7 +951,19 @@ class Compiler:
             return df.select(*sel).distinct() if sel else df.select(
                 F.lit(1).alias("__exists")
             ).limit(1)
-        rel = self.rule_relation(name)
+        const_args = {
+            i: self.env.get(a, a)
+            for i, a in enumerate(args)
+            if not (is_var(a) and a not in self.env) and not is_blank(a)
+        }
+        if const_args and not self._recursion_group(name):
+            # specialize the rule body with call-site literals instead of
+            # computing the full relation then filtering — required when
+            # the body has no data clause for that arg (bug 507), and a
+            # strictly smaller plan otherwise
+            rel = self._rule_relation_specialized(name, const_args)
+        else:
+            rel = self.rule_relation(name)
         sel, filters = [], []
         seen: dict[str, int] = {}
         for i, a in enumerate(args):
@@ -937,12 +976,12 @@ class Compiler:
                     seen[a] = i
             elif is_blank(a):
                 continue
-            else:
+            elif i not in const_args or self._recursion_group(name):
                 filters.append(c == F.lit(self.env.get(a, a)))
         df = rel
         for f in filters:
             df = df.filter(f)
-        return df.select(*sel).distinct() if filters else df.select(*sel)
+        return df.select(*sel).distinct() if filters or const_args else df.select(*sel)
 
 
 # ------------------------------------------------------------------ top level

@@ -390,3 +390,239 @@ def test_datascript_query_fns(reg_catalog, spark):
         },
     )
     assert rows(r) == []
+
+
+# --- racket datalog path batteries (query_test.clj:3013-3144) ---
+
+ALL_PAIRS = {(x, y) for x in "abcd" for y in "abcd"}
+
+
+@pytest.fixture(scope="module")
+def edge_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("edge", T.StringType())]
+    )
+    cat.add_documents(
+        "edges",
+        spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], schema
+        ),
+        id_col="id",
+    )
+    return cat
+
+
+def test_racket_datalog_path(edge_catalog):
+    # path(X,Y) :- edge(X,Y).  path(X,Y) :- edge(X,Z), path(Z,Y).
+    res = q(
+        edge_catalog,
+        {
+            "find": ["?x", "?y"],
+            "where": [["path", "?x", "?y"]],
+            "rules": [
+                [["path", "?x", "?y"], ["?x", ":edge", "?y"]],
+                [["path", "?x", "?y"], ["?x", ":edge", "?z"], ["path", "?z", "?y"]],
+            ],
+        },
+    )
+    assert {tuple(r) for r in res.collect()} == ALL_PAIRS
+
+
+def test_racket_datalog_revpath(edge_catalog):
+    # left-recursive variant: path(X,Y) :- path(X,Z), edge(Z,Y).
+    res = q(
+        edge_catalog,
+        {
+            "find": ["?x", "?y"],
+            "where": [["path", "?x", "?y"]],
+            "rules": [
+                [["path", "?x", "?y"], ["?x", ":edge", "?y"]],
+                [["path", "?x", "?y"], ["path", "?x", "?z"], ["?z", ":edge", "?y"]],
+            ],
+        },
+    )
+    assert {tuple(r) for r in res.collect()} == ALL_PAIRS
+
+
+def test_racket_datalog_bidipath(edge_catalog):
+    # both recursion directions in one rule set
+    res = q(
+        edge_catalog,
+        {
+            "find": ["?x", "?y"],
+            "where": [["path", "?x", "?y"]],
+            "rules": [
+                [["path", "?x", "?y"], ["?x", ":edge", "?y"]],
+                [["path", "?x", "?y"], ["?x", ":edge", "?z"], ["path", "?z", "?y"]],
+                [["path", "?x", "?y"], ["path", "?x", "?z"], ["?z", ":edge", "?y"]],
+            ],
+        },
+    )
+    assert {tuple(r) for r in res.collect()} == ALL_PAIRS
+
+
+def test_racket_datalog_sym(edge_catalog):
+    # perm(X,Y) :- sym(X), sym(Y), X != Y — over entity ids
+    res = q(
+        edge_catalog,
+        {
+            "find": ["?x", "?y"],
+            "where": [["perm", "?x", "?y"]],
+            "rules": [
+                [
+                    ["perm", "?x", "?y"],
+                    ["?x", ":edge", "_"],
+                    ["?y", ":edge", "_"],
+                    [["!=", "?x", "?y"]],
+                ]
+            ],
+        },
+    )
+    assert {tuple(r) for r in res.collect()} == {
+        (x, y) for x in "abcd" for y in "abcd" if x != y
+    }
+
+
+# --- failing predicates at top level (query_test.clj:3145-3157) ---
+
+def test_failing_predicates_at_top_level(reg_catalog):
+    # predicate order shouldn't matter; a falsy zero-binding predicate
+    # empties the result either way
+    for where in (
+        [[["identity", 4], "?f"], [["identity", False]]],
+        [[["identity", False]], [["identity", 4], "?f"]],
+    ):
+        assert q(reg_catalog, {"find": ["?f"], "where": where}).count() == 0
+
+
+# --- literal rule arguments (bug 507, query_test.clj:3159-3179) ---
+
+def test_literal_rule_arguments_bug_507(reg_catalog):
+    import datetime as dt
+
+    assert (
+        q(
+            reg_catalog,
+            {
+                "find": ["?f"],
+                "where": [["foo", 4, "?f"]],
+                "rules": [
+                    [
+                        ["foo", "?n", "?f"],
+                        [["<=", 6, "?n"]],
+                        [["identity", "?n"], "?f"],
+                    ]
+                ],
+            },
+        ).count()
+        == 0
+    )
+    # non-numeric comparables (dates) through the same shape
+    assert (
+        q(
+            reg_catalog,
+            {
+                "find": ["?f"],
+                "where": [["foo", dt.datetime(2019, 1, 1), "?f"]],
+                "rules": [
+                    [
+                        ["foo", "?n", "?f"],
+                        [["<=", dt.datetime(2020, 1, 1), "?n"]],
+                        [["identity", "?n"], "?f"],
+                    ]
+                ],
+            },
+        ).count()
+        == 0
+    )
+    # and the satisfied variant binds
+    got = q(
+        reg_catalog,
+        {
+            "find": ["?f"],
+            "where": [["foo", 9, "?f"]],
+            "rules": [
+                [
+                    ["foo", "?n", "?f"],
+                    [["<=", 6, "?n"]],
+                    [["identity", "?n"], "?f"],
+                ]
+            ],
+        },
+    ).collect()
+    assert [r.f for r in got] == [9]
+
+
+# --- range predicate over empty result (bug 545, query_test.clj:3433-3447) ---
+
+def test_greater_than_range_predicate_bug_545(reg_catalog):
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?age"],
+            "where": [
+                ["?e", ":age", "?age"],
+                [[">", "?age", -9223372036854775808]],
+                ["?e", ":name", "NOBODY"],
+            ],
+            "limit": 1,
+        },
+    )
+    assert res.count() == 0
+
+
+# --- result cardinality (bug 972, query_test.clj:3449-3467) ---
+
+def test_query_result_cardinality_bug_972(reg_catalog):
+    # without order-by: set semantics (distinct)
+    ages = q(reg_catalog, {"find": ["?a"], "where": [["_", ":age", "?a"]]})
+    assert sorted(r.a for r in ages.collect()) == [20, 30, 40]
+    # with order-by: bag semantics in order (duplicates kept)
+    ordered = q(
+        reg_catalog,
+        {
+            "find": ["?a"],
+            "where": [["?e", ":age", "?a"]],
+            "order-by": [["?a", "desc"]],
+        },
+    )
+    assert [r.a for r in ordered.collect()] == [40, 30, 30, 20]
+
+
+# --- relation :in binding against false/nil (bugs 885/697, :3469-3516) ---
+
+def test_binds_against_false_arg_bug_885(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    cat.add_documents(
+        "flags",
+        spark.createDataFrame(
+            [("foo", "foo", False), ("bar", "bar", True), ("baz", "baz", None)],
+            schema,
+        ),
+        id_col="id",
+    )
+    def names_for(flag_val):
+        res = q(
+            cat,
+            {
+                "find": ["?name", "?flag"],
+                "in": ["?flag"],
+                "where": [
+                    ["?id", ":name", "?name"],
+                    ["?id", ":flag", "?flag"],
+                ],
+            },
+            flag_val,
+        )
+        return {(r.name, r.flag) for r in res.collect()}
+
+    assert names_for(False) == {("foo", False)}
+    assert names_for(True) == {("bar", True)}
