@@ -70,6 +70,7 @@ class Compiler:
         self.catalog = catalog
         self.spark = catalog.spark
         self.env = env or {}
+        self.raw_rules: list = list(rules or [])  # for subquery inheritance
         self.rules: dict[str, list[tuple[list, list]]] = {}
         for r in rules or []:
             head = r[0]
@@ -92,7 +93,53 @@ class Compiler:
 
     # ---------------------------------------------------------------- clauses
 
+    def _rule_is_computational(self, name: str) -> bool:
+        """True if every branch body is pure predicate clauses — a
+        'computation rule' with no data domain of its own. Its relation
+        cannot be materialized standalone; it is expanded like a macro at
+        the call site (the reference expands ALL non-recursive rules this
+        way, query.clj:1193-1236)."""
+        if self._recursion_group(name):
+            return False
+        return all(
+            all(_is_pred(c) for c in body) for _, body in self.rules[name]
+        )
+
+    def _expand_rule_call(self, name: str, args: list) -> list:
+        """Inline a computational rule call: substitute invocation args
+        into each branch body (fresh-renaming branch locals); multiple
+        branches disjoin via or-join over the arg vars."""
+        branches = []
+        for argvars, body in self.rules[name]:
+            mapping = dict(zip(argvars, args))
+            for v in sorted(self._collect_vars(body)):
+                if v not in mapping:
+                    mapping[v] = self._fresh(v)
+            branches.append([self._substitute(c, mapping) for c in body])
+        if len(branches) == 1:
+            return branches[0]
+        joinvars = [a for a in args if is_var(a) and a not in self.env]
+        return [
+            ["or-join", joinvars, *[["and", *b] for b in branches]]
+        ]
+
     def compile_clauses(self, clauses: list, extra_rels: list[DataFrame] = ()) -> DataFrame:
+        expanded: list = []
+        for c in clauses:
+            tag = (
+                c[0]
+                if isinstance(c, (list, tuple)) and c and isinstance(c[0], str)
+                else None
+            )
+            if (
+                tag in self.rules
+                and tag not in _SPECIAL
+                and self._rule_is_computational(tag)
+            ):
+                expanded.extend(self._expand_rule_call(tag, list(c[1:])))
+            else:
+                expanded.append(c)
+        clauses = expanded
         triples: dict[Any, list] = defaultdict(list)
         preds: list = []
         negs: list = []
@@ -426,21 +473,87 @@ class Compiler:
         """
         kind = form[0]
         if kind == "q":
-            subq = form[1]
-            args = [self.env.get(a, a) for a in form[2:]]
+            subq = dict(form[1])
+            raw_args = list(form[2:])
             from crux_spark.datalog.compile import compile_query
 
-            sub = compile_query(self.catalog, subq, *args)
+            # sub-queries inherit rules from the parent query
+            # (query_test.clj test-sub-queries "can inherit rules")
+            if self.raw_rules:
+                subq["rules"] = list(subq.get("rules", [])) + self.raw_rules
+
+            in_spec = list(subq.get("in", []))
+            # the reference's :in may lead with $ (the db); positional
+            # args never include it here, so drop a leading $
+            if in_spec and in_spec[0] == "$":
+                in_spec = in_spec[1:]
+
+            # split args: outer-bound vars make the subquery CORRELATED —
+            # the reference evaluates it per binding tuple
+            # (query.clj:973-986); the Spark recast rewrites it as a join:
+            # the correlated var becomes a relation :in fed by the outer
+            # rows, and is prepended to :find so results join back.
+            corr: list[tuple[str, str]] = []  # (outer col, sub var)
+            new_in, sub_args = [], []
+            for spec, a in zip(in_spec, raw_args):
+                if (
+                    is_var(a)
+                    and a not in self.env
+                    and is_var(spec)
+                    and var_col(a) in df.columns
+                ):
+                    new_in.append([[spec]])
+                    sub_args.append(
+                        df.select(
+                            F.col(var_col(a)).alias(var_col(spec))
+                        ).distinct()
+                    )
+                    corr.append((var_col(a), var_col(spec)))
+                else:
+                    new_in.append(spec)
+                    sub_args.append(self.env.get(a, a))
+            subq["in"] = new_in  # also drops a stripped leading $
+            if corr:
+                subq["find"] = [f"?{s}" for _, s in corr] + list(subq["find"])
+            sub = compile_query(self.catalog, subq, *sub_args)
+            ncorr = len(corr)
+            if binding is None:
+                # subquery as predicate: keep rows where it is non-empty
+                if corr:
+                    sel = sub.toDF(*[c for c, _ in corr], *sub.columns[ncorr:])
+                    return True, df.join(
+                        sel.select(*[c for c, _ in corr]).distinct(),
+                        on=[c for c, _ in corr],
+                        how="left_semi",
+                    )
+                return True, (df if sub.head(1) else df.limit(0))
             if is_var(binding):
                 col = var_col(binding)
+                if corr:
+                    sel = sub.toDF(*[c for c, _ in corr], col)
+                    return True, df.join(sel, on=[c for c, _ in corr], how="inner")
                 sub = sub.toDF(col)
                 return True, df.crossJoin(F.broadcast(sub))
             if isinstance(binding, (list, tuple)) and binding and isinstance(
                 binding[0], (list, tuple)
             ):
                 cols = [var_col(v) for v in binding[0]]
-                sub = sub.toDF(*cols)
-                shared = sorted(set(df.columns) & set(cols))
+                sub = sub.toDF(*[c for c, _ in corr], *cols)
+                shared = sorted(
+                    (set(df.columns) & set(cols)) | {c for c, _ in corr}
+                )
+                if shared:
+                    return True, df.join(sub, on=shared, how="inner")
+                return True, df.crossJoin(sub)
+            if isinstance(binding, (list, tuple)) and all(
+                is_var(v) or is_blank(v) for v in binding
+            ):
+                # tuple binding [x]: one result row expected
+                cols = [var_col(v) for v in binding]
+                sub = sub.toDF(*[c for c, _ in corr], *cols)
+                shared = sorted(
+                    (set(df.columns) & set(cols)) | {c for c, _ in corr}
+                )
                 if shared:
                     return True, df.join(sub, on=shared, how="inner")
                 return True, df.crossJoin(sub)
@@ -1009,7 +1122,12 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             rels.append(spark.createDataFrame([(v,) for v in val], [var_col(spec[0])]))
         elif isinstance(spec, (list, tuple)) and spec and isinstance(spec[0], (list, tuple)):
             cols = [var_col(v) for v in spec[0]]
-            rels.append(spark.createDataFrame([tuple(r) for r in val], cols))
+            if isinstance(val, DataFrame):
+                # relation fed by a DataFrame (correlated-subquery rewrite:
+                # the outer rows arrive distributed, never collected)
+                rels.append(val.toDF(*cols))
+            else:
+                rels.append(spark.createDataFrame([tuple(r) for r in val], cols))
         elif isinstance(spec, (list, tuple)):
             for v, x in zip(spec, val):
                 env[v] = x

@@ -626,3 +626,194 @@ def test_binds_against_false_arg_bug_885(spark):
 
     assert names_for(False) == {("foo", False)}
     assert names_for(True) == {("bar", True)}
+
+
+# --- sub-queries battery (query_test.clj:1303-1438) ---
+
+def test_subquery_relation_binding(reg_catalog):
+    # [(q {find [y] where [[(identity 2) x] [(+ x 2) y]]}) [[x]]]
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "where": [
+                [
+                    [
+                        "q",
+                        {
+                            "find": ["?y"],
+                            "where": [
+                                [["identity", 2], "?x"],
+                                [["+", "?x", 2], "?y"],
+                            ],
+                        },
+                    ],
+                    [["?x"]],
+                ]
+            ],
+        },
+    )
+    assert [r.x for r in res.collect()] == [4]
+
+
+def test_subquery_empty_filter_empties_outer(reg_catalog):
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "where": [
+                [
+                    [
+                        "q",
+                        {
+                            "find": ["?y"],
+                            "where": [
+                                [["identity", 2], "?x"],
+                                [["+", "?x", 2], "?y"],
+                                [["odd?", "?y"]],
+                            ],
+                        },
+                    ],
+                    [["?x"]],
+                ]
+            ],
+        },
+    )
+    assert res.count() == 0
+
+
+def test_subquery_with_scalar_args(reg_catalog):
+    # [(q {find [x y z] in [$ x] where [...]} 1) [[x y z]]]
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x", "?y", "?z"],
+            "where": [
+                [
+                    [
+                        "q",
+                        {
+                            "find": ["?x", "?y", "?z"],
+                            "in": ["$", "?x"],
+                            "where": [
+                                [["identity", 2], "?y"],
+                                [["+", "?x", "?y"], "?z"],
+                            ],
+                        },
+                        1,
+                    ],
+                    [["?x", "?y", "?z"]],
+                ]
+            ],
+        },
+    )
+    assert [tuple(r) for r in res.collect()] == [(1, 2, 3)]
+
+
+def test_subquery_correlated_outer_var(reg_catalog):
+    # [(identity 1) x] then [(q {find [z] in [$ x] where [[(+ x 2) z]]} x) [[y]]]
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x", "?y", "?z"],
+            "where": [
+                [["identity", 1], "?x"],
+                [
+                    [
+                        "q",
+                        {
+                            "find": ["?z"],
+                            "in": ["$", "?x"],
+                            "where": [[["+", "?x", 2], "?z"]],
+                        },
+                        "?x",
+                    ],
+                    [["?y"]],
+                ],
+                [["+", "?x", "?y"], "?z"],
+            ],
+        },
+    )
+    assert [tuple(r) for r in res.collect()] == [(1, 3, 4)]
+
+
+def test_subquery_inherits_parent_rules(reg_catalog):
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "where": [
+                [
+                    [
+                        "q",
+                        {
+                            "find": ["?y"],
+                            "where": [
+                                [["identity", 2], "?x"],
+                                [["+", "?x", 2], "?y"],
+                                ["is-odd?", "?y"],
+                            ],
+                        },
+                    ],
+                    [["?x"]],
+                ]
+            ],
+            "rules": [[["is-odd?", "?x"], [["odd?", "?x"]]]],
+        },
+    )
+    assert res.count() == 0
+
+
+def test_subquery_as_predicate(reg_catalog):
+    # keep rows where the correlated subquery is non-empty
+    def run(pred):
+        return q(
+            reg_catalog,
+            {
+                "find": ["?x"],
+                "where": [
+                    [["identity", 2], "?x"],
+                    [
+                        [
+                            "q",
+                            {
+                                "find": ["?y"],
+                                "in": ["$", "?y"],
+                                "where": [[[pred, "?y"]]],
+                            },
+                            "?x",
+                        ]
+                    ],
+                ],
+            },
+        ).count()
+
+    assert run("even?") == 1
+    assert run("odd?") == 0
+
+
+def test_subquery_as_predicate_inside_not(reg_catalog):
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "where": [
+                [["identity", 2], "?x"],
+                [
+                    "not",
+                    [
+                        [
+                            "q",
+                            {
+                                "find": ["?y"],
+                                "in": ["$", "?y"],
+                                "where": [[["odd?", "?y"]]],
+                            },
+                            "?x",
+                        ]
+                    ],
+                ],
+            ],
+        },
+    )
+    assert [r.x for r in res.collect()] == [2]
