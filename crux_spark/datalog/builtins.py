@@ -153,6 +153,17 @@ class ExprBuilder:
             udf = F.udf(self.env[fn], "boolean")
             return udf(*[self.build(a) for a in args])
         if fn in _BINARY_OPS:
+            if fn in ("=", "==", "!=", "not="):
+                # clojure equality across types is False (not=: True) —
+                # never an ANSI cast error ((not= age name) with a long
+                # and a string must not try to cast "Bob" to bigint)
+                fams = {
+                    f
+                    for f in (self._type_family(a) for a in args)
+                    if f is not None
+                }
+                if len(fams) > 1:
+                    return F.lit(fn in ("!=", "not="))
             ctx = (
                 "num"
                 if fn in ("+", "-", "*", "/", "quot", "rem", "mod")
@@ -922,6 +933,41 @@ class ExprBuilder:
         "ceil", "floor", "round", "truncate", "alength", "compare",
         "index-of", "last-index-of", "char-length",
     })
+
+    _FAMILIES = (
+        (("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"), "num"),
+        (("string",), "str"),
+        (("boolean",), "bool"),
+        (("timestamp", "date"), "ts"),
+        (("array",), "array"),
+        (("map",), "map"),
+        (("binary",), "bin"),
+    )
+
+    # expression heads whose result type depends on their input (element
+    # accessors, identity, min/max...) — equality folding must treat them
+    # as unknown, never as the "collection-returning" dtype fallback
+    _POLY_HEADS = frozenset({
+        "get", "get-in", "nth", "first", "last", "second", "ffirst",
+        "fnext", "peek", "aget", "identity", "min", "max", "rand-nth",
+        "find", "num", "rationalize",
+    })
+
+    def _type_family(self, form) -> str | None:
+        """Coarse type family for cross-type equality folding; None if
+        the dtype is unknown (no folding then)."""
+        if self._is_expr_form(form) and form[0] in self._POLY_HEADS:
+            return None
+        try:
+            dt = self._dtype_of(form)
+        except Exception:
+            return None
+        if not dt:
+            return None
+        for prefixes, fam in self._FAMILIES:
+            if dt.startswith(prefixes):
+                return fam
+        return None
 
     def _dtype_of(self, form) -> str:
         """Best-effort Catalyst dtype of an expression form ('' unknown)."""

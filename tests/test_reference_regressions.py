@@ -817,3 +817,159 @@ def test_subquery_as_predicate_inside_not(reg_catalog):
         },
     )
     assert [r.x for r in res.collect()] == [2]
+
+
+# --- predicate-expression battery (query_test.clj:684-814) ---
+
+@pytest.fixture(scope="module")
+def pred_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("age", T.LongType()),
+        ]
+    )
+    cat.add_documents(
+        "preds",
+        spark.createDataFrame(
+            [
+                ("ivan", "Ivan", "Ivanov", 30),
+                ("bob", "Bob", "Ivanov", 40),
+                ("dominic", "Dominic", "Monroe", 50),
+            ],
+            schema,
+        ),
+        id_col="id",
+    )
+    return cat
+
+
+def pq(cat, find, where):
+    return {tuple(r) if len(find) > 1 else r[0]
+            for r in q(cat, {"find": find, "where": where}).collect()}
+
+
+def test_pred_range_expressions(pred_catalog):
+    base = [["?e", ":name", "?name"], ["?e", ":age", "?age"]]
+    assert pq(pred_catalog, ["?name"], base + [[["<", "?age", 50]]]) == {"Ivan", "Bob"}
+    assert pq(pred_catalog, ["?name"], base + [[[">=", "?age", 50]]]) == {"Dominic"}
+
+
+def test_pred_var_var_range(pred_catalog):
+    got = pq(
+        pred_catalog,
+        ["?name", "?age1", "?name2", "?age2"],
+        [
+            ["?e", ":name", "?name"],
+            ["?e", ":age", "?age1"],
+            ["?e2", ":name", "?name2"],
+            ["?e2", ":age", "?age2"],
+            [["<=", "?age1", "?age2"]],
+        ],
+    )
+    assert got == {
+        ("Ivan", 30, "Ivan", 30), ("Ivan", 30, "Bob", 40),
+        ("Ivan", 30, "Dominic", 50), ("Bob", 40, "Bob", 40),
+        ("Bob", 40, "Dominic", 50), ("Dominic", 50, "Dominic", 50),
+    }
+    # string-ordered var-var comparison
+    assert pq(
+        pred_catalog,
+        ["?n1", "?n2"],
+        [
+            ["?e", ":name", "?n1"],
+            ["?e2", ":name", "?n2"],
+            [[">", "?n1", "?n2"]],
+        ],
+    ) == {("Ivan", "Dominic"), ("Ivan", "Bob"), ("Dominic", "Bob")}
+
+
+def test_pred_refind_and_not(pred_catalog):
+    base = [["?e", ":name", "?name"]]
+    assert pq(pred_catalog, ["?name"], base + [[["re-find", "o", "?name"]]]) == {
+        "Bob", "Dominic",
+    }
+    assert pq(pred_catalog, ["?name"], base + [[["re-find", "X", "?name"]]]) == set()
+    assert pq(
+        pred_catalog, ["?name"], base + [["not", [["re-find", "o", "?name"]]]]
+    ) == {"Ivan"}
+
+
+def test_pred_entity_variable(pred_catalog):
+    # [(= :ivan e)] — entity var compared against a literal id
+    assert pq(
+        pred_catalog,
+        ["?name"],
+        [["?e", ":name", "?name"], [["=", "ivan", "?e"]]],
+    ) == {"Ivan"}
+    assert pq(
+        pred_catalog,
+        ["?e"],
+        [["?e", ":last_name", "?ln"], [["=", "Ivanov", "?ln"]]],
+    ) == {"bob", "ivan"}
+    assert pq(
+        pred_catalog,
+        ["?e"],
+        [
+            ["?e", ":last_name", "?ln"],
+            ["?e", ":age", "?age"],
+            [["=", "Ivanov", "?ln"]],
+            [["=", 30, "?age"]],
+        ],
+    ) == {"ivan"}
+
+
+def test_pred_several_variables(pred_catalog):
+    assert pq(
+        pred_catalog,
+        ["?name"],
+        [
+            ["?e", ":name", "?name"],
+            ["?e", ":age", "?age"],
+            [["=", 40, "?age"]],
+            [["re-find", "o", "?name"]],
+            [["not=", "?age", "?name"]],
+        ],
+    ) == {"Bob"}
+    assert pq(
+        pred_catalog,
+        ["?e", "?ln"],
+        [
+            ["?e", ":last_name", "?ln"],
+            ["?e", ":age", "?age"],
+            [["re-find", "ov$", "?ln"]],
+            ["not", [["=", "?age", 30]]],
+        ],
+    ) == {("bob", "Ivanov")}
+
+
+def test_pred_bind_result_to_var(pred_catalog):
+    base = [["?e", ":name", "?name"], ["?e", ":age", "?age"]]
+    assert pq(
+        pred_catalog,
+        ["?name", "?half"],
+        base + [[["quot", "?age", 2], "?half"]],
+    ) == {("Dominic", 25), ("Ivan", 15), ("Bob", 20)}
+    # binding more than once intersects (unification filter)
+    assert pq(
+        pred_catalog,
+        ["?name", "?half"],
+        base
+        + [
+            [["quot", "?age", 2], "?half"],
+            [["-", "?age", 15], "?half"],
+        ],
+    ) == {("Ivan", 15)}
+    # bound result feeds a later range predicate
+    assert pq(
+        pred_catalog,
+        ["?name", "?half"],
+        base
+        + [
+            [["quot", "?age", 2], "?half"],
+            [[">", "?half", 20]],
+        ],
+    ) == {("Dominic", 25)}
