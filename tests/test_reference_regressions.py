@@ -973,3 +973,80 @@ def test_pred_bind_result_to_var(pred_catalog):
             [[">", "?half", 20]],
         ],
     ) == {("Dominic", 25)}
+
+
+# --- attributes with multiple values (query_test.clj:814-878) ---
+
+@pytest.fixture(scope="module")
+def friends_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("friends", T.ArrayType(T.StringType())),
+        ]
+    )
+    cat.add_documents(
+        "friends",
+        spark.createDataFrame(
+            [
+                ("ivan", "Ivan", 30, ["bob", "dominic"]),
+                ("bob", "Bob", 40, ["ivan", "dominic"]),
+                ("dominic", "Dominic", 50, ["bob"]),
+            ],
+            schema,
+        ),
+        id_col="id",
+    )
+    return cat
+
+
+def test_multi_value_find(friends_catalog):
+    assert pq(
+        friends_catalog,
+        ["?f"],
+        [["?i", ":name", "Ivan"], ["?i", ":friends", "?f"]],
+    ) == {"bob", "dominic"}
+
+
+def test_multi_value_literal_membership(friends_catalog):
+    assert pq(
+        friends_catalog,
+        ["?i"],
+        [["?i", ":name", "Ivan"], ["?i", ":friends", "bob"]],
+    ) == {"ivan"}
+
+
+def test_multi_value_join_intersects(friends_catalog):
+    assert pq(
+        friends_catalog,
+        ["?f"],
+        [
+            ["?i", ":name", "Ivan"],
+            ["?i", ":friends", "?f"],
+            ["?d", ":name", "Dominic"],
+            ["?d", ":friends", "?f"],
+        ],
+    ) == {"bob"}
+
+
+def test_multi_value_pred_filters(friends_catalog):
+    base = [["?i", ":name", "Ivan"], ["?i", ":friends", "?f"]]
+    assert pq(friends_catalog, ["?f"], base + [[["=", "?f", "bob"]]]) == {"bob"}
+    assert pq(friends_catalog, ["?f"], base + [[["not=", "?f", "bob"]]]) == {
+        "dominic"
+    }
+    # unification against a set literal
+    assert pq(
+        friends_catalog,
+        ["?f"],
+        base + [[["contains?", {"bob", "dominic"}, "?f"]]],
+    ) == {"bob", "dominic"}
+    # not filters exploded values
+    assert pq(
+        friends_catalog,
+        ["?i", "?f"],
+        base + [["not", [["=", "?f", "bob"]]]],
+    ) == {("ivan", "dominic")}
