@@ -93,29 +93,55 @@ class Compiler:
 
     # ---------------------------------------------------------------- clauses
 
-    def _rule_is_computational(self, name: str) -> bool:
-        """True if every branch body is pure predicate clauses — a
-        'computation rule' with no data domain of its own. Its relation
-        cannot be materialized standalone; it is expanded like a macro at
-        the call site (the reference expands ALL non-recursive rules this
-        way, query.clj:1193-1236)."""
-        if self._recursion_group(name):
+    def _rule_is_computational(self, name: str, _seen: frozenset = frozenset()) -> bool:
+        """True if every branch body is pure predicate clauses or calls
+        to other computational rules — a 'computation rule' with no data
+        domain of its own. Its relation cannot be materialized
+        standalone; it is expanded like a macro at the call site (the
+        reference expands ALL non-recursive rules this way,
+        query.clj:1193-1236)."""
+        if name in _seen or self._recursion_group(name):
             return False
+        seen = _seen | {name}
+
+        def comp_clause(c) -> bool:
+            if _is_pred(c):
+                return True
+            head = (
+                c[0]
+                if isinstance(c, (list, tuple)) and c and isinstance(c[0], str)
+                else None
+            )
+            return head in self.rules and self._rule_is_computational(head, seen)
+
         return all(
-            all(_is_pred(c) for c in body) for _, body in self.rules[name]
+            all(comp_clause(c) for c in body) for _, body in self.rules[name]
         )
 
     def _expand_rule_call(self, name: str, args: list) -> list:
         """Inline a computational rule call: substitute invocation args
-        into each branch body (fresh-renaming branch locals); multiple
-        branches disjoin via or-join over the arg vars."""
+        into each branch body (fresh-renaming branch locals; nested
+        computational calls expand recursively); multiple branches
+        disjoin via or-join over the arg vars."""
         branches = []
         for argvars, body in self.rules[name]:
             mapping = dict(zip(argvars, args))
             for v in sorted(self._collect_vars(body)):
                 if v not in mapping:
                     mapping[v] = self._fresh(v)
-            branches.append([self._substitute(c, mapping) for c in body])
+            sub = [self._substitute(c, mapping) for c in body]
+            flat: list = []
+            for c in sub:
+                head = (
+                    c[0]
+                    if isinstance(c, (list, tuple)) and c and isinstance(c[0], str)
+                    else None
+                )
+                if head in self.rules and self._rule_is_computational(head):
+                    flat.extend(self._expand_rule_call(head, list(c[1:])))
+                else:
+                    flat.append(c)
+            branches.append(flat)
         if len(branches) == 1:
             return branches[0]
         joinvars = [a for a in args if is_var(a) and a not in self.env]
@@ -174,7 +200,14 @@ class Compiler:
                 # variable attribute position -> EAV fallback scan
                 # (rule calls also have a var in position 1 — they are
                 # dispatched by the `tag in self.rules` branch below, so
-                # this arm must exclude them)
+                # this arm must exclude them). A '?'/'!'-suffixed head is
+                # the reference's predicate-rule naming convention, never
+                # an entity id — surface the missing rule instead of a
+                # silently-empty EAV lookup.
+                if isinstance(c[0], str) and c[0].endswith(("?", "!")):
+                    raise ValueError(
+                        f"unknown rule: {c[0]!r} (no :rules entry defines it)"
+                    )
                 rels.append(self.scan_var_attr(c))
             elif _is_pred(c):
                 preds.append(c)

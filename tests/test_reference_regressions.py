@@ -1050,3 +1050,160 @@ def test_multi_value_pred_filters(friends_catalog):
         ["?i", "?f"],
         base + [["not", [["=", "?f", "bob"]]]],
     ) == {("ivan", "dominic")}
+
+
+# --- basic rules battery (query_test.clj:1513-1640) ---
+
+@pytest.fixture(scope="module")
+def age_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("age", T.LongType()),
+        ]
+    )
+    cat.add_documents(
+        "ages",
+        spark.createDataFrame(
+            [("ivan", "Ivan", "Ivanov", 21), ("petr", "Petr", "Petrov", 18)],
+            schema,
+        ),
+        id_col="id",
+    )
+    return cat
+
+
+OVER21 = [[["over-twenty-one?", "?age"], [[">=", "?age", 21]]]]
+
+
+def test_rule_same_var_name_as_body(age_catalog):
+    res = q(
+        age_catalog,
+        {
+            "find": ["?i"],
+            "where": [["?i", ":age", "?age"], ["over-twenty-one?", "?age"]],
+            "rules": OVER21,
+        },
+    )
+    assert [r.i for r in res.collect()] == ["ivan"]
+
+
+def test_rule_directly_on_in_args(age_catalog):
+    def run(v):
+        return q(
+            age_catalog,
+            {
+                "find": ["?age"],
+                "in": ["?age"],
+                "where": [["over-twenty-one?", "?age"]],
+                "rules": OVER21,
+            },
+            v,
+        ).count()
+
+    assert run(21) == 1
+    assert run(20) == 0
+
+
+def test_rule_different_var_name_from_body(age_catalog):
+    res = q(
+        age_catalog,
+        {
+            "find": ["?i"],
+            "where": [["?i", ":age", "?age"], ["over-twenty-one?", "?age"]],
+            "rules": [[["over-twenty-one?", "?x"], [[">=", "?x", 21]]]],
+        },
+    )
+    assert [r.i for r in res.collect()] == ["ivan"]
+
+
+def test_nested_rules(age_catalog):
+    res = q(
+        age_catalog,
+        {
+            "find": ["?i"],
+            "where": [["?i", ":age", "?age"], ["over-twenty-one?", "?age"]],
+            "rules": [
+                [["over-twenty-one?", "?x"], ["over-twenty-one-internal?", "?x"]],
+                [["over-twenty-one-internal?", "?y"], [[">=", "?y", 21]]],
+            ],
+        },
+    )
+    assert [r.i for r in res.collect()] == ["ivan"]
+
+
+def test_rule_multiple_arguments(age_catalog):
+    res = q(
+        age_catalog,
+        {
+            "find": ["?i"],
+            "where": [["?i", ":age", "?age"], ["over-age?", "?age", 21]],
+            "rules": [
+                [["over-age?", "?age", "?required"], [[">=", "?age", "?required"]]]
+            ],
+        },
+    )
+    assert [r.i for r in res.collect()] == ["ivan"]
+
+
+def test_rule_multiple_branches(age_catalog):
+    res = q(
+        age_catalog,
+        {
+            "find": ["?i"],
+            "where": [["is-ivan-or-bob?", "?i"]],
+            "rules": [
+                [
+                    ["is-ivan-or-bob?", "?i"],
+                    ["?i", ":name", "Ivan"],
+                    ["?i", ":last_name", "Ivanov"],
+                ],
+                [["is-ivan-or-bob?", "?i"], ["?i", ":name", "Bob"]],
+            ],
+        },
+    )
+    assert [r.i for r in res.collect()] == ["ivan"]
+
+    # rule call under not
+    res = q(
+        age_catalog,
+        {
+            "find": ["?name"],
+            "where": [
+                ["?i", ":name", "?name"],
+                ["not", ["is-ivan-or-bob?", "?i"]],
+            ],
+            "rules": [
+                [["is-ivan-or-bob?", "?i"], ["?i", ":name", "Ivan"]],
+                [["is-ivan-or-bob?", "?i"], ["?i", ":name", "Bob"]],
+            ],
+        },
+    )
+    assert [r.name for r in res.collect()] == ["Petr"]
+
+    res = q(
+        age_catalog,
+        {
+            "find": ["?i"],
+            "where": [["is-ivan-or-petr?", "?i"]],
+            "rules": [
+                [["is-ivan-or-petr?", "?i"], ["?i", ":name", "Ivan"]],
+                [["is-ivan-or-petr?", "?i"], ["?i", ":name", "Petr"]],
+            ],
+        },
+    )
+    assert sorted(r.i for r in res.collect()) == ["ivan", "petr"]
+
+
+def test_unknown_rule_raises(age_catalog):
+    with pytest.raises(Exception):
+        q(
+            age_catalog,
+            {
+                "find": ["?i"],
+                "where": [["?i", ":age", "?age"], ["over-twenty-one?", "?age"]],
+            },
+        ).collect()
