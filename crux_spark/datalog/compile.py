@@ -1143,6 +1143,10 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
     offset = query.get("offset")
     keys = query.get("keys")
 
+    # the reference's :in may lead with $ (the db value); the db is
+    # implicit here (the catalog), so a leading $ consumes no argument
+    if inspecs and inspecs[0] == "$":
+        inspecs = inspecs[1:]
     if len(inspecs) != len(args):
         raise ValueError(f":in arity mismatch: {len(inspecs)} specs, {len(args)} args")
     env: dict[str, Any] = {}
@@ -1162,6 +1166,8 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             else:
                 rels.append(spark.createDataFrame([tuple(r) for r in val], cols))
         elif isinstance(spec, (list, tuple)):
+            if len(set(spec)) != len(spec):
+                raise ValueError(f"In binding variables not distinct: {spec!r}")
             for v, x in zip(spec, val):
                 env[v] = x
         else:

@@ -1207,3 +1207,62 @@ def test_unknown_rule_raises(age_catalog):
                 "where": [["?i", ":age", "?age"], ["over-twenty-one?", "?age"]],
             },
         ).collect()
+
+
+# --- :in bindings battery (query_test.clj:231-301) ---
+
+def test_in_bindings_battery(reg_catalog):
+    # leading $ consumes no argument
+    res = q(
+        reg_catalog,
+        {"find": ["?e"], "in": ["$", "?name"], "where": [["?e", ":name", "?name"]]},
+        "Ivan",
+    )
+    assert [r.e for r in res.collect()] == ["ivan"]
+    # two scalars
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?e"],
+            "in": ["$", "?name", "?ln"],
+            "where": [["?e", ":name", "?name"], ["?e", ":last_name", "?ln"]],
+        },
+        "Ivan",
+        "Ivanov",
+    )
+    assert [r.e for r in res.collect()] == ["ivan"]
+    # tuple binding
+    res = q(
+        reg_catalog,
+        {"find": ["?e"], "in": ["$", ["?name"]], "where": [["?e", ":name", "?name"]]},
+        ["Ivan"],
+    )
+    assert [r.e for r in res.collect()] == ["ivan"]
+    # relation binding
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?e"],
+            "in": ["$", [["?name"]]],
+            "where": [["?e", ":name", "?name"]],
+        },
+        [["Ivan"], ["Petr"]],
+    )
+    assert sorted(r.e for r in res.collect()) == ["ivan", "petr", "petr2"]
+    # collection binding
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?e"],
+            "in": ["$", ["?name", "..."]],
+            "where": [["?e", ":name", "?name"]],
+        },
+        ["Ivan", "Oleg"],
+    )
+    assert sorted(r.e for r in res.collect()) == ["ivan", "oleg"]
+    # where clause is optional
+    res = q(reg_catalog, {"find": ["?x"], "in": ["$", "?x"]}, 1)
+    assert [r.x for r in res.collect()] == [1]
+    # tuple binding vars must be distinct
+    with pytest.raises(ValueError, match="not distinct"):
+        q(reg_catalog, {"find": ["?x"], "in": ["$", ["?x", "?x"]]}, [1, 1])
