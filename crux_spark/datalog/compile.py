@@ -431,7 +431,14 @@ class Compiler:
                 if binding is None:
                     df = df.filter(eb.build(form))
                 elif is_var(binding):
-                    if var_col(binding) in df.columns:
+                    if binding in self.env:
+                        # binding to an :in-bound var unifies with its
+                        # value ([(+ 1 bah) bah] with bah=1 is empty,
+                        # query_test.clj:400-407)
+                        df = df.filter(
+                            eb.build(form) == F.lit(self.env[binding])
+                        )
+                    elif var_col(binding) in df.columns:
                         # output var already bound -> unification filter
                         df = df.filter(eb.build(form) == F.col(var_col(binding)))
                     else:

@@ -1266,3 +1266,108 @@ def test_in_bindings_battery(reg_catalog):
     # tuple binding vars must be distinct
     with pytest.raises(ValueError, match="not distinct"):
         q(reg_catalog, {"find": ["?x"], "in": ["$", ["?x", "?x"]]}, [1, 1])
+
+
+# --- circular dependencies (query_test.clj:400-446) ---
+
+def test_circular_dependencies(reg_catalog):
+    # [(+ 1 bah) bah] with bah bound -> unification filter, 1+1 != 1
+    assert (
+        q(
+            reg_catalog,
+            {"find": ["?bah"], "in": ["$", "?bah"],
+             "where": [[["+", 1, "?bah"], "?bah"]]},
+            1,
+        ).count()
+        == 0
+    )
+    assert [
+        r.bah
+        for r in q(
+            reg_catalog,
+            {"find": ["?bah"], "in": ["$", "?bah"],
+             "where": [[["identity", "?bah"], "?bah"]]},
+            1,
+        ).collect()
+    ] == [1]
+    # mutually-constraining bindings over a relation
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?bar"],
+            "in": ["$", [["?bar", "?foo"]]],
+            "where": [
+                [["identity", "?foo"], "?bar"],
+                [["identity", "?bar"], "?foo"],
+            ],
+        },
+        [[1, 1], [1, 2]],
+    )
+    assert [r.bar for r in res.collect()] == [1]
+    res = q(
+        reg_catalog,
+        {
+            "find": ["?bar", "?foo"],
+            "in": ["$", [["?bar", "?foo"]]],
+            "where": [
+                [["+", 1, "?bar"], "?foo"],
+                [["-", "?foo", 1], "?bar"],
+            ],
+        },
+        [[0, 1], [1, 2], [1, 3]],
+    )
+    assert sorted(tuple(r) for r in res.collect()) == [(0, 1), (1, 2)]
+
+
+# --- join and seek bugs (query_test.clj:936-972) ---
+
+@pytest.fixture(scope="module")
+def mentor_catalog(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("mentor", T.StringType()),
+        ]
+    )
+    cat.add_documents(
+        "mentors",
+        spark.createDataFrame(
+            [
+                ("ivan", "Ivan", "Ivanov", None),
+                ("petr", "Petr", "Petrov", "ivan"),
+            ],
+            schema,
+        ),
+        id_col="id",
+    )
+    return cat
+
+
+def test_join_and_seek_bugs(mentor_catalog):
+    empties = [
+        # prefix of a value must NOT match (index seek bugs)
+        [["?p", ":name", "Pet"]],
+        [["?p", ":name", "I"]],
+        [["?p", ":name", "Petrov"]],
+        [["?p", ":name", "Pet"], ["?p", ":mentor", "?i"]],
+        [["?p", ":name", "Petrov"], ["?p", ":mentor", "?i"]],
+        # Ivan has no mentor: the existence join must drop the row
+        [["?p", ":name", "Ivan"], ["?p", ":mentor", "?i"]],
+    ]
+    for where in empties:
+        assert q(mentor_catalog, {"find": [where[0][0]], "where": where}).count() == 0
+
+
+def test_index_unification(mentor_catalog):
+    base = [["?p1", ":name", "Petr"], ["?p2", ":mentor", "?i"]]
+    assert pq(
+        mentor_catalog, ["?p1", "?p2"], base + [[["==", "?p1", "?p2"]]]
+    ) == {("petr", "petr")}
+    assert pq(mentor_catalog, ["?p1", "?p2"], base + [[["==", "?p1", "?i"]]]) == set()
+    assert pq(
+        mentor_catalog, ["?p1", "?p2"], base + [[["!=", "?p1", "?i"]]]
+    ) == {("petr", "petr")}
+    assert pq(mentor_catalog, ["?p1", "?p2"], base + [[["!=", "?p1", "?p2"]]]) == set()
