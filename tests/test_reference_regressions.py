@@ -1371,3 +1371,96 @@ def test_index_unification(mentor_catalog):
         mentor_catalog, ["?p1", "?p2"], base + [[["!=", "?p1", "?i"]]]
     ) == {("petr", "petr")}
     assert pq(mentor_catalog, ["?p1", "?p2"], base + [[["!=", "?p1", "?p2"]]]) == set()
+
+
+# --- exceptions (query_test.clj:378-400) ---
+
+def test_exception_find_unknown_var(reg_catalog):
+    with pytest.raises(Exception, match="bah|unknown|unresolved|cannot"):
+        q(
+            reg_catalog,
+            {"find": ["?bah"], "where": [["?e", ":name", "_"]]},
+        ).collect()
+
+
+def test_exception_pred_unknown_var(reg_catalog):
+    with pytest.raises(Exception):
+        q(
+            reg_catalog,
+            {
+                "find": ["?x"],
+                "where": [["?x", ":name", "_"], [["+", 1, "?bah"]]],
+            },
+        ).collect()
+
+
+def test_exception_range_unknown_var(reg_catalog):
+    with pytest.raises(Exception):
+        q(
+            reg_catalog,
+            {
+                "find": ["?e"],
+                "where": [["?e", ":name", "?v"], [[">", 2, "?x"]]],
+            },
+        ).collect()
+
+
+# --- any value as entity id (query_test.clj:2862-2901) ---
+
+def test_any_value_as_entity_id(spark):
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("boss", T.StringType()),
+            T.StructField("friends", T.ArrayType(T.StringType())),
+        ]
+    )
+    # ids are strings in the columnar mapping; non-string reference ids
+    # (42, true, 3.14) arrive stringified — same join semantics
+    cat.add_documents(
+        "anyid",
+        spark.createDataFrame(
+            [
+                ("ivan@example.com", "Ivan", None, None),
+                ("42", "Petr", None, None),
+                ("true", "Oleg", None, ["ivan@example.com", "42", "3.14"]),
+                ("3.14", "Pi", "ivan@example.com", None),
+            ],
+            schema,
+        ),
+        id_col="id",
+    )
+    for eid, expected in [
+        ("ivan@example.com", "Ivan"),
+        ("42", "Petr"),
+        ("true", "Oleg"),
+        ("3.14", "Pi"),
+    ]:
+        got = q(
+            cat, {"find": ["?name"], "where": [[eid, ":name", "?name"]]}
+        ).collect()
+        assert [r.name for r in got] == [expected]
+    # join through a literal-id edge
+    got = q(
+        cat,
+        {
+            "find": ["?boss", "?name"],
+            "where": [
+                ["?boss", ":name", "?name"],
+                ["?pi", ":boss", "?boss"],
+                ["?pi", ":name", "Pi"],
+            ],
+        },
+    ).collect()
+    assert [tuple(r) for r in got] == [("ivan@example.com", "Ivan")]
+    # cardinality-many id-typed edges join back to entities
+    got = q(
+        cat,
+        {
+            "find": ["?name"],
+            "where": [["true", ":friends", "?f"], ["?f", ":name", "?name"]],
+        },
+    ).collect()
+    assert sorted(r.name for r in got) == ["Ivan", "Petr", "Pi"]
