@@ -932,6 +932,31 @@ class ExprBuilder:
         "count", "size", "long", "int", "double", "float", "short", "byte",
         "ceil", "floor", "round", "truncate", "alength", "compare",
         "index-of", "last-index-of", "char-length",
+        "year", "month", "day", "rand", "rand-int",
+        "bit-and", "bit-or", "bit-xor", "bit-not", "bit-and-not",
+        "bit-shift-left", "bit-shift-right", "unsigned-bit-shift-right",
+        "bit-set", "bit-clear", "bit-flip",
+    })
+    _BOOL_HEADS = frozenset({
+        "and", "or", "not", "boolean", "like", "bit-test",
+        "<", ">", "<=", ">=", "=", "==", "not=",
+    })
+    _TS_HEADS = frozenset({
+        "date", "last-day", "date-trunc", "current-date",
+        "current-timestamp",
+    })
+    _ARRAY_HEADS = frozenset({
+        "vector", "vec", "set", "range", "take", "conj", "tuple",
+        "reverse", "sort", "rest", "next", "butlast", "drop", "drop-last",
+        "take-last", "take-nth", "distinct", "dedupe", "flatten",
+        "interpose", "interleave", "cons", "pop", "subvec", "split-at",
+        "split", "split-lines", "partition", "partition-all", "repeat",
+        "keys", "vals", "re-seq", "shuffle", "random-sample", "subseq",
+        "rsubseq", "cycle", "list", "list*", "hash-set", "sorted-set",
+        "sorted-set-by", "disj", "vector-of", "into-array", "to-array-2d",
+        "doubles", "floats", "ints", "longs", "shorts", "booleans",
+        "chars", "nthnext", "nthrest", "rseq", "transient",
+        "persistent!", "conj!", "pop!",
     })
 
     _FAMILIES = (
@@ -983,7 +1008,16 @@ class ExprBuilder:
                 return "decimal"
             if head in self._NUM_HEADS:
                 return "bigint"
-            return "array"  # the remaining collection-returning builtins
+            if head in self._BOOL_HEADS or head.endswith("?"):
+                return "boolean"
+            if head in self._TS_HEADS:
+                return "timestamp"
+            if head in self._ARRAY_HEADS:
+                return "array"
+            # anything not explicitly enumerated is UNKNOWN — never guess,
+            # or cross-type equality folding would constant-fold valid
+            # comparisons (e.g. [(= (year ?d) 2024)]) to False
+            return ""
         v = self.env.get(form, form) if isinstance(form, str) else form
         if isinstance(v, bool):
             return "boolean"

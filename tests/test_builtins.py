@@ -277,6 +277,83 @@ def test_builtin(cat, form, expected):
         assert got[0] == expected
 
 
+def test_equality_folding_respects_unknown_expr_dtypes(spark):
+    """Regression: _dtype_of used to guess 'array' for any unenumerated
+    expression head; cross-type equality folding then turned
+    [(= (year ?d) 2024)] into lit(False) and [(not= (bit-and ?n 4) 0)]
+    into lit(True) — silently wrong results."""
+    import datetime as dt
+
+    c = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("d", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    c.add_documents(
+        "tvals",
+        spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 3, 15), 5),
+                ("b", dt.datetime(2023, 7, 1), 4),
+            ],
+            schema,
+        ),
+        id_col="id",
+    )
+    # numeric-returning date part compared to an int literal: must filter,
+    # not constant-fold
+    res = q(
+        c,
+        {
+            "find": ["?e"],
+            "where": [
+                ["?e", ":d", "?d"],
+                [["=", ["year", "?d"], 2024]],
+            ],
+        },
+    )
+    assert [r.e for r in res.collect()] == ["a"]
+    # bit ops return numbers: (bit-and 5 4) = 4 != 0 -> row a survives
+    res2 = q(
+        c,
+        {
+            "find": ["?e"],
+            "where": [
+                ["?e", ":n", "?n"],
+                [["not=", ["bit-and", "?n", 4], 0]],
+            ],
+        },
+    )
+    assert sorted(r.e for r in res2.collect()) == ["a", "b"]
+    # boolean-returning head vs boolean literal
+    res3 = q(
+        c,
+        {
+            "find": ["?e"],
+            "where": [
+                ["?e", ":n", "?n"],
+                [["=", ["even?", "?n"], True]],
+            ],
+        },
+    )
+    assert [r.e for r in res3.collect()] == ["b"]
+    # timestamp-returning head vs timestamp literal
+    res4 = q(
+        c,
+        {
+            "find": ["?e"],
+            "where": [
+                ["?e", ":d", "?d"],
+                [["=", ["date-trunc", "year", "?d"], dt.datetime(2024, 1, 1)]],
+            ],
+        },
+    )
+    assert [r.e for r in res4.collect()] == ["a"]
+
+
 def test_boolean_and_predicates(cat):
     res = q(
         cat,
