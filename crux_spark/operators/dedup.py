@@ -209,9 +209,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.4,
+    verify: str = "est",
 ) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates, verified with estimated
-    Jaccard (signature agreement rate). Returns (id_a, id_b, est_jaccard).
+    """MinHash + LSH banding near-dup candidates.
+
+    verify="est": candidates verified with estimated Jaccard (signature
+    agreement rate) — cheapest, fully map-side. Returns
+    (id_a, id_b, est_jaccard).
+    verify="exact": candidates verified with EXACT shingle-set Jaccard
+    (one join back to the shingle sets) — the production dedup shape:
+    LSH bounds the candidate set, the exact check removes false
+    positives, so the output equals the exact similarity join wherever
+    banding recall holds. Returns (id_a, id_b, jaccard).
 
     Scale path: band-bucket equi-join means candidate generation is a
     single shuffle on (band, bucket-hash); only banded collisions are
@@ -221,6 +230,44 @@ def minhash_lsh_pairs(
     banded = banded_signatures(sigs, num_hashes, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    if verify == "exact":
+        # dedup candidates BEFORE the shingle-set join: the exact check
+        # is the expensive step here, so it must see each pair once
+        cand = joined.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+        ex = (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(shingles(F.col(text_col), n))
+                ).alias("s"),
+            )
+            .select("id", F.xxhash64("s").alias("h"))
+        )
+        sets = ex.groupBy("id").agg(F.collect_set("h").alias("sh"))
+        sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -231,13 +278,7 @@ def minhash_lsh_pairs(
     # are quadratic in bucket size, so the dedup shuffle must only see the
     # surviving pairs, not the raw candidate explosion
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+        joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.sig").alias("sig_a"),

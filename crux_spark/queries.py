@@ -971,16 +971,70 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(cat.table("documents"), threshold=0.5)
 
 
-@register("dedup_minhash_lsh")  # approx op: rows-only driver check; exact
-def dedup_minhash_lsh(spark, sf_dir):  # parity vs jaccard tested in pytest
+@register(
+    "dedup_minhash_lsh",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i, t FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate generation with exact shingle-set
+    verification — the production dedup shape. The oracle is the EXACT
+    similarity join, so a hash-match also proves banding recall 1.0 at
+    threshold 0.5 with 16 bands x 2 rows (verified at sf0.01 and sf0.1).
+    The estimated-jaccard (signature-only) variant stays covered by
+    pytest against this same exact answer."""
     cat = catalog_for(spark, sf_dir)
-    return _dedup.minhash_lsh_pairs(cat.table("documents"), threshold=0.5)
+    return _dedup.minhash_lsh_pairs(
+        cat.table("documents"), threshold=0.5, num_hashes=32, bands=16,
+        verify="exact",
+    )
 
 
-@register("dedup_simhash")  # approx op: rows-only driver check
+@register(
+    "dedup_simhash",
+    r"""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
 def dedup_simhash(spark, sf_dir):
+    """SimHash banded near-dup join, driven end-to-end over a corpus with
+    planted duplicates: every doc_id % 20 == 0 gets an identical copy at
+    id + 1000000. Identical text => identical 64-bit simhash => hamming 0
+    and guaranteed band collision, so the planted-pair slice of the
+    output is exactly computable by the oracle. Nonzero-hamming behavior
+    (hamming<=3 vs brute-force XOR popcount) is pytest-covered; this
+    gate proves the signature/banding/join pipeline deterministically."""
     cat = catalog_for(spark, sf_dir)
-    return _dedup.simhash_near_pairs(cat.table("documents"), max_hamming=3)
+    docs = cat.table("documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(planted)
+    pairs = _dedup.simhash_near_pairs(aug, max_hamming=3)
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("id_a") < 1000000)
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register(
@@ -1012,8 +1066,27 @@ def ann_brute_force(spark, sf_dir):
 _IVF_CENTROIDS: dict[tuple[int, str], object] = {}
 
 
-@register("ann_ivf")  # approx op: rows-only driver check; recall vs brute
-def ann_ivf(spark, sf_dir):  # force asserted in pytest
+@register(
+    "ann_ivf",
+    """
+    SELECT vec_id + 1000000 AS query_id, vec_id,
+           round(list_cosine_similarity(
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.001,
+                          CAST(embedding[2:] AS DOUBLE[])),
+             CAST(embedding AS DOUBLE[])), 6) AS sim,
+           1 AS rank
+    FROM embeddings WHERE vec_id < 25
+    """,
+)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN with a DuckDB-checkable answer: queries are slightly
+    perturbed copies of corpus vectors (component 0 nudged by +0.001),
+    whose true nearest neighbor is the original vector with a cosine the
+    oracle computes directly. nprobe=2 of nlist=8 scans only ~1/4 of the
+    corpus, so a hash-match proves the cell routing sends each perturbed
+    query to its original's cell AND the per-cell scan + merge return
+    the true NN — the genuinely-approximate path, not an exhaustive
+    probe. recall@k at larger k/nprobe is pytest-covered."""
     cat = catalog_for(spark, sf_dir)
     emb = cat.table("embeddings")
     # centroids are the IVF *index*: trained once per corpus and reused
@@ -1023,10 +1096,14 @@ def ann_ivf(spark, sf_dir):  # force asserted in pytest
     if ck not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[ck] = _sim.train_centroids(emb, nlist=8)
     cents = _IVF_CENTROIDS[ck]
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    queries_df = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        ).alias("embedding"),
     )
-    return _sim.ivf_topk(emb, queries_df, cents, k=5, nprobe=3)
+    return _sim.ivf_topk(emb, queries_df, cents, k=1, nprobe=2)
 
 
 @register(
