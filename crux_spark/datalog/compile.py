@@ -221,10 +221,46 @@ class Compiler:
         # or/not compile AFTER the base join so branches may be correlated
         # with outer-bound vars (predicates over outer vars inside a
         # negation/disjunction, query_test.clj's not/or corpus)
+        if ors or negs:
+            # pure filters over already-bound vars commute with the inner
+            # or-join and the left_anti — apply them BEFORE branch
+            # compilation so (a) they reach the parquet scan and (b) the
+            # correlation seeds below see the smallest base relation
+            cols = set(df.columns)
+            early = [
+                p
+                for p in preds
+                if len(p) == 1
+                and {var_col(v) for v in self._clause_vars(p)} <= cols
+            ]
+            if early:
+                df = self.apply_preds(df, early)
+                preds = [p for p in preds if p not in early]
+            # every correlated branch consumes the base relation again (as
+            # its seed, plus the join-back / anti-join itself). Checkpoint
+            # the base ONCE so the shared join subtree is computed once,
+            # not once per consumer — q21's base (lineitem⋈supplier⋈nation
+            # ⋈orders) used to be scanned 4x (VERDICT r2 finding #4); at
+            # 100 TB re-scanning lineitem per branch is the whole query.
+            branch_sets = [sub for _, sub in ors] + [sub for _, sub in negs]
+            reconsumed = any(
+                {var_col(v) for v in self._clause_vars(sub)} & set(df.columns)
+                for sub in branch_sets
+            )
+            if reconsumed:
+                df = df.localCheckpoint(eager=False)
         for joinvars, branches in ors:
-            rel = self.compile_or(joinvars, branches, outer=df)
+            rel = self.compile_or(joinvars, branches, outer=df, distinct=False)
             shared = sorted(set(df.columns) & set(rel.columns))
-            df = df.join(rel, on=shared, how="inner") if shared else df.crossJoin(rel)
+            if shared and not (set(rel.columns) - set(shared)):
+                # the disjunction binds no NEW vars — it is a pure
+                # existence filter, so left_semi (no distinct shuffle, no
+                # row duplication risk) replaces distinct + inner join
+                df = df.join(rel, on=shared, how="left_semi")
+            elif shared:
+                df = df.join(rel.distinct(), on=shared, how="inner")
+            else:
+                df = df.crossJoin(rel.distinct())
         df = self.apply_preds(df, preds)
         for joinvars, sub in negs:
             df = self.apply_not(df, joinvars, sub)
@@ -695,7 +731,11 @@ class Compiler:
         return ["or", *branch_forms]
 
     def compile_or(
-        self, joinvars: list | None, branches: list, outer: DataFrame | None = None
+        self,
+        joinvars: list | None,
+        branches: list,
+        outer: DataFrame | None = None,
+        distinct: bool = True,
     ) -> DataFrame:
         bdfs = []
         for b in branches:
@@ -718,7 +758,7 @@ class Compiler:
         if not cols:
             raise ValueError("or branches bind no common variables")
         out = reduce(lambda a, b: a.unionByName(b), [d.select(*cols) for d in bdfs])
-        return out.distinct()
+        return out.distinct() if distinct else out
 
     # ------------------------------------------------------------------- rules
 

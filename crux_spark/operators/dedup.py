@@ -147,12 +147,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Flat (id, h) rows: distinct 64-bit xxhash shingle values per doc —
+    the shared input of MinHash signatures AND exact set verification.
+    h stays full-width 64-bit (collision odds ~1e-10 at test scale); the
+    signature step reduces mod p itself."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    return _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     h_i(xxhash64(shingle)). All JVM-side array ops — one projection, no
@@ -161,17 +175,16 @@ def minhash_signatures(
     # minhash permutations as min() aggs — vectorized hash agg instead of
     # k nested array transforms per row (an order of magnitude faster at
     # bench scale, same single shuffle on id).
-    sh = F.array_distinct(shingles(F.col(text_col), n))
-    exploded = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("s")
-    ).select("id", (F.abs(F.xxhash64("s")) % MERSENNE_P).alias("h"))
+    if exploded is None:
+        exploded = shingle_hashes(df, id_col, text_col, n)
+    hp = (F.abs(F.col("h")) % MERSENNE_P).alias("h")
     aggs = [
         F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(7 * i + 3)) % MERSENNE_P).alias(
             f"m{i}"
         )
         for i in range(num_hashes)
     ]
-    sigs = exploded.groupBy("id").agg(*aggs)
+    sigs = exploded.select("id", hp).groupBy("id").agg(*aggs)
     return sigs.select(
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     ).localCheckpoint(eager=False)  # signatures feed both sides of the LSH self-join
@@ -226,7 +239,12 @@ def minhash_lsh_pairs(
     single shuffle on (band, bucket-hash); only banded collisions are
     compared.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # one shingling pass feeds BOTH the signatures and (in exact mode)
+    # the verification sets
+    ex = shingle_hashes(df, id_col, text_col, n)
+    if verify == "exact":
+        ex = ex.localCheckpoint(eager=False)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, exploded=ex)
     banded = banded_signatures(sigs, num_hashes, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -242,16 +260,6 @@ def minhash_lsh_pairs(
         cand = joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).dropDuplicates(["id_a", "id_b"])
-        ex = (
-            _spread(df)
-            .select(
-                F.col(id_col).alias("id"),
-                F.explode(
-                    F.array_distinct(shingles(F.col(text_col), n))
-                ).alias("s"),
-            )
-            .select("id", F.xxhash64("s").alias("h"))
-        )
         sets = ex.groupBy("id").agg(F.collect_set("h").alias("sh"))
         sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
