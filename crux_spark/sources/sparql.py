@@ -19,8 +19,16 @@ Deliberate divergences from the reference (documented, not accidental):
   idiomatic Spark representation of an absent left-join value.
 - FILTERs inside OPTIONAL keep unmatched rows (left-join semantics):
   the condition is rewritten to (or cond (nil? ?v)).
-- MINUS raises, as in the reference ("MINUS not supported, use NOT
-  EXISTS", sparql.clj:62); FILTER NOT EXISTS compiles to a not-clause.
+- MINUS compiles to a not-clause (left-anti on the shared variables —
+  exactly SPARQL's "compatible solution" removal); when the MINUS
+  pattern shares no variables with the group it removes nothing, per
+  spec, and is dropped at parse time. (The reference raises instead,
+  sparql.clj:62 — this is a superset.)
+- ``p*`` compiles to an or-join of the ``p+`` transitive closure with
+  the zero-length case (subject = object over the bound endpoint) —
+  the reference's ZeroLengthPath + min-length handling
+  (sparql.clj:257, 286-290). One endpoint must be bound.
+- ``p1/p2`` sequence paths chain through fresh intermediate variables.
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().,;*=<>!a+])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().,;*=<>!a+\-/])
     """,
     re.VERBOSE,
 )
@@ -174,9 +182,19 @@ class _Parser:
                 self.eat("op", "{")
                 clauses.extend(self.optional_group())
             elif self.at("KW", "MINUS"):
-                raise NotImplementedError(
-                    "MINUS not supported, use FILTER NOT EXISTS"
-                )
+                self.next()
+                self.eat("op", "{")
+                inner = self.group()
+                outer_vars: list[str] = []
+                _collect_vars(clauses, outer_vars)
+                inner_vars: list[str] = []
+                _collect_vars(inner, inner_vars)
+                if set(outer_vars) & set(inner_vars):
+                    # remove solutions compatible with the MINUS pattern:
+                    # left-anti on the shared vars (apply_not's semantics)
+                    clauses.append(["not", *inner])
+                # else: no shared variables -> solutions are never
+                # "compatible", MINUS removes nothing (SPARQL 1.1 §8.3)
             elif self.at("op", "{"):
                 clauses.append(self.union_block())
             else:
@@ -201,30 +219,74 @@ class _Parser:
         ]
         return ["or", *wrapped]
 
+    _seq_counter = 0
+
+    def _pred_and_path(self) -> tuple[Any, str | None]:
+        p = self.term()
+        # variable predicate -> EAV fallback pattern [?e ?a ?v]
+        attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
+        path = None
+        if self.at("op", "+"):
+            self.next()
+            path = "PLUS"
+        elif self.at("op", "*") and not attr.startswith("?"):
+            self.next()
+            path = "STAR"
+        if path is not None and attr.startswith("?"):
+            raise NotImplementedError("property paths over variable predicates")
+        return attr, path
+
+    def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o):
+        if path is None:
+            clauses.append([s, attr, o])
+            return
+        self.plus_attrs.add(attr)
+        plus = [f"{attr[1:]}-PLUS", s, o]
+        if path == "PLUS":
+            clauses.append(plus)
+            return
+        # p* = p+ UNION the zero-length path. The zero-length case binds
+        # one endpoint from the other over the query's binding domain —
+        # the reference's ZeroLengthPath with min-length 0
+        # (sparql.clj:257, 286-290). Requires a bound endpoint, like the
+        # reference requires a constrained domain.
+        s_var = isinstance(s, str) and s.startswith("?")
+        o_var = isinstance(o, str) and o.startswith("?")
+        jv = [v for v, isv in ((s, s_var), (o, o_var)) if isv]
+        if not jv:
+            # both endpoints constant: zero-length holds iff s == o, in
+            # which case the whole pattern is trivially true — otherwise
+            # only the transitive closure can satisfy it
+            if s != o:
+                clauses.append(plus)
+            return
+        zero = (
+            ["and", [["identity", o], s]]
+            if (s_var and not o_var)
+            else ["and", [["identity", s], o]]
+        )
+        clauses.append(["or-join", jv, ["and", plus], zero])
+
     def triple_block(self) -> list:
-        """subject predicate object (',' object)* (';' pred obj...)*"""
+        """subject predicate object (',' object)* (';' pred obj...)*
+        with property paths: p+ / p* / p1/p2 sequences."""
         clauses = []
         s = self.term()
         while True:
-            p = self.term()
-            # variable predicate -> EAV fallback pattern [?e ?a ?v]
-            attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
-            path = None
-            if self.at("op", "+"):
+            steps = [self._pred_and_path()]
+            while self.at("op", "/"):  # sequence path p1/p2/...
                 self.next()
-                path = "PLUS"
-            elif self.at("op", "*") and not attr.startswith("?"):
-                raise NotImplementedError(
-                    "zero-length property paths (p*) need a binding domain; "
-                    "use p+ or an explicit UNION with the zero-length case"
-                )
+                steps.append(self._pred_and_path())
             while True:
                 o = self.term()
-                if path == "PLUS":
-                    self.plus_attrs.add(attr)
-                    clauses.append([f"{attr[1:]}-PLUS", s, o])
-                else:
-                    clauses.append([s, attr, o])
+                src = s
+                for attr, path in steps[:-1]:
+                    _Parser._seq_counter += 1
+                    mid = f"?__seq{_Parser._seq_counter}"
+                    self._emit_edge(clauses, src, attr, path, mid)
+                    src = mid
+                attr, path = steps[-1]
+                self._emit_edge(clauses, src, attr, path, o)
                 if self.at("op", ","):
                     self.next()
                     continue
@@ -318,8 +380,15 @@ class _Parser:
         return left
 
     def add_expr(self):
-        left = self.primary()
+        left = self.mul_expr()
         while self.at("op", "+") or self.at("op", "-"):
+            op = self.next().val
+            left = [op, left, self.mul_expr()]
+        return left
+
+    def mul_expr(self):
+        left = self.primary()
+        while self.at("op", "*") or self.at("op", "/"):
             op = self.next().val
             left = [op, left, self.primary()]
         return left

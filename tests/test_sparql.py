@@ -247,3 +247,109 @@ def test_property_path_plus(spark, tmp_path_factory):
         WHERE { <http://ex/A> ex:knows+ ?y . ?y ex:name ?n }""",
     )
     assert got == {("Bob",), ("Cid",), ("Dan",)}
+
+
+@pytest.fixture(scope="module")
+def knows_cat(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("knows2") / "knows.nt"
+    path.write_text(KNOWS_NT)
+    cat = Catalog(spark)
+    cat.add_documents(
+        "knows", pivot_triples(read_ntriples(spark, str(path))).localCheckpoint()
+    )
+    return cat
+
+
+def test_property_path_star(knows_cat):
+    # p* = p+ UNION zero-length (reference ZeroLengthPath, sparql.clj:257,
+    # min-length 0 at :286-290): A knows* ?y includes A itself
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/A> ex:knows* ?y . ?y ex:name ?n }""",
+    )
+    assert got == {("Ann",), ("Bob",), ("Cid",), ("Dan",)}
+
+
+def test_property_path_star_between_vars(knows_cat):
+    # ?x bound by another pattern; ?x knows* ?y includes the reflexive row
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { ?x ex:name "Cid" . ?x ex:knows* ?y . ?y ex:name ?n }""",
+    )
+    assert got == {("Cid",), ("Dan",)}
+
+
+def test_sequence_path(knows_cat):
+    # p1/p2 chains through a fresh intermediate variable
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/A> ex:knows/ex:name ?n }""",
+    )
+    assert got == {("Bob",)}
+
+
+def test_sequence_path_with_plus(knows_cat):
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/A> ex:knows+/ex:name ?n }""",
+    )
+    assert got == {("Bob",), ("Cid",), ("Dan",)}
+
+
+def test_minus(vcard_cat):
+    # MINUS removes compatible solutions (shared var ?x) — SPARQL 1.1 §8.3
+    got = run(
+        vcard_cat,
+        """
+        PREFIX vc: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        PREFIX info: <http://somewhere/peopleInfo#>
+        SELECT ?fn
+        WHERE { ?x vc:FN ?fn . MINUS { ?x info:age ?a } }""",
+    )
+    assert got == {("Matt Jones",), ("Sarah Jones",)}
+
+
+def test_minus_disjoint_removes_nothing(vcard_cat):
+    # MINUS pattern sharing no variables removes nothing (SPARQL 1.1 §8.3)
+    got = run(
+        vcard_cat,
+        """
+        PREFIX vc: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        PREFIX info: <http://somewhere/peopleInfo#>
+        SELECT ?fn
+        WHERE { ?x vc:FN ?fn . MINUS { ?y info:age ?a } }""",
+    )
+    assert len(got) == 4
+
+
+def test_filter_arithmetic(vcard_cat):
+    # '-' and '/' are FILTER operators (were unreachable: not in the
+    # tokenizer's op class)
+    got = run(
+        vcard_cat,
+        """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        SELECT ?x
+        WHERE { ?x info:age ?a . FILTER(?a - 1 > 23) }""",
+    )
+    assert got == {(JOHN,)}
+    got2 = run(
+        vcard_cat,
+        """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        SELECT ?x
+        WHERE { ?x info:age ?a . FILTER(?a / 5 >= 5) }""",
+    )
+    assert got2 == {(JOHN,)}
