@@ -586,6 +586,16 @@ class Compiler:
                     )
                     corr.append((var_col(a), var_col(spec)))
                 else:
+                    if (
+                        is_var(a)
+                        and a not in self.env
+                        and var_col(a) not in df.columns
+                    ):
+                        raise ValueError(
+                            f"subquery argument {a!r} is an unbound "
+                            "variable: bind it in an earlier clause or "
+                            "pass it via :in before the subquery runs"
+                        )
                     new_in.append(spec)
                     sub_args.append(self.env.get(a, a))
             subq["in"] = new_in  # also drops a stripped leading $

@@ -186,10 +186,11 @@ def cosine_threshold_pairs(
     distributed block path — the same adaptive posture as Spark's own
     autoBroadcastJoinThreshold. The driver collect is bounded by the
     explicit limit (64k rows x 64 dims x 8B = 32 MB), so the 100 TB
-    failure mode of an unbounded collect cannot occur; the count itself
-    is a cheap columnless scan.
+    failure mode of an unbounded collect cannot occur; the size probe is
+    a `limit(N+1).count()` — it short-circuits after N+1 rows instead of
+    scanning a possibly-expensive upstream plan to completion.
 
-    strategy="block" (default): distributed block-matrix product. Rows hash
+    strategy="block": distributed block-matrix product. Rows hash
     into `nblocks` blocks; the upper triangle of block pairs (B*(B+1)/2
     tasks) is cogrouped and each task does ONE numpy matmul between its two
     blocks. Nothing is collected to the driver; shuffle volume is ~B/2
@@ -205,9 +206,8 @@ def cosine_threshold_pairs(
     corpus fits driver/executor memory — explicit opt-in for small data.
     """
     if strategy == "auto":
-        strategy = (
-            "broadcast" if corpus.count() <= broadcast_limit_rows else "block"
-        )
+        probe = corpus.limit(broadcast_limit_rows + 1).count()
+        strategy = "broadcast" if probe <= broadcast_limit_rows else "block"
     if strategy == "broadcast":
         return _cosine_pairs_broadcast(corpus, threshold, id_col, vec_col)
 

@@ -16,18 +16,14 @@ how Lucene plugs in) maps to extra listeners maintaining derived tables in
 the same foreachBatch.
 
 Kafka tx-log (crux-kafka/src/crux/kafka.clj — single-partition topic for
-total order): the sandbox has no broker, so the parquet-dir source stands
-in. On a real cluster the swap is mechanical and everything downstream of
-``readStream`` is unchanged:
-
-    spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", ...)
-        .option("subscribe", "tx-topic")
-        .load()
-        .select(from_json(col("value").cast("string"), TX_LOG_SCHEMA)...)
-
-with the same single-partition-total-order caveat the reference documents
-(kafka.clj topic config: 1 partition for the tx topic).
+total order): implemented behind ``TxLogStream(source_format="kafka",
+kafka_options={"kafka.bootstrap.servers": ...})`` — messages carry one tx
+per record as the same JSON envelope the WAL writes, exploded into op
+rows; everything downstream of ``_build_stream`` is transport-agnostic.
+The sandbox has no broker, so tests cover ``reader_config()`` and the
+parsing plan; the parquet-dir source is the default and carries the same
+single-partition-total-order caveat the reference documents (kafka.clj
+topic config: 1 partition for the tx topic).
 """
 
 from __future__ import annotations
@@ -50,12 +46,82 @@ class TxLogStream:
     log directory into a TxStore, invoking listeners per indexed batch
     (the event-bus `listen` surface, crux-core/src/crux/bus.clj)."""
 
-    def __init__(self, spark: SparkSession, log_dir: str, store: TxStore | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str | None = None,
+        store: TxStore | None = None,
+        source_format: str = "parquet",
+        kafka_options: dict | None = None,
+    ):
+        if source_format not in ("parquet", "kafka"):
+            raise ValueError(f"unknown tx-log source_format {source_format!r}")
+        if source_format == "parquet" and not log_dir:
+            raise ValueError("parquet tx-log needs log_dir")
         self.spark = spark
         self.log_dir = log_dir
         self.store = store or TxStore(spark)
+        self.source_format = source_format
+        self.kafka_options = dict(kafka_options or {})
         self.listeners: list[Callable[[int, DataFrame], None]] = []
         self._query = None
+
+    def reader_config(self) -> dict:
+        """The (format, options) the stream reader is built with — exposed
+        so the Kafka swap (crux-kafka/src/crux/kafka.clj) is *tested*
+        config, not just a docstring, even where no broker exists.
+
+        Kafka production posture mirrors the reference's topic config
+        (kafka.clj: ONE partition on the tx topic — total order is the
+        correctness anchor of the whole tx log): `subscribe` one topic,
+        `startingOffsets=earliest` so a fresh node replays the full log,
+        `failOnDataLoss=true` because a truncated tx log is corruption.
+        """
+        if self.source_format == "kafka":
+            opts = {
+                "subscribe": "crux-tx-log",
+                "startingOffsets": "earliest",
+                "failOnDataLoss": "true",
+                **self.kafka_options,
+            }
+            if "kafka.bootstrap.servers" not in opts:
+                raise ValueError(
+                    "kafka tx-log needs kafka_options={'kafka.bootstrap."
+                    "servers': 'host:9092', ...}"
+                )
+            return {"format": "kafka", "options": opts}
+        return {"format": "parquet", "options": {"path": self.log_dir}}
+
+    def _build_stream(self) -> DataFrame:
+        """Streaming DataFrame of tx ops in TX_LOG_SCHEMA, whatever the
+        transport. Kafka messages carry one tx per record as JSON
+        {"tx_id": N, "rows": [op...]} — the same envelope the WAL writes
+        (store.py submit_tx) — exploded into op rows."""
+        cfg = self.reader_config()
+        if cfg["format"] == "kafka":
+            from pyspark.sql import types as T
+
+            envelope = T.StructType(
+                [
+                    T.StructField("tx_id", T.LongType()),
+                    T.StructField(
+                        "rows", T.ArrayType(T.StructType(TX_LOG_SCHEMA.fields))
+                    ),
+                ]
+            )
+            raw = (
+                self.spark.readStream.format("kafka")
+                .options(**cfg["options"])
+                .load()
+            )
+            return (
+                raw.select(
+                    F.from_json(F.col("value").cast("string"), envelope).alias("tx")
+                )
+                .select(F.explode("tx.rows").alias("op"))
+                .select("op.*")
+            )
+        return self.spark.readStream.schema(TX_LOG_SCHEMA).parquet(self.log_dir)
 
     def listen(self, fn: Callable[[int, DataFrame], None]) -> None:
         """Register a ::indexed-tx listener (api.clj:63-73); called with
@@ -77,10 +143,7 @@ class TxLogStream:
             fn(epoch_id, batch_df)
 
     def start(self, checkpoint_dir: str):
-        stream = (
-            self.spark.readStream.schema(TX_LOG_SCHEMA)
-            .parquet(self.log_dir)
-        )
+        stream = self._build_stream()
         self._query = (
             stream.writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -468,3 +468,43 @@ def test_streaming_tx_ingest_large_batch(spark, tmp_path):
     assert stream.store._tx_id == n
     # every entity got n/entities puts; all are visible now
     assert stream.store.db().count() == entities
+
+
+def test_tx_log_kafka_reader_config(spark):
+    """The Kafka tx-log swap (crux-kafka/src/crux/kafka.clj) as TESTED
+    config: constructor-level source_format builds the production reader
+    options without needing a broker."""
+    from crux_spark.streaming.ingest import TxLogStream
+
+    s = TxLogStream(
+        spark,
+        source_format="kafka",
+        kafka_options={
+            "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+            "subscribe": "my-tx-topic",
+        },
+    )
+    cfg = s.reader_config()
+    assert cfg["format"] == "kafka"
+    assert cfg["options"]["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert cfg["options"]["subscribe"] == "my-tx-topic"  # override honored
+    # replay-from-genesis + no-silent-truncation defaults (kafka.clj
+    # semantics: a fresh node indexes the whole log; data loss is fatal)
+    assert cfg["options"]["startingOffsets"] == "earliest"
+    assert cfg["options"]["failOnDataLoss"] == "true"
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        TxLogStream(spark, source_format="kafka").reader_config()
+    with pytest.raises(ValueError, match="source_format"):
+        TxLogStream(spark, source_format="pulsar")
+    with pytest.raises(ValueError, match="log_dir"):
+        TxLogStream(spark)  # parquet needs a directory
+
+
+def test_tx_log_parquet_reader_config(spark, tmp_path):
+    from crux_spark.streaming.ingest import TxLogStream
+
+    s = TxLogStream(spark, str(tmp_path / "log"))
+    cfg = s.reader_config()
+    assert cfg["format"] == "parquet"
+    assert cfg["options"]["path"].endswith("log")

@@ -4,6 +4,7 @@ evict/tx-fn, corrections, speculative with-tx, persistence round-trip."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from crux_spark.bitemporal.store import TxStore
 
@@ -363,3 +364,45 @@ def test_sql_temporal_prefix(spark):
         schema="id string, balance long",
     ).collect()
     assert [r.balance for r in pre_tx] == [100]
+
+
+def test_store_tables_bucketed_layout_shuffle_free(spark, tmp_path):
+    """SURVEY §4.2 100x posture on the STORE's own tables: bulk-ingest
+    `documents` into a TxStore, persist the versions table bucketed by
+    eid alongside a documents table bucketed by doc_id, and plan-assert
+    the eid join is shuffle-free at TWO scale factors — the layout
+    contract (layout.py save_bucketed_table docstring) holds whatever
+    the data volume, because co-location comes from bucket metadata,
+    not statistics."""
+    import shutil
+
+    from crux_spark.sources.layout import (
+        bucketed_join_is_shuffle_free,
+        save_bucketed_table,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for sf in ("0.001", "0.01"):
+        docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        store = TxStore(spark)
+        store.bulk_ingest(
+            docs.limit(500) if sf == "0.01" else docs,
+            id_expr="doc_id",
+            doc_cols=["doc_id", "lang", "n_chars"],
+            valid_from_col="n_chars",  # any monotone long works as vt here
+        )
+        vt, dt_ = f"b_versions_{sf.replace('.', '_')}", f"b_docs_{sf.replace('.', '_')}"
+        for t_ in (vt, dt_):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+            shutil.rmtree(f"{wh}/{t_}", ignore_errors=True)
+        save_bucketed_table(store.versions, vt, "eid", buckets=8)
+        save_bucketed_table(
+            docs.select(F.col("doc_id").cast("string").alias("eid"), "lang"),
+            dt_,
+            "eid",
+            buckets=8,
+        )
+        a, b = spark.table(vt), spark.table(dt_)
+        assert bucketed_join_is_shuffle_free(a, b, "eid")
+        joined = a.join(b, "eid")
+        assert joined.count() == store.versions.count()
