@@ -49,6 +49,53 @@ AGG_FNS = set(_SIMPLE) | {"rand", "sample"}
 # aggregates stay JVM-side (partial aggregation + codegen preserved).
 _CUSTOM: dict[str, Any] = {}
 
+# rand/sample seed: None -> fresh seed per compiled plan (true sampling,
+# like the reference's rand-nth/shuffle, query.clj:351-366 — different
+# answers across runs); an int -> reproducible draws (tests, debugging).
+# The PRNG is xxhash64(value_or_index, seed) so the draw is evaluated
+# JVM-side inside the aggregate — no Python, no nondeterministic-
+# expression restrictions inside higher-order functions.
+SAMPLE_SEED: int | None = None
+
+
+def set_sample_seed(seed: int | None) -> None:
+    global SAMPLE_SEED
+    SAMPLE_SEED = seed
+
+
+def _seed() -> int:
+    if SAMPLE_SEED is not None:
+        return SAMPLE_SEED
+    import random
+
+    return random.randrange(1 << 31)
+
+
+def _sample_distinct(c: str, n: int) -> Column:
+    """`sample N`: N distinct values, uniformly without replacement —
+    (take n (shuffle (vec (distinct vals)))), query.clj:362-366. Seeded
+    hash order over the distinct set = a shuffle evaluated in the JVM."""
+    s = _seed()
+    keyed = F.transform(
+        F.collect_set(c),
+        lambda x: F.struct(F.xxhash64(x, F.lit(s)).alias("k"), x.alias("v")),
+    )
+    return F.transform(F.slice(F.sort_array(keyed), 1, n), lambda kv: kv["v"])
+
+
+def _rand_n(c: str, n: int) -> Column:
+    """`rand N`: N draws WITH replacement — (repeatedly n #(rand-nth
+    vals)), query.clj:351-361. Each of the N slots hashes its index to a
+    position in the collected values array."""
+    s = _seed()
+    arr = F.collect_list(c)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.element_at(
+            arr, (F.pmod(F.xxhash64(i, F.lit(s)), F.size(arr)) + 1).cast("int")
+        ),
+    )
+
 
 def register_aggregate(name: str, fn) -> None:
     _CUSTOM[name] = fn
@@ -74,12 +121,9 @@ def agg_expr(el: list) -> tuple[Column, str, str]:
         if fn == "max":
             return F.slice(F.sort_array(F.collect_set(c), asc=False), 1, n), alias, v
         if fn == "sample":
-            # N distinct samples (query.clj:362-366); deterministic variant:
-            # first N of the sorted distinct set (seeded sampling would not
-            # hash-match an oracle).
-            return F.slice(F.sort_array(F.collect_set(c)), 1, n), alias, v
+            return _sample_distinct(c, n), alias, v
         if fn == "rand":
-            return F.slice(F.sort_array(F.collect_list(c)), 1, n), alias, v
+            return _rand_n(c, n), alias, v
     v = el[1]
     if not is_var(v):
         raise ValueError(f"aggregate over non-var: {el!r}")

@@ -32,4 +32,9 @@ def plan_facts(df: DataFrame) -> dict:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "shuffle_exchanges": plan.count("Exchange hashpartitioning"),
+        # checkpointed-subtree reads: a shared base relation (or-join /
+        # not-join branches, compile.py) materializes ONCE and re-reads as
+        # an in-memory RDD scan — at 100 TB that's a cached columnar read
+        # instead of a repeated parquet scan of the base join
+        "checkpoint_reads": plan.count("Scan ExistingRDD"),
     }

@@ -94,6 +94,80 @@ def sql_q(
     return store.spark.sql(bare)
 
 
+SQL_TABLE_ATTR = "crux.sql.table/name"
+
+# the reference's Calcite column-type keywords (calcite.clj table docs,
+# e.g. {:crux.sql.table/columns {?id :keyword ?name :varchar ?age :bigint}})
+# mapped to Spark DDL; plain Spark DDL strings pass through untouched
+_SQL_TYPES = {
+    ":varchar": "string",
+    ":keyword": "string",
+    ":bigint": "bigint",
+    ":int": "int",
+    ":double": "double",
+    ":decimal": "decimal(28,8)",
+    ":boolean": "boolean",
+    ":timestamp": "timestamp",
+}
+
+
+def register_sql_tables(
+    store: TxStore,
+    valid_time: dt.datetime | None = None,
+    tx: int | None = None,
+    schema=None,
+) -> list[str]:
+    """Register SQL tables from table-mapping documents stored IN the
+    database — the reference's Calcite flow (crux-sql/src/crux/
+    calcite.clj:459-466): any document carrying
+
+        {"crux.sql.table/name":    "person",
+         "crux.sql.table/query":   {datalog spec},
+         "crux.sql.table/columns": {"?id": ":varchar", "?age": ":bigint"}}
+
+    becomes a Spark temp view named by table/name, backed by compiling
+    the stored Datalog query against the same snapshot, with find-vars
+    cast per the columns map (SQL column = var without the '?').
+
+    Scale note: only the table-REGISTRY docs are collected to the driver
+    (a handful of rows, pre-filtered by a pushed contains() on doc_json);
+    the table data itself stays distributed — each view is a lazy
+    compiled plan over the snapshot, not a materialization. ``schema``
+    forwards to Catalog.from_store to skip the inference pass at scale.
+
+    Returns the registered view names.
+    """
+    import json
+
+    from crux_spark import q
+    from crux_spark.catalog import Catalog
+
+    snap = store.db(valid_time, tx)
+    regs = (
+        snap.filter(F.col("doc_json").contains(f'"{SQL_TABLE_ATTR}"'))
+        .select("doc_json")
+        .collect()
+    )
+    if not regs:
+        return []
+    cat = Catalog.from_store(store, valid_time, tx, schema=schema)
+    names: list[str] = []
+    for r in regs:
+        doc = json.loads(r.doc_json)
+        tname = doc[SQL_TABLE_ATTR]
+        spec = doc.get("crux.sql.table/query")
+        if spec is None:
+            raise ValueError(f"table doc {tname!r} lacks crux.sql.table/query")
+        df = q(cat, spec)
+        for var, typ in (doc.get("crux.sql.table/columns") or {}).items():
+            col = var.lstrip("?")
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(_SQL_TYPES.get(typ, typ)))
+        df.createOrReplaceTempView(tname)
+        names.append(tname)
+    return names
+
+
 def temporal_view(
     store: TxStore,
     name: str,

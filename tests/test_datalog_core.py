@@ -416,3 +416,43 @@ def test_eav_temporal_value_predicate(catalog):
     )
     assert direct > 0
     assert df.count() == direct
+
+
+def test_rand_sample_aggregates(catalog):
+    """True sampling aggregates (query.clj:351-366): `sample N` = N
+    distinct values without replacement, `rand N` = N draws with
+    replacement; seeded for reproducibility, different seeds give
+    different draws."""
+    from crux_spark.datalog import aggregates as agg
+
+    spec = {
+        "find": [["sample", 3, "?name", "s"], ["rand", 5, "?name", "r"]],
+        "where": [["?n", ":n_name", "?name"]],
+    }
+    all_names = {
+        r.n_name for r in catalog.table("nation").select("n_name").collect()
+    }
+    agg.set_sample_seed(42)
+    try:
+        a = q(catalog, spec).collect()[0]
+        b = q(catalog, spec).collect()[0]
+        # sample: 3 distinct members of the domain; deterministic per seed
+        assert len(a.s) == 3 and len(set(a.s)) == 3 and set(a.s) <= all_names
+        assert list(a.s) == list(b.s) and list(a.r) == list(b.r)
+        # rand: 5 draws with replacement from the domain
+        assert len(a.r) == 5 and set(a.r) <= all_names
+        agg.set_sample_seed(7)
+        c = q(catalog, spec).collect()[0]
+        assert list(c.s) != list(a.s) or list(c.r) != list(a.r)
+        # N >= domain size: sample returns the whole domain
+        agg.set_sample_seed(1)
+        full = q(
+            catalog,
+            {
+                "find": [["sample", 500, "?name", "s"]],
+                "where": [["?n", ":n_name", "?name"]],
+            },
+        ).collect()[0]
+        assert set(full.s) == all_names
+    finally:
+        agg.set_sample_seed(None)

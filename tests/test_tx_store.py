@@ -406,3 +406,54 @@ def test_store_tables_bucketed_layout_shuffle_free(spark, tmp_path):
         assert bucketed_join_is_shuffle_free(a, b, "eid")
         joined = a.join(b, "eid")
         assert joined.count() == store.versions.count()
+
+
+def test_sql_table_mapping_docs(spark):
+    """Table-mapping documents stored IN the db (calcite.clj:459-466):
+    a :crux.sql.table/... doc turns into a SQL view over the snapshot,
+    with columns cast per the stored columns map."""
+    from crux_spark.sql import register_sql_tables
+
+    store = TxStore(spark)
+    store.submit_tx(
+        [
+            ("put", {"id": "p1", "name": "Ivan", "age": 30}),
+            ("put", {"id": "p2", "name": "Petr", "age": 40}),
+            ("put", {"id": "p3", "name": "Anna"}),  # no :age -> excluded
+            (
+                "put",
+                {
+                    "id": "person-table",
+                    "crux.sql.table/name": "person",
+                    "crux.sql.table/query": {
+                        "find": ["?id", "?name", "?age"],
+                        "where": [
+                            ["?id", ":name", "?name"],
+                            ["?id", ":age", "?age"],
+                        ],
+                    },
+                    "crux.sql.table/columns": {
+                        "?id": ":varchar",
+                        "?name": ":varchar",
+                        "?age": ":bigint",
+                    },
+                },
+            ),
+        ]
+    )
+    store.commit()
+    assert register_sql_tables(store) == ["person"]
+    got = spark.sql(
+        "SELECT name, age FROM person WHERE age > 35"
+    ).collect()
+    assert [(r.name, r.age) for r in got] == [("Petr", 40)]
+    assert dict(spark.sql("SELECT * FROM person").dtypes)["age"] == "bigint"
+
+    # a later tx updates the data; re-registration sees the new snapshot
+    store.submit_tx([("put", {"id": "p1", "name": "Ivan", "age": 99})])
+    store.commit()
+    register_sql_tables(store)
+    ages = {
+        r.name: r.age for r in spark.sql("SELECT name, age FROM person").collect()
+    }
+    assert ages == {"Ivan": 99, "Petr": 40}
