@@ -505,10 +505,23 @@ class ExprBuilder:
         return F.array_append(self.build(a[0]), self.build(a[1]))
 
     def _fn_numberp(self, a):
-        return self.build(a[0]).cast("double").isNotNull()
+        """Type test, not parseability (clojure (number? "123") is false):
+        resolved from the Catalyst dtype at compile time like int?/double?.
+        The old cast-based check was also ANSI-fatal on non-numeric strings
+        (query_test.clj:492 [(number? name)] inside a not)."""
+        dt = self._dtype_of(a[0])
+        if not dt:
+            raise ValueError(
+                f"number? over untyped operand {a[0]!r} — bind it through "
+                f"a fixed attribute so the dtype is known"
+            )
+        hit = dt in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ) or dt.startswith("decimal")
+        return (F.lit(True) & self.build(a[0]).isNotNull()) if hit else F.lit(False)
 
     def _fn_stringp(self, a):
-        return self.build(a[0]).cast("string").isNotNull()
+        return self._static_type_pred(a, ("string",))
 
     def _fn_boolean(self, a):
         return self.build(a[0]).cast("boolean")

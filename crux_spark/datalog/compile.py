@@ -74,7 +74,19 @@ class Compiler:
         self.rules: dict[str, list[tuple[list, list]]] = {}
         for r in rules or []:
             head = r[0]
-            self.rules.setdefault(head[0], []).append((list(head[1:]), list(r[1:])))
+            # a rule head may declare bound (required) args in a leading
+            # bracket: [(child-of [p] c) ...] (query.clj rule-head spec,
+            # query_test.clj:3543 bound-rule-vars-946). Bound-ness is a
+            # seek-order hint in the reference; the set-oriented recast
+            # joins on whatever the call site binds, so the annotation
+            # flattens to plain args with identical semantics.
+            params: list = []
+            for a in head[1:]:
+                if isinstance(a, (list, tuple)):
+                    params.extend(a)
+                else:
+                    params.append(a)
+            self.rules.setdefault(head[0], []).append((params, list(r[1:])))
         self._fresh_n = 0
         self._rule_cache: dict[str, DataFrame] = {}
         # entity var -> table name, recorded by scan_group (used by pull)
@@ -465,7 +477,14 @@ class Compiler:
                 if not all(var_col(v) in df.columns for v in need):
                     continue
                 if binding is None:
-                    df = df.filter(eb.build(form))
+                    # clojure truthiness for non-boolean predicate returns
+                    # (query_test.clj:578-587 [(identity e)] keeps all rows):
+                    # only nil/false are falsey, any other value passes
+                    expr = eb.build(form)
+                    dtype = df.select(expr.alias("__p")).schema[0].dataType
+                    if dtype.simpleString() != "boolean":
+                        expr = expr.isNotNull()
+                    df = df.filter(expr)
                 elif is_var(binding):
                     if binding in self.env:
                         # binding to an :in-bound var unifies with its
@@ -1198,12 +1217,40 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
     order_by = query.get("order-by") or query.get("order_by")
     limit = query.get("limit")
     offset = query.get("offset")
-    keys = query.get("keys")
+    # :keys / :syms / :strs all rename result columns (query_test.clj
+    # test-returning-maps — keyword/symbol/string map keys collapse to
+    # column names here); arity must match :find
+    keys = query.get("keys") or query.get("syms") or query.get("strs")
+    if keys is not None and len(keys) != len(query["find"]):
+        raise ValueError(
+            f":keys/:syms/:strs arity ({len(keys)}) does not match "
+            f":find arity ({len(query['find'])})"
+        )
 
     # the reference's :in may lead with $ (the db value); the db is
     # implicit here (the catalog), so a leading $ consumes no argument
     if inspecs and inspecs[0] == "$":
         inspecs = inspecs[1:]
+
+    # legacy :args (query.clj normalize-query/:args, used across
+    # query_test.clj 697/882/885/906/946): a list of binding MAPS forming
+    # one relation; vars = union of keys, a missing key binds null. The
+    # recast appends it as a relation :in — the same distributed join, no
+    # driver-side per-tuple evaluation. Model note: a nil arg value joins
+    # like SQL null (matches nothing) because the wide-column mapping
+    # cannot distinguish stored-nil from absent.
+    args_maps = query.get("args")
+    if args_maps:
+        arg_vars: list[str] = []
+        for m in args_maps:
+            for k in m:
+                if k not in arg_vars:
+                    arg_vars.append(k)
+        if arg_vars:
+            inspecs = list(inspecs) + [[list(arg_vars)]]
+            args = list(args) + [
+                [tuple(m.get(v) for v in arg_vars) for m in args_maps]
+            ]
     if len(inspecs) != len(args):
         raise ValueError(f":in arity mismatch: {len(inspecs)} specs, {len(args)} args")
     env: dict[str, Any] = {}
@@ -1221,7 +1268,36 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
                 # the outer rows arrive distributed, never collected)
                 rels.append(val.toDF(*cols))
             else:
-                rels.append(spark.createDataFrame([tuple(r) for r in val], cols))
+                rows_ = [tuple(r) for r in val]
+                try:
+                    rels.append(spark.createDataFrame(rows_, cols))
+                except ValueError:
+                    # all-null column(s) defeat type inference (e.g. :args
+                    # maps binding a var to nil in every row) — type the
+                    # null columns as string; null joins match nothing
+                    # either way
+                    non_null = {
+                        i
+                        for r in rows_
+                        for i, v in enumerate(r)
+                        if v is not None
+                    }
+                    schema_parts = []
+                    for i, c in enumerate(cols):
+                        if i in non_null:
+                            sample = next(r[i] for r in rows_ if r[i] is not None)
+                            t = {
+                                bool: "boolean",
+                                int: "bigint",
+                                float: "double",
+                                str: "string",
+                            }.get(type(sample), "string")
+                        else:
+                            t = "string"
+                        schema_parts.append(f"`{c}` {t}")
+                    rels.append(
+                        spark.createDataFrame(rows_, ", ".join(schema_parts))
+                    )
         elif isinstance(spec, (list, tuple)):
             if len(set(spec)) != len(spec):
                 raise ValueError(f"In binding variables not distinct: {spec!r}")
