@@ -200,6 +200,8 @@ class Compiler:
                 ors.append((list(c[1]), list(c[2:])))
             elif _is_triple(c):
                 e = c[0]
+                if isinstance(e, set):  # set literal entity -> hashable
+                    e = frozenset(e)
                 v = c[2] if len(c) == 3 else "_"
                 triples[e].append((c[1], v))
             elif (
@@ -366,6 +368,13 @@ class Compiler:
                 select.append(F.col(ID_COL).alias(var_col(e)))
                 var_src[e] = ID_COL
                 self.entity_tables.setdefault(e, tname)
+            elif isinstance(e, (set, frozenset)):
+                # set literal in entity position = one-of match
+                # (query_test.clj:1180-1193); empty set matches nothing
+                vals = [str(x) for x in e]
+                filters.append(
+                    F.col(ID_COL).isin(vals) if vals else F.lit(False)
+                )
             elif not is_blank(e):
                 filters.append(F.col(ID_COL) == F.lit(self.env.get(e, e)))
             for ref, v in items:
@@ -388,6 +397,23 @@ class Compiler:
                 elif is_blank(v):
                     # existence-only pattern [?e :attr _]
                     filters.append(col.isNotNull())
+                elif isinstance(v, (set, frozenset)):
+                    # set literal in value position = one-of match
+                    # (query_test.clj:1153-1178); against a
+                    # cardinality-many attribute, ANY member matching ANY
+                    # element suffices (reference: each set member is a
+                    # triple alternative). Empty set matches nothing.
+                    vals = list(v)
+                    if not vals:
+                        filters.append(F.lit(False))
+                    elif ref.is_array:
+                        filters.append(
+                            F.arrays_overlap(
+                                col, F.array(*[F.lit(x) for x in vals])
+                            )
+                        )
+                    else:
+                        filters.append(col.isin(vals))
                 elif ref.is_array:
                     filters.append(F.array_contains(col, F.lit(v)))
                 else:

@@ -726,3 +726,284 @@ def test_legacy_args_relation(spark):
         },
     )
     assert res.count() == 0
+
+
+def test_query_with_arguments_battery(spark):
+    """query_test.clj:105-230 — the full legacy :args battery: entity
+    position, value position, both, multi-map, mixed with literals,
+    args-only predicate queries, range constraints on args."""
+    c = cat_of(
+        spark,
+        [("ivan", "Ivan", "Ivanov"), ("petr", "Petr", "Petrov")],
+        NAME_SCHEMA,
+    )
+
+    def qa(spec_args, find, where):
+        res = q(c, {"find": list(find), "where": where, "args": spec_args})
+        return {tuple(r) if len(find) > 1 else r[0] for r in res.collect()}
+
+    w_name = [["?e", ":name", "?name"]]
+    # single field
+    assert qa([{"?name": "Ivan"}], ["?e"], w_name) == {"ivan"}
+    assert qa([{"?name": "Petr"}], ["?e"], w_name) == {"petr"}
+    # entity position
+    assert qa([{"?e": "ivan"}, {"?e": "petr"}], ["?name"], w_name) == {
+        "Ivan",
+        "Petr",
+    }
+    w_both = [["?e", ":name", "?name"], ["?e", ":last_name", "?last_name"]]
+    assert qa(
+        [{"?e": "ivan"}, {"?e": "petr"}], ["?name", "?last_name"], w_both
+    ) == {("Ivan", "Ivanov"), ("Petr", "Petrov")}
+    # entity AND value position
+    assert qa([{"?e": "ivan", "?name": "Ivan"}], ["?name"], w_name) == {"Ivan"}
+    assert qa([{"?e": "ivan", "?name": "Petr"}], ["?name"], w_name) == set()
+    # several arguments
+    assert qa([{"?name": "Ivan"}, {"?name": "Petr"}], ["?e"], w_name) == {
+        "ivan",
+        "petr",
+    }
+    # mixed with literals
+    assert qa(
+        [{"?name": "Ivan"}, {"?name": "Petr"}],
+        ["?e"],
+        w_name + [["?e", ":last_name", "Ivanov"]],
+    ) == {"ivan"}
+    # non-existent argument
+    assert qa([{"?name": "Bob"}], ["?e"], w_name) == set()
+    # empty args -> unconstrained
+    assert qa([], ["?e"], w_name) == {"ivan", "petr"}
+    # tuple arguments
+    assert qa(
+        [
+            {"?name": "Ivan", "?last_name": "Ivanov"},
+            {"?name": "Petr", "?last_name": "Petrov"},
+        ],
+        ["?e"],
+        w_both,
+    ) == {"ivan", "petr"}
+    # predicates on args ALONE (no triple clauses)
+    two = [{"?name": "Ivan"}, {"?name": "Petr"}]
+    assert qa(two, ["?name"], [[["re-find", "I", "?name"]]]) == {"Ivan"}
+    assert qa(
+        [
+            {"?name": "Ivan", "?last_name": "Ivanov"},
+            {"?name": "Petr", "?last_name": "Petrov"},
+        ],
+        ["?name"],
+        [[["re-find", "I", "?name"]], [["=", "?last_name", "Ivanov"]]],
+    ) == {"Ivan"}
+    assert qa(two, ["?name"], [[["string?", "?name"]]]) == {"Ivan", "Petr"}
+    assert qa(
+        [
+            {"?name": "Ivan", "?last_name": "Ivanov"},
+            {"?name": "Petr", "?last_name": "Petrov"},
+        ],
+        ["?name", "?last_name"],
+        [[["not=", "?last_name", "?name"]]],
+    ) == {("Ivan", "Ivanov"), ("Petr", "Petrov")}
+    assert qa(two, ["?name"], [[["number?", "?name"]]]) == set()
+    assert qa(two, ["?name"], [["not", [["string?", "?name"]]]]) == set()
+    # range constraints on args
+    assert qa([{"?age": 20}], ["?age"], [[[">=", "?age", 21]]]) == set()
+    assert qa([{"?age": 22}], ["?age"], [[[">=", "?age", 21]]]) == {22}
+
+
+def test_multiple_values_literals(spark):
+    """query_test.clj:1153-1199: set literals in value and entity
+    position are one-of matches; the empty set matches nothing; against
+    a cardinality-many attribute any member may match any element."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("friends", T.ArrayType(T.StringType())),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [
+            ("ivan", "Ivan", 21, ["petr", "oleg"]),
+            ("petr", "Petr", 30, ["ivan"]),
+        ],
+        schema,
+    )
+    assert s(c, [["?e", ":name", set()]]) == set()
+    assert s(c, [["?e", ":name", {"Oleg"}]]) == set()
+    assert s(c, [["?e", ":name", {"Ivan", "Oleg"}]]) == {"ivan"}
+    assert s(c, [["?e", ":name", {"Ivan", "Petr"}]]) == {"ivan", "petr"}
+    assert s(c, [["?e", ":friends", {"petr", "oleg"}]]) == {"ivan"}
+    assert s(c, [["?e", ":friends", {"petr", "ivan"}]]) == {"ivan", "petr"}
+    # entity position
+    assert s(c, [[set(), ":name", "?n"]], find=("?n",)) == set()
+    assert s(c, [[{"oleg"}, ":name", "?n"]], find=("?n",)) == set()
+    assert s(c, [[{"ivan", "oleg"}, ":name", "?n"]], find=("?n",)) == {"Ivan"}
+    assert s(c, [[{"ivan", "petr"}, ":name", "?n"]], find=("?n",)) == {
+        "Ivan",
+        "Petr",
+    }
+
+
+def test_queries_with_variables_only(spark):
+    """query_test.clj:972-983: pure variable joins across entities."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("mentor", T.StringType()),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [("ivan", "Ivan", "petr"), ("petr", "Petr", "oleg"), ("oleg", "Oleg", "ivan")],
+        schema,
+    )
+    got = s(
+        c,
+        [
+            ["?e1", ":name", "?n1"],
+            ["?e2", ":mentor", "?e1"],
+            ["?e2", ":name", "?n2"],
+        ],
+        find=("?e1", "?n1", "?e2", "?n2"),
+    )
+    assert got == {
+        ("oleg", "Oleg", "petr", "Petr"),
+        ("ivan", "Ivan", "oleg", "Oleg"),
+        ("petr", "Petr", "ivan", "Ivan"),
+    }
+
+
+def test_can_use_idents_as_entities(spark):
+    """query_test.clj:878-935: entity-id values join as entities in both
+    clause orders; an all-literal triple acts as an existence guard."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("mentor", T.StringType()),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [("ivan", "Ivan", "Ivanov", None), ("petr", "Petr", "Petrov", "ivan")],
+        schema,
+    )
+    assert s(c, [["?i", ":name", "Ivan"], ["?p", ":mentor", "?i"]], find=("?p",)) == {
+        "petr"
+    }
+    assert s(c, [["?p", ":mentor", "?i"], ["?i", ":name", "Ivan"]], find=("?p",)) == {
+        "petr"
+    }
+    assert s(c, [["ivan", ":name", "?n"]], find=("?n",)) == {"Ivan"}
+    assert s(c, [["petr", ":mentor", "?i"], ["?i", ":name", "?n"]], find=("?n",)) == {
+        "Ivan"
+    }
+    assert s(
+        c,
+        [["?p", ":name", "Petr"], ["?p", ":mentor", "?i"], ["?i", ":name", "?n"]],
+        find=("?n",),
+    ) == {"Ivan"}
+    assert s(c, [["?p", ":mentor", "?i"], ["?i", ":name", "?n"]], find=("?n",)) == {
+        "Ivan"
+    }
+    assert s(c, [["?p", ":name", "Petr"], ["?p", ":mentor", "?i"]], find=("?i",)) == {
+        "ivan"
+    }
+    assert s(c, [["?i", ":name", "?n"], ["petr", ":mentor", "?i"]], find=("?n",)) == {
+        "Ivan"
+    }
+    # no matches through an absent attribute
+    assert s(c, [["ivan", ":mentor", "?x"], ["?x", ":name", "?n"]], find=("?n",)) == set()
+    assert s(c, [["?x", ":name", "?n"], ["ivan", ":mentor", "?x"]], find=("?n",)) == set()
+    # all-literal triple as an existence guard
+    assert s(
+        c,
+        [["ivan", ":name", "Ivan"], [["identity", True], "?found"]],
+        find=("?found",),
+    ) == {True}
+    assert (
+        n(
+            c,
+            [["ivan", ":name", "Bob"], [["identity", True], "?found"]],
+            find=("?found",),
+        )
+        == 0
+    )
+
+
+def test_circular_deps_1523(spark):
+    """query_test.clj:3863-3875: a pred-bound var used as the entity of a
+    later triple (failed with 'circular dependency' in the reference)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("foo", T.StringType()),
+            T.StructField("bar", T.StringType()),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [("ivan", "Ivan", "foo", None), ("foo", None, None, "bar")],
+        schema,
+    )
+    got = s(
+        c,
+        [
+            ["?a", ":name", "?a_name"],
+            ["?a", ":foo", "?foo_val"],
+            [["identity", "?foo_val"], "?foo"],
+            ["?foo", ":bar", "?bar"],
+        ],
+        find=("?a_name", "?bar"),
+    )
+    assert got == {("Ivan", "bar")}
+
+
+def test_range_constraint_set_semantics(spark):
+    """query_test.clj:3772-3862, the portable (set-semantic) half: eager
+    queries dedup; combined range constraints intersect; timestamp ranges
+    behave like numeric ones. (Index-iteration ORDER guarantees are a
+    sorted-KV implementation detail the Spark recast does not reproduce —
+    ordering requires :order-by, SURVEY §2.6.)"""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("t", T.TimestampType()),
+        ]
+    )
+    d = lambda day: dt.datetime(2021, 5, day)
+    c = cat_of(
+        spark,
+        [
+            ("a", -7, 30, d(17)),
+            ("b", 14, 25, d(19)),
+            ("c", 14, 14, d(19)),
+            ("d", 25, 14, d(21)),
+            ("e", 30, -7, d(22)),
+        ],
+        schema,
+    )
+    assert s(c, [["?e", ":i", "?i"], [[">", "?i", -10]]]) == {"a", "b", "c", "d", "e"}
+    # eager find over a duplicated value DEDUPS (set semantics)
+    assert s(c, [["?e", ":i", "?i"], [[">", "?i", -10]]], find=("?i",)) == {
+        -7,
+        14,
+        25,
+        30,
+    }
+    # range constraints combine
+    assert s(
+        c,
+        [["?e", ":i", "?i"], [[">", "?i", -6]], [[">", "?i", -10]], [["<", "?i", 24]]],
+    ) == {"b", "c"}
+    # timestamps range like numbers
+    assert s(c, [["?e", ":t", "?t"], [[">", "?t", d(8)]]]) == {"a", "b", "c", "d", "e"}
+    assert s(c, [["?e", ":t", "?t"], [[">", "?t", d(19)]]]) == {"d", "e"}
