@@ -369,6 +369,10 @@ class ExprBuilder:
         # (contains? #{...} x) — set-membership filter; map columns test
         # key presence (clojure contains? on maps)
         coll, x = a[0], a[1]
+        if is_var(coll) and coll in self.env:
+            # :in-bound collection value (bitemporal_tale_test.clj's
+            # parametrized query: {ids #{...}} + (contains? ids ?e))
+            coll = self.env[coll]
         if isinstance(coll, (set, frozenset)) or (
             isinstance(coll, (list, tuple)) and not self._is_expr_form(coll)
         ):

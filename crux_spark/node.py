@@ -66,7 +66,11 @@ class Db:
     def q(self, query: dict, *args: Any) -> DataFrame:
         """Datalog query against this snapshot (plan-cached per query text,
         the analogue of the reference's query-cache, query.clj:1996)."""
-        key = (id(self), repr(query), repr(args))
+        # keyed on the snapshot COORDINATES, not the Db object: id() can
+        # be reused after GC (two Dbs at different valid times sharing an
+        # address returned stale plans), and equal coordinates should
+        # share plans anyway. await_tx clears the cache on commit.
+        key = (self.valid_time, self.tx, repr(query), repr(args))
         cached = self.node._plan_cache.get(key)
         if cached is not None:
             self.node._plan_cache.move_to_end(key)
