@@ -441,6 +441,22 @@ class TxStore:
             "content_hash": r.content_hash,
         }
 
+    def tx_at(self, tx_time: dt.datetime) -> int:
+        """Highest tx id whose tx-time is <= the instant (the reference
+        resolves tx-time -> tx-id through the log; tx ids are totally
+        ordered here so max over the pruned tx_time filter serves)."""
+        row = (
+            # only asserted rows carry their own tx's tx_time; clipped
+            # remainders (asserted=False) inherit the ORIGINAL version's
+            # tx_time under the splicing tx's tx_from and would lie here
+            self.versions.filter(
+                F.col("asserted") & (F.col("tx_time") <= to_us(tx_time))
+            )
+            .agg(F.max("tx_from").alias("m"))
+            .first()
+        )
+        return int(row.m) if row.m is not None else 0
+
     def tx_committed(self, tx_id: int) -> bool:
         """Whether a submitted tx committed (api.clj tx-committed?):
         raises if the tx is unknown or still pending."""

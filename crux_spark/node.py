@@ -35,6 +35,28 @@ from crux_spark.datalog.pull import pull as _pull
 _PLAN_CACHE_SIZE = 256
 
 
+def _clean_completed(queries: list, max_age: float, max_count: int) -> list:
+    """node.clj:75-79: drop expired (by finished-at age), newest first,
+    cap at max_count."""
+    import time
+
+    now = time.time()
+    live = [q for q in queries if now - q["finished_at"] <= max_age]
+    live.sort(key=lambda q: q["finished_at"], reverse=True)
+    return live[:max_count]
+
+
+def _clean_slowest(queries: list, max_age: float, max_count: int) -> list:
+    """node.clj:81-86: drop expired, slowest (longest duration) first,
+    cap at max_count."""
+    import time
+
+    now = time.time()
+    live = [q for q in queries if now - q["finished_at"] <= max_age]
+    live.sort(key=lambda q: q["started_at"] - q["finished_at"])
+    return live[:max_count]
+
+
 class Db:
     """An immutable database value at (valid_time, tx) —
     the reference's `db` (query.clj:1806-1835)."""
@@ -108,6 +130,39 @@ class Db:
             self.node.store, name, self.valid_time, self.tx, self.node.schema
         )
 
+    def q_collect(self, query: dict, *args: Any) -> list:
+        """Eager collection with timeout-interrupt semantics AND query
+        monitoring (api.clj active-queries/recent-queries/slowest-queries;
+        node.clj:240-260 records submitted/completed/failed events). The
+        lazy `q` surface is untracked by design — a DataFrame has no
+        single completion event."""
+        import time
+        import uuid
+
+        from crux_spark.datalog.compile import q_eager
+
+        qid = uuid.uuid4().hex[:12]
+        state = {
+            "query_id": qid,
+            "query": query,
+            "started_at": time.time(),
+            "finished_at": None,
+            "status": "in-progress",
+            "error": None,
+        }
+        self.node._running_queries[qid] = state
+        try:
+            rows = q_eager(self.catalog(), query, *args)
+            state["status"] = "completed"
+            return rows
+        except Exception as e:
+            state["status"] = "failed"
+            state["error"] = repr(e)
+            raise
+        finally:
+            state["finished_at"] = time.time()
+            self.node._record_finished_query(state)
+
 
 class Node:
     """The running engine instance (the reference's node, minus the wiring
@@ -118,12 +173,69 @@ class Node:
         spark: SparkSession,
         schema: str | None = None,
         collection: str = "docs",
+        recent_queries_max_age: float = 300.0,
+        recent_queries_max_count: int = 20,
+        slow_queries_min_threshold: float = 0.1,
+        slow_queries_max_age: float = 300.0,
+        slow_queries_max_count: int = 20,
     ):
         self.spark = spark
         self.store = TxStore(spark)
         self.schema = schema
         self.collection = collection
         self._plan_cache: OrderedDict = OrderedDict()
+        # query monitoring (node.clj:71-86, :240-260; defaults mirror the
+        # reference's 5-minute / 20-entry queues and 100ms slow threshold)
+        self.recent_queries_max_age = recent_queries_max_age
+        self.recent_queries_max_count = recent_queries_max_count
+        self.slow_queries_min_threshold = slow_queries_min_threshold
+        self.slow_queries_max_age = slow_queries_max_age
+        self.slow_queries_max_count = slow_queries_max_count
+        self._running_queries: dict = {}
+        self._completed_queries: list = []
+        self._slowest_queries: list = []
+
+    # -- query monitoring (api.clj active/recent/slowest-queries) ---------
+
+    def _record_finished_query(self, state: dict) -> None:
+        self._running_queries.pop(state["query_id"], None)
+        self._completed_queries.append(state)
+        self._completed_queries = _clean_completed(
+            self._completed_queries,
+            self.recent_queries_max_age,
+            self.recent_queries_max_count,
+        )
+        took = state["finished_at"] - state["started_at"]
+        if took > self.slow_queries_min_threshold:
+            self._slowest_queries.append(state)
+            self._slowest_queries = _clean_slowest(
+                self._slowest_queries,
+                self.slow_queries_max_age,
+                self.slow_queries_max_count,
+            )
+
+    def active_queries(self) -> list[dict]:
+        return list(self._running_queries.values())
+
+    def recent_queries(self) -> list[dict]:
+        """Finished queries, newest first, bounded by max-age/max-count
+        (node.clj clean-completed-queries)."""
+        self._completed_queries = _clean_completed(
+            self._completed_queries,
+            self.recent_queries_max_age,
+            self.recent_queries_max_count,
+        )
+        return list(self._completed_queries)
+
+    def slowest_queries(self) -> list[dict]:
+        """Slowest finished queries first, bounded by max-age/max-count
+        (node.clj clean-slowest-queries)."""
+        self._slowest_queries = _clean_slowest(
+            self._slowest_queries,
+            self.slow_queries_max_age,
+            self.slow_queries_max_count,
+        )
+        return list(self._slowest_queries)
 
     def submit_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> int:
         return self.store.submit_tx(ops, tx_time)
@@ -138,7 +250,20 @@ class Node:
     def register_tx_fn(self, name: str, fn) -> None:
         self.store.register_tx_fn(name, fn)
 
-    def db(self, valid_time: dt.datetime | None = None, tx: int | None = None) -> Db:
+    def db(
+        self,
+        valid_time: dt.datetime | None = None,
+        tx: int | None = None,
+        tx_time: dt.datetime | None = None,
+    ) -> Db:
+        """Snapshot value (api.clj db arities): by (valid-time, tx-id) or
+        by (valid-time, tx-time) — a wall-clock tx_time resolves to the
+        highest tx id indexed at or before it, like open-tx-log's
+        time-based positioning."""
+        if tx_time is not None:
+            if tx is not None:
+                raise ValueError("pass tx or tx_time, not both")
+            tx = self.store.tx_at(tx_time)
         return Db(self, valid_time, tx)
 
     def with_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> Db:

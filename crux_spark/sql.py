@@ -78,16 +78,7 @@ def sql_q(
     bare, params = parse_temporal_prefix(sql)
     tx = params.get("tx_id")
     if tx is None and "tx_time" in params:
-        from crux_spark.bitemporal.splice import to_us
-
-        row = (
-            store.versions.filter(
-                F.col("tx_time") <= to_us(params["tx_time"])
-            )
-            .agg(F.max("tx_from").alias("m"))
-            .first()
-        )
-        tx = int(row.m) if row.m is not None else 0
+        tx = store.tx_at(params["tx_time"])
     temporal_view(
         store, name, valid_time=params.get("valid_time"), tx=tx, schema=schema
     )

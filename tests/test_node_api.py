@@ -192,3 +192,68 @@ def test_splice_matches_bruteforce_model(ops, at):
         assert got is not None and got.doc_json == splice.json.dumps(
             expected, sort_keys=True, default=str
         )
+
+
+def test_query_monitoring(spark):
+    """active/recent/slowest-queries (api.clj; node.clj:71-86 cleaning
+    semantics; current_queries_test.clj count/age expiration)."""
+    import time
+
+    from crux_spark.node import Node, _clean_completed, _clean_slowest
+
+    node = Node(spark, schema="name string, v long",
+                slow_queries_min_threshold=0.0)
+    node.submit_tx([("put", {"id": "m1", "name": "a", "v": 1})])
+    node.await_tx()
+    db = node.db()
+    rows = db.q_collect(
+        {"find": ["?n"], "where": [["?e", ":name", "?n"]]}
+    )
+    assert [r.n for r in rows] == ["a"]
+    assert node.active_queries() == []
+    rec = node.recent_queries()
+    assert len(rec) == 1 and rec[0]["status"] == "completed"
+    assert node.slowest_queries()  # threshold 0 -> everything is slow
+    # failed queries are recorded too
+    try:
+        db.q_collect({"find": ["?zzz"], "where": [["?e", ":name", "?n"]]})
+    except Exception:
+        pass
+    assert node.recent_queries()[0]["status"] == "failed"
+
+    # cleaning semantics mirror current_queries_test.clj: max-count takes
+    # the newest / slowest; max-age drops expired entries
+    now = time.time()
+    qs = [
+        {"query_id": i, "started_at": now - 10, "finished_at": now - off}
+        for i, off in ((1, 0.0), (2, 5.0), (3, 10.0))
+    ]
+    assert [q["query_id"] for q in _clean_completed(qs, 8.0, 1)] == [1]
+    assert [q["query_id"] for q in _clean_completed(qs, 8.0, 2)] == [1, 2]
+    assert [q["query_id"] for q in _clean_completed(qs, 4.0, 5)] == [1]
+    slow = [
+        {"query_id": i, "started_at": now - 10, "finished_at": now - off}
+        for i, off in ((3, 9.0), (2, 5.0), (1, 1.0))
+    ]
+    assert [q["query_id"] for q in _clean_slowest(slow, 8.0, 1)] == [1]
+    assert [q["query_id"] for q in _clean_slowest(slow, 8.0, 2)] == [1, 2]
+
+
+def test_db_by_tx_time(spark):
+    """api.clj db(valid-time, tx-time): wall-clock tx-time resolves to
+    the highest tx indexed at or before it."""
+    import datetime as dt
+
+    from crux_spark.node import Node
+
+    node = Node(spark, schema="v long")
+    node.submit_tx([("put", {"id": "x", "v": 1})], tx_time=dt.datetime(2020, 1, 1))
+    node.await_tx()
+    node.submit_tx([("put", {"id": "x", "v": 2})], tx_time=dt.datetime(2020, 6, 1))
+    node.await_tx()
+    assert node.db(tx_time=dt.datetime(2020, 3, 1)).entity("x")["v"] == 1
+    assert node.db(tx_time=dt.datetime(2021, 1, 1)).entity("x")["v"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        node.db(tx=1, tx_time=dt.datetime(2020, 1, 1))
