@@ -115,7 +115,31 @@ def _splice(
     deleted: bool,
 ) -> list[Version]:
     current = _current(history)
-    end = vt_end if vt_end is not None else _next_boundary(current, vf)
+    if vt_end is not None:
+        end = vt_end
+    else:
+        # unranged op: the reference overwrites the contiguous run of
+        # events that belong to the SAME original version as the one
+        # visible at vf (tx.clj:84-93 take-while on (tx-time, tx-id,
+        # content-hash)) — not merely up to the next boundary. Adjacent
+        # rectangles split from one assertion share (content_hash,
+        # deleted, tx_time), so the run extends across them
+        # (tx_test.clj:471-478 "26.1 should overwrite the full range").
+        vis = next(
+            (r for r in current if r.valid_from <= vf < r.valid_to), None
+        )
+        if vis is None:
+            end = _next_boundary(current, vf)
+        else:
+            end = vis.valid_to
+            key = (vis.content_hash, vis.deleted, vis.tx_time)
+            by_start = {r.valid_from: r for r in current}
+            while end != END_OF_TIME:
+                nxt = by_start.get(end)
+                if nxt and (nxt.content_hash, nxt.deleted, nxt.tx_time) == key:
+                    end = nxt.valid_to
+                else:
+                    break
     if end <= vf:
         return history
     out: list[Version] = []

@@ -154,25 +154,30 @@ def op_sequences(draw):
 
 
 def _model_visible(ops, at):
-    """Brute-force model: replay ops in order over integer time points;
-    the visible doc at `at` is decided by the LAST op whose effective
-    range covers `at` — where an unranged op covers [vf, next-boundary)
-    with boundaries taken from ALL ops already applied (matching the
-    reference's version-boundary semantics)."""
-    timeline: dict[int, Any] = {}  # time point -> doc or None(tombstone)
-    applied_starts: list[int] = []
-    for kind, doc, vf, vt in ops:
-        if vt is None:
-            later = [s for s in applied_starts if s > vf]
-            end = min(later) if later else 26
-        else:
-            end = vt
-        for p in range(vf, end):
-            timeline[p] = doc if kind == "put" else None
-        applied_starts.append(vf)
+    """Brute-force model over integer time points, tracking WHICH op
+    wrote each point: a ranged op covers [vf, vt); an unranged op
+    overwrites the contiguous run of points written by the same op as
+    the one visible at vf (tx.clj:84-93 take-while on (tx-time, tx-id,
+    content-hash) — tx_test.clj "26.1 should overwrite the full range"),
+    or runs to the next written point when vf falls in a gap."""
+    timeline: dict[int, tuple] = {}  # point -> (writer op idx, doc|None)
+    for idx, (kind, doc, vf, vt) in enumerate(ops):
+        val = doc if kind == "put" else None
         if vt is not None:
-            applied_starts.append(vt)
-    return timeline.get(at)
+            end = vt
+        else:
+            cur = timeline.get(vf)
+            if cur is None:
+                later = [p for p in timeline if p > vf]
+                end = min(later) if later else 26
+            else:
+                end = vf
+                while end < 26 and timeline.get(end, (None,))[0] == cur[0]:
+                    end += 1
+        for p in range(vf, end):
+            timeline[p] = (idx, val)
+    entry = timeline.get(at)
+    return entry[1] if entry else None
 
 
 @settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])

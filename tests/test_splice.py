@@ -122,3 +122,103 @@ def test_unranged_put_extends_to_end_of_time():
     cur = entity_history(h)
     assert cur[0].valid_to == END_OF_TIME
     assert cur[0].tx_to == END_OF_TX
+
+
+def test_put_delete_range_semantics_table():
+    """The reference's canonical 9-scenario range-semantics table
+    (tx_test.clj:389-495 test-put-delete-range-semantics), checked on
+    the (valid-time, value) timeline. The reference's index stores
+    point events; this model stores rectangles — `events()` converts:
+    one event per current rectangle start, plus a nil event wherever
+    the timeline goes dark (range end with nothing following).
+    Tx-id attribution of re-instated segments differs by design
+    (remainders carry the splicing tx) and is not compared."""
+
+    def events(h):
+        cur = sorted(
+            (r for r in h if r.tx_to == END_OF_TX),
+            key=lambda r: r.valid_from,
+        )
+        out = []
+        for i, r in enumerate(cur):
+            val = None
+            if r.doc_json and not r.deleted:
+                import json
+
+                val = json.loads(r.doc_json)["value"]
+            out.append((dt.datetime.fromtimestamp(r.valid_from / 1e6), val))
+            nxt = cur[i + 1] if i + 1 < len(cur) else None
+            if r.valid_to != END_OF_TIME and (
+                nxt is None or nxt.valid_from > r.valid_to
+            ):
+                out.append((dt.datetime.fromtimestamp(r.valid_to / 1e6), None))
+        # collapse adjacent same-value events (rectangle splits at old
+        # interior boundaries are one logical value run in the event view
+        # ... except the reference KEEPS those interior events, so only
+        # collapse exact duplicates)
+        return out
+
+    def day(n):
+        return dt.datetime(2019, 11, n)
+
+    scenarios = [
+        # (ops [(value, vt, end_vt?)...], expected [(vt, value)...])
+        ([(26, 26, 29)], [(26, 26), (29, None)]),
+        # re-instates the previous value at the end of the range
+        ([(25, 25, None), (26, 26, 29)], [(25, 25), (26, 26), (29, 25)]),
+        # delete a range
+        ([(25, 25, None), (None, 26, 29)], [(25, 25), (26, None), (29, 25)]),
+        # override a range
+        (
+            [(25, 25, 27), (None, 25, 27), (26, 26, 29)],
+            [(25, None), (26, 26), (27, 26), (29, None)],
+        ),
+        # merge a range
+        (
+            [(25, 25, 27), (26, 26, 29)],
+            [(25, 25), (26, 26), (27, 26), (29, None)],
+        ),
+        # shouldn't override the value at end-vt if there's one there
+        (
+            [(25, 25, None), (29, 29, None), (26, 26, 29)],
+            [(25, 25), (26, 26), (29, 29)],
+        ),
+        # should re-instate 28 at the end of the range
+        (
+            [(25, 25, None), (28, 28, None), (26, 26, 29)],
+            [(25, 25), (26, 26), (28, 26), (29, 28)],
+        ),
+        # 26.1 should overwrite the full range
+        (
+            [(28, 28, None), (26, 26, 29), (26.1, 26, None)],
+            [(26, 26.1), (28, 26.1), (29, 28)],
+        ),
+        # 27 should override the latter half of the range
+        (
+            [(25, 25, None), (26, 26, 29), (27, 27, None)],
+            [(25, 25), (26, 26), (27, 27), (29, 25)],
+        ),
+        # 27 should still override the latter half of the range
+        (
+            [(25, 25, None), (28, 28, None), (26, 26, 29), (27, 27, None)],
+            [(25, 25), (26, 26), (27, 27), (28, 27), (29, 28)],
+        ),
+    ]
+    for ops, want in scenarios:
+        h = []
+        for tx_id, (value, vt, end) in enumerate(ops):
+            endt = day(end) if end else None
+            if value is None:
+                h = delete(h, tx_id, day(vt), valid_from=day(vt), valid_to=endt)
+            else:
+                h = put(
+                    h,
+                    {"id": "ivan", "value": value},
+                    tx_id,
+                    day(vt),
+                    valid_from=day(vt),
+                    valid_to=endt,
+                )
+        got = [(e[0], e[1]) for e in events(h)]
+        want_t = [(day(v), val) for v, val in want]
+        assert got == want_t, f"ops={ops}\n got={got}\nwant={want_t}"
