@@ -192,6 +192,7 @@ class TxStore:
         self.versions = versions or spark.createDataFrame([], VERSIONS_SCHEMA)
         self._tx_id = 0
         self._pending: list[dict] = []
+        self._pending_aborted: set[int] = set()  # fn-returned-false txs
         self._tx_fns: dict[str, Callable] = {}
         self.aborted_txs: set[int] = set()
         # write-ahead log: submitted txs are appended (already fn-expanded,
@@ -222,10 +223,23 @@ class TxStore:
         tx_us = to_us(tx_time) if tx_time else to_us(dt.datetime.now(dt.timezone.utc))
         seq = 0
         expanded: list[tuple] = []
+        aborted_by_fn = False
         for op in ops:
             if op[0] == "fn":
                 fn = self._tx_fns[op[1]]
-                expanded.extend(fn(self, *op[2:]))
+                # the fn sees earlier ops of THIS tx applied
+                # (tx_test.clj:713 tx-fn-sees-in-tx-query-results):
+                # speculative fork carrying the expansion so far
+                ctx = self.with_tx(expanded, tx_time) if expanded else self
+                res = fn(ctx, *op[2:])
+                if res is None:
+                    # nil return = no-op, tx continues (tx_test.clj:760)
+                    continue
+                if res is False:
+                    # false return aborts the WHOLE tx (tx_test.clj:760)
+                    aborted_by_fn = True
+                    break
+                expanded.extend(res)
             elif op[0] == "cas":
                 # legacy compare-and-swap (tx.clj:113-130) = match + put
                 _, eid, old_doc, new_doc = op[0], op[1], op[2], op[3]
@@ -234,6 +248,10 @@ class TxStore:
                 expanded.append(("put", new_doc) if at is None else ("put", new_doc, at))
             else:
                 expanded.append(op)
+        if aborted_by_fn:
+            self.aborted_txs.add(tx_id)
+            self._pending_aborted.add(tx_id)
+            return tx_id
         for op in expanded:
             kind = op[0]
             row = {
@@ -289,9 +307,11 @@ class TxStore:
         return tx_id
 
     def commit(self) -> set[int]:
-        """Apply all pending txs; returns the set of aborted tx_ids."""
+        """Apply all pending txs; returns the set of aborted tx_ids
+        (match failures and fn-returned-false aborts alike)."""
+        fn_aborted, self._pending_aborted = self._pending_aborted, set()
         if not self._pending:
-            return set()
+            return fn_aborted
         ops_df = self.spark.createDataFrame(
             [tuple(r.get(f.name) for f in OPS_SCHEMA.fields) for r in self._pending],
             OPS_SCHEMA,
@@ -299,7 +319,7 @@ class TxStore:
         has_match = any(r["op"] == "match" for r in self._pending)
         aborted = self.apply_ops_df(ops_df, has_match=has_match)
         self._pending = []
-        return aborted
+        return aborted | fn_aborted
 
     def apply_ops_df(self, ops_df: DataFrame, has_match: bool | None = None) -> set[int]:
         """Apply a whole ops DataFrame (OPS_SCHEMA) through the cogrouped

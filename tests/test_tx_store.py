@@ -457,3 +457,49 @@ def test_sql_table_mapping_docs(spark):
         r.name: r.age for r in spark.sql("SELECT name, age FROM person").collect()
     }
     assert ages == {"Ivan": 99, "Petr": 40}
+
+
+def test_tx_fn_sees_in_tx_results(spark):
+    """tx_test.clj:713 tx-fn-sees-in-tx-query-results: a tx fn observes
+    the effects of EARLIER ops in the same transaction."""
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "foo", "foo": 1})])
+    store.commit()
+
+    def doubling(ctx):
+        bar = ctx.entity("bar")
+        foo = ctx.entity("foo")
+        return [
+            ("put", {"id": "prn-out", "e_ref": bar["ref"], "foo_seen": foo["foo"]}),
+            ("put", {**foo, "foo": foo["foo"] * 2}),
+        ]
+
+    store.register_tx_fn("doubling", doubling)
+    store.submit_tx(
+        [
+            ("put", {"id": "foo", "foo": 2}),
+            ("put", {"id": "bar", "ref": "foo"}),
+            ("fn", "doubling"),
+        ]
+    )
+    assert store.commit() == set()
+    assert store.entity("foo")["foo"] == 4
+    out = store.entity("prn-out")
+    assert out["e_ref"] == "foo" and out["foo_seen"] == 2
+
+
+def test_tx_fn_return_values_457(spark):
+    """tx_test.clj:760 transaction-fn-return-values-457: nil return is a
+    no-op (tx continues), false return aborts the whole tx."""
+    store = TxStore(spark)
+    store.register_tx_fn("nil-fn", lambda ctx: None)
+    store.register_tx_fn("false-fn", lambda ctx: False)
+
+    store.submit_tx([("fn", "nil-fn"), ("put", {"id": "foo", "ok": True})])
+    assert store.commit() == set()
+    assert store.entity("foo")["ok"] is True
+
+    tx = store.submit_tx([("fn", "false-fn"), ("put", {"id": "bar", "ok": True})])
+    assert store.commit() == {tx}
+    assert store.entity("bar") is None
+    assert store.tx_committed(tx) is False
