@@ -503,3 +503,108 @@ def test_tx_fn_return_values_457(spark):
     assert store.commit() == {tx}
     assert store.entity("bar") is None
     assert store.tx_committed(tx) is False
+
+
+def test_overlapping_valid_time_ranges_434(spark):
+    """tx_test.clj:925-968 overlapping-valid-time-ranges-434: ranged and
+    unranged puts across several entities in one tx; history shows the
+    exact per-valid-time timeline incl. reverts at range ends."""
+    store = TxStore(spark)
+    d = lambda day: dt.datetime(2020, 1, day)
+    store.submit_tx(
+        [
+            ("put", {"id": "foo", "v": 10}, d(10)),
+            ("put", {"id": "bar", "v": 5}, d(5)),
+            ("put", {"id": "bar", "v": 10}, d(10)),
+            ("put", {"id": "baz", "v": 10}, d(10)),
+        ]
+    )
+    store.commit()
+    store.submit_tx(
+        [
+            ("put", {"id": "bar", "v": 7}, d(7)),
+            ("put", {"id": "foo", "v": 8}, d(8), d(12)),   # reverts to 10 after
+            ("put", {"id": "foo", "v": 9}, d(9), d(11)),   # reverts to 8, then 10
+            ("put", {"id": "bar", "v": 8}, d(8), d(9)),    # reverts to 7 after
+            ("put", {"id": "bar", "v": 11}, d(11), d(12)), # reverts to 10 after
+        ]
+    )
+    store.commit()
+
+    def timeline(eid):
+        return [
+            (h["valid_from"], None if h["doc"] is None else h["doc"]["v"])
+            for h in store.entity_history(eid)
+        ]
+
+    assert timeline("foo") == [
+        (d(8), 8), (d(9), 9), (d(10), 9), (d(11), 8), (d(12), 10),
+    ]
+    assert timeline("bar") == [
+        (d(5), 5), (d(7), 7), (d(8), 8), (d(9), 7), (d(10), 10),
+        (d(11), 11), (d(12), 10),
+    ]
+    assert timeline("baz") == [(d(10), 10)]
+
+
+def test_put_evict_in_same_transaction_1337(spark):
+    """tx_test.clj:1235-1286: evict composes with puts inside one tx in
+    op order; an evicted entity leaves no history or index entries."""
+    store = TxStore(spark)
+    # put then evict
+    store.submit_tx([("put", {"id": "t1/a", "t1": True})])
+    store.submit_tx(
+        [("put", {"id": "t1/b", "t1": True, "evicted": True}), ("evict", "t1/b")]
+    )
+    store.commit()
+    assert store.entity("t1/a")["t1"] is True
+    assert store.entity("t1/b") is None
+    assert store.entity_history("t1/b") == []
+    # put then evict an EARLIER entity
+    store.submit_tx([("put", {"id": "t2/a", "t2": True, "evicted": True})])
+    store.commit()
+    store.submit_tx([("put", {"id": "t2/b", "t2": True}), ("evict", "t2/a")])
+    store.commit()
+    assert store.entity("t2/a") is None
+    assert store.entity("t2/b")["t2"] is True
+    assert store.entity_history("t2/a") == []
+    # evict then put (different entities)
+    store.submit_tx([("put", {"id": "t3/a", "t3": True})])
+    store.commit()
+    store.submit_tx([("evict", "t3/a"), ("put", {"id": "t3/b", "t3": True})])
+    store.commit()
+    assert store.entity("t3/a") is None
+    assert store.entity("t3/b")["t3"] is True
+    # evict then RE-PUT of the same entity in one tx — works here (the
+    # reference's #1337 known issue does not reproduce in this model)
+    store.submit_tx([("put", {"id": "t4", "t4": True})])
+    store.commit()
+    store.submit_tx([("evict", "t4"), ("put", {"id": "t4", "t4": True})])
+    store.commit()
+    assert store.entity("t4")["t4"] is True
+
+
+def test_empty_tx_can_be_awaited_1519(spark):
+    """tx_test.clj:1327: an empty tx consumes an id and counts as
+    committed."""
+    store = TxStore(spark)
+    tx = store.submit_tx([])
+    assert store.commit() == set()
+    assert store.latest_submitted_tx() == tx
+
+
+def test_evict_documents_with_common_attributes(spark):
+    """tx_test.clj:1036: evicting one entity leaves shared attribute
+    values of others queryable."""
+    from crux_spark.datalog import q
+
+    store = TxStore(spark)
+    store.submit_tx(
+        [("put", {"id": "foo", "count": 1}), ("put", {"id": "bar", "count": 1})]
+    )
+    store.commit()
+    store.submit_tx([("evict", "foo")])
+    store.commit()
+    cat = store.catalog(schema="count long")
+    res = q(cat, {"find": ["?e"], "where": [["?e", ":count", 1]]})
+    assert {r.e for r in res.collect()} == {"bar"}
