@@ -608,3 +608,30 @@ def test_evict_documents_with_common_attributes(spark):
     cat = store.catalog(schema="count long")
     res = q(cat, {"find": ["?e"], "where": [["?e", ":count", 1]]})
     assert {r.e for r in res.collect()} == {"bar"}
+
+
+def test_tx_log_skips_failed_transactions(spark):
+    """api_test.clj:215-260: aborted txs never appear in the tx log;
+    after_tx_id excludes itself."""
+    store = TxStore(spark)
+    tx1 = store.submit_tx([("put", {"id": "ivan", "name": "Ivan"})])
+    store.commit()
+    tx2 = store.submit_tx(
+        [
+            ("match", "ivan", {"id": "ivan", "name": "Ivan2"}),
+            ("put", {"id": "ivan", "name": "Ivan3"}),
+        ]
+    )
+    assert store.commit() == {tx2}
+    assert store.tx_committed(tx2) is False
+    assert [r.tx_id for r in store.tx_log().collect()] == [tx1]
+    tx3 = store.submit_tx(
+        [
+            ("match", "ivan", {"id": "ivan", "name": "Ivan"}),
+            ("put", {"id": "ivan", "name": "Ivan3"}),
+        ]
+    )
+    assert store.commit() == set()
+    assert [r.tx_id for r in store.tx_log().collect()] == [tx1, tx3]
+    # after_tx_id excludes itself
+    assert [r.tx_id for r in store.tx_log(after_tx_id=tx1).collect()] == [tx3]
