@@ -92,9 +92,11 @@ SQL_TABLE_ATTR = "crux.sql.table/name"
 # mapped to Spark DDL; plain Spark DDL strings pass through untouched
 _SQL_TYPES = {
     ":varchar": "string",
-    ":keyword": "string",
+    ":keyword": "string",  # OTHER in Calcite (calcite.clj:426-439)
+    ":uuid": "string",     # OTHER in Calcite
     ":bigint": "bigint",
     ":int": "int",
+    ":float": "float",
     ":double": "double",
     ":decimal": "decimal(28,8)",
     ":boolean": "boolean",

@@ -635,3 +635,37 @@ def test_tx_log_skips_failed_transactions(spark):
     assert [r.tx_id for r in store.tx_log().collect()] == [tx1, tx3]
     # after_tx_id excludes itself
     assert [r.tx_id for r in store.tx_log(after_tx_id=tx1).collect()] == [tx3]
+
+
+def test_resurrecting_doc_1127(spark):
+    """query_test.clj:3625: delete makes a previously-matching doc
+    disappear from query results."""
+    from crux_spark.datalog import q
+
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "my-id", "name": "hello", "age": 17})])
+    store.commit()
+    cat = store.catalog(schema="name string, age long")
+    spec = {
+        "find": ["?n"],
+        "where": [["?n", ":name", "hello"], ["?n", ":age", 17]],
+    }
+    assert {r.n for r in q(cat, spec).collect()} == {"my-id"}
+    store.submit_tx([("delete", "my-id")])
+    store.commit()
+    cat2 = store.catalog(schema="name string, age long")
+    assert q(cat2, spec).count() == 0
+
+
+def test_map_ordering_362(spark):
+    """tx_test.clj:782: cas/match is independent of the key order of the
+    expected document (content hashing sorts keys)."""
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "foo", "foo": "bar"})])
+    store.commit()
+    # expected doc given in a DIFFERENT key order than stored
+    store.submit_tx(
+        [("cas", "foo", {"foo": "bar", "id": "foo"}, {"id": "foo", "foo": "baz"})]
+    )
+    assert store.commit() == set()
+    assert store.entity("foo")["foo"] == "baz"
