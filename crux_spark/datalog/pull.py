@@ -258,6 +258,7 @@ def pull(
 
     plain: list[tuple[str, dict]] = []
     nested: list[tuple[str, Any, dict]] = []  # (attr, sub-spec, params)
+    unions: list[tuple[str, dict]] = []  # (dispatch attr, {value: [attrs]})
     wildcard = False
     for el in spec:
         if el == "*":
@@ -267,6 +268,11 @@ def pull(
                 if isinstance(v, dict) and "spec" in v:
                     params = {p: x for p, x in v.items() if p != "spec"}
                     nested.append((k, v["spec"], params))
+                elif isinstance(v, dict):
+                    # EQL union (pull_test.clj:170-186 test-union): the
+                    # VALUE of attr k picks which branch's attrs project;
+                    # non-matching branches' fields stay null
+                    unions.append((k, v))
                 else:
                     nested.append((k, v, {}))
         else:
@@ -298,6 +304,25 @@ def pull(
             _apply_plain_params(F.col(ref.column), ref, params).alias(f"__p_{name}")
         )
         struct_fields.append(F.col(f"__p_{name}").alias(name))
+    for key_attr, branches in unions:
+        key_col = F.col(catalog.resolve_attr(key_attr).column)
+        # same attr may appear in several branches: OR the branch guards
+        guarded: dict[str, Column] = {}
+        for val, battrs in branches.items():
+            for a in battrs:
+                if not isinstance(a, str) or a == "*":
+                    raise NotImplementedError(
+                        "union branches support plain attributes only"
+                    )
+                ref = catalog.resolve_attr(a)
+                case = F.when(key_col == F.lit(val), F.col(ref.column))
+                name = _field_name(a, {})
+                guarded[name] = (
+                    F.coalesce(guarded[name], case) if name in guarded else case
+                )
+        for name, col in guarded.items():
+            base_cols.append(col.alias(f"__p_{name}"))
+            struct_fields.append(F.col(f"__p_{name}").alias(name))
     base = catalog.table(table).select(*base_cols)
 
     for attr, sub, params in nested:

@@ -123,6 +123,26 @@ class Db:
             return None
         return rows[0].pull.asDict(recursive=True)
 
+    def pull_many(
+        self, eids: list, spec: list, joins: dict | None = None
+    ) -> list[dict | None]:
+        """Batch pull (api.clj pull-many, pull_test.clj:117-133): ONE
+        distributed pull over all requested ids — never a per-id loop —
+        returned in the order given (None for unknown ids)."""
+        ordered = [str(e) for e in eids]
+        cat = self.catalog()
+        base = self.node.spark.createDataFrame(
+            [(e,) for e in dict.fromkeys(ordered)], ["e"]
+        )
+        rows = _pull(
+            cat, base, "e", self.node.collection, spec, joins=joins
+        ).collect()
+        by_id = {
+            r.e: (None if r.pull is None else r.pull.asDict(recursive=True))
+            for r in rows
+        }
+        return [by_id.get(e) for e in ordered]
+
     def sql_view(self, name: str) -> DataFrame:
         from crux_spark.sql import temporal_view
 

@@ -193,3 +193,62 @@ def test_recursion_from_multiple_roots(pcat, spark):
     assert by_id["kerri"]["friend"] is None
     assert by_id["eunan"]["friend"][0]["name"] == "Kerri"
     assert by_id["lucy"]["friend"][0]["name"] == "Elizabeth"
+
+
+def test_pull_union_spec(spark):
+    """pull_test.clj:170-186 test-union: the value of the dispatch attr
+    picks which branch's attributes project (others stay null)."""
+    from crux_spark import Catalog
+    from pyspark.sql import types as T
+
+    from crux_spark.datalog.pull import pull
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.StringType()),
+            T.StructField("z", T.LongType()),
+        ]
+    )
+    c = Catalog(spark)
+    c.add_documents(
+        "things",
+        spark.createDataFrame(
+            [("foo", "a", 2, "this", 99), ("bar", "b", None, "not this", 5)],
+            schema,
+        ),
+        id_col="id",
+    )
+    base = spark.createDataFrame([("foo",), ("bar",)], ["e"])
+    rows = {
+        r.e: r.pull.asDict()
+        for r in pull(
+            c, base, "e", "things", [":id", {":type": {"a": [":x", ":y"], "b": [":z"]}}]
+        ).collect()
+    }
+    assert rows["foo"] == {"id": "foo", "x": 2, "y": "this", "z": None}
+    assert rows["bar"] == {"id": "bar", "x": None, "y": None, "z": 5}
+
+
+def test_pull_many_and_unknown_eid(spark):
+    """pull_test.clj:117-133 pullMany + :242 doesnt-hang-on-unknown-eid:
+    batch pull preserves request order, unknown ids give None."""
+    from crux_spark.node import Node
+
+    node = Node(spark, schema="name string, year string")
+    node.submit_tx(
+        [
+            ("put", {"id": "skyfall", "name": "Skyfall", "year": "2012"}),
+            ("put", {"id": "spectre", "name": "Spectre", "year": "2015"}),
+        ]
+    )
+    node.await_tx()
+    got = node.db().pull_many(
+        ["spectre", "nope", "skyfall"], [":name", ":year"]
+    )
+    assert got[0] == {"name": "Spectre", "year": "2015"}
+    assert got[1] is None
+    assert got[2] == {"name": "Skyfall", "year": "2012"}
+    assert node.db().pull("unknown-eid", [":name"]) is None
