@@ -38,7 +38,12 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     ).filter(F.col("raw_e") != "")
     v_iri = F.regexp_extract("raw_v", r"^<([^>]+)>$", 1)
     v_bnode = F.regexp_extract("raw_v", r"^(_:\S+)$", 1)
-    v_str = F.regexp_extract("raw_v", r'^"((?:[^"\\]|\\.)*)"', 1)
+    # unrolled-loop literal pattern: the naive per-char alternation
+    # ((?:[^"\]|\\.)*) recurses once per character in java.util.regex and
+    # StackOverflows on multi-KB literals (dbpedia abstracts); the
+    # unrolled form matches runs of plain chars with single escapes
+    # between them in constant stack
+    v_str = F.regexp_extract("raw_v", r'^"([^"\\]*(?:\\.[^"\\]*)*)"', 1)
     is_num = F.col("raw_v").rlike(r'^"-?[0-9.]+"\^\^.*(integer|int|long|double|decimal|float)')
     is_int = F.col("raw_v").rlike(r'^"-?[0-9]+"\^\^.*(integer|int|long)')
     return parsed.select(
@@ -88,6 +93,23 @@ def pivot_triples(triples: DataFrame, attrs: list[str] | None = None) -> DataFra
                 cast_to[r.a] = "long"
             elif ts <= {"long", "double"} and "double" in ts:
                 cast_to[r.a] = "double"
+    # short column names = the IRI's last segment; when two predicates
+    # share a suffix (rdf-syntax-ns#type vs schema.org type on real
+    # dbpedia data), disambiguate with the previous path segment
+    from collections import Counter
+
+    def segs(a: str) -> list[str]:
+        return a.replace("#", "/").rstrip("/").split("/")
+
+    suffix_counts = Counter(segs(a)[-1] for a in attrs)
+    names = {
+        a: (
+            segs(a)[-1]
+            if suffix_counts[segs(a)[-1]] == 1
+            else "_".join(segs(a)[-2:])
+        )
+        for a in attrs
+    }
     cols = [F.col("e").alias("_id")]
     for a in attrs:
         c = F.col(f"`{a}`")
@@ -99,7 +121,7 @@ def pivot_triples(triples: DataFrame, attrs: list[str] | None = None) -> DataFra
                 c = c.cast(t)
         elif t:
             c = F.transform(c, lambda x: x.cast(t))
-        cols.append(c.alias(a.split("/")[-1].split("#")[-1]))
+        cols.append(c.alias(names[a]))
     return agg.select(*cols)
 
 

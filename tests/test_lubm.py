@@ -315,3 +315,46 @@ def test_lubm_q14_undergrads(lubm):
         {"find": ["?x"], "where": [["?x", ":type", UB + "UndergraduateStudent"]]},
     )
     assert res.count() == 532
+
+
+def test_dbpedia_picasso(spark):
+    """dbpedia_test.clj test-can-transact-and-query-dbpedia-entities:
+    real dbpedia N-Triples (multi-KB language-tagged literals, typed
+    literals, IRI objects) through the loader -> pivot -> Datalog.
+    This data found two loader bugs: the per-char-alternation literal
+    regex StackOverflowed java.util.regex, and suffix-named pivot
+    columns collided (rdf-syntax-ns#type vs schema.org type)."""
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+    from crux_spark.sources.loaders import pivot_triples, read_ntriples
+
+    base = "/root/reference/crux-test/test/crux"
+    tri = read_ntriples(spark, f"{base}/Pablo_Picasso.ntriples").unionByName(
+        read_ntriples(spark, f"{base}/Guernica_(Picasso).ntriples")
+    )
+    docs = pivot_triples(tri)
+    c = Catalog(spark)
+    c.add_documents("dbpedia", docs, id_col="_id")
+
+    got = q(
+        c,
+        {
+            "find": ["?e"],
+            "where": [["?e", ":givenName", "Pablo"]],
+        },
+    ).collect()
+    assert {r.e for r in got} == {"http://dbpedia.org/resource/Pablo_Picasso"}
+
+    got = q(
+        c,
+        {
+            "find": ["?g"],
+            "where": [
+                ["?p", ":givenName", "Pablo"],
+                ["?g", ":author", "?p"],
+            ],
+        },
+    ).collect()
+    assert {r.g for r in got} == {
+        "http://dbpedia.org/resource/Guernica_(Picasso)"
+    }
