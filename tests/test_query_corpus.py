@@ -1007,3 +1007,150 @@ def test_range_constraint_set_semantics(spark):
     # timestamps range like numbers
     assert s(c, [["?e", ":t", "?t"], [[">", "?t", d(8)]]]) == {"a", "b", "c", "d", "e"}
     assert s(c, [["?e", ":t", "?t"], [[">", "?t", d(19)]]]) == {"d", "e"}
+
+
+def test_basic_query_battery(spark):
+    """query_test.clj:19-65 test-basic-query + :301 multiple-results +
+    :307 keywords + :362 join-over-two-attributes + :371 blanks."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("sex", T.StringType()),
+            T.StructField("follows", T.ArrayType(T.StringType())),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [
+            ("ivan", "Ivan", "Ivanov", "male", None),
+            ("petr", "Petr", "Petrov", "male", ["Ivanov"]),
+            ("smith", "Smith", "Smith", None, None),
+            ("doris", "Doris", None, "female", None),
+        ],
+        schema,
+    )
+    assert s(c, [["?e", ":name", "Ivan"], ["?e", ":name", "?name"]], find=("?name",)) == {
+        "Ivan"
+    }
+    assert s(c, [["?e", ":name", "Ivan"]]) == {"ivan"}
+    assert s(
+        c,
+        [
+            ["?e", ":name", "?name"],
+            ["?e", ":last_name", "?last_name"],
+            ["?e", ":name", "Ivan"],
+            ["?e", ":last_name", "Ivanov"],
+        ],
+        find=("?name", "?last_name"),
+    ) == {("Ivan", "Ivanov")}
+    assert (
+        n(c, [["?e", ":name", "Ivan"], ["?e", ":last_name", "no-match"]]) == 0
+    )
+    # same value across two fields of one entity
+    assert s(
+        c, [["?p1", ":name", "?n"], ["?p1", ":last_name", "?n"]], find=("?p1",)
+    ) == {"smith"}
+    # keywords (as strings)
+    assert s(
+        c, [["?e", ":name", "?name"], ["?e", ":sex", "male"]], find=("?name",)
+    ) == {"Ivan", "Petr"}
+    # join over two attributes of different entities
+    assert s(
+        c,
+        [
+            ["?e", ":last_name", "?ln"],
+            ["?e2", ":follows", "?ln"],
+            ["?e", ":name", "Ivan"],
+        ],
+        find=("?e2",),
+    ) == {"petr"}
+    # blanks
+    assert s(c, [["_", ":name", "?name"]], find=("?name",)) == {
+        "Ivan", "Petr", "Smith", "Doris",
+    }
+
+
+def test_query_across_entities_using_join(spark):
+    """query_test.clj:332-361: joins incl. the deliberate cartesian
+    product of two disconnected existence patterns."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("salary", T.LongType()),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [
+            ("p1", "Ivan", 30, 100),
+            ("p2", "Petr", 35, 200),
+            ("p3", "Sergei", 40, 300),
+            ("p4", "Denis", 25, 400),
+            ("p5", "Denis", 20, 500),
+        ],
+        schema,
+    )
+    assert (
+        n(
+            c,
+            [
+                ["?p1", ":name", "?name"],
+                ["?p1", ":age", "?age"],
+                ["?p1", ":salary", "?salary"],
+            ],
+            find=("?p1",),
+        )
+        == 5
+    )
+    # cartesian product of disconnected components (broadcast NLJ path)
+    assert (
+        n(c, [["?p1", ":name", "_"], ["?p2", ":name", "_"]], find=("?p1", "?p2"))
+        == 25
+    )
+    assert (
+        n(c, [["?p1", ":name", "Ivan"], ["?p2", ":name", "_"]], find=("?p1", "?p2"))
+        == 5
+    )
+    assert (
+        n(c, [["?p1", ":name", "Ivan"], ["?p2", ":name", "no-match"]], find=("?p1",))
+        == 0
+    )
+    # join on shared name: every person pairs with itself + the 2 Denis
+    # cross matches
+    assert (
+        n(
+            c,
+            [["?p1", ":name", "?name"], ["?p2", ":name", "?name"]],
+            find=("?p1", "?p2"),
+        )
+        == 7
+    )
+
+
+def test_basic_query_at_t(spark):
+    """query_test.clj:321-331: valid-time travel changes query results."""
+    import datetime as dt
+
+    from crux_spark.node import Node
+
+    node = Node(spark, schema="name string, last_name string")
+    node.submit_tx(
+        [("put", {"id": "malcolm", "name": "Malcolm", "last_name": "Sparks"},
+          dt.datetime(1986, 10, 22))]
+    )
+    node.await_tx()
+    node.submit_tx(
+        [("put", {"id": "malcolm", "name": "Malcolma", "last_name": "Sparks"},
+          dt.datetime(1986, 10, 24))]
+    )
+    node.await_tx()
+    spec = {
+        "find": ["?e"],
+        "where": [["?e", ":name", "Malcolma"], ["?e", ":last_name", "Sparks"]],
+    }
+    assert node.db(dt.datetime(1986, 10, 23)).q(spec).count() == 0
+    assert {r.e for r in node.db().q(spec).collect()} == {"malcolm"}
