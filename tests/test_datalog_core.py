@@ -456,3 +456,19 @@ def test_rand_sample_aggregates(catalog):
         assert set(full.s) == all_names
     finally:
         agg.set_sample_seed(None)
+
+
+def test_q21_plan_shape_locked(spark):
+    """Regression lock on the round-3 shared-subtree fix (VERDICT r2
+    finding #4): full TPC-H q21 through the Datalog compiler must plan
+    with few parquet scans and a base relation materialized ONCE and
+    re-read as cached in-memory scans — never the 19-scan plan where
+    every or-join/not-join branch recompiled the base join."""
+    from crux_spark.plans import plan_facts
+    from crux_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q21"](spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    assert len(facts["scans"]) <= 6, facts["scans"]
+    assert facts["checkpoint_reads"] >= 2  # shared base reused
+    assert facts["shuffle_exchanges"] <= 8
