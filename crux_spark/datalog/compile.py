@@ -690,22 +690,70 @@ class Compiler:
                 return True, df.crossJoin(sub)
             raise NotImplementedError(f"q binding form {binding!r}")
         if kind == "get-attr":
+            # full surface (query_test.clj:1054-1127 test-get-attr):
+            # scalar binding, collection binding [v ...], 3-arg default,
+            # no binding = existence predicate, unknown attributes.
+            # Model note: scalar attributes bind scalars (the reference
+            # wraps every get-attr result in a collection; the
+            # wide-column model has no per-attr collections except
+            # cardinality-many arrays).
             evar, attr = form[1], form[2]
+            has_default = len(form) > 3
+            default = form[3] if has_default else None
             if var_col(evar) not in df.columns:
                 return False, df
-            ref = self.catalog.resolve_attr(attr)
+            try:
+                ref = self.catalog.resolve_attr(attr)
+            except KeyError:
+                ref = None
+            coll_binding = (
+                isinstance(binding, (list, tuple))
+                and len(binding) == 2
+                and binding[1] == "..."
+            )
+            if ref is None:
+                # unknown attribute: no entity has a value
+                if binding is None:
+                    return True, df.limit(0)
+                vcol = var_col(binding[0] if coll_binding else binding)
+                if coll_binding and not has_default:
+                    return True, df.limit(0)
+                return True, df.withColumn(vcol, F.lit(default))
             t = self.catalog.table(ref.table)
-            vcol = var_col(binding)
-            if ref.is_array:
-                d2 = t.select(
-                    F.col(ID_COL).alias(var_col(evar)),
-                    F.explode(F.col(ref.column)).alias(vcol),
+            ecol = var_col(evar)
+            if binding is None:
+                # use as predicate: keep rows whose entity HAS the attr
+                present = t.filter(F.col(ref.column).isNotNull()).select(
+                    F.col(ID_COL).alias(ecol)
                 )
-            else:
-                d2 = t.select(
-                    F.col(ID_COL).alias(var_col(evar)), F.col(ref.column).alias(vcol)
+                return True, df.join(present, on=ecol, how="left_semi")
+            vcol = var_col(binding[0] if coll_binding else binding)
+            if coll_binding:
+                val = (
+                    F.explode(F.col(ref.column))
+                    if ref.is_array
+                    else F.col(ref.column)
                 )
-            return True, df.join(d2, on=var_col(evar), how="left")
+                d2 = t.filter(F.col(ref.column).isNotNull()).select(
+                    F.col(ID_COL).alias(ecol), val.alias(vcol)
+                )
+                if has_default:
+                    # entities with no values keep one row carrying the
+                    # default (which may itself be nil)
+                    out = df.join(d2, on=ecol, how="left")
+                    if default is not None:
+                        out = out.withColumn(
+                            vcol, F.coalesce(F.col(vcol), F.lit(default))
+                        )
+                    return True, out
+                return True, df.join(d2, on=ecol, how="inner")
+            d2 = t.select(
+                F.col(ID_COL).alias(ecol), F.col(ref.column).alias(vcol)
+            )
+            out = df.join(d2, on=ecol, how="left")
+            if has_default and default is not None and not ref.is_array:
+                out = out.withColumn(vcol, F.coalesce(F.col(vcol), F.lit(default)))
+            return True, out
         if kind == "text-search":
             attr, query_text = form[1], form[2]
             ref = self.catalog.resolve_attr(attr)

@@ -173,6 +173,8 @@ def test_scalar_subquery_pred(catalog):
 
 
 def test_get_attr_left_join(people_cat):
+    # scalar binding binds the whole collection (query_test.clj:1057-60:
+    # [(get-attr e :age) age] -> [21]); [?f ...] explodes to values
     res = q(
         people_cat,
         {
@@ -183,10 +185,23 @@ def test_get_attr_left_join(people_cat):
             ],
         },
     )
-    rows = sorted((r.n, r.f) for r in res.collect())
-    # Cid has no follows -> null row kept (left join semantics)
-    assert ("Cid", None) in rows
+    rows = sorted((r.n, list(r.f)) for r in res.collect())
+    assert ("Ann", ["b", "c"]) in rows
+    assert ("Cid", []) in rows  # empty collection kept (left join)
+
+    res = q(
+        people_cat,
+        {
+            "find": ["?n", "?f"],
+            "where": [
+                ["?p", ":name", "?n"],
+                [["get-attr", "?p", ":follows"], ["?f", "..."]],
+            ],
+        },
+    )
+    rows = {(r.n, r.f) for r in res.collect()}
     assert ("Ann", "b") in rows and ("Ann", "c") in rows
+    assert not any(n == "Cid" for n, _ in rows)  # no values -> no rows
 
 
 def test_streaming_tx_ingest(spark, tmp_path):

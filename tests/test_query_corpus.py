@@ -1154,3 +1154,77 @@ def test_basic_query_at_t(spark):
     }
     assert node.db(dt.datetime(1986, 10, 23)).q(spec).count() == 0
     assert {r.e for r in node.db().q(spec).collect()} == {"malcolm"}
+
+
+def test_get_attr_battery(spark):
+    """query_test.clj:1054-1127 test-get-attr: scalar/collection
+    bindings, defaults (incl. explicit nil), use-as-predicate, unknown
+    attributes. Adaptation: scalar attributes bind scalars (no
+    per-attr collections in the wide-column model)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("friends", T.ArrayType(T.StringType())),
+        ]
+    )
+    c = cat_of(
+        spark, [("ivan", "Ivan", 21, None, ["petr", "oleg"])], schema
+    )
+    base = [["?e", ":name", "Ivan"]]
+    ga = lambda *a: [list(a)]
+
+    def run(extra, find):
+        return s(c, base + extra, find=find)
+
+    # scalar binding
+    assert run([[["get-attr", "?e", ":age"], "?age"]], ("?e", "?age")) == {
+        ("ivan", 21)
+    }
+    # collection binding on a scalar attr
+    assert run(
+        [[["get-attr", "?e", ":age"], ["?age", "..."]]], ("?e", "?age")
+    ) == {("ivan", 21)}
+    # range over the bound value empties
+    assert (
+        n(
+            c,
+            base
+            + [[["get-attr", "?e", ":age"], ["?age", "..."]], [[">", "?age", 30]]],
+            find=("?e",),
+        )
+        == 0
+    )
+    # many-valued attribute explodes
+    assert run(
+        [[["get-attr", "?e", ":friends"], ["?f", "..."]]], ("?e", "?f")
+    ) == {("ivan", "petr"), ("ivan", "oleg")}
+    # null-valued attr: scalar binds nil, collection binding drops
+    assert run([[["get-attr", "?e", ":email"], "?em"]], ("?e", "?em")) == {
+        ("ivan", None)
+    }
+    assert (
+        n(c, base + [[["get-attr", "?e", ":email"], ["?em", "..."]]], find=("?e",))
+        == 0
+    )
+    # defaults: found attr unaffected; missing attr takes the default;
+    # explicit nil default keeps the row with nil
+    assert run(
+        [[["get-attr", "?e", ":age", 0], ["?age", "..."]]], ("?e", "?age")
+    ) == {("ivan", 21)}
+    assert run(
+        [[["get-attr", "?e", ":email", "N/A"], ["?em", "..."]]], ("?e", "?em")
+    ) == {("ivan", "N/A")}
+    assert run(
+        [[["get-attr", "?e", ":email", None], ["?em", "..."]]], ("?e", "?em")
+    ) == {("ivan", None)}
+    # use as predicate
+    assert run([[["get-attr", "?e", ":name"]]], ("?e",)) == {"ivan"}
+    assert n(c, base + [[["get-attr", "?e", ":email"]]], find=("?e",)) == 0
+    # unknown attribute
+    assert n(c, base + [[["get-attr", "?e", ":nope"], ["?x", "..."]]], find=("?e",)) == 0
+    assert run([[["get-attr", "?e", ":nope"], "?x"]], ("?e", "?x")) == {
+        ("ivan", None)
+    }
