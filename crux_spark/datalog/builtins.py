@@ -141,7 +141,10 @@ class ExprBuilder:
         # (DataScript 'passing predicate as source', query_test.clj:2543);
         # row-at-a-time Python UDF — the deliberate escape hatch, not the
         # hot path
-        if is_var(fn) and callable(self.env.get(fn)):
+        if callable(fn) or (is_var(fn) and callable(self.env.get(fn))):
+            # a bare callable appears when rule expansion substitutes a
+            # callable :in arg into a rule-body predicate head
+            # (query_test.clj:2393 calling-rule-twice-44)
             import warnings
 
             warnings.warn(
@@ -150,7 +153,7 @@ class ExprBuilder:
                 f"scale hazard; prefer a builtin or a pandas_udf",
                 stacklevel=2,
             )
-            udf = F.udf(self.env[fn], "boolean")
+            udf = F.udf(fn if callable(fn) else self.env[fn], "boolean")
             return udf(*[self.build(a) for a in args])
         if fn in _BINARY_OPS:
             if fn in ("=", "==", "!=", "not="):

@@ -915,7 +915,13 @@ class Compiler:
         sub_body = [self._substitute(c, mapping) for c in body]
         df = self.compile_clauses(sub_body)
         for i, lit in (const_args or {}).items():
-            df = df.withColumn(canon[i], F.lit(lit))
+            # a CALLABLE arg (query_test.clj:2393 calling-rule-twice-44:
+            # {:?fn (constantly true)}) was substituted into the body as
+            # a predicate head; it has no column value — carry null, the
+            # call site never filters on const-arg columns
+            df = df.withColumn(
+                canon[i], F.lit(None) if callable(lit) else F.lit(lit)
+            )
         return df.select(*canon)
 
     def _collect_vars(self, form: Any) -> set[str]:

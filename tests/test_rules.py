@@ -324,3 +324,100 @@ def test_query_timeout_interrupts(people_catalog):
     # and a sane budget completes eagerly
     ok = dict(slow, timeout=120000)
     assert q_eager(people_catalog, ok)[0][0] == 6 ** 4
+
+
+def test_calling_rule_twice_44(spark):
+    """query_test.clj:2393: the same rule invoked twice with different
+    literal args (+ a callable :in arg used as a predicate) compiles and
+    runs; only one literal matches, so the conjunction is empty."""
+    from pyspark.sql import types as T
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    c = Catalog(spark)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("attr", T.StringType())]
+    )
+    c.add_documents("docs44", spark.createDataFrame([("1", "a")], schema), id_col="id")
+    res = q(
+        c,
+        {
+            "find": ["?p"],
+            "where": [
+                ["rule", "?p", "?fn", "a"],
+                ["rule", "?p", "?fn", "b"],
+            ],
+            "rules": [
+                [
+                    ["rule", "?p", "?fn", "?x"],
+                    ["?p", ":attr", "?x"],
+                    [["?fn", "?x"]],
+                ]
+            ],
+            "in": ["?fn"],
+        },
+        lambda x: True,
+    )
+    assert res.count() == 0  # only "a" exists; "b" branch is empty
+
+
+def test_mutually_recursive_rules_exact(spark):
+    """query_test.clj:2405 test-mutually-recursive-rules: exact result
+    set of the f1/f2 mutual recursion over a 6-node chain."""
+    from pyspark.sql import types as T
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("f1", T.LongType()),
+            T.StructField("f2", T.LongType()),
+        ]
+    )
+    rows = [(0, 1, None), (1, None, 2), (2, 3, None), (3, None, 4), (4, 5, None), (5, None, 6)]
+    c = Catalog(spark)
+    c.add_documents("chain", spark.createDataFrame(rows, schema), id_col="id")
+    res = q(
+        c,
+        {
+            "find": ["?e1", "?e2"],
+            "where": [["f1", "?e1", "?e2"]],
+            "rules": [
+                [["f1", "?e1", "?e2"], ["?e1", ":f1", "?e2"]],
+                [["f1", "?e1", "?e2"], ["?t", ":f1", "?e2"], ["f2", "?e1", "?t"]],
+                [["f2", "?e1", "?e2"], ["?e1", ":f2", "?e2"]],
+                [["f2", "?e1", "?e2"], ["?t", ":f2", "?e2"], ["f1", "?e1", "?t"]],
+            ],
+        },
+    )
+    got = {(int(r[0]), int(r[1])) for r in res.collect()}
+    assert got == {
+        (0, 1), (0, 3), (0, 5), (1, 3), (1, 5), (2, 3), (2, 5), (3, 5), (4, 5),
+    }
+
+
+def test_rules_false_arguments(spark):
+    """query_test.clj:2433 datascript-test-rules-false-arguments
+    (datascript #218): a literal false rule argument binds correctly."""
+    from pyspark.sql import types as T
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("attr", T.BooleanType())]
+    )
+    c = Catalog(spark)
+    c.add_documents(
+        "flags", spark.createDataFrame([(1, True), (2, False)], schema), id_col="id"
+    )
+    rules = [[["is", "?id", "?val"], ["?id", ":attr", "?val"]]]
+    for val, want in ((True, {1}), (False, {2})):
+        res = q(
+            c,
+            {"find": ["?id"], "where": [["is", "?id", val]], "rules": rules},
+        )
+        assert {int(r[0]) for r in res.collect()} == want
