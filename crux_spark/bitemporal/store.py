@@ -168,7 +168,13 @@ def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
                 not isinstance(r.expected_json, str)
             ) else json.loads(r.expected_json)
             at = vf if vf is not None else int(r.tx_time)
-            ok = splice.matches(history, expected, at, tx=int(r.tx_id) - 1)
+            # evaluate at tx_id (not tx_id - 1): ops are applied in
+            # (tx_id, seq) order, so `history` already carries THIS tx's
+            # earlier splices and the match sees the in-flight state
+            # (query_test.clj:1912 "match sees interim state through the
+            # transaction"); for a match with no prior in-tx ops the two
+            # views are identical
+            ok = splice.matches(history, expected, at, tx=int(r.tx_id))
             verdicts.append((int(r.tx_id), ok))
         else:
             raise ValueError(f"unknown op {op!r}")

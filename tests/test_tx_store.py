@@ -669,3 +669,51 @@ def test_map_ordering_362(spark):
     )
     assert store.commit() == set()
     assert store.entity("foo")["foo"] == "baz"
+
+
+def test_query_and_match(spark):
+    """query_test.clj:1869-1940 test-query-and-match: match nil as
+    create-guard, stale match aborts, match sees interim in-tx state,
+    normal puts after matches, earlier txs stay checkable."""
+    store = TxStore(spark)
+    # create new user (match nil = must not exist)
+    tx1 = store.submit_tx(
+        [("match", "ivan", None), ("put", {"id": "ivan", "name": "Ivan 1st"})]
+    )
+    assert store.commit() == set()
+    assert store.tx_committed(tx1) is True
+    assert store.entity("ivan")["name"] == "Ivan 1st"
+    # cannot create EXISTING user
+    tx2 = store.submit_tx(
+        [("match", "ivan", None), ("put", {"id": "ivan", "name": "Ivan 2nd"})]
+    )
+    assert store.commit() == {tx2}
+    assert store.tx_committed(tx2) is False
+    assert store.entity("ivan")["name"] == "Ivan 1st"
+    # guarded update
+    tx3 = store.submit_tx(
+        [
+            ("match", "ivan", {"id": "ivan", "name": "Ivan 1st"}),
+            ("put", {"id": "ivan", "name": "Ivan 2nd"}),
+        ]
+    )
+    assert store.commit() == set()
+    assert store.entity("ivan")["name"] == "Ivan 2nd"
+    # match sees interim state through the transaction
+    tx4 = store.submit_tx(
+        [
+            ("match", "ivan", {"id": "ivan", "name": "Ivan 2nd"}),
+            ("put", {"id": "ivan", "name": "Ivan 3rd"}),
+            ("match", "ivan", {"id": "ivan", "name": "Ivan 3rd"}),
+            ("put", {"id": "ivan", "name": "Ivan 4th"}),
+        ]
+    )
+    assert store.commit() == set()
+    assert store.tx_committed(tx4) is True
+    assert store.entity("ivan")["name"] == "Ivan 4th"
+    # normal put after match
+    store.submit_tx([("put", {"id": "ivan", "name": "Ivan 5th"})])
+    assert store.commit() == set()
+    assert store.entity("ivan")["name"] == "Ivan 5th"
+    # earlier txs can still be checked
+    assert store.tx_committed(tx3) is True
