@@ -717,3 +717,77 @@ def test_query_and_match(spark):
     assert store.entity("ivan")["name"] == "Ivan 5th"
     # earlier txs can still be checked
     assert store.tx_committed(tx3) is True
+
+
+def test_bitemp_paper_full_scenario(spark):
+    """The FULL bitemporal-paper scenario (query_test.clj:1963-2092,
+    'Indexing temporal data using existing B+-trees' §7): 13 days of
+    puts and corrections across 7 travelers; the canonical query — who
+    was in the US on day 2 (valid time) AS OF day 3 (transaction time)
+    — must not see any of the later corrections."""
+    from crux_spark.node import Node
+
+    node = Node(
+        spark,
+        schema="entry_pt string, arrival_time string, departure_time string",
+    )
+    d = lambda m, day: dt.datetime(2019, m, day) if m else dt.datetime(2018, 12, day)
+
+    def put(eid, pt, arr, dep, vt):
+        return (
+            "put",
+            {"id": eid, "entry_pt": pt, "arrival_time": arr, "departure_time": dep},
+            vt,
+        )
+
+    # day 0
+    node.submit_tx([
+        put("p2", "SFO", "2018-12-31", "na", d(0, 31)),
+        put("p3", "LA", "2018-12-31", "na", d(0, 31)),
+    ]); node.await_tx()
+    node.submit_tx([]); node.await_tx()  # day 1: nothing
+    node.submit_tx([put("p4", "NY", "2019-01-02", "na", d(1, 2))]); node.await_tx()
+    # day 3: p4 departs
+    tx3 = node.submit_tx([put("p4", "NY", "2019-01-02", "2019-01-03", d(1, 3))])
+    node.await_tx()
+    # day 4: corrections — p1's missed trip, p3's (wrong) departure
+    node.submit_tx([
+        put("p1", "NY", "2018-12-31", "na", d(0, 31)),
+        put("p1", "NY", "2018-12-31", "2019-01-03", d(1, 3)),
+        put("p1", "LA", "2019-01-04", "na", d(1, 4)),
+        put("p3", "LA", "2018-12-31", "2019-01-04", d(1, 4)),
+    ]); node.await_tx()
+    # day 5: p2 retroactively departed on arrival day
+    node.submit_tx([put("p2", "SFO", "2018-12-31", "2018-12-31", d(1, 5))])
+    node.await_tx()
+    node.submit_tx([]); node.await_tx()  # day 6
+    # days 7-12: undo p3's departure, then the real one, new arrivals
+    node.submit_tx([
+        put("p3", "LA", "2018-12-31", "na", d(1, 4)),
+        put("p3", "LA", "2018-12-31", "2019-01-07", d(1, 7)),
+    ]); node.await_tx()
+    node.submit_tx([
+        put("p3", "SFO", "2019-01-08", "na", d(1, 8)),
+        put("p4", "LA", "2019-01-08", "na", d(1, 8)),
+    ]); node.await_tx()
+    node.submit_tx([put("p3", "SFO", "2019-01-08", "2019-01-08", d(1, 9))])
+    node.await_tx()
+    node.submit_tx([put("p5", "LA", "2019-01-10", "na", d(1, 10))]); node.await_tx()
+    node.submit_tx([put("p7", "NY", "2019-01-11", "na", d(1, 11))]); node.await_tx()
+    node.submit_tx([put("p6", "NY", "2019-01-12", "na", d(1, 12))]); node.await_tx()
+
+    got = node.db(dt.datetime(2019, 1, 2), tx=tx3).q(
+        {
+            "find": ["?p", "?pt", "?arr", "?dep"],
+            "where": [
+                ["?p", ":entry_pt", "?pt"],
+                ["?p", ":arrival_time", "?arr"],
+                ["?p", ":departure_time", "?dep"],
+            ],
+        }
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        ("p2", "SFO", "2018-12-31", "na"),
+        ("p3", "LA", "2018-12-31", "na"),
+        ("p4", "NY", "2019-01-02", "na"),
+    }
