@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(
     \s+
   | \#[^\n]*                              # comment
   | (?P<iri><[^>]*>)
-  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<str>"[^"\\]*(?:\\.[^"\\]*)*")
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
