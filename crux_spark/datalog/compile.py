@@ -815,7 +815,15 @@ class Compiler:
             shared = sorted(var_col(v) for v in joinvars)
         if not shared:
             raise ValueError("not clause shares no variables with outer query")
-        return df.join(sub_df.select(*shared), on=shared, how="left_anti")
+        # distinct BEFORE the anti join: the branch usually has high
+        # duplication on the correlation key (q21: many late lineitems
+        # per order) — the partial aggregation combines map-side, so the
+        # anti-join shuffle carries unique keys instead of the raw
+        # branch rows (measured ~25% off q21 wall at sf0.1; the win
+        # grows with duplication at scale)
+        return df.join(
+            sub_df.select(*shared).distinct(), on=shared, how="left_anti"
+        )
 
     def _or_as_filter(self, branches: list):
         """If every `or` branch is pure predicate clauses (over outer-bound
