@@ -1228,3 +1228,45 @@ def test_get_attr_battery(spark):
     assert run([[["get-attr", "?e", ":nope"], "?x"]], ("?e", "?x")) == {
         ("ivan", None)
     }
+
+
+def test_byte_array_values(spark):
+    """query_test.clj:1127-1152 test-byte-array-values: binary-typed
+    attributes bind, join on equality, and unify across entities."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("photo", T.BinaryType()),
+        ]
+    )
+    c = cat_of(
+        spark,
+        [
+            ("ivan", "Ivan", bytes([0, 1, 2])),
+            ("petr", "Petr", bytes([3, 4, 5])),
+            ("oleg", "Oleg", bytes([0, 1, 2])),
+        ],
+        schema,
+    )
+    got = q(c, {"find": ["?photo"], "where": [["ivan", ":photo", "?photo"]]}).collect()
+    assert bytes(got[0].photo) == bytes([0, 1, 2])
+    # scalar :in binding joins on binary equality
+    got = s(
+        c,
+        [["?e", ":photo", bytes([0, 1, 2])]],
+    )
+    assert got == {"ivan", "oleg"}
+    # unification across entities through a shared binary value
+    got = q(
+        c,
+        {
+            "find": ["?e"],
+            "where": [
+                ["ivan", ":photo", "?photo"],
+                ["?e", ":name", "Oleg"],
+                ["?e", ":photo", "?photo"],
+            ],
+        },
+    ).collect()
+    assert {r.e for r in got} == {"oleg"}
