@@ -654,6 +654,29 @@ class TxStore:
         fork.commit()
         return fork
 
+    def fork_at(self, tx: int | None) -> "TxStore":
+        """Fork whose version state is the belief AS OF ``tx``
+        (fork.clj / fork_test.clj test-speculative-from-point-in-past):
+        rows written by later txs are dropped, rows CLOSED by later txs
+        are reopened — txs after the basis are invisible in the fork.
+        The tx counter continues from the base store so speculative txs
+        get the next global id, like the reference."""
+        from crux_spark.bitemporal.splice import END_OF_TX
+
+        if tx is None:
+            versions = self.versions
+        else:
+            versions = self.versions.filter(F.col("tx_from") <= tx).withColumn(
+                "tx_to",
+                F.when(F.col("tx_to") > tx, F.lit(END_OF_TX)).otherwise(
+                    F.col("tx_to")
+                ),
+            )
+        fork = TxStore(self.spark, versions)
+        fork._tx_id = self._tx_id
+        fork._tx_fns = dict(self._tx_fns)
+        return fork
+
     def catalog(
         self,
         valid_time: dt.datetime | None = None,

@@ -150,6 +150,20 @@ class Db:
             self.node.store, name, self.valid_time, self.tx, self.node.schema
         )
 
+    def with_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> "Db | None":
+        """Speculative fork FROM THIS SNAPSHOT (fork.clj, api.clj
+        with-tx on a db value): txs after this db's basis are invisible
+        in the fork; unranged ops default their valid time to this db's
+        valid time; returns None when the speculative tx aborts (failed
+        match — fork_test.clj 'returns nil on failed match')."""
+        fork_store = self.node.store.fork_at(self.tx)
+        fork_store.submit_tx(ops, tx_time or self.valid_time)
+        if fork_store.commit():
+            return None
+        fork = Node(self.node.spark, self.node.schema, self.node.collection)
+        fork.store = fork_store
+        return Db(fork, self.valid_time, None)
+
     def q_collect(self, query: dict, *args: Any) -> list:
         """Eager collection with timeout-interrupt semantics AND query
         monitoring (api.clj active-queries/recent-queries/slowest-queries;
