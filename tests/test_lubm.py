@@ -358,3 +358,51 @@ def test_dbpedia_picasso(spark):
     assert {r.g for r in got} == {
         "http://dbpedia.org/resource/Guernica_(Picasso)"
     }
+
+
+def test_rdf_artists_blank_nodes(spark):
+    """rdf_test.clj:8-28 test-can-parse-ntriples-into-maps: the artists
+    example with a blank-node home address — 7 entities, creatorOf
+    resolves through to the painting's technique, the bnode address
+    carries street/city/country."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.sources.loaders import read_ntriples
+
+    tri = read_ntriples(
+        spark, "/root/reference/labs/crux-rdf/test/crux/example-data-artists.nt"
+    )
+    assert tri.select("e").distinct().count() == 7
+    by = {
+        (r.e, r.a): r.v
+        for r in tri.collect()
+    }
+    painting = by[("http://example.org/Picasso", "http://example.org/creatorOf")]
+    assert painting == "http://example.org/guernica"
+    assert by[(painting, "http://example.org/technique")] == "oil on canvas"
+    addr = by[("http://example.org/Picasso", "http://example.org/homeAddress")]
+    assert addr.startswith("_:")
+    assert by[(addr, "http://example.org/street")] == "31 Art Gallery"
+    assert by[(addr, "http://example.org/city")] == "Madrid"
+    assert by[(addr, "http://example.org/country")] == "Spain"
+
+
+def test_rdf_picasso_attribute_count(spark):
+    """rdf_test.clj:30-47: the dbpedia Picasso entity carries 47
+    predicates (the reference's 48 map keys include :crux.db/id)."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.sources.loaders import read_ntriples
+
+    tri = read_ntriples(
+        spark, "/root/reference/crux-test/test/crux/Pablo_Picasso.ntriples"
+    )
+    pic = tri.filter(F.col("e") == "http://dbpedia.org/resource/Pablo_Picasso")
+    assert pic.select("a").distinct().count() == 47
+    given = {
+        r.v
+        for r in pic.filter(
+            F.col("a") == "http://xmlns.com/foaf/0.1/givenName"
+        ).collect()
+    }
+    assert given == {"Pablo"}
