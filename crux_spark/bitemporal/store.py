@@ -505,6 +505,16 @@ class TxStore:
         )
         return {r.content_hash: json.loads(r.doc_json) for r in rows}
 
+    def completed_watermark(self) -> int:
+        """Highest tx id already applied to the versions table, computed
+        driver-side (no Spark job): everything submitted is applied except
+        the still-pending tail. Used to pin a Db's tx basis at creation
+        (snapshot isolation, query_test.clj:3312 — a db value taken
+        before a put never sees it)."""
+        if self._pending:
+            return min(r["tx_id"] for r in self._pending) - 1
+        return self._tx_id
+
     def latest_completed_tx(self) -> int | None:
         """Highest tx id applied to the versions table (api.clj
         latest-completed-tx)."""

@@ -31,6 +31,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 from crux_spark.catalog import ID_COL, Catalog
 from crux_spark.datalog import aggregates as agg
@@ -87,6 +88,13 @@ class Compiler:
                 else:
                     params.append(a)
             self.rules.setdefault(head[0], []).append((params, list(r[1:])))
+        for name, defs in self.rules.items():
+            arities = {len(params) for params, _ in defs}
+            if len(arities) > 1:
+                raise ValueError(
+                    f"Rule definitions require same arity: {name!r} has "
+                    f"definitions with arities {sorted(arities)}"
+                )
         self._fresh_n = 0
         self._rule_cache: dict[str, DataFrame] = {}
         # entity var -> table name, recorded by scan_group (used by pull)
@@ -414,6 +422,16 @@ class Compiler:
                         )
                     else:
                         filters.append(col.isin(vals))
+                elif (
+                    isinstance(v, (list, tuple))
+                    and v
+                    and v[0] in ("vector", "list")
+                ):
+                    # a literal collection value matches the WHOLE stored
+                    # collection (hashing-quoted-lists-1197: quoted lists
+                    # are single values, not cardinality-many)
+                    arr = F.array(*[F.lit(x) for x in v[1:]])
+                    filters.append(col == arr)
                 elif ref.is_array:
                     filters.append(F.array_contains(col, F.lit(v)))
                 else:
@@ -529,7 +547,24 @@ class Compiler:
                     and len(binding) == 2
                     and binding[1] == "..."
                 ):
-                    df = df.withColumn(var_col(binding[0]), F.explode(eb.build(form)))
+                    coll = eb.build(form)
+                    coll_dtype = df.select(coll.alias("__c")).schema[0].dataType
+                    if isinstance(coll_dtype, _T.MapType):
+                        # seq'ing a map yields its [k v] entries
+                        # (query_test.clj:1227-1236 test-collection-returns)
+                        entry = F.explode(F.map_entries(coll))
+                        df = df.withColumn("__ent", entry)
+                        if coll_dtype.keyType == coll_dtype.valueType:
+                            pair = F.array(
+                                F.col("__ent.key"), F.col("__ent.value")
+                            )
+                        else:
+                            pair = F.struct(
+                                F.col("__ent.key"), F.col("__ent.value")
+                            )
+                        df = df.withColumn(var_col(binding[0]), pair).drop("__ent")
+                    else:
+                        df = df.withColumn(var_col(binding[0]), F.explode(coll))
                 elif (
                     isinstance(binding, (list, tuple))
                     and binding
@@ -561,19 +596,36 @@ class Compiler:
         already-bound var unifies (equality filter) instead of rebinding.
         Tuples are structs (heterogeneous, via the `tuple` builtin) or
         arrays (homogeneous, e.g. `vector`) — accessed positionally either
-        way."""
+        way. Excess vars past the end of the tuple bind to nil
+        (query_test.clj:1251-1295 "can bind excess vars to nil"); the
+        binding vars themselves must be distinct (query_test.clj:1269)."""
         from pyspark.sql import types as T
 
+        named = [v for v in vars_ if not is_blank(v)]
+        if len(set(named)) != len(named):
+            raise ValueError(
+                f"Return variables not distinct: {vars_!r}"
+            )
         dtype = df.schema[src].dataType
         fields = dtype.names if isinstance(dtype, T.StructType) else None
         for i, v in enumerate(vars_):
             if is_blank(v):
                 continue
-            elem = (
-                F.col(src).getField(fields[i])
-                if fields is not None
-                else F.col(src).getItem(i)
-            )
+            if isinstance(dtype, T.NullType):
+                # e.g. (vector) — an empty literal collection types as void;
+                # every positional element is nil
+                elem = F.lit(None)
+            elif fields is not None:
+                # struct tuple: excess positions bind nil
+                elem = (
+                    F.col(src).getField(fields[i])
+                    if i < len(fields)
+                    else F.lit(None)
+                )
+            else:
+                # array tuple: F.get returns NULL out of bounds (vs
+                # getItem, which is an ANSI error on short arrays)
+                elem = F.get(F.col(src), F.lit(i))
             if var_col(v) in df.columns:
                 df = df.filter(elem == F.col(var_col(v)))
             else:
@@ -1228,6 +1280,12 @@ class Compiler:
         return total
 
     def compile_rule_call(self, name: str, args: list) -> DataFrame:
+        expected = len(self.rules[name][0][0])
+        if len(args) != expected:
+            raise ValueError(
+                f"Rule invocation has wrong arity, expected: {expected} "
+                f"for {name!r}, got {len(args)}"
+            )
         if name not in self._rule_cache and self._is_computation_group(name):
             bound = [
                 i for i, a in enumerate(args) if (not is_var(a)) or a in self.env

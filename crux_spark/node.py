@@ -298,6 +298,11 @@ class Node:
             if tx is not None:
                 raise ValueError("pass tx or tx_time, not both")
             tx = self.store.tx_at(tx_time)
+        if tx is None:
+            # pin the basis at creation time: a db value must not see txs
+            # committed after it was taken (query_test.clj:3312
+            # test-query-against-empty-database-376)
+            tx = self.store.completed_watermark()
         return Db(self, valid_time, tx)
 
     def with_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> Db:

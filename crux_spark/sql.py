@@ -56,12 +56,29 @@ def parse_temporal_prefix(sql: str) -> tuple[str, dict]:
             v = re.match(r"^\s*\('(.+?)'\)", q)
             if not v:
                 raise ValueError(f"expected ('inst') after {k} in {sql!r}")
-            inst = dt.datetime.fromisoformat(v.group(1).replace("Z", "+00:00"))
-            if inst.tzinfo is not None:
-                inst = inst.astimezone(dt.timezone.utc).replace(tzinfo=None)
             key = "valid_time" if k == "VALIDTIME" else "tx_time"
-            params[key] = inst
+            params[key] = parse_instant(v.group(1))
         q = q[v.end():]
+
+
+def parse_instant(s: str) -> dt.datetime:
+    """Parse the temporal-prefix instant, accepting the partial RFC-3339
+    forms the reference does (calcite_test.clj:41-49): '2016',
+    '2016-12', '2016-12-01', '2016-12-01T10:13', full ISO with Z."""
+    import re
+
+    padded = s
+    if re.fullmatch(r"\d{4}", s):
+        padded = s + "-01-01"
+    elif re.fullmatch(r"\d{4}-\d{2}", s):
+        padded = s + "-01"
+    try:
+        inst = dt.datetime.fromisoformat(padded.replace("Z", "+00:00"))
+    except ValueError:
+        raise ValueError(f"Unrecognized date/time syntax: {s}") from None
+    if inst.tzinfo is not None:
+        inst = inst.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return inst
 
 
 def sql_q(
@@ -82,6 +99,30 @@ def sql_q(
     temporal_view(
         store, name, valid_time=params.get("valid_time"), tx=tx, schema=schema
     )
+    return store.spark.sql(bare)
+
+
+def sql_tables_q(
+    store: TxStore,
+    sql: str,
+    schema=None,
+    args: list | dict | None = None,
+) -> DataFrame:
+    """Run SQL against the in-DB table-mapping documents — the full
+    reference flow (calcite_test.clj): parse the temporal prefix, register
+    every ``crux.sql.table/*`` doc as a view at that snapshot, run the
+    bare query. ``args`` forwards to spark.sql for prepared statements
+    (positional ``?`` markers, calcite_test.clj:422-427, via Spark's
+    parameterized SQL)."""
+    bare, params = parse_temporal_prefix(sql)
+    tx = params.get("tx_id")
+    if tx is None and "tx_time" in params:
+        tx = store.tx_at(params["tx_time"])
+    register_sql_tables(
+        store, valid_time=params.get("valid_time"), tx=tx, schema=schema
+    )
+    if args is not None:
+        return store.spark.sql(bare, args=args)
     return store.spark.sql(bare)
 
 
@@ -122,6 +163,15 @@ def register_sql_tables(
     the stored Datalog query against the same snapshot, with find-vars
     cast per the columns map (SQL column = var without the '?').
 
+    Single-entity specs — every clause ``[?e :attr ?var|literal]`` over
+    one shared entity var — take a null-preserving single-scan fast path:
+    one projection + literal filters over the wide-column table, no
+    self-joins, and a document missing an attribute surfaces SQL NULL
+    (matching the reference corpus, where nil values are stored and
+    ``HOMEWORLD IS NULL`` matches — calcite_test.clj:361-368). Complex
+    specs (joins, predicates, rules) compile through the full Datalog
+    path with its attribute-presence semantics.
+
     Scale note: only the table-REGISTRY docs are collected to the driver
     (a handful of rows, pre-filtered by a pushed contains() on doc_json);
     the table data itself stays distributed — each view is a lazy
@@ -135,9 +185,13 @@ def register_sql_tables(
     from crux_spark import q
     from crux_spark.catalog import Catalog
 
-    snap = store.db(valid_time, tx)
+    # the table REGISTRY is read at the current snapshot (the reference's
+    # Calcite schema factory follows the tx-log, so a VALIDTIME query
+    # still sees schema docs transacted later); only the table DATA
+    # below time-travels to (valid_time, tx)
     regs = (
-        snap.filter(F.col("doc_json").contains(f'"{SQL_TABLE_ATTR}"'))
+        store.db()
+        .filter(F.col("doc_json").contains(f'"{SQL_TABLE_ATTR}"'))
         .select("doc_json")
         .collect()
     )
@@ -151,14 +205,103 @@ def register_sql_tables(
         spec = doc.get("crux.sql.table/query")
         if spec is None:
             raise ValueError(f"table doc {tname!r} lacks crux.sql.table/query")
-        df = q(cat, spec)
-        for var, typ in (doc.get("crux.sql.table/columns") or {}).items():
+        columns = doc.get("crux.sql.table/columns") or {}
+        for var in spec.get("find", []):
+            if var not in columns:
+                raise ValueError(f"Unrecognised column: {var}")
+        for var, typ in columns.items():
+            if isinstance(typ, str) and typ.startswith(":") and typ not in _SQL_TYPES:
+                raise ValueError(f"Unrecognised java.sql.Types: {typ}")
+        nullable = set(doc.get("crux.sql.table/nullable-columns") or [])
+        df = _compile_table_spec(cat, spec, q, nullable)
+        for var, typ in columns.items():
             col = var.lstrip("?")
             if col in df.columns:
                 df = df.withColumn(col, F.col(col).cast(_SQL_TYPES.get(typ, typ)))
         df.createOrReplaceTempView(tname)
         names.append(tname)
     return names
+
+
+def _compile_table_spec(cat, spec: dict, q, nullable: set = frozenset()):
+    """Fast path for single-entity table specs (the dominant shape in the
+    reference corpus): one pruned scan, literal WHERE filters, no
+    self-joins — at scale an N-column table is one columnar projection
+    instead of N-1 joins. Var columns keep triple semantics (attribute
+    required) unless listed in ``nullable`` — the
+    crux.sql.table/nullable-columns extension, standing in for the
+    reference's stored-nil triples (calcite_test.clj:361-368 IS NULL).
+    Arrays (cardinality-many) explode like the triple semantics.
+    Anything else falls back to the Datalog compiler."""
+    find = spec.get("find", [])
+    clauses = spec.get("where", [])
+    evars = {c[0] for c in clauses if isinstance(c, (list, tuple)) and len(c) == 3}
+    simple = (
+        len(evars) == 1
+        and not spec.get("rules")
+        and not spec.get("in")
+        and all(
+            isinstance(c, (list, tuple))
+            and len(c) == 3
+            and isinstance(c[1], str)
+            and c[1].startswith(":")
+            for c in clauses
+        )
+    )
+    if not simple:
+        return q(cat, spec)
+    evar = next(iter(evars))
+    if evar not in find:
+        return q(cat, spec)
+    # resolve the one table this entity var scans (single-collection
+    # catalogs — the Node/TxStore path — have exactly one)
+    table_names = cat.tables()
+    if len(table_names) != 1:
+        return q(cat, spec)
+    df = cat.table(table_names[0])
+    from crux_spark.catalog import ID_COL
+    from pyspark.sql import types as T
+
+    def is_arr(colname: str) -> bool:
+        return colname in df.columns and isinstance(
+            df.schema[colname].dataType, T.ArrayType
+        )
+
+    sel = {evar: ID_COL}
+    for c in clauses:
+        _, attr, v = c
+        colname = attr[1:]
+        if isinstance(v, str) and v.startswith("?"):
+            if v in sel or v == evar:
+                # repeated var = unification, not the simple shape
+                return q(cat, spec)
+            opt = v in nullable
+            if colname not in df.columns:
+                # attribute absent from the schema entirely: typed null
+                # (only visible for nullable columns)
+                df = df.withColumn(colname, F.lit(None).cast("string"))
+                if not opt:
+                    df = df.filter(F.lit(False))
+            elif is_arr(colname):
+                # cardinality-many: one output row per element
+                flat = colname + "__flat"
+                exp = F.explode_outer if opt else F.explode
+                df = df.withColumn(flat, exp(F.col(colname)))
+                colname = flat
+            elif not opt:
+                df = df.filter(F.col(colname).isNotNull())
+            sel[v] = colname
+        elif v == "_":
+            pass
+        elif colname not in df.columns:
+            df = df.filter(F.lit(False))
+        elif is_arr(colname):
+            df = df.filter(F.array_contains(F.col(colname), F.lit(v)))
+        else:
+            df = df.filter(F.col(colname) == F.lit(v))
+    if any(v not in sel for v in find):
+        return q(cat, spec)
+    return df.select(*[F.col(sel[v]).alias(v.lstrip("?")) for v in find])
 
 
 def temporal_view(
