@@ -49,6 +49,18 @@ _SPECIAL = {"not", "not-join", "or", "or-join", "and"}
 MAX_FIXPOINT_ITERATIONS = 200
 
 
+# open pred-constraint registry — the reference's extensible
+# `q/pred-constraint` multimethod (query.clj:269-273; the crux-lucene
+# module registers lucene-text-search this way, lucene_test.clj
+# test-or-text-search registers or-text-search). A constraint is
+# fn(compiler, df, form, binding) -> DataFrame.
+PRED_CONSTRAINTS: dict[str, Any] = {}
+
+
+def register_pred_constraint(name: str, fn) -> None:
+    PRED_CONSTRAINTS[name] = fn
+
+
 def _is_triple(c: Any) -> bool:
     return (
         isinstance(c, (list, tuple))
@@ -501,10 +513,10 @@ class Compiler:
             progress = False
             for p in list(pending):
                 form, binding = p[0], (p[1] if len(p) > 1 else None)
-                if isinstance(form, (list, tuple)) and form and form[0] in (
-                    "q",
-                    "get-attr",
-                    "text-search",
+                if isinstance(form, (list, tuple)) and form and (
+                    form[0]
+                    in ("q", "get-attr", "text-search", "wildcard-text-search")
+                    or form[0] in PRED_CONSTRAINTS
                 ):
                     handled, df = self._special_pred(df, form, binding)
                     if handled:
@@ -806,31 +818,120 @@ class Compiler:
             if has_default and default is not None and not ref.is_array:
                 out = out.withColumn(vcol, F.coalesce(F.col(vcol), F.lit(default)))
             return True, out
-        if kind == "text-search":
-            attr, query_text = form[1], form[2]
-            ref = self.catalog.resolve_attr(attr)
-            from crux_spark.functions.text_search import (
-                build_text_index,
-                text_search,
-            )
-
-            key = ("__text_index__", ref.table, ref.column)
-            cache = getattr(self.catalog, "_text_indexes", None)
-            if cache is None:
-                cache = self.catalog._text_indexes = {}
-            if key not in cache:
-                cache[key] = build_text_index(
-                    self.catalog.table(ref.table), ID_COL, ref.column
-                )
-            postings, dfreq, n = cache[key]
-            scored = text_search(postings, dfreq, n, query_text)
-            cols = [var_col(v) for v in binding[0]]
-            scored = scored.toDF(*cols)
-            shared = sorted(set(df.columns) & set(cols))
-            if shared:
-                return True, df.join(scored, on=shared, how="inner")
-            return True, df.crossJoin(scored)
+        if kind in ("text-search", "wildcard-text-search"):
+            return True, self._text_search_pred(df, kind, form, binding)
+        if kind in PRED_CONSTRAINTS:
+            return True, PRED_CONSTRAINTS[kind](self, df, form, binding)
         return False, df
+
+    def _resolve_text_query(self, query):
+        """The search string may be a literal or an :in-bound var
+        (lucene_test.clj test-use-in-argument); non-strings raise the
+        reference's error."""
+        if isinstance(query, str) and query.startswith("?"):
+            if query in self.env:
+                query = self.env[query]
+            else:
+                raise NotImplementedError(
+                    "text-search pattern must be a literal or :in-bound "
+                    f"value, got unbound var {query!r} (per-row patterns "
+                    "are not supported)"
+                )
+        if not isinstance(query, str):
+            raise ValueError("Lucene text search values must be String")
+        return query
+
+    def _text_av_index(self, table: str, column: str):
+        cache = getattr(self.catalog, "_av_text_indexes", None)
+        if cache is None:
+            cache = self.catalog._av_text_indexes = {}
+        key = (table, column)
+        if key not in cache:
+            from crux_spark.functions.text_search import build_av_text_index
+
+            cache[key] = build_av_text_index(
+                self.catalog.table(table), ID_COL, column
+            )
+        return cache[key]
+
+    def _text_search_pred(self, df: DataFrame, kind, form, binding) -> DataFrame:
+        """text-search / wildcard-text-search as scored relations
+        (lucene.clj:146-188): [e v score] for an attribute search,
+        [e v a score] for the across-attributes wildcard variant. The
+        index derives from THIS catalog's snapshot, so past/future
+        versions are excluded exactly like the reference's
+        temporally-filtered Lucene join (lucene_test.clj
+        test-exclude-future-results / test-past-fuzzy-results-excluded)."""
+        from functools import reduce as _reduce
+
+        from crux_spark.functions.text_search import search_av
+
+        if kind == "text-search":
+            if len(form) != 3 or not (
+                isinstance(form[1], str) and form[1].startswith(":")
+            ):
+                raise ValueError(
+                    f"text-search expects (text-search :attr query), got {form!r}"
+                )
+            query = self._resolve_text_query(form[2])
+            try:
+                ref = self.catalog.resolve_attr(form[1])
+            except Exception:
+                ref = None
+            if ref is None:
+                rel = self.spark.createDataFrame(
+                    [], "eid string, v string, score double"
+                )
+            else:
+                rel = search_av(*self._text_av_index(ref.table, ref.column), query)
+            order = ["eid", "v", "score"]
+        else:
+            if len(form) != 2:
+                raise ValueError(
+                    f"wildcard-text-search expects one query arg, got {form!r}"
+                )
+            query = self._resolve_text_query(form[1])
+            parts = []
+            for t in self.catalog.tables():
+                tdf = self.catalog.table(t)
+                for fld in tdf.schema.fields:
+                    if fld.name in (ID_COL, "id", "eid"):
+                        # entity ids are not text content (the reference
+                        # indexes attribute values, never :crux.db/id)
+                        continue
+                    if fld.dataType.simpleString() in ("string", "array<string>"):
+                        part = search_av(
+                            *self._text_av_index(t, fld.name), query
+                        ).withColumn("a", F.lit(":" + fld.name))
+                        parts.append(part.select("eid", "v", "a", "score"))
+            rel = (
+                _reduce(lambda a, b: a.unionByName(b), parts)
+                if parts
+                else self.spark.createDataFrame(
+                    [], "eid string, v string, a string, score double"
+                )
+            )
+            order = ["eid", "v", "a", "score"]
+        if not (
+            isinstance(binding, (list, tuple))
+            and binding
+            and isinstance(binding[0], (list, tuple))
+        ):
+            raise ValueError(
+                f"{kind} requires a relation binding [[e v ...]], got {binding!r}"
+            )
+        inner = binding[0]
+        sel = []
+        for i, v in enumerate(inner):
+            if is_blank(v):
+                continue
+            src = F.col(order[i]) if i < len(order) else F.lit(None)
+            sel.append(src.alias(var_col(v)))
+        proj = rel.select(*sel)
+        shared = sorted(set(df.columns) & set(proj.columns))
+        if shared:
+            return df.join(proj, on=shared, how="inner")
+        return df.crossJoin(proj)
 
     # ---------------------------------------------------------------- not / or
 

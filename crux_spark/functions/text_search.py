@@ -136,6 +136,79 @@ class IncrementalTextIndex:
         return text_search(self.postings, dfreq, n, query, limit)
 
 
+def build_av_text_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """A/V-preserving index for the Datalog predicates: postings
+    (term, eid, v, tf) where v is the matched attribute VALUE — the
+    reference's relations bind [e v score] (lucene.clj:146-188,
+    resolve-search-results-a-v). Cardinality-many (array) attributes
+    index each element as its own v (lucene_test.clj "cardinality
+    many": (text-search :foo "atar") binds the matching element)."""
+    from pyspark.sql import types as T
+
+    col = F.col(text_col)
+    if isinstance(df.schema[text_col].dataType, T.ArrayType):
+        pairs = df.select(F.col(id_col).alias("eid"), F.explode(col).alias("v"))
+    else:
+        pairs = df.select(F.col(id_col).alias("eid"), col.alias("v"))
+    pairs = pairs.filter(F.col("v").isNotNull()).withColumn(
+        "v", F.col("v").cast("string")
+    )
+    toks = pairs.select(
+        "eid", "v", F.explode(_tokenize(F.col("v"))).alias("term")
+    ).filter(F.length("term") > 0)
+    postings = toks.groupBy("term", "eid", "v").agg(F.count("*").alias("tf"))
+    doc_freq = postings.groupBy("term").agg(F.count_distinct("eid").alias("df"))
+    return postings, doc_freq, df.count()
+
+
+def search_av(
+    postings: DataFrame, doc_freq: DataFrame, n_docs: int, query: str
+) -> DataFrame:
+    """Scored (eid, v, score) relation over an A/V index. Lucene-ish
+    semantics: whitespace-split terms OR together; plain terms score
+    tf-idf; wildcard terms (``*`` = any run, ``?`` = one char) score a
+    CONSTANT 1.0 per matching clause — Lucene rewrites wildcard queries
+    to constant-score, which is why the reference's Scores test sees
+    exactly 1.0 for ``ivan*`` hits (lucene_test.clj:82-92)."""
+    import re as _re
+
+    spark = postings.sparkSession
+    terms = [t for t in query.lower().replace(",", " ").split() if t]
+    plain = sorted({t for t in terms if "*" not in t and "?" not in t})
+    wild = sorted({t for t in terms if "*" in t or "?" in t})
+    parts: list[DataFrame] = []
+    if plain:
+        qdf = spark.createDataFrame([(t,) for t in plain], ["term"])
+        parts.append(
+            postings.join(F.broadcast(qdf), "term")
+            .join(F.broadcast(doc_freq), "term")
+            .withColumn(
+                "w", F.col("tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("df"))
+            )
+            .select("eid", "v", "w")
+        )
+    for w in wild:
+        regex = "^" + _re.escape(w).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+        parts.append(
+            postings.filter(F.col("term").rlike(regex))
+            .select("eid", "v")
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    if not parts:
+        return spark.createDataFrame([], "eid string, v string, score double")
+    from functools import reduce as _reduce
+
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        u.groupBy("eid", "v")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("eid").asc(), F.col("v").asc())
+    )
+
+
 def wildcard_text_search(
     postings: DataFrame,
     doc_freq: DataFrame,
