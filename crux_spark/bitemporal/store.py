@@ -483,6 +483,15 @@ class TxStore:
         )
         return int(row.m) if row.m is not None else 0
 
+    def max_tx_time(self) -> dt.datetime | None:
+        """Wall-clock tx-time of the latest committed tx (None if empty)."""
+        row = (
+            self.versions.filter(F.col("asserted"))
+            .agg(F.max("tx_time").alias("m"))
+            .first()
+        )
+        return splice.from_us(int(row.m)) if row.m is not None else None
+
     def tx_committed(self, tx_id: int) -> bool:
         """Whether a submitted tx committed (api.clj tx-committed?):
         raises if the tx is unknown or still pending."""

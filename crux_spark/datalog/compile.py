@@ -1456,7 +1456,47 @@ class Compiler:
 # ------------------------------------------------------------------ top level
 
 
+_QUERY_KEYS = (
+    "find", "where", "in", "rules", "args", "order-by", "order_by",
+    "limit", "offset", "keys", "syms", "strs", "timeout", "full-results",
+)
+
+
+def normalize_query(query) -> dict:
+    """Accept the reference's vector query form (api_test.clj
+    test-query "query vector": ``[:find e :where [e :name "Ivan"]]``) —
+    a flat list alternating section keywords and their clauses — in
+    addition to the map form. Also validates the map has :find
+    (api_test.clj "malformed query")."""
+    if isinstance(query, (list, tuple)):
+        out: dict = {}
+        section = None
+        for item in query:
+            if isinstance(item, str) and item.lstrip(":") in _QUERY_KEYS:
+                section = item.lstrip(":")
+                if section in ("limit", "offset", "timeout"):
+                    out[section] = None
+                else:
+                    out[section] = []
+            elif section is None:
+                raise ValueError(
+                    f"Query didn't match expected structure: leading {item!r}"
+                )
+            elif isinstance(out.get(section), list):
+                out[section].append(item)
+            else:
+                out[section] = item
+        query = out
+    if not isinstance(query, dict) or "find" not in query:
+        raise ValueError(
+            "Query didn't match expected structure (no :find): "
+            f"{query!r}"
+        )
+    return query
+
+
 def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
+    query = normalize_query(query)
     find = query["find"]
     where = query.get("where", [])
     inspecs = query.get("in", [])

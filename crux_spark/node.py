@@ -57,6 +57,11 @@ def _clean_slowest(queries: list, max_age: float, max_count: int) -> list:
     return live[:max_count]
 
 
+class NodeOutOfSyncError(ValueError):
+    """Requested tx-time is ahead of the latest indexed tx (the
+    reference's NodeOutOfSyncException, api_test.clj bug 546)."""
+
+
 class Db:
     """An immutable database value at (valid_time, tx) —
     the reference's `db` (query.clj:1806-1835)."""
@@ -297,6 +302,15 @@ class Node:
         if tx_time is not None:
             if tx is not None:
                 raise ValueError("pass tx or tx_time, not both")
+            latest = self.store.max_tx_time()
+            if latest is None or tx_time > latest:
+                # the reference's NodeOutOfSyncException (api_test.clj
+                # test-db-throws-if-future-tx-time-provided-546): a tx-time
+                # beyond the latest completed tx cannot be resolved
+                raise NodeOutOfSyncError(
+                    f"node hasn't indexed a transaction at {tx_time} "
+                    f"(latest completed tx-time: {latest})"
+                )
             tx = self.store.tx_at(tx_time)
         if tx is None:
             # pin the basis at creation time: a db value must not see txs

@@ -257,8 +257,15 @@ def test_db_by_tx_time(spark):
     node.submit_tx([("put", {"id": "x", "v": 2})], tx_time=dt.datetime(2020, 6, 1))
     node.await_tx()
     assert node.db(tx_time=dt.datetime(2020, 3, 1)).entity("x")["v"] == 1
-    assert node.db(tx_time=dt.datetime(2021, 1, 1)).entity("x")["v"] == 2
+    assert node.db(tx_time=dt.datetime(2020, 6, 1)).entity("x")["v"] == 2
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="not both"):
         node.db(tx=1, tx_time=dt.datetime(2020, 1, 1))
+
+    # a tx-time ahead of the latest indexed tx raises (api_test.clj
+    # test-db-throws-if-future-tx-time-provided-546)
+    from crux_spark.node import NodeOutOfSyncError
+
+    with _pytest.raises(NodeOutOfSyncError):
+        node.db(tx_time=dt.datetime(2021, 1, 1))
