@@ -1,0 +1,111 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Random sampling (df.sample) is neither stable across runs nor across
+cluster sizes — a training-data pipeline needs the SAME doc to land in
+the same split every run, on any cluster, so downstream caches and
+decontamination lists stay valid. The standard trick is content-addressed
+(hash-mod) sampling: a pure narrow filter, no shuffle, no state, pushes
+through any plan, and composes with itself (a 1% sample of a 10% sample
+is the same as sampling at 0.1% directly when the bucket spaces nest).
+
+Scale: the predicate is a single JVM-side hash + compare per row —
+whole-stage-codegen'd, zero shuffle, works identically at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    seed: int = 0,
+    complement: bool = False,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~rate of rows, chosen deterministically by key hash.
+
+    method='xxhash64' (default): production path, 64-bit hash mod 1e6
+    buckets — rate resolution 1e-6, seed shifts the bucket space.
+    method='md5': restricted to functions every SQL engine shares
+    (md5 + substring), so an external system can reproduce the exact
+    member set; rate is quantized to sixteenths (first hex nibble).
+    complement=True returns the held-out rows instead (exact set
+    complement — train/test splits are guaranteed disjoint and
+    exhaustive)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if method == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+        keep = h < int(round(rate * _BUCKETS))
+    elif method == "md5":
+        k = int(round(rate * 16))
+        nibbles = list("0123456789abcdef")[:k]
+        nib = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+        keep = nib.isin(nibbles) if nibbles else F.lit(False)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return df.filter(~keep if complement else keep)
+
+
+def hash_split(
+    df: DataFrame, test_rate: float, key_col: str, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) as exact complements under the same hash space."""
+    test = hash_sample(df, test_rate, key_col, seed=seed)
+    train = hash_sample(df, test_rate, key_col, seed=seed, complement=True)
+    return train, test
+
+
+def _word_shingles(text_col, n: int):
+    """n-word shingles of normalized text as an array column — pure
+    Catalyst exprs (no UDF): lowercase, strip non-alphanumerics, split,
+    then slide a window with transform(sequence(...))."""
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower(text_col), r"[^a-z0-9]+", " "), " "),
+        lambda w: w != "",
+    )
+    n_sh = F.size(ws) - (n - 1)
+    # sequence(1, 0) DESCENDS in Spark — guard the too-short case to an
+    # empty array instead
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: docs sharing at least one n-word
+    shingle with the benchmark corpus, with the shared-shingle count —
+    the standard n-gram-overlap contamination check run before training
+    (n=13 is the common choice for natural text; lower it for short
+    synthetic docs).
+
+    Plan shape at scale: benchmark shingles are DISTINCT-ed then
+    broadcast (benchmarks are small relative to the corpus — if not,
+    the join degrades gracefully to a shuffle hash join on the shingle);
+    the corpus side is one projection + explode, no self-join. Returns
+    (id_col, n_shared) for flagged docs only."""
+    d_sh = docs.select(
+        F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    b_sh = (
+        benchmark.select(F.explode(_word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    return (
+        d_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )

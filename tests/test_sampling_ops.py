@@ -1,0 +1,82 @@
+"""Deterministic sampling / decontamination operators
+(crux_spark/operators/sampling.py) — training-data pipeline extensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crux_spark.operators import sampling as samp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"word{i} common phrase tail {' '.join(str(j) for j in range(i % 7))}")
+         for i in range(1000)],
+        "doc_id long, text string",
+    )
+
+
+def test_hash_sample_deterministic_and_rate(docs):
+    s1 = samp.hash_sample(docs, 0.25, "doc_id")
+    s2 = samp.hash_sample(docs, 0.25, "doc_id")
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())
+    assert 150 <= len(ids1) <= 350  # ~250 expected
+
+
+def test_hash_sample_nests(docs):
+    # smaller rate selects a subset of the larger rate's bucket space
+    small = {r.doc_id for r in samp.hash_sample(docs, 0.1, "doc_id").collect()}
+    big = {r.doc_id for r in samp.hash_sample(docs, 0.4, "doc_id").collect()}
+    assert small <= big
+
+
+def test_hash_split_disjoint_exhaustive(docs):
+    train, test = samp.hash_split(docs, 0.2, "doc_id")
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    assert tr.isdisjoint(te)
+    assert len(tr) + len(te) == 1000
+
+
+def test_hash_sample_seed_shifts(docs):
+    a = {r.doc_id for r in samp.hash_sample(docs, 0.3, "doc_id", seed=1).collect()}
+    b = {r.doc_id for r in samp.hash_sample(docs, 0.3, "doc_id", seed=2).collect()}
+    assert a != b
+
+
+def test_hash_sample_md5_rate_edges(docs):
+    assert samp.hash_sample(docs, 0.0, "doc_id", method="md5").count() == 0
+    assert samp.hash_sample(docs, 1.0, "doc_id", method="md5").count() == 1000
+    with pytest.raises(ValueError, match="rate"):
+        samp.hash_sample(docs, 1.5, "doc_id")
+
+
+def test_hash_sample_plan_is_narrow(docs):
+    # scale property: a pure filter, no shuffle in the plan
+    plan = samp.hash_sample(docs, 0.25, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contaminated_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words here entirely now"),
+         (3, "a quick brown fox jumps over something else")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_shared for r in
+           samp.contaminated_docs(docs, bench, n=4).collect()}
+    # doc1 shares "the quick brown fox" and "quick brown fox jumps";
+    # doc3 shares "quick brown fox jumps"; doc2 shares nothing
+    assert out == {1: 2, 3: 1}
+
+
+def test_contaminated_docs_short_docs_no_shingles(spark):
+    docs = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "too short")], "doc_id long, text string")
+    assert samp.contaminated_docs(docs, bench, n=5).count() == 0
