@@ -79,6 +79,29 @@ def _word_shingles(text_col, n: int):
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
 
 
+def _shingle_relation(df: DataFrame, keep_cols: list, text_col: str, n: int):
+    """(keep_cols..., sh) with one row per n-word shingle. The word
+    array is MATERIALIZED as a column before the window slide: inlining
+    it into the transform lambda makes Catalyst re-evaluate the whole
+    regexp+split chain per element (measured ~100x slower on 250k
+    shingles) — here it's computed once per document, then indices
+    explode and each row slices the bound array."""
+    ws = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), " "),
+        lambda w: w != "",
+    )
+    with_ws = df.select(*keep_cols, ws.alias("__ws"))
+    n_sh = F.size(F.col("__ws")) - (n - 1)
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = with_ws.select(*keep_cols, "__ws", F.explode(idx).alias("__i"))
+    return exploded.select(
+        *keep_cols,
+        F.concat_ws(" ", F.slice(F.col("__ws"), F.col("__i"), n)).alias("sh"),
+    )
+
+
 def contaminated_docs(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -92,16 +115,21 @@ def contaminated_docs(
     (n=13 is the common choice for natural text; lower it for short
     synthetic docs).
 
-    Plan shape at scale: benchmark shingles are DISTINCT-ed then
-    broadcast (benchmarks are small relative to the corpus — if not,
-    the join degrades gracefully to a shuffle hash join on the shingle);
-    the corpus side is one projection + explode, no self-join. Returns
-    (id_col, n_shared) for flagged docs only."""
-    d_sh = docs.select(
-        F.col(id_col), F.explode(_word_shingles(F.col(text_col), n)).alias("sh")
+    Plan shape at scale: shingles are xxhash64'd to 8-byte keys at the
+    explode (the join and distinct never carry the n-word strings —
+    ~10x narrower rows; a false positive needs a 64-bit collision
+    between a benchmark and a corpus shingle, ~n^2/2^64); benchmark
+    hashes are DISTINCT-ed then broadcast (benchmarks are small
+    relative to the corpus — if not, the join degrades gracefully to a
+    shuffle hash join on the hash); the corpus side is one
+    projection + explode, no self-join. Returns (id_col, n_shared) for
+    flagged docs only."""
+    d_sh = _shingle_relation(docs, [F.col(id_col)], text_col, n).select(
+        F.col(id_col), F.xxhash64("sh").alias("sh")
     )
     b_sh = (
-        benchmark.select(F.explode(_word_shingles(F.col(text_col), n)).alias("sh"))
+        _shingle_relation(benchmark, [], text_col, n)
+        .select(F.xxhash64("sh").alias("sh"))
         .distinct()
     )
     return (
