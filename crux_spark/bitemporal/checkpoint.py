@@ -1,0 +1,108 @@
+"""Checkpointing for TxStores — the reference's crux.checkpoint module
+(crux-core/src/crux/checkpoint.clj; checkpoint_test.clj) recast for the
+parquet-backed store.
+
+The reference periodically uploads the KV index dir to a checkpoint
+store so a fresh node restores the latest checkpoint and replays only
+the tx-log tail. Here a checkpoint = the store's versions table saved as
+eid-bucketed parquet plus a metadata file; a fresh session restores the
+newest checkpoint and replays the WAL tail past its tx id.
+
+Parity points kept from the reference:
+- frequency gating: `checkpoint()` is a no-op while the newest
+  checkpoint is younger than approx_frequency (checkpoint.clj
+  cp-seq / checkpoint_test.clj "doesn't do a second checkpoint within
+  half a second");
+- available_checkpoints lists newest-first;
+- retention: `cleanup(keep=n)` prunes all but the n newest (the
+  reference's retention-policy map).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+
+from crux_spark.bitemporal.store import TxStore
+
+_META = "checkpoint.json"
+
+
+class CheckpointStore:
+    def __init__(self, path: str, approx_frequency: float = 3600.0):
+        self.path = path
+        self.approx_frequency = approx_frequency
+        os.makedirs(path, exist_ok=True)
+
+    # -- listing ----------------------------------------------------------
+    def available_checkpoints(self) -> list[dict]:
+        """Checkpoint metadata, newest first (checkpoint.clj
+        available-checkpoints)."""
+        out = []
+        for name in os.listdir(self.path):
+            meta_path = os.path.join(self.path, name, _META)
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                meta["dir"] = os.path.join(self.path, name)
+                out.append(meta)
+        return sorted(out, key=lambda m: m["checkpoint_at"], reverse=True)
+
+    # -- writing ----------------------------------------------------------
+    def checkpoint(self, store: TxStore, force: bool = False) -> dict | None:
+        """Save a checkpoint unless the newest one is fresher than
+        approx_frequency (returns None when gated) or the store has no
+        new txs since it."""
+        now = dt.datetime.now(dt.timezone.utc)
+        cps = self.available_checkpoints()
+        if cps and not force:
+            newest = cps[0]
+            age = (
+                now
+                - dt.datetime.fromisoformat(newest["checkpoint_at"])
+            ).total_seconds()
+            if age < self.approx_frequency:
+                return None
+            if newest["tx_id"] >= store.completed_watermark():
+                return None
+        tx_id = store.completed_watermark()
+        name = f"checkpoint-{tx_id}-{now.strftime('%Y%m%dT%H%M%S%f')}"
+        cp_dir = os.path.join(self.path, name)
+        store.save(os.path.join(cp_dir, "versions"))
+        meta = {"tx_id": tx_id, "checkpoint_at": now.isoformat()}
+        with open(os.path.join(cp_dir, _META), "w") as f:
+            json.dump(meta, f)
+        return {**meta, "dir": cp_dir}
+
+    # -- restore ----------------------------------------------------------
+    def restore_latest(self, spark, wal_path: str | None = None) -> TxStore | None:
+        """Build a TxStore from the newest checkpoint; with a WAL, replay
+        only the txs PAST the checkpoint's tx id (the reference replays
+        the tx-log tail after restoring, checkpoint.clj try-restore)."""
+        cps = self.available_checkpoints()
+        if not cps:
+            return None
+        newest = cps[0]
+        store = TxStore.load(spark, os.path.join(newest["dir"], "versions"))
+        if wal_path and os.path.exists(wal_path):
+            with open(wal_path) as f:
+                for line in f:
+                    entry = json.loads(line)
+                    if int(entry["tx_id"]) > newest["tx_id"]:
+                        store._pending.extend(entry["rows"])
+                        store._tx_id = max(store._tx_id, int(entry["tx_id"]))
+            store.commit()
+            store.wal_path = wal_path
+        return store
+
+    # -- retention --------------------------------------------------------
+    def cleanup(self, keep: int = 2) -> list[str]:
+        """Prune all but the `keep` newest checkpoints; returns removed
+        dirs (the reference's retention policy)."""
+        removed = []
+        for meta in self.available_checkpoints()[keep:]:
+            shutil.rmtree(meta["dir"])
+            removed.append(meta["dir"])
+        return removed

@@ -1,0 +1,87 @@
+"""Checkpoint store (crux-core/src/crux/checkpoint.clj;
+checkpoint_test.clj): frequency-gated saves, newest-first listing,
+restore + WAL-tail replay, retention cleanup."""
+
+import datetime as dt
+import json
+
+from crux_spark.bitemporal.checkpoint import CheckpointStore
+from crux_spark.bitemporal.store import TxStore
+
+
+def t(day):
+    return dt.datetime(2022, 1, day)
+
+
+def test_checkpoint_save_gate_restore(spark, tmp_path):
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=3600)
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.commit()
+
+    meta1 = cp.checkpoint(store)
+    assert meta1 is not None and meta1["tx_id"] == 1
+
+    # gated: a second call within approx_frequency is a no-op
+    # (checkpoint_test.clj "doesn't do a second checkpoint within ...")
+    store.submit_tx([("put", {"id": "b", "v": 2})], tx_time=t(2))
+    store.commit()
+    assert cp.checkpoint(store) is None
+    assert [m["tx_id"] for m in cp.available_checkpoints()] == [1]
+
+    # force bypasses the gate
+    meta2 = cp.checkpoint(store, force=True)
+    assert meta2["tx_id"] == 2
+    assert [m["tx_id"] for m in cp.available_checkpoints()] == [2, 1]
+
+    restored = cp.restore_latest(spark)
+    assert restored.latest_completed_tx() == 2
+    assert restored.entity("b")["v"] == 2
+    assert restored.entity("a")["v"] == 1
+
+
+def test_checkpoint_skips_when_no_new_txs(spark, tmp_path):
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "a", "v": 1})])
+    store.commit()
+    assert cp.checkpoint(store) is not None
+    # frequency elapsed (0s) but no new txs -> still a no-op
+    assert cp.checkpoint(store) is None
+
+
+def test_restore_replays_wal_tail(spark, tmp_path):
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.commit()
+    assert cp.checkpoint(store)["tx_id"] == 1
+
+    # txs AFTER the checkpoint land only in the WAL
+    store.submit_tx([("put", {"id": "a", "v": 9})], tx_time=t(5))
+    store.submit_tx([("put", {"id": "c", "v": 3})], tx_time=t(6))
+    store.commit()
+
+    restored = cp.restore_latest(spark, wal_path=wal)
+    assert restored.latest_completed_tx() == 3
+    assert restored.entity("a")["v"] == 9
+    assert restored.entity("c")["v"] == 3
+    # bitemporal history survives the checkpoint+replay seam
+    assert restored.entity("a", valid_time=t(2))["v"] == 1
+
+
+def test_cleanup_retention(spark, tmp_path):
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark)
+    for i in range(4):
+        store.submit_tx([("put", {"id": "x", "v": i})], tx_time=t(i + 1))
+        store.commit()
+        assert cp.checkpoint(store, force=True) is not None
+    assert len(cp.available_checkpoints()) == 4
+    removed = cp.cleanup(keep=2)
+    assert len(removed) == 2
+    kept = [m["tx_id"] for m in cp.available_checkpoints()]
+    assert kept == [4, 3]
+    # the newest survivor still restores
+    assert cp.restore_latest(spark).entity("x")["v"] == 3
