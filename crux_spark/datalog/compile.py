@@ -561,7 +561,23 @@ class Compiler:
                 ):
                     coll = eb.build(form)
                     coll_dtype = df.select(coll.alias("__c")).schema[0].dataType
-                    if isinstance(coll_dtype, _T.MapType):
+                    if binding[0] in self.env:
+                        if isinstance(coll_dtype, _T.MapType):
+                            coll = F.map_entries(coll)
+                        df = df.filter(
+                            F.array_contains(coll, F.lit(self.env[binding[0]]))
+                        )
+                    elif var_col(binding[0]) in df.columns:
+                        # collection binding to an ALREADY-bound var
+                        # unifies — membership filter, no explode
+                        # (query.clj:933-952 binding = unification;
+                        # SPARQL VALUES over a bound var relies on it)
+                        if isinstance(coll_dtype, _T.MapType):
+                            coll = F.map_entries(coll)
+                        df = df.filter(
+                            F.array_contains(coll, F.col(var_col(binding[0])))
+                        )
+                    elif isinstance(coll_dtype, _T.MapType):
                         # seq'ing a map yields its [k v] entries
                         # (query_test.clj:1227-1236 test-collection-returns)
                         entry = F.explode(F.map_entries(coll))

@@ -54,7 +54,22 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "PREFIX", "SELECT", "DISTINCT", "WHERE", "FILTER", "OPTIONAL",
     "UNION", "ORDER", "BY", "ASC", "DESC", "LIMIT", "OFFSET", "REGEX",
-    "NOT", "EXISTS", "MINUS", "A",
+    "NOT", "EXISTS", "MINUS", "A", "BIND", "AS", "VALUES", "IN",
+    "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
+    "STRSTARTS", "STRENDS",
+}
+
+# SPARQL built-in call -> (datalog head, arity); the reference gets these
+# through RDF4J's FunctionCall/SameTerm nodes (sparql.clj imports)
+_FNS = {
+    "SAMETERM": ("==", 2),
+    "STR": ("str", 1),
+    "STRLEN": ("count", 1),
+    "UCASE": ("upper-case", 1),
+    "LCASE": ("lower-case", 1),
+    "CONTAINS": ("includes?", 2),
+    "STRSTARTS": ("starts-with?", 2),
+    "STRENDS": ("ends-with?", 2),
 }
 
 
@@ -195,12 +210,54 @@ class _Parser:
                     clauses.append(["not", *inner])
                 # else: no shared variables -> solutions are never
                 # "compatible", MINUS removes nothing (SPARQL 1.1 §8.3)
+            elif self.at("KW", "BIND"):
+                # BIND(expr AS ?v) -> predicate clause with return
+                # binding (the reference's Extension/ExtensionElem)
+                self.next()
+                self.eat("op", "(")
+                expr = self.or_expr()
+                self.eat("KW", "AS")
+                v = self.eat("var").val
+                self.eat("op", ")")
+                clauses.append([expr, v])
+            elif self.at("KW", "VALUES"):
+                self.next()
+                clauses.append(self.values_block())
             elif self.at("op", "{"):
                 clauses.append(self.union_block())
             else:
                 clauses.extend(self.triple_block())
         self.eat("op", "}")
         return clauses
+
+    def values_block(self) -> list:
+        """VALUES ?x { v... } / VALUES (?x ?y) { (a b) ... } -> a literal
+        collection/relation binding clause (the reference's
+        BindingSetAssignment)."""
+        if self.at("var"):
+            v = self.next().val
+            self.eat("op", "{")
+            vals = []
+            while not self.at("op", "}"):
+                vals.append(self.term())
+            self.next()
+            return [["vector", *vals], [v, "..."]]
+        self.eat("op", "(")
+        vars_ = []
+        while self.at("var"):
+            vars_.append(self.next().val)
+        self.eat("op", ")")
+        self.eat("op", "{")
+        rows = []
+        while self.at("op", "("):
+            self.next()
+            row = []
+            while not self.at("op", ")"):
+                row.append(self.term())
+            self.next()
+            rows.append(["vector", *row])
+        self.eat("op", "}")
+        return [["vector", *rows], [vars_]]
 
     def union_block(self) -> list:
         branches = []
@@ -377,7 +434,31 @@ class _Parser:
             self.next()
             right = self.add_expr()
             return [t.val if t.val != "=" else "==", left, right]
+        # ?x IN (a, b) / ?x NOT IN (a, b) — the reference's
+        # ListMemberOperator
+        if self.at("KW", "IN"):
+            self.next()
+            return ["contains?", ["hash-set", *self._in_list()], left]
+        if self.at("KW", "NOT") and not (
+            self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].kind == "KW"
+            and self.toks[self.i + 1].val == "EXISTS"
+        ):
+            self.next()
+            self.eat("KW", "IN")
+            return ["not", ["contains?", ["hash-set", *self._in_list()], left]]
         return left
+
+    def _in_list(self) -> list:
+        self.eat("op", "(")
+        vals = []
+        while not self.at("op", ")"):
+            if self.at("op", ","):
+                self.next()
+                continue
+            vals.append(self.term())
+        self.next()
+        return vals
 
     def add_expr(self):
         left = self.mul_expr()
@@ -408,6 +489,16 @@ class _Parser:
             if "i" in flags:
                 pat = "(?i)" + pat
             return ["re-find", pat, v]
+        t = self.peek()
+        if t is not None and t.kind == "KW" and t.val in _FNS:
+            head, arity = _FNS[self.next().val]
+            self.eat("op", "(")
+            args = [self.or_expr()]
+            for _ in range(arity - 1):
+                self.eat("op", ",")
+                args.append(self.or_expr())
+            self.eat("op", ")")
+            return [head, *args]
         if self.at("op", "("):
             self.next()
             e = self.or_expr()

@@ -353,3 +353,74 @@ def test_filter_arithmetic(vcard_cat):
         WHERE { ?x info:age ?a . FILTER(?a / 5 >= 5) }""",
     )
     assert got2 == {(JOHN,)}
+
+
+# --- BIND / VALUES / IN / built-in fns (sparql.clj Extension,
+# BindingSetAssignment, ListMemberOperator, FunctionCall/SameTerm) ---
+
+
+def test_bind_expression(vcard_cat):
+    got = run(vcard_cat, """
+    PREFIX info: <http://somewhere/peopleInfo#>
+    SELECT ?g ?next WHERE {
+      ?p info:age ?age .
+      BIND(?age + 1 AS ?next)
+      ?p <http://www.w3.org/2001/vcard-rdf/3.0#FN> ?g .
+    }""")
+    assert got == {("Becky Smith", 24), ("John Smith", 26)}
+
+
+def test_values_single_var(vcard_cat):
+    got = run(vcard_cat, """
+    SELECT ?name WHERE {
+      VALUES ?name { "Smith" "Nope" }
+      ?b <http://www.w3.org/2001/vcard-rdf/3.0#Family> ?name .
+    }""")
+    assert got == {("Smith",)}
+
+
+def test_values_multi_var(vcard_cat):
+    got = run(vcard_cat, """
+    SELECT ?fam ?given WHERE {
+      VALUES (?fam ?given) { ("Smith" "John") ("Jones" "Sarah") ("Smith" "Zed") }
+      ?b <http://www.w3.org/2001/vcard-rdf/3.0#Family> ?fam .
+      ?b <http://www.w3.org/2001/vcard-rdf/3.0#Given> ?given .
+    }""")
+    assert got == {("Smith", "John"), ("Jones", "Sarah")}
+
+
+def test_filter_in_and_not_in(vcard_cat):
+    base = """
+    SELECT ?g WHERE {
+      ?v <http://www.w3.org/2001/vcard-rdf/3.0#Given> ?g .
+      FILTER(?g %s ("John", "Rebecca"))
+    }"""
+    assert run(vcard_cat, base % "IN") == {("John",), ("Rebecca",)}
+    assert run(vcard_cat, base % "NOT IN") == {("Matthew",), ("Sarah",)}
+
+
+def test_filter_string_fns(vcard_cat):
+    got = run(vcard_cat, """
+    SELECT ?fn WHERE {
+      ?v <http://www.w3.org/2001/vcard-rdf/3.0#FN> ?fn .
+      FILTER(STRSTARTS(?fn, "J") || STRENDS(?fn, "Jones"))
+    }""")
+    assert got == {("John Smith",), ("Sarah Jones",), ("Matt Jones",)}
+
+    got = run(vcard_cat, """
+    SELECT ?fn WHERE {
+      ?v <http://www.w3.org/2001/vcard-rdf/3.0#FN> ?fn .
+      FILTER(CONTAINS(LCASE(?fn), "smith") && STRLEN(?fn) > 10)
+    }""")
+    assert got == {("Becky Smith",)}
+
+
+def test_sameterm(vcard_cat):
+    got = run(vcard_cat, """
+    SELECT ?v WHERE {
+      ?v <http://www.w3.org/2001/vcard-rdf/3.0#Family> ?f .
+      ?w <http://www.w3.org/2001/vcard-rdf/3.0#Family> ?g .
+      FILTER(SAMETERM(?f, ?g) && ?v != ?w)
+    }""")
+    # every person shares a family name with exactly one other
+    assert len(got) == 4
