@@ -46,7 +46,8 @@ _TOKEN_RE = re.compile(
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}().,;*=<>!a+\-/])
+  | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/])
     """,
     re.VERBOSE,
 )
@@ -56,7 +57,7 @@ _KEYWORDS = {
     "UNION", "ORDER", "BY", "ASC", "DESC", "LIMIT", "OFFSET", "REGEX",
     "NOT", "EXISTS", "MINUS", "A", "BIND", "AS", "VALUES", "IN",
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
-    "STRSTARTS", "STRENDS",
+    "STRSTARTS", "STRENDS", "CONCAT",
 }
 
 # SPARQL built-in call -> (datalog head, arity); the reference gets these
@@ -70,6 +71,7 @@ _FNS = {
     "CONTAINS": ("includes?", 2),
     "STRSTARTS": ("starts-with?", 2),
     "STRENDS": ("ends-with?", 2),
+    "CONCAT": ("str", None),  # variadic; clojure str concatenates
 }
 
 
@@ -152,10 +154,18 @@ class _Parser:
             raise ValueError(f"unknown prefix {pre!r} in {pname!r}")
         return self.prefixes[pre] + local
 
+    _anon_counter = 0
+
     def term(self) -> Any:
         t = self.next()
         if t.kind == "var":
             return t.val
+        if t.kind == "op" and t.val == "[":
+            # [] — anonymous blank node = fresh variable (the reference's
+            # RDF4J parse yields _anon_N vars, sparql_test.clj UNION case)
+            self.eat("op", "]")
+            _Parser._anon_counter += 1
+            return f"?__anon{_Parser._anon_counter}"
         if t.kind == "iri":
             return t.val[1:-1]
         if t.kind == "pname":
@@ -171,8 +181,10 @@ class _Parser:
                     return int(s)
                 if ln in ("double", "float", "decimal"):
                     return float(s)
-            elif self.at("pname"):  # @lang arrives glued? no — skip
-                pass
+            elif self.at("lang"):
+                # language-tagged literal: the tag is dropped, matching
+                # the reference's rdf->clj (\"cat\"@en matches "cat")
+                self.next()
             return s
         if t.kind == "num":
             return float(t.val) if "." in t.val else int(t.val)
@@ -494,9 +506,14 @@ class _Parser:
             head, arity = _FNS[self.next().val]
             self.eat("op", "(")
             args = [self.or_expr()]
-            for _ in range(arity - 1):
-                self.eat("op", ",")
-                args.append(self.or_expr())
+            if arity is None:  # variadic (CONCAT)
+                while self.at("op", ","):
+                    self.next()
+                    args.append(self.or_expr())
+            else:
+                for _ in range(arity - 1):
+                    self.eat("op", ",")
+                    args.append(self.or_expr())
             self.eat("op", ")")
             return [head, *args]
         if self.at("op", "("):
@@ -521,17 +538,31 @@ class _Parser:
         if self.at("KW", "DISTINCT"):
             self.next()  # Datalog set semantics are already distinct
         find: list[str] = []
+        select_binds: list = []  # (expr, var) from SELECT (expr AS ?v)
         star = False
         if self.at("op", "*"):
             self.next()
             star = True
         else:
-            while self.at("var"):
-                find.append(self.next().val)
+            while True:
+                if self.at("var"):
+                    find.append(self.next().val)
+                elif self.at("op", "("):
+                    # projection expression: SELECT (CONCAT(...) AS ?v)
+                    self.next()
+                    expr = self.or_expr()
+                    self.eat("KW", "AS")
+                    v = self.eat("var").val
+                    self.eat("op", ")")
+                    select_binds.append([expr, v])
+                    find.append(v)
+                else:
+                    break
         if self.at("KW", "WHERE"):
             self.next()
         self.eat("op", "{")
         where = self.group()
+        where.extend(select_binds)
         if star:
             seen: list[str] = []
             _collect_vars(where, seen)

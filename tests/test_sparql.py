@@ -424,3 +424,41 @@ def test_sameterm(vcard_cat):
     }""")
     # every person shares a family name with exactly one other
     assert len(got) == 4
+
+
+def test_anonymous_blank_node_union(vcard_cat):
+    # labs sparql_test shape: { [] p1 ?n } UNION { [] p2 ?n } — anonymous
+    # blank subjects become fresh vars (unknown attrs raise by catalog
+    # design, so both branches use stored predicates here)
+    got = run(vcard_cat, """
+    PREFIX vCard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+    SELECT ?name WHERE {
+      { [] vCard:Given ?name } UNION { [] vCard:FN ?name }
+    }""")
+    assert got == {
+        ("Matthew",), ("Rebecca",), ("John",), ("Sarah",),
+        ("Matt Jones",), ("Becky Smith",), ("John Smith",), ("Sarah Jones",),
+    }
+
+
+def test_language_tagged_literal(vcard_cat):
+    got = run(vcard_cat, """
+    SELECT ?v WHERE { ?v <http://www.w3.org/2001/vcard-rdf/3.0#Given> "John"@en }""")
+    # the language tag is dropped: "John"@en matches the stored "John"
+    assert len(got) == 1 and next(iter(got))[0].startswith("_:")
+
+
+def test_bind_concat_and_select_expression(vcard_cat):
+    q1 = """
+    PREFIX v: <http://www.w3.org/2001/vcard-rdf/3.0#>
+    SELECT ?name WHERE {
+      ?p v:Given ?g ; v:Family ?s
+      BIND(CONCAT(?g, " ", ?s) AS ?name)
+    }"""
+    q2 = """
+    PREFIX v: <http://www.w3.org/2001/vcard-rdf/3.0#>
+    SELECT ( CONCAT(?g, " ", ?s) AS ?name )
+    WHERE { ?p v:Given ?g ; v:Family ?s }"""
+    expect = {("Matthew Jones",), ("Rebecca Smith",), ("John Smith",), ("Sarah Jones",)}
+    assert run(vcard_cat, q1) == expect
+    assert run(vcard_cat, q2) == expect
