@@ -547,9 +547,34 @@ class TxStore:
             if not self.wal_path:
                 raise ValueError("tx_log(with_ops=True) needs a wal_path")
             log = self.spark.read.json(self.wal_path)
-            log = log.select("tx_id", F.explode("rows").alias("op")).select(
-                "tx_id", "op.*"
+            log = log.select("tx_id", F.explode("rows").alias("op"))
+            # the op struct carries its own tx_id copy — keep the outer one
+            op_fields = [
+                f.name
+                for f in log.schema["op"].dataType.fields
+                if f.name != "tx_id"
+            ]
+            log = log.select(
+                "tx_id", *[F.col(f"op.{n}").alias(n) for n in op_fields]
             )
+            # eviction redacts document CONTENT from the log (tx_test.clj
+            # tx-log-evict-454: prior put/cas docs of an evicted eid read
+            # back as {:evicted? true}); op structure and eids remain
+            evicted = (
+                log.filter(F.col("op") == "evict")
+                .select("eid")
+                .distinct()
+                .withColumn("__evicted", F.lit(True))
+            )
+            log = log.join(F.broadcast(evicted), "eid", "left")
+            redact = lambda c: F.when(
+                F.col("__evicted") & F.col(c).isNotNull(),
+                F.lit('{"crux.db/evicted": true}'),
+            ).otherwise(F.col(c))
+            log = log.withColumn("doc_json", redact("doc_json"))
+            if "expected_json" in log.columns:
+                log = log.withColumn("expected_json", redact("expected_json"))
+            log = log.drop("__evicted")
         else:
             log = (
                 self.versions.filter(F.col("asserted"))
@@ -713,6 +738,39 @@ class TxStore:
         )
 
     # ------------------------------------------------------------ persistence
+
+    def compact_wal(self) -> int:
+        """Physically erase evicted documents from the durable log — the
+        reference's evict deletes the docs from the document store
+        (tx.clj evict; the tx-log keeps redacted tombstones). Rewrites
+        the WAL in place with {"crux.db/evicted": true} bodies for every
+        op on an evicted eid; returns the number of redacted ops."""
+        import os
+
+        if not self.wal_path or not os.path.exists(self.wal_path):
+            return 0
+        with open(self.wal_path) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+        evicted = {
+            r["eid"]
+            for e in entries
+            for r in e["rows"]
+            if r.get("op") == "evict"
+        }
+        n = 0
+        for e in entries:
+            for r in e["rows"]:
+                if r.get("eid") in evicted:
+                    for k in ("doc_json", "expected_json"):
+                        if r.get(k) not in (None, '{"crux.db/evicted": true}'):
+                            r[k] = '{"crux.db/evicted": true}'
+                            n += 1
+        tmp = self.wal_path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, self.wal_path)
+        return n
 
     def save(self, path: str, buckets: int = 64) -> None:
         """Persist partitioned by eid hash bucket (co-locates future

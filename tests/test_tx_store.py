@@ -2,6 +2,7 @@
 evict/tx-fn, corrections, speculative with-tx, persistence round-trip."""
 
 import datetime as dt
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -791,3 +792,39 @@ def test_bitemp_paper_full_scenario(spark):
         ("p3", "LA", "2018-12-31", "na"),
         ("p4", "NY", "2019-01-02", "na"),
     }
+
+
+def test_tx_log_evict_redaction_454(spark, tmp_path):
+    """tx_test.clj tx-log-evict-454: after an evict, the tx log still
+    shows the op STRUCTURE of earlier puts/cas on that eid, but their
+    document content reads back redacted."""
+    wal = str(tmp_path / "wal.jsonl")
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "to-evict", "v": 1})])
+    store.submit_tx([("cas", "to-evict", {"id": "to-evict", "v": 1},
+                      {"id": "to-evict", "v": 2, "test": "test"})])
+    store.submit_tx([("put", {"id": "keep", "v": 7})])
+    store.submit_tx([("evict", "to-evict")])
+    store.commit()
+
+    log = store.tx_log(with_ops=True).collect()
+    by_eid = {}
+    for r in log:
+        by_eid.setdefault(r.eid, []).append(r)
+    # evicted eid: ops present, docs redacted
+    assert [r.op for r in by_eid["to-evict"]] == ["put", "match", "put", "evict"]
+    for r in by_eid["to-evict"]:
+        if r.doc_json is not None:
+            assert json.loads(r.doc_json) == {"crux.db/evicted": True}
+    # untouched eid keeps its content
+    assert json.loads(by_eid["keep"][0].doc_json)["v"] == 7
+
+    # physical erasure: the WAL file itself no longer contains the docs
+    n = store.compact_wal()
+    assert n >= 2
+    raw = open(wal).read()
+    assert '"test"' not in raw and '"v": 1' not in raw.replace("keep", "")
+    # and recovery from the scrubbed WAL still works for the kept entity
+    restored = TxStore.recover(spark, wal)
+    assert restored.entity("keep")["v"] == 7
+    assert restored.entity("to-evict") is None
