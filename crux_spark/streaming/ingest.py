@@ -195,6 +195,33 @@ def stream_rollup(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: first occurrence of each normalized
+    content hash wins (the streaming sibling of
+    operators/dedup.exact_duplicates, maintained by Spark's dedup state
+    store instead of a batch groupBy).
+
+    With ``time_col`` the state is bounded by the watermark
+    (dropDuplicatesWithinWatermark) — at 100 TB/day unbounded dedup
+    state is a memory leak, so production streams should always pass an
+    event-time column; the unbounded variant exists for finite backfills."""
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    out = docs.withColumn("content_hash", h)
+    if time_col:
+        return out.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return out.dropDuplicates(["content_hash"])
+
+
 def stream_stateful_counts(
     spark: SparkSession,
     source_dir: str,

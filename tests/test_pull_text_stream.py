@@ -523,3 +523,40 @@ def test_tx_log_parquet_reader_config(spark, tmp_path):
     cfg = s.reader_config()
     assert cfg["format"] == "parquet"
     assert cfg["options"]["path"].endswith("log")
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    from crux_spark.streaming.ingest import stream_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2023, 5, 1, 10)
+    spark.createDataFrame(
+        [
+            (1, t0, "Hello  World"),
+            (2, t0, "hello world"),   # dup after normalization
+            (3, t0, "something else"),
+            (4, t0, "HELLO WORLD "),  # dup
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+
+    out = stream_exact_dedup(spark, src, schema, time_col="ts")
+    sq = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    # one survivor per content hash
+    assert len(rows) == 2
+    assert len({r.content_hash for r in rows}) == 2
