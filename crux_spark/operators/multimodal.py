@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-behind a deterministic fake (clearly marked below); everything Spark-side —
-schema, partition-preserving mapInPandas, batch shapes, metadata structs —
-is real and tested. Swap `_fake_decode` for a real libvips/ffmpeg call on a
-cluster with codecs installed and nothing else changes.
+The container has no image/audio LIBRARIES, so compressed formats
+(JPEG/PNG/MP4...) are STUBBED behind a deterministic fake (clearly
+marked below). Uncompressed PPM (P6) images decode FOR REAL — a pure
+numpy parser below — which proves the whole decode -> resize -> feature
+path end-to-end on actual pixels; swapping the stub for libvips/ffmpeg
+on a cluster with codecs changes nothing Spark-side (schema,
+partition-preserving mapInPandas, batch shapes, metadata structs).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +47,61 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# --- real codec: PPM P6 (uncompressed RGB, no libraries needed) --------
+
+
+def decode_ppm(blob: bytes) -> "np.ndarray | None":
+    """Parse a binary PPM (P6) into an (h, w, 3) uint8 array, or None if
+    the blob isn't P6. Whitespace/comment-tolerant header per the netpbm
+    spec."""
+    if blob is None or not blob.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        return None  # 16-bit samples: out of scope
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _resize_nn(arr: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Nearest-neighbor resample via index grids — pure numpy."""
+    ih, iw = arr.shape[:2]
+    ys = (np.arange(h) * ih // h).clip(0, ih - 1)
+    xs = (np.arange(w) * iw // w).clip(0, iw - 1)
+    return arr[ys][:, xs]
+
+
+def _image_features(arr: "np.ndarray", n_features: int = 8) -> list[float]:
+    """Real image features: per-channel mean + std (in [0,1]) followed by
+    a luminance histogram filling the remaining slots."""
+    scaled = arr.astype(np.float64) / 255.0
+    out = list(scaled.mean(axis=(0, 1))) + list(scaled.std(axis=(0, 1)))
+    n_hist = max(0, n_features - len(out))
+    if n_hist:
+        lum = scaled.mean(axis=2).ravel()
+        hist, _ = np.histogram(lum, bins=n_hist, range=(0.0, 1.0))
+        out += list(hist / max(1, lum.size))
+    return [float(round(x, 6)) for x in out[:n_features]]
+
+
 def _fake_decode(blob: bytes, n_features: int = 8) -> list[float]:
     """STUB decode: deterministic per-byte-histogram 'features'.
 
@@ -68,15 +126,19 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     pickling; partitioning of the input is preserved (no shuffle).
     """
 
+    def feats(b):
+        arr = decode_ppm(b)
+        if arr is not None:  # real decode for P6 images
+            return _image_features(arr, n_features)
+        return _fake_decode(b, n_features)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": pdf["blob"].map(lambda b: 0 if b is None else len(b)),
-                    "features": pdf["blob"].map(
-                        lambda b: _fake_decode(b, n_features)
-                    ),
+                    "features": pdf["blob"].map(feats),
                 }
             )
 
@@ -134,6 +196,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     mapInPandas (no shuffle), meta struct rewritten with the new
     dimensions; mime and duration carry through."""
 
+    def do_resize(b):
+        arr = decode_ppm(b)
+        if arr is not None:  # real nearest-neighbor resample for P6
+            return encode_ppm(_resize_nn(arr, width, height))
+        return _fake_resize(b, width, height)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = pd.DataFrame(
@@ -149,7 +217,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "blob": pdf["blob"].map(lambda b: _fake_resize(b, width, height)),
+                    "blob": pdf["blob"].map(do_resize),
                     "meta": meta.to_dict("records"),
                 }
             )

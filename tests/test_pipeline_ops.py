@@ -188,3 +188,42 @@ def test_multimodal_frame_sampling(spark):
     assert 3 not in by_id
     for f in by_id[1]:
         assert f.frame is not None and 1 <= len(f.frame) <= 16
+
+
+def test_ppm_real_decode_resize_features(spark):
+    """The P6 codec is REAL (pure numpy): decode -> features and
+    decode -> resize -> re-encode run on actual pixels through the same
+    Arrow mapInPandas plumbing the stubbed formats use."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crux_spark.operators import multimodal as mm
+
+    # 2x2 image: red, green / blue, white (+ a header comment)
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    blob = b"P6\n# test image\n2 2\n255\n" + arr.tobytes()
+    assert (mm.decode_ppm(blob) == arr).all()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), ("image/x-portable-pixmap", 2, 2, None)),
+         (2, bytearray(b"not an image"), ("application/octet-stream", None, None, None))],
+        mm.MEDIA_SCHEMA,
+    )
+
+    feats = {r.media_id: r.features for r in mm.extract_features(media).collect()}
+    # channel means: R=(255+0+0+255)/4/255=0.5, same for G and B
+    assert feats[1][:3] == [0.5, 0.5, 0.5]
+    assert feats[1][3:6] == [0.5, 0.5, 0.5]  # per-channel std of [1,0,0,1]
+    assert len(feats[2]) == 8  # stub path still works for non-P6
+
+    resized = {r.media_id: r for r in mm.resize_media(media, 4, 4).collect()}
+    out = mm.decode_ppm(bytes(resized[1].blob))
+    assert out.shape == (4, 4, 3)
+    # nearest-neighbor: the top-left quadrant is all red
+    assert (out[:2, :2] == [255, 0, 0]).all()
+    assert (out[2:, 2:] == [255, 255, 255]).all()
+    assert resized[1].meta.width == 4 and resized[1].meta.height == 4
