@@ -102,6 +102,58 @@ def _image_features(arr: "np.ndarray", n_features: int = 8) -> list[float]:
     return [float(round(x, 6)) for x in out[:n_features]]
 
 
+# --- real codec: WAV 16-bit PCM (RIFF parsing, no libraries needed) ----
+
+
+def decode_wav(blob: bytes) -> "tuple[int, np.ndarray] | None":
+    """Parse a RIFF/WAVE blob with 16-bit PCM samples into
+    (sample_rate, mono float array in [-1,1]), or None if not such a
+    WAV. Walks the chunk list properly (fmt may not be first)."""
+    if blob is None or len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                return None  # compressed or non-16-bit: out of scope
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        return None
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if channels and channels > 1:
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return rate, samples
+
+
+def _audio_features(rate: int, samples: "np.ndarray", n_features: int = 8) -> list[float]:
+    """Real audio features: duration, RMS energy, zero-crossing rate,
+    peak, then an energy histogram over equal time slices."""
+    dur = len(samples) / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.sign(samples))) > 0))
+        if len(samples) > 1
+        else 0.0
+    )
+    peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
+    out = [dur, rms, zcr, peak]
+    n_hist = max(0, n_features - len(out))
+    if n_hist and len(samples):
+        slices = np.array_split(samples, n_hist)
+        out += [float(np.sqrt(np.mean(s**2))) if len(s) else 0.0 for s in slices]
+    return [float(round(x, 6)) for x in out[:n_features]]
+
+
 def _fake_decode(blob: bytes, n_features: int = 8) -> list[float]:
     """STUB decode: deterministic per-byte-histogram 'features'.
 
@@ -130,6 +182,9 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
         arr = decode_ppm(b)
         if arr is not None:  # real decode for P6 images
             return _image_features(arr, n_features)
+        wav = decode_wav(b)
+        if wav is not None:  # real decode for 16-bit PCM WAV
+            return _audio_features(*wav, n_features)
         return _fake_decode(b, n_features)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -227,3 +227,35 @@ def test_ppm_real_decode_resize_features(spark):
     assert (out[:2, :2] == [255, 0, 0]).all()
     assert (out[2:, 2:] == [255, 255, 255]).all()
     assert resized[1].meta.width == 4 and resized[1].meta.height == 4
+
+
+def test_wav_real_decode_features(spark):
+    """16-bit PCM WAV decodes for real (RIFF chunk walk, pure numpy);
+    features (duration, RMS, zero-crossings, peak) computed on actual
+    samples through the same mapInPandas path."""
+    import numpy as np
+
+    from crux_spark.operators import multimodal as mm
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    samples = (np.sin(2 * np.pi * 440 * t / rate) * 0.5 * 32767).astype("<i2")
+    data = samples.tobytes()
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    blob = (b"RIFF" + (4 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+            + b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data)
+
+    got = mm.decode_wav(blob)
+    assert got is not None and got[0] == rate and len(got[1]) == rate
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), ("audio/wav", None, None, 1000))], mm.MEDIA_SCHEMA
+    )
+    feats = mm.extract_features(media).collect()[0].features
+    assert feats[0] == 1.0                      # duration s
+    assert abs(feats[1] - 0.5 / 2**0.5) < 1e-3  # RMS of a 0.5-amp sine
+    assert abs(feats[2] - 2 * 440 / rate) < 1e-2  # zero-crossing rate
+    assert abs(feats[3] - 0.5) < 1e-3           # peak
