@@ -223,6 +223,8 @@ class Node:
         self.schema = schema
         self.collection = collection
         self._plan_cache: OrderedDict = OrderedDict()
+        self._tx_listeners: list = []
+        self._pending_listener_txs: list = []
         # query monitoring (node.clj:71-86, :240-260; defaults mirror the
         # reference's 5-minute / 20-entry queues and 100ms slow threshold)
         self.recent_queries_max_age = recent_queries_max_age
@@ -277,14 +279,36 @@ class Node:
         return list(self._slowest_queries)
 
     def submit_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> int:
-        return self.store.submit_tx(ops, tx_time)
+        tx_id = self.store.submit_tx(ops, tx_time)
+        self._pending_listener_txs.append((tx_id, list(ops)))
+        return tx_id
 
     def await_tx(self) -> set[int]:
         """Commit pending txs (read-your-writes barrier, api.clj:36-61).
-        Returns aborted tx ids."""
+        Returns aborted tx ids. Indexed-tx listeners fire once per
+        committed-or-aborted tx, in tx order, with the op list
+        (api.clj listen {:crux/event-type :crux/indexed-tx}; the
+        synchronous commit model makes delivery deterministic rather
+        than Thread/sleep-racy)."""
         aborted = self.store.commit()
         self._plan_cache.clear()
+        pending, self._pending_listener_txs = self._pending_listener_txs, []
+        for tx_id, ops in pending:
+            event = {
+                "event_type": "indexed-tx",
+                "tx_id": tx_id,
+                "committed": tx_id not in aborted,
+                "tx_ops": ops,
+            }
+            for fn in list(self._tx_listeners):
+                fn(event)
         return aborted
+
+    def listen(self, fn) -> "callable":
+        """Subscribe to indexed-tx events; returns a zero-arg unsubscribe
+        (the reference returns an AutoCloseable)."""
+        self._tx_listeners.append(fn)
+        return lambda: self._tx_listeners.remove(fn)
 
     def register_tx_fn(self, name: str, fn) -> None:
         self.store.register_tx_fn(name, fn)

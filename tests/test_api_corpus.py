@@ -84,3 +84,30 @@ def test_malformed_query_raises(ivan_catalog):
         q(ivan_catalog, {"in": ["$", "?e"]})
     with pytest.raises(ValueError, match="expected structure"):
         q(ivan_catalog, ["where", ["?e", ":name", "Ivan"]])
+
+
+def test_listen_for_indexed_txs(spark):
+    # api_test.clj:386 — listeners observe committed txs with their ops,
+    # in order; events stop after unsubscribe
+    node = Node(spark, schema="id string")
+    events = []
+    node.submit_tx([("put", {"id": "foo"})])
+    node.await_tx()  # before subscription: not observed
+
+    unsub = node.listen(events.append)
+    tx_bar = node.submit_tx([("put", {"id": "bar"})])
+    tx_baz = node.submit_tx([("put", {"id": "baz"})])
+    node.await_tx()
+    unsub()
+    node.submit_tx([("put", {"id": "ivan"})])
+    node.await_tx()
+
+    assert [e["tx_id"] for e in events] == [tx_bar, tx_baz]
+    assert all(e["committed"] and e["event_type"] == "indexed-tx" for e in events)
+    assert events[0]["tx_ops"][0][1]["id"] == "bar"
+
+    # aborted txs are reported with committed=False
+    node.listen(events.append)
+    bad = node.submit_tx([("match", "nope", {"id": "nope", "x": 1}), ("put", {"id": "q"})])
+    node.await_tx()
+    assert events[-1]["tx_id"] == bad and events[-1]["committed"] is False
