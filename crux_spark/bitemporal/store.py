@@ -181,6 +181,16 @@ def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
     return history, verdicts
 
 
+
+def canon_eid(x) -> str:
+    """Canonical string form of an entity id. Map (and collection) ids
+    hash by VALUE, independent of key order (tx_test.clj
+    map-ordering-362; api_test test-can-write-entity-using-map-as-id) —
+    JSON with sorted keys; scalars stringify directly."""
+    if isinstance(x, (dict, list, tuple)):
+        return json.dumps(x, sort_keys=True, default=str)
+    return str(x)
+
 class TxStore:
     """In-session bitemporal store over a versions DataFrame.
 
@@ -274,21 +284,21 @@ class TxStore:
                 doc = op[1]
                 if "id" not in doc:
                     raise ValueError("put doc must carry an 'id' (:crux.db/id)")
-                row["eid"] = str(doc["id"])
+                row["eid"] = canon_eid(doc["id"])
                 row["doc_json"] = json.dumps(doc, sort_keys=True, default=str)
                 if len(op) > 2 and op[2] is not None:
                     row["valid_from"] = to_us(op[2])
                 if len(op) > 3 and op[3] is not None:
                     row["valid_to"] = to_us(op[3])
             elif kind in ("delete", "evict"):
-                row["eid"] = str(op[1])
+                row["eid"] = canon_eid(op[1])
                 if kind == "delete":
                     if len(op) > 2 and op[2] is not None:
                         row["valid_from"] = to_us(op[2])
                     if len(op) > 3 and op[3] is not None:
                         row["valid_to"] = to_us(op[3])
             elif kind == "match":
-                row["eid"] = str(op[1])
+                row["eid"] = canon_eid(op[1])
                 if op[2] is not None:
                     row["expected_json"] = json.dumps(op[2], sort_keys=True, default=str)
                 if len(op) > 3 and op[3] is not None:
@@ -443,7 +453,7 @@ class TxStore:
         ).select("eid", "doc_json", "valid_from", "valid_to", "tx_from", "content_hash")
 
     def entity(self, eid: str, valid_time: dt.datetime | None = None, tx: int | None = None) -> dict | None:
-        rows = self.db(valid_time, tx).filter(F.col("eid") == str(eid)).collect()
+        rows = self.db(valid_time, tx).filter(F.col("eid") == canon_eid(eid)).collect()
         if not rows:
             return None
         return json.loads(rows[0].doc_json)
@@ -454,7 +464,7 @@ class TxStore:
         """Transaction metadata of the visible version — the reference's
         `entity-tx` (api.clj entity-tx; index_store.clj:774-795 seek)."""
         rows = (
-            self.db(valid_time, tx).filter(F.col("eid") == str(eid)).collect()
+            self.db(valid_time, tx).filter(F.col("eid") == canon_eid(eid)).collect()
         )
         if not rows:
             return None
@@ -605,7 +615,7 @@ class TxStore:
         window reads a sliver of the table, not the entity's whole history.
         `start` = iteration origin (low end asc, high end desc, inclusive);
         `end` exclusive; vt bounds compare valid_from, tx bounds tx_from."""
-        scan = self.versions.filter(F.col("eid") == str(eid))
+        scan = self.versions.filter(F.col("eid") == canon_eid(eid))
         svt, evt = to_us(start_valid_time), to_us(end_valid_time)
         if ascending:
             if svt is not None:

@@ -828,3 +828,26 @@ def test_tx_log_evict_redaction_454(spark, tmp_path):
     restored = TxStore.recover(spark, wal)
     assert restored.entity("keep")["v"] == 7
     assert restored.entity("to-evict") is None
+
+
+def test_map_ids_order_independent_362(spark):
+    """tx_test.clj map-ordering-362 + api_test map-as-id: map entity ids
+    hash by value, independent of key insertion order."""
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": {"foo": 1, "bar": 2}, "v": 7})])
+    store.commit()
+    assert store.entity({"foo": 1, "bar": 2})["v"] == 7
+    assert store.entity({"bar": 2, "foo": 1})["v"] == 7
+
+    # cas against the map id works with either ordering
+    store.submit_tx([
+        ("cas", {"bar": 2, "foo": 1}, {"id": {"foo": 1, "bar": 2}, "v": 7},
+         {"id": {"foo": 1, "bar": 2}, "v": 8}),
+    ])
+    store.commit()
+    assert store.entity({"foo": 1, "bar": 2})["v"] == 8
+
+    # delete by the reordered id removes it
+    store.submit_tx([("delete", {"bar": 2, "foo": 1})])
+    store.commit()
+    assert store.entity({"foo": 1, "bar": 2}) is None
