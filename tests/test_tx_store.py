@@ -851,3 +851,42 @@ def test_map_ids_order_independent_362(spark):
     store.submit_tx([("delete", {"bar": 2, "foo": 1})])
     store.commit()
     assert store.entity({"foo": 1, "bar": 2}) is None
+
+
+def test_avs_shared_by_evicted_entities_1338(spark):
+    """tx_test.clj:1288 — evicting one entity must not affect other
+    entities sharing the same attribute/value pairs."""
+    store = TxStore(spark)
+    store.submit_tx([
+        ("put", {"id": "a", "name": "Ivan", "tag": "x"}),
+        ("put", {"id": "b", "name": "Ivan", "tag": "x"}),
+    ])
+    store.commit()
+    store.submit_tx([("evict", "a")])
+    store.commit()
+    assert store.entity("a") is None
+    assert store.entity("b")["name"] == "Ivan"
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog import q as dq
+    cat = Catalog.from_store(store)
+    res = dq(cat, {"find": ["?e"], "where": [["?e", ":name", "Ivan"],
+                                             ["?e", ":tag", "x"]]})
+    assert [r.e for r in res.collect()] == ["b"]
+
+
+def test_nested_map_values_roundtrip_1001(spark):
+    """incomparable-colls-1001 (adapted): nested map values store,
+    retrieve, and pull intact through schema inference."""
+    store = TxStore(spark)
+    store.submit_tx([
+        ("put", {"id": "foo", "foo": {"bar": {"baz": 7, "quux": "hello"}}}),
+    ])
+    store.commit()
+    assert store.entity("foo")["foo"]["bar"]["baz"] == 7
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog import q as dq
+    cat = Catalog.from_store(store)
+    # nested struct columns are queryable as whole values
+    res = dq(cat, {"find": ["?e", "?v"], "where": [["?e", ":foo", "?v"]]})
+    rows = res.collect()
+    assert rows[0].e == "foo" and rows[0].v.bar.baz == 7
