@@ -137,3 +137,47 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_shared"))
     )
+
+
+def dedup_text_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Corpus-level chunk deduplication (boilerplate removal): split each
+    document into consecutive chunk_words-word chunks, drop every chunk
+    that already occurred EARLIER in the corpus (global (doc, position)
+    order — first occurrence wins), reassemble the survivors in order.
+    Returns (id_col, clean_text) for documents retaining >=1 chunk —
+    the repeated-passage scrub training pipelines run after document-
+    level dedup.
+
+    Plan shape at scale: one shuffle on the chunk for the first-wins
+    window, one on the doc id for reassembly; chunking itself is a
+    narrow pass with the word array materialized once per row."""
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    t = docs.select(F.col(id_col), ws.alias("__ws"))
+    nch = F.ceil(F.size("__ws") / float(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(nch, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("__ws"), (i - 1) * chunk_words + 1, chunk_words)
+        ),
+    )
+    ex = t.select(
+        F.col(id_col), F.posexplode(chunks).alias("__ci0", "chunk")
+    ).select(F.col(id_col), (F.col("__ci0") + 1).alias("ci"), "chunk")
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("ci").asc())
+    kept = ex.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text")
+    )

@@ -80,3 +80,18 @@ def test_contaminated_docs_short_docs_no_shingles(spark):
     docs = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
     bench = spark.createDataFrame([(2, "too short")], "doc_id long, text string")
     assert samp.contaminated_docs(docs, bench, n=5).count() == 0
+
+
+def test_dedup_text_chunks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # chunks (cw=3): "a b c", "d e f"
+            (2, "a b c x y z"),       # "a b c" is a dup of doc1's -> dropped
+            (3, "x y z"),             # dup of doc2's second chunk -> doc vanishes
+            (4, "q r"),               # short doc: one partial chunk, unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.clean_text for r in
+           samp.dedup_text_chunks(docs, chunk_words=3).collect()}
+    assert out == {1: "a b c d e f", 2: "x y z", 4: "q r"}
