@@ -421,3 +421,32 @@ def test_rules_false_arguments(spark):
             {"find": ["?id"], "where": [["is", "?id", val]], "rules": rules},
         )
         assert {int(r[0]) for r in res.collect()} == want
+
+
+def test_deep_chain_transitive_closure_doubling(spark):
+    """A 300-deep chain exceeds any linear fixpoint's iteration budget;
+    the TC-shape specialization evaluates it by relation squaring in
+    ~log2(300) rounds (both right- and left-linear forms)."""
+    from pyspark.sql import types as T
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("next", T.StringType())]
+    )
+    cat.add_documents(
+        "chain",
+        spark.createDataFrame([(f"n{i}", f"n{i+1}") for i in range(300)], schema),
+        id_col="id",
+    )
+    for rules in (
+        [[["r", "?x", "?y"], ["?x", ":next", "?y"]],
+         [["r", "?x", "?y"], ["?x", ":next", "?z"], ["r", "?z", "?y"]]],
+        [[["r", "?x", "?y"], ["?x", ":next", "?y"]],
+         [["r", "?x", "?y"], ["r", "?x", "?z"], ["?z", ":next", "?y"]]],
+    ):
+        res = q(cat, {"find": ["?y"], "in": ["?s"], "rules": rules,
+                      "where": [["r", "?s", "?y"]]}, "n0")
+        assert res.count() == 300
