@@ -181,3 +181,40 @@ def dedup_text_chunks(
             ),
         ).alias("clean_text")
     )
+
+
+def mix_corpora(
+    sources: list,
+    key_col: str = "doc_id",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic domain mixing: ``sources`` is [(df, rate), ...];
+    each source contributes floor(rate) full epochs plus a hash-sampled
+    fractional epoch, all tagged with an ``epoch`` column (0-based copy
+    index) and a ``source`` index. rate=2.5 -> every doc twice + a
+    deterministic 50% third epoch; rate=0.3 -> a 30% sample. The same
+    doc always lands in the same epochs on any cluster (hash_sample),
+    so mixture weights are reproducible run-to-run — the
+    dataset-mixture step of training pipelines, as a pure union of
+    narrow filters (no shuffle)."""
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        if rate < 0:
+            raise ValueError(f"rate must be >= 0, got {rate}")
+        whole = int(rate)
+        frac = rate - whole
+        for ep in range(whole):
+            parts.append(
+                df.withColumn("source", F.lit(i)).withColumn("epoch", F.lit(ep))
+            )
+        if frac > 1e-9:
+            parts.append(
+                hash_sample(df, frac, key_col, seed=i, method=method)
+                .withColumn("source", F.lit(i))
+                .withColumn("epoch", F.lit(whole))
+            )
+    if not parts:
+        raise ValueError("no sources")
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -2254,6 +2254,34 @@ def decontaminate_ngram(spark, sf_dir):
 
 
 @register(
+    "mix_corpora_weighted",
+    """
+    SELECT doc_id, 0 AS source, 0 AS epoch FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 0, 1 FROM documents
+    WHERE doc_id % 2 = 0
+      AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+    UNION ALL
+    SELECT doc_id, 1, 0 FROM documents
+    WHERE doc_id % 2 = 1
+      AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def mix_corpora_weighted(spark, sf_dir):
+    """Deterministic dataset mixing (operators/sampling.py mix_corpora):
+    even docs at rate 1.5 (one full epoch + a deterministic half), odd
+    docs at 0.25 — the exact member set reproduces in DuckDB via the
+    md5 sampling method. Pure union of narrow filters, no shuffle."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    return _samp.mix_corpora(
+        [(even, 1.5), (odd, 0.25)], method="md5"
+    ).select("doc_id", "source", "epoch")
+
+
+@register(
     "dedup_chunks",
     r"""
     WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -2289,7 +2317,7 @@ def dedup_chunks(spark, sf_dir):
 
 _OVERFLOW = [
     "tpch_q21_anti", "tpch_q14", "tpch_q8", "tpch_q10", "tpch_q17",
-    "tpch_q4", "tpch_q15", "tpch_q19", "tpch_q7",
+    "tpch_q4", "tpch_q15", "tpch_q19", "tpch_q7", "tpch_q16",
 ]
 for _n in _OVERFLOW:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the tail

@@ -95,3 +95,19 @@ def test_dedup_text_chunks(spark):
     out = {r.doc_id: r.clean_text for r in
            samp.dedup_text_chunks(docs, chunk_words=3).collect()}
     assert out == {1: "a b c d e f", 2: "x y z", 4: "q r"}
+
+
+def test_mix_corpora(docs):
+    half = docs.filter("doc_id < 500")
+    rest = docs.filter("doc_id >= 500")
+    mixed = samp.mix_corpora([(half, 2.5), (rest, 0.3)])
+    rows = mixed.groupBy("source", "epoch").count().collect()
+    by = {(r.source, r.epoch): r["count"] for r in rows}
+    assert by[(0, 0)] == 500 and by[(0, 1)] == 500  # two full epochs
+    assert 150 <= by[(0, 2)] <= 350                 # ~50% third epoch
+    assert 80 <= by[(1, 0)] <= 220                  # ~30% of the rest
+    # deterministic: same member sets on re-run
+    again = samp.mix_corpora([(half, 2.5), (rest, 0.3)])
+    a = sorted((r.source, r.epoch, r.doc_id) for r in mixed.collect())
+    b = sorted((r.source, r.epoch, r.doc_id) for r in again.collect())
+    assert a == b
