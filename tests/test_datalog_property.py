@@ -47,20 +47,30 @@ clause_strategy = st.one_of(
     # [(< ?x k)] comparison over an int var
     st.tuples(st.just("cmp"), st.sampled_from(["<", ">", "<=", ">="]),
               st.sampled_from(["v1", "v2"]), st.integers(0, 3)),
+    # (not [?x :attr lit]) — correlated negation
+    st.tuples(st.just("neg"), st.sampled_from(["v0", "v1"]),
+              st.sampled_from(ATTRS), st.integers(0, 3)),
+    # (or [?x :a lit] [?x :b lit]) — disjunction over one entity var
+    st.tuples(st.just("or2"), st.sampled_from(["v0", "v1"]),
+              st.integers(0, 3), st.integers(0, 3)),
 )
 
 query_strategy = st.lists(clause_strategy, min_size=1, max_size=3)
+
+
+def query_vars(clauses: list) -> list:
+    return sorted(
+        {c[1] for c in clauses if c[0] != "cmp"}
+        | {c[3] for c in clauses if c[0] in ("av", "ref")}
+        | {c[2] for c in clauses if c[0] == "cmp"}
+    )
 
 
 def brute_force(docs: dict, clauses: list) -> set:
     """Enumerate all assignments of the query's vars over the value
     universe and keep those satisfying every clause — the semantics
     oracle. Var domain: entity ids + int values."""
-    used = sorted(
-        {c[1] for c in clauses if c[0] != "cmp"}
-        | {c[3] for c in clauses if c[0] in ("av", "ref")}
-        | {c[2] for c in clauses if c[0] == "cmp"}
-    )
+    used = query_vars(clauses)
     universe = ENTITIES + list(range(0, 4))
     out = set()
     for combo in itertools.product(universe, repeat=len(used)):
@@ -78,6 +88,24 @@ def brute_force(docs: dict, clauses: list) -> set:
                 if stored is None or stored != want:
                     ok = False
                     break
+            elif c[0] == "neg":
+                _, ev, attr, lit = c
+                e = env[ev]
+                if not isinstance(e, str) or e not in docs:
+                    ok = False
+                    break
+                if docs[e].get(attr) == lit:
+                    ok = False
+                    break
+            elif c[0] == "or2":
+                _, ev, la, lb = c
+                e = env[ev]
+                if not isinstance(e, str) or e not in docs:
+                    ok = False
+                    break
+                if not (docs[e].get("a") == la or docs[e].get("b") == lb):
+                    ok = False
+                    break
             else:
                 _, op, v, k = c
                 x = env[v]
@@ -93,17 +121,19 @@ def brute_force(docs: dict, clauses: list) -> set:
 
 
 def to_datalog(clauses: list) -> tuple[dict, list]:
-    used = sorted(
-        {c[1] for c in clauses if c[0] != "cmp"}
-        | {c[3] for c in clauses if c[0] in ("av", "ref")}
-        | {c[2] for c in clauses if c[0] == "cmp"}
-    )
+    used = query_vars(clauses)
     where = []
     for c in clauses:
         if c[0] == "av" or c[0] == "ref":
             where.append([f"?{c[1]}", f":{c[2]}", f"?{c[3]}"])
         elif c[0] == "alit":
             where.append([f"?{c[1]}", f":{c[2]}", c[3]])
+        elif c[0] == "neg":
+            where.append(["not", [f"?{c[1]}", f":{c[2]}", c[3]]])
+        elif c[0] == "or2":
+            where.append(
+                ["or", [f"?{c[1]}", ":a", c[2]], [f"?{c[1]}", ":b", c[3]]]
+            )
         else:
             where.append([[c[1], f"?{c[2]}", c[3]]])
     return {"find": [f"?{v}" for v in used], "where": where}, used
@@ -147,14 +177,19 @@ def test_conjunctive_queries_match_brute_force(prop_spark, docs, clauses):
     cat = Catalog(spark)
     cat.add_documents("docs", spark.createDataFrame(rows, schema), id_col="id")
     query, used = to_datalog(clauses)
-    bound = {c[1] for c in clauses if c[0] != "cmp"} | {
+    # only positive clauses BIND vars; neg/cmp consume them
+    bound = {c[1] for c in clauses if c[0] in ("av", "alit", "ref", "or2")} | {
         c[3] for c in clauses if c[0] in ("av", "ref")
     }
-    cmp_unbound = any(c[0] == "cmp" and c[2] not in bound for c in clauses)
-    if cmp_unbound:
-        # a comparison over a var no scan binds has an unbounded domain:
-        # the engine must REJECT it (the brute-force model only "answers"
-        # because it bounds the universe artificially)
+    unbound_consumer = any(
+        (c[0] == "cmp" and c[2] not in bound)
+        or (c[0] == "neg" and c[1] not in bound)
+        for c in clauses
+    )
+    if unbound_consumer:
+        # a comparison/negation over a var no scan binds has an unbounded
+        # domain: the engine must REJECT it (the brute-force model only
+        # "answers" because it bounds the universe artificially)
         with pytest.raises(Exception):
             q(cat, query).collect()
         return
