@@ -123,6 +123,14 @@ class HttpNode:
             return {"tx-id": node.latest_completed_tx()}
         if path == "/_crux/attribute-stats":
             return node.attribute_stats()
+        if path == "/_crux/sparql":
+            # the reference's SPARQL endpoint (http_server.clj /_crux/sparql;
+            # api_test.clj test-sparql drives it through RDF4J's
+            # SPARQLRepository) — compiled through sources/sparql.py
+            from crux_spark.sources.sparql import sparql_to_datalog
+
+            df = self._db(qs).q(sparql_to_datalog(qs["query"]))
+            return [list(r) for r in df.collect()]
         raise KeyError(f"no route {path}")
 
     def _post(self, path: str, body: dict):

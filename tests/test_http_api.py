@@ -90,3 +90,12 @@ def test_http_errors(http_node):
     with pytest.raises(urllib.error.HTTPError) as e:
         post(base + "/_crux/query", {"query": {"in": ["?x"]}})  # no :find
     assert e.value.code == 400
+
+
+def test_http_sparql_endpoint(http_node):
+    # api_test.clj test-sparql: SELECT ?e WHERE { ?e <...name> "..." }
+    import urllib.parse
+
+    q = 'SELECT ?e WHERE { ?e <http://juxt.pro/crux/unqualified/name> "bob" }'
+    res = get(http_node.url + "/_crux/sparql?query=" + urllib.parse.quote(q))
+    assert res == [["u2"]]
