@@ -153,3 +153,109 @@ class HttpNode:
     def close(self):
         self.server.shutdown()
         self.server.server_close()
+
+
+class RemoteNode:
+    """HTTP client mirroring the Node surface — the reference's
+    crux-http-client (RemoteApiClient): the same submit/await/db/q/
+    entity/history calls, shipped over the REST routes above. db()
+    returns a RemoteDb pinned to (valid-time, tx) like a local Db
+    value."""
+
+    def __init__(self, url: str):
+        self.url = url.rstrip("/")
+
+    # -- plumbing ---------------------------------------------------------
+    def _get(self, path: str, **qs):
+        import urllib.parse
+        import urllib.request
+
+        q = urllib.parse.urlencode({k: v for k, v in qs.items() if v is not None})
+        with urllib.request.urlopen(
+            f"{self.url}{path}" + (f"?{q}" if q else ""), timeout=120
+        ) as r:
+            return json.loads(r.read())
+
+    def _post(self, path: str, payload: dict):
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}{path}",
+            data=json.dumps(payload, default=_json_default).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    # -- Node surface -----------------------------------------------------
+    def submit_tx(self, ops, tx_time=None) -> int:
+        return self._post(
+            "/_crux/submit-tx",
+            {"tx-ops": [list(op) for op in ops],
+             **({"tx-time": tx_time.isoformat()} if tx_time else {})},
+        )["tx-id"]
+
+    def await_tx(self) -> set[int]:
+        return set(self._get("/_crux/await-tx")["aborted"])
+
+    def db(self, valid_time=None, tx=None) -> "RemoteDb":
+        return RemoteDb(self, valid_time, tx)
+
+    def entity(self, eid: str):
+        try:
+            return self._get("/_crux/entity", eid=eid)
+        except Exception:
+            return None
+
+    def status(self) -> dict:
+        return self._get("/_crux/status")
+
+    def latest_completed_tx(self):
+        return self._get("/_crux/latest-completed-tx")["tx-id"]
+
+    def attribute_stats(self) -> dict:
+        return self._get("/_crux/attribute-stats")
+
+    def open_tx_log(self) -> list[dict]:
+        return self._get("/_crux/tx-log")
+
+
+class RemoteDb:
+    def __init__(self, client: RemoteNode, valid_time, tx):
+        self.client = client
+        self.valid_time = valid_time
+        self.tx = tx
+
+    def _basis(self) -> dict:
+        out = {}
+        if self.valid_time is not None:
+            out["valid-time"] = self.valid_time.isoformat()
+        if self.tx is not None:
+            out["tx-id"] = self.tx
+        return out
+
+    def q(self, query: dict, *args) -> list[list]:
+        return self.client._post(
+            "/_crux/query",
+            {"query": query, "in-args": list(args), **self._basis()},
+        )
+
+    def entity(self, eid: str):
+        try:
+            b = self._basis()
+            return self.client._get(
+                "/_crux/entity", eid=eid,
+                **{k: v for k, v in b.items()},
+            )
+        except Exception:
+            return None
+
+    def entity_history(self, eid: str, ascending: bool = True,
+                       with_corrections: bool = False) -> list[dict]:
+        return self.client._get(
+            "/_crux/entity-history", eid=eid,
+            **{"sort-order": "asc" if ascending else "desc",
+               "with-corrections": "true" if with_corrections else None,
+               **self._basis()},
+        )

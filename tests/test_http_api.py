@@ -99,3 +99,43 @@ def test_http_sparql_endpoint(http_node):
     q = 'SELECT ?e WHERE { ?e <http://juxt.pro/crux/unqualified/name> "bob" }'
     res = get(http_node.url + "/_crux/sparql?query=" + urllib.parse.quote(q))
     assert res == [["u2"]]
+
+
+def test_remote_node_client(spark):
+    """crux-http-client parity: the RemoteNode client drives the same
+    api surface over HTTP — the reference's API-parity-matrix idea
+    (every_api.clj) with local and remote topologies agreeing."""
+    import datetime as dt
+
+    from crux_spark.http import RemoteNode
+
+    node = Node(spark, schema="id string, v long")
+    h = HttpNode(node)
+    try:
+        remote = RemoteNode(h.url)
+        tx1 = remote.submit_tx([("put", {"id": "x", "v": 1})],
+                               tx_time=dt.datetime(2020, 1, 1))
+        assert remote.await_tx() == set()
+        remote.submit_tx([("put", {"id": "x", "v": 2})],
+                         tx_time=dt.datetime(2020, 6, 1))
+        remote.await_tx()
+
+        assert remote.entity("x")["v"] == 2
+        assert remote.latest_completed_tx() == 2
+
+        # remote db value pinned at tx basis agrees with the local one
+        rdb = remote.db(tx=tx1)
+        ldb = node.db(tx=tx1)
+        assert rdb.entity("x")["v"] == ldb.entity("x")["v"] == 1
+
+        res = remote.db().q(
+            {"find": ["?v"], "where": [["?e", ":v", "?v"]]})
+        assert res == [[2]]
+
+        rh = remote.db().entity_history("x")
+        lh = node.db().entity_history("x")
+        assert [e["doc"]["v"] for e in rh] == [e["doc"]["v"] for e in lh] == [1, 2]
+
+        assert [e["tx_id"] for e in remote.open_tx_log()] == [1, 2]
+    finally:
+        h.close()
