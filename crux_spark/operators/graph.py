@@ -1,0 +1,94 @@
+"""Distributed graph operators: connected components and dedup-cluster
+resolution.
+
+Near-duplicate detection produces PAIRS; an actual dedup pipeline needs
+the transitive clusters those pairs imply (A~B, B~C puts A,C in one
+cluster even if never compared) and one canonical survivor per cluster.
+That is connected components over the similarity graph — the step
+between candidate generation and the final keep-list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every vertex in `pairs`, component = the
+    minimum vertex id reachable through the undirected edge set.
+
+    Each round combines min-label PROPAGATION over edges with POINTER
+    JUMPING (label <- label of label), so label chains collapse
+    logarithmically — the alternating-algorithm idea behind
+    large-star/small-star CC: convergence in O(log diameter) rounds,
+    not O(diameter), which is the property that matters when a 100 TB
+    near-dup graph has million-node chains. Each round is two shuffles
+    (edge join + jump join) over (id, lbl) pairs only."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min neighbor label per vertex
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        )
+        # pointer jumping: lbl <- lbl(lbl)
+        jump = merged.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
+        new_labels = (
+            merged.join(jump, merged["lbl"] == jump["jid"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("jlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter}")
+
+
+def dedup_keep_list(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Resolve near-dup pairs into (doc_id, keep_id): every clustered doc
+    mapped to its cluster's canonical survivor (the minimum id). Docs
+    not in any pair keep themselves and are not returned."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keep_id")
+    )

@@ -882,6 +882,7 @@ def agg_stats(spark, sf_dir):
 # ===========================================================================
 
 from crux_spark.operators import dedup as _dedup
+from crux_spark.operators import graph as _graph
 from crux_spark.operators import multimodal as _mm
 from crux_spark.operators import sampling as _samp
 from crux_spark.operators import similarity as _sim
@@ -2254,6 +2255,50 @@ def decontaminate_ngram(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i, t FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.v
+    )
+    SELECT v AS doc_id, min(r) AS keep_id FROM reach GROUP BY v
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """The end of the dedup pipeline: near-dup PAIRS (exact n-gram
+    Jaccard) resolved into transitive clusters by distributed connected
+    components (log-round label propagation + pointer jumping,
+    operators/graph.py), each doc mapped to its cluster's canonical
+    survivor. The oracle recomputes the same pairs in DuckDB and closes
+    them with a recursive CTE — transitive A~B~C clustering included."""
+    cat = catalog_for(spark, sf_dir)
+    pairs = _dedup.ngram_jaccard_pairs(cat.table("documents"), threshold=0.5)
+    return _graph.dedup_keep_list(pairs)
+
+
+@register(
     "mix_corpora_weighted",
     """
     SELECT doc_id, 0 AS source, 0 AS epoch FROM documents WHERE doc_id % 2 = 0
@@ -2317,7 +2362,7 @@ def dedup_chunks(spark, sf_dir):
 
 _OVERFLOW = [
     "tpch_q21_anti", "tpch_q14", "tpch_q8", "tpch_q10", "tpch_q17",
-    "tpch_q4", "tpch_q15", "tpch_q19", "tpch_q7", "tpch_q16",
+    "tpch_q4", "tpch_q15", "tpch_q19", "tpch_q7", "tpch_q16", "tpch_q20",
 ]
 for _n in _OVERFLOW:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the tail
