@@ -749,6 +749,22 @@ class TxStore:
 
     # ------------------------------------------------------------ persistence
 
+    def compact(self, before_tx: int) -> int:
+        """Drop version rows invisible to every snapshot at tx >=
+        before_tx — the reference's index/doc-store compaction
+        (compaction_test.clj): a row superseded in the tx dimension
+        before the horizon (tx_to <= before_tx) can never satisfy
+        tx_from <= tx < tx_to for tx >= before_tx. Valid-time history
+        at or after the horizon is untouched (corrections keep their
+        full (vt, tt >= horizon) rectangles); db()/history reads at tx
+        < before_tx become undefined. Returns rows removed."""
+        old = self.versions
+        n_before = old.count()
+        self.versions = old.filter(
+            F.col("tx_to") > before_tx
+        ).localCheckpoint()
+        return n_before - self.versions.count()
+
     def compact_wal(self) -> int:
         """Physically erase evicted documents from the durable log — the
         reference's evict deletes the docs from the document store

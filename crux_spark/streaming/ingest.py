@@ -195,6 +195,33 @@ def stream_rollup(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization with native session windows
+    (F.session_window): events gapped less than `gap` apart merge into
+    one session per key; the watermark bounds state and emits closed
+    sessions. The streaming sibling of the events_sessionize gate's
+    batch lag()-based variant — state is managed by Spark's session
+    window store, no custom stateful code."""
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(time_col).alias("started_at"),
+            F.max(time_col).alias("ended_at"),
+        )
+    )
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     source_dir: str,

@@ -560,3 +560,41 @@ def test_stream_exact_dedup(spark, tmp_path):
     # one survivor per content hash
     assert len(rows) == 2
     assert len({r.content_hash for r in rows}) == 2
+
+
+def test_stream_sessionize(spark, tmp_path):
+    from crux_spark.streaming.ingest import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2023, 5, 1, 10, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    spark.createDataFrame(
+        [
+            (1, at(0)), (1, at(10)), (1, at(20)),   # one session (gaps < 30m)
+            (1, at(120)), (1, at(125)),             # second session after a 100m gap
+            (2, at(5)),                             # lone event session
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+
+    out = stream_sessionize(spark, src, schema, gap="30 minutes")
+    sq = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(60)
+    rows = spark.sql("SELECT user_id, n_events, started_at FROM sess_out").collect()
+    sessions = sorted((r.user_id, r.n_events, r.started_at) for r in rows)
+    assert sessions == [(1, 2, at(120)), (1, 3, at(0)), (2, 1, at(5))]

@@ -890,3 +890,38 @@ def test_nested_map_values_roundtrip_1001(spark):
     res = dq(cat, {"find": ["?e", "?v"], "where": [["?e", ":foo", "?v"]]})
     rows = res.collect()
     assert rows[0].e == "foo" and rows[0].v.bar.baz == 7
+
+
+def test_compact_preserves_post_horizon_reads(spark):
+    """compaction_test.clj semantics: compacting at the latest tx keeps
+    every snapshot and history read at/after the horizon identical while
+    dropping superseded-in-tx rows."""
+    store = TxStore(spark)
+    t = lambda d: dt.datetime(2021, 1, d)
+    store.submit_tx([("put", {"id": "e", "v": 1}, t(1))])   # tx1
+    store.submit_tx([("put", {"id": "e", "v": 2}, t(10))])  # tx2
+    store.submit_tx([("put", {"id": "e", "v": 9}, t(1))])   # tx3 correction
+    store.submit_tx([("put", {"id": "f", "v": 5}, t(5))])   # tx4
+    store.commit()
+
+    horizon = store.latest_completed_tx()
+    before_snapshot = sorted(
+        (r.eid, r.valid_from, json.loads(r.doc_json)["v"])
+        for r in store.db(valid_time=t(20)).collect()
+    )
+    before_hist = [h["doc"]["v"] for h in store.entity_history("e")]
+
+    removed = store.compact(horizon)
+    assert removed > 0  # the superseded pre-correction row is gone
+
+    after_snapshot = sorted(
+        (r.eid, r.valid_from, json.loads(r.doc_json)["v"])
+        for r in store.db(valid_time=t(20)).collect()
+    )
+    assert after_snapshot == before_snapshot
+    assert [h["doc"]["v"] for h in store.entity_history("e")] == before_hist
+    # valid-time travel at the horizon still sees the corrected timeline
+    assert store.entity("e", valid_time=t(2))["v"] == 9
+    assert store.entity("e", valid_time=t(11))["v"] == 2
+    # pre-horizon tx-travel is the documented casualty
+    assert store.entity("e", valid_time=t(2), tx=1) is None
