@@ -74,3 +74,22 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_guess(t))
         .withColumn("fp", fingerprint(t))
     )
+
+
+# GPT-2-style pretokenizer (the public BPE pre-split regex): contraction
+# suffixes, letter runs, digit runs, punctuation runs, trailing spaces.
+# Java regex syntax (\p{L}/\p{N} unicode classes) — evaluated JVM-side.
+_BPE_PRETOKEN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Pretokenizer-level token count (the BPE pre-split, before merges):
+    a closer proxy for LLM token budgets than whitespace words — digits,
+    punctuation and contractions count separately. Pure regexp_count,
+    zero Python."""
+    return F.regexp_count(text, F.lit(_BPE_PRETOKEN))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """The pretokens themselves (array column), for inspection/tests."""
+    return F.regexp_extract_all(text, F.lit(f"({_BPE_PRETOKEN})"), 1)

@@ -293,3 +293,23 @@ def test_pq_topk_recall(spark):
     # the perturbed query's true NN (its original) is always found at rank 1
     top1 = {r.query_id: r.vec_id for r in got.filter("rank = 1").collect()}
     assert top1 == {1000 + i: i for i in range(10)}
+
+
+def test_bpe_ish_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from crux_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [("I don't like 42 apples!!",), ("hello world",), ("",)],
+        "text string",
+    )
+    out = df.select(
+        textops.bpe_ish_token_count(F.col("text")).alias("n"),
+        textops.bpe_ish_tokens(F.col("text")).alias("toks"),
+    ).collect()
+    # I | _don | 't | _like | _42 | _apples | !!
+    assert out[0].n == 7
+    assert out[0].toks == ["I", " don", "'t", " like", " 42", " apples", "!!"]
+    assert out[1].n == 2
+    assert out[2].n == 0
