@@ -19,6 +19,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_limit_edges: int = 100_000,
 ) -> DataFrame:
     """(id, component) for every vertex in `pairs`, component = the
     minimum vertex id reachable through the undirected edge set.
@@ -29,7 +30,33 @@ def connected_components(
     large-star/small-star CC: convergence in O(log diameter) rounds,
     not O(diameter), which is the property that matters when a 100 TB
     near-dup graph has million-node chains. Each round is two shuffles
-    (edge join + jump join) over (id, lbl) pairs only."""
+    (edge join + jump join) over (id, lbl) pairs only.
+
+    Small edge sets (<= driver_limit_edges, probed with a bounded
+    limit) short-circuit to a driver-side union-find: the iterative
+    path costs ~3 Spark jobs per round, which dwarfs the work when the
+    similarity graph is thousands of pairs — the same bounded-driver
+    pattern as similarity's broadcast path. Pass driver_limit_edges=0
+    to force the distributed path."""
+    probe = pairs.limit(driver_limit_edges + 1).collect() if driver_limit_edges else None
+    if probe is not None and len(probe) <= driver_limit_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in probe:
+            a, b = find(r[id_a]), find(r[id_b])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        rows = sorted({(v, find(v)) for r in probe for v in (r[id_a], r[id_b])})
+        spark = pairs.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "id long, component long")
+        return spark.createDataFrame(rows, ["id", "component"])
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

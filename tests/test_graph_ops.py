@@ -8,10 +8,18 @@ from crux_spark.operators import graph
 
 def cc(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    return {
+    fast = {
         r.id: r.component
         for r in graph.connected_components(df).collect()
     }
+    # the distributed label-propagation path must agree with the
+    # driver-side union-find fast path
+    dist = {
+        r.id: r.component
+        for r in graph.connected_components(df, driver_limit_edges=0).collect()
+    }
+    assert fast == dist
+    return fast
 
 
 def test_connected_components_basic(spark):
