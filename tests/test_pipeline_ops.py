@@ -313,3 +313,37 @@ def test_bpe_ish_token_count(spark):
     assert out[0].toks == ["I", " don", "'t", " like", " 42", " apples", "!!"]
     assert out[1].n == 2
     assert out[2].n == 0
+
+
+def test_sketch_aggregates_through_datalog(spark):
+    """Approximate (sketch) aggregates in :find — HLL count-distinct is
+    built in; percentile sketches register through the open aggregate
+    registry and stay JVM-side (partial agg + codegen)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+    from crux_spark.datalog.aggregates import register_aggregate
+
+    register_aggregate("p95", lambda c: F.percentile_approx(c, 0.95))
+
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("grp", T.StringType()),
+         T.StructField("v", T.LongType())]
+    )
+    rows = [(f"e{i}", "a" if i % 2 else "b", i % 97) for i in range(2000)]
+    cat.add_documents("nums", spark.createDataFrame(rows, schema), id_col="id")
+
+    res = q(cat, {
+        "find": ["?g", ["count-distinct-approx", "?v", "n_approx"],
+                 ["count-distinct", "?v", "n_exact"],
+                 ["p95", "?v", "p95"]],
+        "where": [["?e", ":grp", "?g"], ["?e", ":v", "?v"]],
+    }).collect()
+    by = {r.g: r for r in res}
+    for g in ("a", "b"):
+        # HLL default relative error ~2.3%
+        assert abs(by[g].n_approx - by[g].n_exact) <= max(3, 0.05 * by[g].n_exact)
+        assert 85 <= by[g].p95 <= 96
