@@ -1840,7 +1840,15 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             e, alias, _v = agg.agg_expr(el)
             agg_exprs.append(e.alias(alias))
             alias_by_id[id(el)] = alias
-        df = df.groupBy(*gcols).agg(*agg_exprs)
+        if not gcols:
+            # GLOBAL aggregation over an empty relation is the EMPTY SET
+            # in the reference (set-of-tuples semantics: no tuples -> no
+            # groups), not SQL's single null/zero row — guard with a
+            # count over the same pass and drop the empty-input row
+            agg_exprs.append(F.count(F.lit(1)).alias("__n_in"))
+            df = df.groupBy().agg(*agg_exprs).filter(F.col("__n_in") > 0)
+        else:
+            df = df.groupBy(*gcols).agg(*agg_exprs)
         for el in find:
             out_cols.append(var_col(el) if is_var(el) else alias_by_id[id(el)])
         df = df.select(*out_cols)

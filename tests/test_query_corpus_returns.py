@@ -364,3 +364,22 @@ def test_query_against_empty_database_376(spark):
     # the snapshot taken before the put still sees nothing
     assert db_before.entity("a") is None
     assert node.db().entity("a") is not None
+
+
+def test_global_aggregate_over_empty_relation_is_empty(spark):
+    """Set-of-tuples semantics: a global aggregate over zero tuples is
+    the EMPTY result set (the reference's grouped-transducer behavior),
+    not SQL's single null/zero row."""
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    cat.add_documents("d", spark.createDataFrame([("a", 5)], schema), id_col="id")
+    for agg_fn in ("sum", "count", "avg", "min"):
+        res = q(cat, {"find": [[agg_fn, "?v", "out"]],
+                      "where": [["?e", ":v", "?v"], [[">", "?v", 100]]]})
+        assert res.collect() == [], agg_fn
+    # non-empty input still aggregates to one row
+    res = q(cat, {"find": [["sum", "?v", "out"]],
+                  "where": [["?e", ":v", "?v"]]})
+    assert [tuple(r) for r in res.collect()] == [(5,)]
