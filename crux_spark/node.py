@@ -108,6 +108,16 @@ class Db:
             self.node._plan_cache.popitem(last=False)
         return df
 
+    def open_q(self, query: dict, *args: Any):
+        """Lazy cursor over results (api.clj open-q): partitions stream
+        to the driver on demand via toLocalIterator — constant driver
+        memory for result sets larger than RAM."""
+        return self.q(query, *args).toLocalIterator()
+
+    def basis(self) -> dict:
+        """The snapshot coordinates (api.clj db-basis)."""
+        return {"valid-time": self.valid_time, "tx-id": self.tx}
+
     def entity(self, eid: str) -> dict | None:
         return self.node.store.entity(eid, self.valid_time, self.tx)
 

@@ -111,3 +111,15 @@ def test_listen_for_indexed_txs(spark):
     bad = node.submit_tx([("match", "nope", {"id": "nope", "x": 1}), ("put", {"id": "q"})])
     node.await_tx()
     assert events[-1]["tx_id"] == bad and events[-1]["committed"] is False
+
+
+def test_open_q_and_basis(spark):
+    # api.clj open-q (lazy cursor) + db-basis
+    node = Node(spark, schema="id string, v long")
+    node.submit_tx([("put", {"id": f"e{i}", "v": i}) for i in range(10)])
+    node.await_tx()
+    db = node.db()
+    assert db.basis()["tx-id"] == 1
+    it = db.open_q({"find": ["?v"], "where": [["?e", ":v", "?v"]]})
+    got = sorted(r.v for r in it)
+    assert got == list(range(10))
