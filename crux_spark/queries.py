@@ -1479,9 +1479,13 @@ def tpch_q2(spark, sf_dir):
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_brand", "s_name", "s_acctbal")
     )
-    w = Window.partitionBy("p_brand")
+    # per-brand min via hash aggregate (map-side partial combine) +
+    # broadcast join-back: a window over ~25 brand partitions would
+    # sort the whole relation on a handful of skewed partitions —
+    # the agg ships 25 rows instead
+    mins = joined.groupBy("p_brand").agg(F.min("s_acctbal").alias("mn"))
     return (
-        joined.withColumn("mn", F.min("s_acctbal").over(w))
+        joined.join(F.broadcast(mins), "p_brand")
         .filter(F.col("s_acctbal") == F.col("mn"))
         .select("p_brand", "s_name", "s_acctbal")
         .distinct()
