@@ -196,3 +196,43 @@ def test_conjunctive_queries_match_brute_force(prop_spark, docs, clauses):
     expected = brute_force(docs, clauses)
     got = {tuple(r) for r in q(cat, query).collect()}
     assert got == expected, (clauses, docs)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=docs_strategy,
+    sel=st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=2, unique=True),
+    lit_filter=st.one_of(
+        st.none(), st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 3))
+    ),
+)
+def test_sql_table_fast_path_matches_datalog(prop_spark, docs, sel, lit_filter):
+    """The single-scan SQL-table fast path (sql._compile_table_spec) must
+    agree with the full Datalog compiler on every generated single-entity
+    spec (same attribute-required semantics)."""
+    from crux_spark.sql import _compile_table_spec
+
+    spark = prop_spark
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    rows = [(e, d["a"], d["b"]) for e, d in docs.items()]
+    cat = Catalog(spark)
+    cat.add_documents("docs", spark.createDataFrame(rows, schema), id_col="id")
+
+    where = [["?id", f":{attr}", f"?{attr}"] for attr in sel]
+    if lit_filter is not None:
+        where.append(["?id", f":{lit_filter[0]}", lit_filter[1]])
+    spec = {"find": ["?id"] + [f"?{attr}" for attr in sel], "where": where}
+
+    fast = _compile_table_spec(cat, spec, q)
+    full = q(cat, spec)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect())), spec
