@@ -57,7 +57,7 @@ _KEYWORDS = {
     "UNION", "ORDER", "BY", "ASC", "DESC", "LIMIT", "OFFSET", "REGEX",
     "NOT", "EXISTS", "MINUS", "A", "BIND", "AS", "VALUES", "IN",
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
-    "STRSTARTS", "STRENDS", "CONCAT",
+    "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
 }
 
 # SPARQL built-in call -> (datalog head, arity); the reference gets these
@@ -72,6 +72,8 @@ _FNS = {
     "STRSTARTS": ("starts-with?", 2),
     "STRENDS": ("ends-with?", 2),
     "CONCAT": ("str", None),  # variadic; clojure str concatenates
+    "BOUND": ("some?", 1),    # OPTIONAL vars bind NULL here, so
+                              # BOUND(?x) = non-nil (sparql.clj Bound)
 }
 
 

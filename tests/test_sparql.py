@@ -462,3 +462,16 @@ def test_bind_concat_and_select_expression(vcard_cat):
     expect = {("Matthew Jones",), ("Rebecca Smith",), ("John Smith",), ("Sarah Jones",)}
     assert run(vcard_cat, q1) == expect
     assert run(vcard_cat, q2) == expect
+
+
+def test_bound_with_optional(vcard_cat):
+    # negation-by-failure: people WITHOUT an age (FILTER(!BOUND(?age)))
+    base = """
+    PREFIX info: <http://somewhere/peopleInfo#>
+    SELECT ?fn WHERE {
+      ?p <http://www.w3.org/2001/vcard-rdf/3.0#FN> ?fn .
+      OPTIONAL { ?p info:age ?age }
+      FILTER(%sBOUND(?age))
+    }"""
+    assert run(vcard_cat, base % "!") == {("Matt Jones",), ("Sarah Jones",)}
+    assert run(vcard_cat, base % "") == {("Becky Smith",), ("John Smith",)}
