@@ -118,6 +118,15 @@ class Db:
         """The snapshot coordinates (api.clj db-basis)."""
         return {"valid-time": self.valid_time, "tx-id": self.tx}
 
+    def explain(self, query: dict, *args: Any) -> dict:
+        """Physical-plan facts for a query WITHOUT running it: scans with
+        pruned columns, pushed filters, join strategies, shuffle count,
+        codegen coverage — the 100x-scale-up audit surface (the same
+        facts tools/plan_report.py records in PLANS.md)."""
+        from crux_spark.plans import plan_facts
+
+        return plan_facts(self.q(query, *args))
+
     def entity(self, eid: str) -> dict | None:
         return self.node.store.entity(eid, self.valid_time, self.tx)
 

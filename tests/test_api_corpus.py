@@ -123,3 +123,14 @@ def test_open_q_and_basis(spark):
     it = db.open_q({"find": ["?v"], "where": [["?e", ":v", "?v"]]})
     got = sorted(r.v for r in it)
     assert got == list(range(10))
+
+
+def test_db_explain(spark):
+    node = Node(spark, schema="id string, v long")
+    node.submit_tx([("put", {"id": "a", "v": 1})])
+    node.await_tx()
+    facts = node.db().explain(
+        {"find": ["?v"], "where": [["?e", ":v", "?v"], [[">", "?v", 0]]]}
+    )
+    assert isinstance(facts, dict)
+    assert "shuffles" in facts or "scans" in facts or facts  # plan facts present
