@@ -53,6 +53,10 @@ clause_strategy = st.one_of(
     # (or [?x :a lit] [?x :b lit]) — disjunction over one entity var
     st.tuples(st.just("or2"), st.sampled_from(["v0", "v1"]),
               st.integers(0, 3), st.integers(0, 3)),
+    # (not [?x :r ?y]) — correlated negation over a JOIN (both vars
+    # bound outside; exercises branch alpha-renaming + anti-join seeds)
+    st.tuples(st.just("negref"), st.sampled_from(["v0", "v1"]),
+              st.sampled_from(["v1", "v2"])),
 )
 
 query_strategy = st.lists(clause_strategy, min_size=1, max_size=3)
@@ -62,7 +66,7 @@ def query_vars(clauses: list) -> list:
     return sorted(
         {c[1] for c in clauses if c[0] != "cmp"}
         | {c[3] for c in clauses if c[0] in ("av", "ref")}
-        | {c[2] for c in clauses if c[0] == "cmp"}
+        | {c[2] for c in clauses if c[0] in ("cmp", "negref")}
     )
 
 
@@ -95,6 +99,15 @@ def brute_force(docs: dict, clauses: list) -> set:
                     ok = False
                     break
                 if docs[e].get(attr) == lit:
+                    ok = False
+                    break
+            elif c[0] == "negref":
+                _, xv, yv = c
+                x, y = env[xv], env[yv]
+                if not isinstance(x, str) or x not in docs:
+                    ok = False
+                    break
+                if docs[x].get("r") == y:
                     ok = False
                     break
             elif c[0] == "or2":
@@ -134,6 +147,8 @@ def to_datalog(clauses: list) -> tuple[dict, list]:
             where.append(
                 ["or", [f"?{c[1]}", ":a", c[2]], [f"?{c[1]}", ":b", c[3]]]
             )
+        elif c[0] == "negref":
+            where.append(["not", [f"?{c[1]}", ":r", f"?{c[2]}"]])
         else:
             where.append([[c[1], f"?{c[2]}", c[3]]])
     return {"find": [f"?{v}" for v in used], "where": where}, used
@@ -162,6 +177,7 @@ def test_conjunctive_queries_match_brute_force(prop_spark, docs, clauses):
     ent_vars = (
         {c[1] for c in clauses if c[0] != "cmp"}
         | {c[3] for c in clauses if c[0] == "ref"}
+        | {c[2] for c in clauses if c[0] == "negref"}
     )
     if int_vars & ent_vars:
         return
@@ -184,6 +200,7 @@ def test_conjunctive_queries_match_brute_force(prop_spark, docs, clauses):
     unbound_consumer = any(
         (c[0] == "cmp" and c[2] not in bound)
         or (c[0] == "neg" and c[1] not in bound)
+        or (c[0] == "negref" and not (c[1] in bound and c[2] in bound))
         for c in clauses
     )
     if unbound_consumer:
