@@ -65,6 +65,24 @@ def _div(a: Column, b: Column) -> Column:
     return a / b
 
 
+# user-extensible predicate registry — the reference's :fn-allow-list
+# (query_fn_allowlist_test.clj): registering a NAME makes it callable in
+# predicate position. columnar=True fns receive/return Columns (JVM-side,
+# preferred); otherwise the fn is a plain Python callable wrapped as a
+# row UDF (the documented escape hatch).
+_USER_FNS: dict[str, tuple] = {}
+
+
+def register_query_fn(
+    name: str, fn, returns: str = "boolean", columnar: bool = False
+) -> None:
+    _USER_FNS[name] = (fn, returns, columnar)
+
+
+def unregister_query_fn(name: str) -> None:
+    _USER_FNS.pop(name, None)
+
+
 _BINARY_OPS: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
@@ -184,9 +202,20 @@ class ExprBuilder:
             for c in cols[1:]:
                 out = _BINARY_OPS[fn](out, c)
             return out
+        if fn in _USER_FNS:
+            ufn, returns, columnar = _USER_FNS[fn]
+            cols = [self.build(a) for a in args]
+            if columnar:
+                return ufn(*cols)
+            return F.udf(ufn, returns)(*cols)
         meth = getattr(self, "_fn_" + _mangle(fn), None)
         if meth is None:
-            raise NotImplementedError(f"Datalog builtin not implemented: {fn!r}")
+            raise NotImplementedError(
+                f"Query used a function that was not in the allowlist: "
+                f"{fn!r} (register it with "
+                f"crux_spark.datalog.builtins.register_query_fn — the "
+                f"reference's :fn-allow-list, query_fn_allowlist_test.clj)"
+            )
         return meth(args)
 
     _NUMERIC_DTYPES = (
