@@ -78,6 +78,16 @@ class Version:
     # remainders re-asserted by a later splice (rectangle bookkeeping, not a
     # history event)
     asserted: bool = True
+    # the tx that ORIGINALLY asserted this content (preserved across
+    # remainder splits, where tx_from becomes the splicing tx's id) —
+    # the reference's take-while run key is (tx-time, tx-id,
+    # content-hash), tx.clj:84-93; without the originating id two
+    # different txs sharing a tx_time would merge into one run.
+    # 0 = unknown (legacy rows): falls back to tx_from.
+    origin_tx: int = 0
+
+    def origin(self) -> int:
+        return self.origin_tx or self.tx_from
 
 
 def _current(history: list[Version]) -> list[Version]:
@@ -132,11 +142,13 @@ def _splice(
             end = _next_boundary(current, vf)
         else:
             end = vis.valid_to
-            key = (vis.content_hash, vis.deleted, vis.tx_time)
+            key = (vis.content_hash, vis.deleted, vis.tx_time, vis.origin())
             by_start = {r.valid_from: r for r in current}
             while end != END_OF_TIME:
                 nxt = by_start.get(end)
-                if nxt and (nxt.content_hash, nxt.deleted, nxt.tx_time) == key:
+                if nxt and (
+                    nxt.content_hash, nxt.deleted, nxt.tx_time, nxt.origin()
+                ) == key:
                     end = nxt.valid_to
                 else:
                     break
@@ -179,6 +191,7 @@ def _splice(
                 doc_json=doc_json,
                 deleted=deleted,
                 content_hash=chash,
+                origin_tx=tx_id,
             )
         )
     return out

@@ -49,6 +49,7 @@ VERSIONS_SCHEMA = T.StructType(
         T.StructField("deleted", T.BooleanType(), False),
         T.StructField("content_hash", T.StringType(), True),
         T.StructField("asserted", T.BooleanType(), False),
+        T.StructField("origin_tx", T.LongType(), False),
     ]
 )
 
@@ -85,6 +86,7 @@ def _row_to_version(r) -> Version:
         deleted=bool(r.deleted),
         content_hash=r.content_hash if isinstance(r.content_hash, str) else None,
         asserted=bool(r.asserted),
+        origin_tx=int(getattr(r, "origin_tx", 0) or 0),
     )
 
 
@@ -100,6 +102,7 @@ def _history_cols(eid: str, history: list[Version]) -> dict[str, list]:
         "deleted": [v.deleted for v in history],
         "content_hash": [v.content_hash for v in history],
         "asserted": [v.asserted for v in history],
+        "origin_tx": [v.origin_tx for v in history],
     }
 
 
@@ -829,6 +832,10 @@ class TxStore:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TxStore":
         df = spark.read.parquet(path).drop("bucket")
+        if "origin_tx" not in df.columns:
+            # pre-origin_tx checkpoints: 0 = unknown, origin() falls
+            # back to tx_from
+            df = df.withColumn("origin_tx", F.lit(0).cast("long"))
         store = cls(spark, df.localCheckpoint())
         row = df.agg(F.max("tx_from").alias("m")).first()
         store._tx_id = int(row.m or 0)

@@ -141,13 +141,16 @@ def op_sequences(draw):
     n = draw(st.integers(min_value=1, max_value=8))
     ops = []
     for i in range(n):
-        kind = draw(st.sampled_from(["put", "put_ranged", "delete"]))
+        kind = draw(st.sampled_from(["put", "put_ranged", "delete", "delete_ranged"]))
         vf = draw(_times)
         if kind == "put":
             ops.append(("put", {"id": "e", "v": i}, vf, None))
         elif kind == "put_ranged":
             vt = draw(st.integers(min_value=vf + 1, max_value=25))
             ops.append(("put", {"id": "e", "v": i}, vf, vt))
+        elif kind == "delete_ranged":
+            vt = draw(st.integers(min_value=vf + 1, max_value=25))
+            ops.append(("delete", None, vf, vt))
         else:
             ops.append(("delete", None, vf, None))
     return ops

@@ -222,3 +222,23 @@ def test_put_delete_range_semantics_table():
         got = [(e[0], e[1]) for e in events(h)]
         want_t = [(day(v), val) for v, val in want]
         assert got == want_t, f"ops={ops}\n got={got}\nwant={want_t}"
+
+
+def test_unranged_run_stops_at_different_origin_tx():
+    """Mined by the generative rectangle property: two adjacent
+    tombstones from DIFFERENT txs sharing a tx_time must NOT merge into
+    one run — the reference's take-while key is (tx-time, tx-id,
+    content-hash), so an unranged put at the first tombstone overwrites
+    only [0, 1), not both."""
+    from crux_spark.bitemporal import splice as sp
+
+    hist = []
+    hist = sp.delete(hist, 1, 0, 0, None)      # tx1: tombstone [0, inf)
+    hist = sp.delete(hist, 2, 0, 0, 1000)      # tx2: tombstone [0, 1)
+    hist = sp.put(hist, {"id": "e", "v": 2}, 3, 0, 0, None)  # unranged
+
+    got = sp.as_of(hist, 0)
+    assert got is not None and '"v": 2' in got.doc_json
+    # the put covered ONLY tx2's [0,1) run; tx1's tombstone resumes at 1
+    assert sp.as_of(hist, 1000) is None
+    assert sp.as_of(hist, 5000) is None
