@@ -507,11 +507,15 @@ class TxStore:
 
     def tx_committed(self, tx_id: int) -> bool:
         """Whether a submitted tx committed (api.clj tx-committed?):
-        raises if the tx is unknown or still pending."""
+        raises if the tx is unknown or still pending. Tx ids are dense
+        (one counter), so ids outside [1, latest-submitted] were never
+        handed out by submit_tx — the reference raises NodeOutOfSync /
+        unknown-tx for those rather than vacuously answering."""
+        if tx_id < 1 or tx_id > self._tx_id:
+            raise ValueError(f"tx {tx_id} unknown (never submitted)")
         if tx_id in self.aborted_txs:
             return False
-        completed = self.latest_completed_tx()
-        if completed is None or tx_id > completed:
+        if self._pending and tx_id >= min(r["tx_id"] for r in self._pending):
             raise ValueError(f"tx {tx_id} not yet indexed")
         return True
 
@@ -572,22 +576,36 @@ class TxStore:
             )
             # eviction redacts document CONTENT from the log (tx_test.clj
             # tx-log-evict-454: prior put/cas docs of an evicted eid read
-            # back as {:evicted? true}); op structure and eids remain
-            evicted = (
-                log.filter(F.col("op") == "evict")
-                .select("eid")
-                .distinct()
-                .withColumn("__evicted", F.lit(True))
+            # back as {:evicted? true}); op structure and eids remain.
+            # Only COMMITTED evicts redact (an evict inside a tx aborted
+            # by a failed match never happened), and only ops strictly
+            # BEFORE the evict in (tx_id, seq) order — the reference keys
+            # on the evicted content-hashes, so a doc put AFTER the evict
+            # (re-created entity) reads back normally.
+            not_applied = sorted(
+                self.aborted_txs | {r["tx_id"] for r in self._pending}
+            )
+            evict_ops = log.filter(F.col("op") == "evict")
+            if not_applied:
+                evict_ops = evict_ops.filter(~F.col("tx_id").isin(not_applied))
+            pos = F.struct(
+                F.col("tx_id").alias("t"), F.col("seq").alias("s")
+            )
+            evicted = evict_ops.groupBy("eid").agg(
+                F.max(pos).alias("__evict_pos")
             )
             log = log.join(F.broadcast(evicted), "eid", "left")
+            before_evict = F.col("__evict_pos").isNotNull() & (
+                pos < F.col("__evict_pos")
+            )
             redact = lambda c: F.when(
-                F.col("__evicted") & F.col(c).isNotNull(),
+                before_evict & F.col(c).isNotNull(),
                 F.lit('{"crux.db/evicted": true}'),
             ).otherwise(F.col(c))
             log = log.withColumn("doc_json", redact("doc_json"))
             if "expected_json" in log.columns:
                 log = log.withColumn("expected_json", redact("expected_json"))
-            log = log.drop("__evicted")
+            log = log.drop("__evict_pos")
         else:
             log = (
                 self.versions.filter(F.col("asserted"))
@@ -780,19 +798,43 @@ class TxStore:
             return 0
         with open(self.wal_path) as f:
             entries = [json.loads(line) for line in f if line.strip()]
-        evicted = {
-            r["eid"]
-            for e in entries
-            for r in e["rows"]
-            if r.get("op") == "evict"
-        }
+        # Only COMMITTED evicts redact (the WAL is written at submit time,
+        # so it carries evicts from txs later aborted by a failed match —
+        # those never happened), and only ops strictly BEFORE the evict in
+        # (tx_id, seq) order: the reference keys redaction on the evicted
+        # content-hashes (tx-log-evict-454), so a doc put AFTER the evict
+        # (re-created entity) must survive the rewrite — a WAL-tail replay
+        # after this rewrite must reproduce the live store byte-for-byte.
+        not_applied = self.aborted_txs | {r["tx_id"] for r in self._pending}
+        evict_pos: dict[str, tuple[int, int]] = {}
+        for e in entries:
+            for r in e["rows"]:
+                if r.get("op") == "evict" and int(r["tx_id"]) not in not_applied:
+                    p = (int(r["tx_id"]), int(r.get("seq") or 0))
+                    if p > evict_pos.get(r["eid"], (-1, -1)):
+                        evict_pos[r["eid"]] = p
+        # The rewrite keeps the ORIGINAL doc's content-hash inside the
+        # tombstone (the reference's log stores content-hashes that evict
+        # never touches, tx.clj) so that a replayed match op still compares
+        # the same hashes as the original run — equal docs stay equal,
+        # different docs stay different — and replay verdicts are stable.
         n = 0
         for e in entries:
             for r in e["rows"]:
-                if r.get("eid") in evicted:
+                p = (int(r["tx_id"]), int(r.get("seq") or 0))
+                if p < evict_pos.get(r.get("eid"), (-1, -1)):
                     for k in ("doc_json", "expected_json"):
-                        if r.get(k) not in (None, '{"crux.db/evicted": true}'):
-                            r[k] = '{"crux.db/evicted": true}'
+                        v = r.get(k)
+                        if v is not None and '"crux.db/evicted"' not in v:
+                            r[k] = json.dumps(
+                                {
+                                    "crux.db/evicted": True,
+                                    "crux.db/content-hash": splice.content_hash(
+                                        json.loads(v)
+                                    ),
+                                },
+                                sort_keys=True,
+                            )
                             n += 1
         tmp = self.wal_path + ".tmp"
         with open(tmp, "w") as f:

@@ -48,6 +48,12 @@ _SPECIAL = {"not", "not-join", "or", "or-join", "and"}
 # fixpoint safety valve for runaway recursive rules
 MAX_FIXPOINT_ITERATIONS = 200
 
+# Per-process round counters for the fixpoint drivers, read by
+# tools/scale_smoke.py to assert log-bounded convergence (TC squaring:
+# ceil(log2 diameter) rounds; semi-naive: diameter-bounded). Reset before
+# a query, read after; purely diagnostic.
+FIXPOINT_STATS = {"tc_rounds": 0, "fixpoint_rounds": 0}
+
 
 # open pred-constraint registry — the reference's extensible
 # `q/pred-constraint` multimethod (query.clj:269-273; the crux-lucene
@@ -1228,10 +1234,16 @@ class Compiler:
         )
         n = S.count()
         for _ in range(64):  # 2^64 diameter bound
+            FIXPOINT_STATS["tc_rounds"] += 1
+            # the squaring self-join must NEVER broadcast: S doubles every
+            # round and its post-checkpoint size estimate lures AQE into a
+            # driver-OOM broadcast once the closure passes a few million
+            # rows — pin a sort-merge join (both sides are the same large,
+            # already-checkpointed relation; SMJ is the 100 TB-safe shape)
             comp = (
                 S.alias("a")
                 .join(
-                    S.alias("b"),
+                    S.alias("b").hint("merge"),
                     F.col("a.__r1") == F.col("b.__r0"),
                 )
                 .select(F.col("a.__r0"), F.col("b.__r1"))
@@ -1355,6 +1367,7 @@ class Compiler:
         # where no member produced new tuples.
         prev_delta: dict[str, DataFrame | None] = {m: None for m in group}
         for it in range(MAX_FIXPOINT_ITERATIONS):
+            FIXPOINT_STATS["fixpoint_rounds"] += 1
             grew = False
             new_delta: dict[str, DataFrame | None] = {m: None for m in group}
             for m in group:

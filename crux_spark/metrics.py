@@ -1,0 +1,270 @@
+"""Metrics registry + reporters (the crux-metrics module surface).
+
+The reference wires dropwizard gauges/meters/timers to the node's event
+bus and ships them through scheduled reporters
+(crux-metrics/src/crux/metrics/{dropwizard,index_store,query,console,
+csv}.clj). The Spark recast keeps the same metric NAMES and semantics —
+["index-store" "tx-id-lag"], ["index-store" "indexed-docs"],
+["query" "timer"], ["query" "currently-running"] — over plain Python
+counters (driver-side observability; executor-side metrics belong to
+Spark's own MetricsSystem, which a cluster deployment scrapes directly).
+
+JMX / Prometheus / CloudWatch reporters are deliberately out of scope
+(no such endpoints in this environment); the Reporter protocol below is
+the seam where they'd plug in.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import threading
+import time
+from typing import Any, Callable
+
+
+def _name(parts) -> str:
+    return ".".join(parts) if isinstance(parts, (list, tuple)) else str(parts)
+
+
+class Meter:
+    """Monotone event counter (dropwizard meter minus the moving rates —
+    rates are a reporter-side derivative of (count, wallclock))."""
+
+    def __init__(self):
+        self.count = 0
+
+    def mark(self, n: int = 1) -> None:
+        self.count += n
+
+
+class Timer:
+    """Count + total/min/max duration, started/stopped per event
+    (dropwizard.clj start/stop)."""
+
+    def __init__(self):
+        self.count = 0
+        self.total = 0.0
+        self.min: float | None = None
+        self.max: float | None = None
+
+    def start(self) -> "_TimerContext":
+        return _TimerContext(self)
+
+    def update(self, seconds: float) -> None:
+        self.count += 1
+        self.total += seconds
+        self.min = seconds if self.min is None else min(self.min, seconds)
+        self.max = seconds if self.max is None else max(self.max, seconds)
+
+
+class _TimerContext:
+    def __init__(self, timer: Timer):
+        self.timer = timer
+        self.t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self.t0
+        self.timer.update(dt)
+        return dt
+
+
+class MetricsRegistry:
+    """Named gauges (zero-arg callables, evaluated at read time), meters
+    and timers (metrics.clj registry)."""
+
+    def __init__(self):
+        self.gauges: dict[str, Callable[[], Any]] = {}
+        self.meters: dict[str, Meter] = {}
+        self.timers: dict[str, Timer] = {}
+
+    def gauge(self, name, fn: Callable[[], Any]) -> Callable[[], Any]:
+        self.gauges[_name(name)] = fn
+        return fn
+
+    def meter(self, name) -> Meter:
+        return self.meters.setdefault(_name(name), Meter())
+
+    def timer(self, name) -> Timer:
+        return self.timers.setdefault(_name(name), Timer())
+
+    def snapshot(self) -> dict[str, Any]:
+        """Flat name -> value map: gauges evaluate now; meters report
+        count; timers report count/total/mean/min/max."""
+        out: dict[str, Any] = {}
+        for n, fn in self.gauges.items():
+            try:
+                out[n] = fn()
+            except Exception as e:  # a broken gauge must not kill a report
+                out[n] = f"<error: {e!r}>"
+        for n, m in self.meters.items():
+            out[n + ".count"] = m.count
+        for n, t in self.timers.items():
+            out[n + ".count"] = t.count
+            out[n + ".total_s"] = round(t.total, 6)
+            out[n + ".mean_s"] = round(t.total / t.count, 6) if t.count else None
+            out[n + ".min_s"] = None if t.min is None else round(t.min, 6)
+            out[n + ".max_s"] = None if t.max is None else round(t.max, 6)
+        return out
+
+
+# --------------------------------------------------------------- listeners
+
+
+def assign_index_store_listeners(registry: MetricsRegistry, node) -> dict:
+    """index_store.clj assign-listeners: tx-id-lag / tx-latency gauges,
+    indexed-docs / indexed-avs meters, indexed-txs meter — driven by the
+    node's indexed-tx events."""
+    docs_m = registry.meter(["index-store", "indexed-docs"])
+    avs_m = registry.meter(["index-store", "indexed-avs"])
+    txs_m = registry.meter(["index-store", "indexed-txs"])
+    last_latency = {"v": 0.0}
+
+    def on_tx(event: dict) -> None:
+        if event.get("event_type") != "indexed-tx":
+            return
+        txs_m.mark()
+        ops = event.get("tx_ops") or []
+        put_docs = [op[1] for op in ops if op and op[0] == "put"]
+        docs_m.mark(len(put_docs))
+        avs_m.mark(sum(len(d) for d in put_docs if isinstance(d, dict)))
+        last_latency["v"] = time.time() - event.get("submitted_at", time.time())
+
+    unsubscribe = node.listen(on_tx)
+
+    def tx_id_lag():
+        completed = node.store.latest_completed_tx()
+        submitted = node.store.latest_submitted_tx()
+        if completed is None or submitted is None:
+            return None
+        return submitted - completed
+
+    registry.gauge(["index-store", "tx-id-lag"], tx_id_lag)
+
+    def tx_latency():  # reset-on-read, like the reference's reset-vals!
+        v, last_latency["v"] = last_latency["v"], 0.0
+        return round(v, 6)
+
+    registry.gauge(["index-store", "tx-latency"], tx_latency)
+    return {
+        "docs_ingested_meter": docs_m,
+        "avs_ingested_meter": avs_m,
+        "txs_indexed_meter": txs_m,
+        "unsubscribe": unsubscribe,
+    }
+
+
+def assign_query_listeners(registry: MetricsRegistry, node) -> dict:
+    """query.clj assign-listeners: one timer across submitted ->
+    completed/failed, plus a currently-running gauge."""
+    query_timer = registry.timer(["query", "timer"])
+    contexts: dict[str, _TimerContext] = {}
+
+    def on_query(event: dict) -> None:
+        qid = event["query_id"]
+        if event["event_type"] == "submitted-query":
+            contexts[qid] = query_timer.start()
+        else:  # completed-query / failed-query
+            ctx = contexts.pop(qid, None)
+            if ctx is not None:
+                ctx.stop()
+
+    unsubscribe = node.listen_queries(on_query)
+    registry.gauge(["query", "currently-running"], lambda: len(contexts))
+    return {"query_timer": query_timer, "unsubscribe": unsubscribe}
+
+
+def assign_node_metrics(registry: MetricsRegistry, node) -> dict:
+    """Wire the full crux-metrics set onto a node."""
+    out = assign_index_store_listeners(registry, node)
+    out.update(assign_query_listeners(registry, node))
+    return out
+
+
+# --------------------------------------------------------------- reporters
+
+
+class _ScheduledReporter:
+    """Base scheduled reporter (dropwizard ScheduledReporter): report()
+    on demand, or start(freq)/close() for a background schedule."""
+
+    def __init__(self, registry: MetricsRegistry, report_frequency: float = 1.0):
+        self.registry = registry
+        self.report_frequency = report_frequency
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def report(self) -> dict[str, Any]:
+        snap = self.registry.snapshot()
+        self.emit(snap)
+        return snap
+
+    def emit(self, snap: dict[str, Any]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def start(self) -> "_ScheduledReporter":
+        def loop():
+            while not self._stop.wait(self.report_frequency):
+                self.report()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.report()  # final flush, like dropwizard's close
+
+
+class ConsoleReporter(_ScheduledReporter):
+    """console.clj ->reporter: aligned name/value dump to a stream."""
+
+    def __init__(self, registry, report_frequency: float = 1.0, stream=None):
+        super().__init__(registry, report_frequency)
+        self.stream = stream
+
+    def emit(self, snap: dict[str, Any]) -> None:
+        import sys
+
+        out = self.stream or sys.stdout
+        width = max((len(k) for k in snap), default=0)
+        print(time.strftime("-- %Y-%m-%d %H:%M:%S " + "-" * 40), file=out)
+        for k in sorted(snap):
+            print(f"{k:<{width}}  {snap[k]}", file=out)
+
+
+class CsvReporter(_ScheduledReporter):
+    """csv.clj ->reporter: one csv file PER METRIC under output_dir
+    (dropwizard CsvReporter layout), one (timestamp, value) row per
+    report."""
+
+    def __init__(self, registry, output_dir: str, report_frequency: float = 1.0):
+        super().__init__(registry, report_frequency)
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+
+    def emit(self, snap: dict[str, Any]) -> None:
+        ts = int(time.time())
+        for k, v in snap.items():
+            path = os.path.join(self.output_dir, k + ".csv")
+            new = not os.path.exists(path)
+            with open(path, "a", newline="") as f:
+                w = csv.writer(f)
+                if new:
+                    w.writerow(["t", "value"])
+                w.writerow([ts, v])
+
+
+class CallbackReporter(_ScheduledReporter):
+    """The seam for JMX/Prometheus/CloudWatch analogues: hand every
+    snapshot to a user callable."""
+
+    def __init__(self, registry, fn: Callable[[dict], None],
+                 report_frequency: float = 1.0):
+        super().__init__(registry, report_frequency)
+        self.fn = fn
+
+    def emit(self, snap: dict[str, Any]) -> None:
+        self.fn(snap)

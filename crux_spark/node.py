@@ -208,7 +208,7 @@ class Db:
             "status": "in-progress",
             "error": None,
         }
-        self.node._running_queries[qid] = state
+        self.node._record_submitted_query(state)
         try:
             rows = q_eager(self.catalog(), query, *args)
             state["status"] = "completed"
@@ -254,10 +254,33 @@ class Node:
         self._running_queries: dict = {}
         self._completed_queries: list = []
         self._slowest_queries: list = []
+        self._query_listeners: list = []
 
     # -- query monitoring (api.clj active/recent/slowest-queries) ---------
 
+    def listen_queries(self, fn) -> "callable":
+        """Subscribe to query lifecycle events ({'event_type':
+        'submitted-query'|'completed-query'|'failed-query', 'query_id',
+        ...}) — the node.clj bus events crux-metrics' query listeners
+        consume (crux-metrics/src/crux/metrics/query.clj). Returns a
+        zero-arg unsubscribe."""
+        self._query_listeners.append(fn)
+        return lambda: self._query_listeners.remove(fn)
+
+    def _notify_query(self, event_type: str, state: dict) -> None:
+        for fn in list(self._query_listeners):
+            fn({"event_type": event_type, **state})
+
+    def _record_submitted_query(self, state: dict) -> None:
+        self._running_queries[state["query_id"]] = state
+        self._notify_query("submitted-query", state)
+
     def _record_finished_query(self, state: dict) -> None:
+        self._notify_query(
+            "completed-query" if state["status"] == "completed"
+            else "failed-query",
+            state,
+        )
         self._running_queries.pop(state["query_id"], None)
         self._completed_queries.append(state)
         self._completed_queries = _clean_completed(
@@ -298,8 +321,13 @@ class Node:
         return list(self._slowest_queries)
 
     def submit_tx(self, ops: Iterable, tx_time: dt.datetime | None = None) -> int:
+        # materialize ONCE up front: ops may be a generator, and the store
+        # would otherwise consume it before the listener copy is taken
+        import time as _time
+
+        ops = list(ops)
         tx_id = self.store.submit_tx(ops, tx_time)
-        self._pending_listener_txs.append((tx_id, list(ops)))
+        self._pending_listener_txs.append((tx_id, ops, _time.time()))
         return tx_id
 
     def await_tx(self) -> set[int]:
@@ -312,12 +340,15 @@ class Node:
         aborted = self.store.commit()
         self._plan_cache.clear()
         pending, self._pending_listener_txs = self._pending_listener_txs, []
-        for tx_id, ops in pending:
+        for tx_id, ops, submitted_at in pending:
             event = {
                 "event_type": "indexed-tx",
                 "tx_id": tx_id,
                 "committed": tx_id not in aborted,
                 "tx_ops": ops,
+                # submit wall-clock, for the tx-latency gauge
+                # (crux-metrics index_store.clj assign-tx-latency-gauge)
+                "submitted_at": submitted_at,
             }
             for fn in list(self._tx_listeners):
                 fn(event)

@@ -20,6 +20,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     driver_limit_edges: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex in `pairs`, component = the
     minimum vertex id reachable through the undirected edge set.
@@ -37,9 +38,15 @@ def connected_components(
     path costs ~3 Spark jobs per round, which dwarfs the work when the
     similarity graph is thousands of pairs — the same bounded-driver
     pattern as similarity's broadcast path. Pass driver_limit_edges=0
-    to force the distributed path."""
+    to force the distributed path.
+
+    ``stats``, if given, is filled with {'path': 'driver'|'distributed',
+    'rounds': n} — diagnostic only (tools/scale_smoke.py asserts the
+    round count stays log-bounded as the graph scales)."""
     probe = pairs.limit(driver_limit_edges + 1).collect() if driver_limit_edges else None
     if probe is not None and len(probe) <= driver_limit_edges:
+        if stats is not None:
+            stats.update(path="driver", rounds=0)
         parent: dict = {}
 
         def find(x):
@@ -71,7 +78,9 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if stats is not None:
+            stats.update(path="distributed", rounds=it + 1)
         # min neighbor label per vertex
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")

@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio LIBRARIES, so compressed formats
-(JPEG/PNG/MP4...) are STUBBED behind a deterministic fake (clearly
-marked below). Uncompressed PPM (P6) images decode FOR REAL — a pure
-numpy parser below — which proves the whole decode -> resize -> feature
-path end-to-end on actual pixels; swapping the stub for libvips/ffmpeg
-on a cluster with codecs changes nothing Spark-side (schema,
-partition-preserving mapInPandas, batch shapes, metadata structs).
+The container has no image/audio LIBRARIES, so formats needing real
+codecs (JPEG/MP3/MP4...) are STUBBED behind a deterministic fake
+(clearly marked below). Three formats decode FOR REAL with pure
+stdlib+numpy parsers: PPM (P6), PNG (zlib inflate + scanline filter
+reconstruction), and 16-bit PCM WAV — proving the whole decode ->
+resize -> feature path end-to-end on actual pixels/samples; swapping
+the remaining stub for libvips/ffmpeg on a cluster with codecs changes
+nothing Spark-side (schema, partition-preserving mapInPandas, batch
+shapes, metadata structs).
 """
 
 from __future__ import annotations
@@ -102,6 +104,126 @@ def _image_features(arr: "np.ndarray", n_features: int = 8) -> list[float]:
     return [float(round(x, 6)) for x in out[:n_features]]
 
 
+# --- real codec: PNG (stdlib zlib + numpy filter reconstruction) -------
+
+
+def decode_png(blob: bytes) -> "np.ndarray | None":
+    """Parse an 8-bit non-interlaced PNG into an (h, w, 3) uint8 RGB
+    array, or None if the blob isn't such a PNG. Pure stdlib: IHDR/PLTE/
+    IDAT chunk walk, zlib inflate, then per-scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth, RFC 2083 §6) in numpy.
+    Grayscale and alpha variants normalize to RGB (alpha dropped);
+    16-bit depth and Adam7 interlace are out of scope (-> None)."""
+    import zlib
+
+    if blob is None or not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, idat, plte = 8, [], None
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(blob):
+        length = int.from_bytes(blob[pos : pos + 4], "big")
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, interlace = body[8], body[9], body[12]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if not width or bit_depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, np.uint8)[: height * (stride + 1)].reshape(
+        height, stride + 1
+    )
+    bpp = channels  # bytes per pixel at 8-bit depth
+    recon = np.zeros((height, stride), dtype=np.int64)
+    for y in range(height):
+        f, line = raw[y, 0], raw[y, 1:].astype(np.int64)
+        prev = recon[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:  # None
+            out = line
+        elif f == 2:  # Up — vectorized across the row
+            out = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            out = line
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prev[x]) >> 1
+                else:
+                    b, c = prev[x], prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[x] = (out[x] + pred) & 0xFF
+        else:
+            return None
+        recon[y] = out
+    arr = recon.astype(np.uint8).reshape(height, width, channels)
+    if color_type == 3:  # palette lookup
+        if plte is None:
+            return None
+        return plte[arr[:, :, 0]]
+    if channels == 1:
+        return np.repeat(arr, 3, axis=2)
+    if channels == 2:  # gray+alpha: drop alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if channels == 4:  # RGBA: drop alpha
+        return arr[:, :, :3]
+    return arr
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Minimal RGB PNG writer (filter 0 scanlines, one zlib stream) —
+    round-trips through decode_png; used by resize_media so resized PNGs
+    stay PNGs."""
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    lines = np.concatenate(
+        [
+            np.zeros((h, 1), np.uint8),  # filter byte 0 per scanline
+            arr.astype(np.uint8).reshape(h, w * 3),
+        ],
+        axis=1,
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 # --- real codec: WAV 16-bit PCM (RIFF parsing, no libraries needed) ----
 
 
@@ -180,7 +302,9 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
 
     def feats(b):
         arr = decode_ppm(b)
-        if arr is not None:  # real decode for P6 images
+        if arr is None:
+            arr = decode_png(b)  # real decode for 8-bit PNG
+        if arr is not None:  # real decode for P6 / PNG images
             return _image_features(arr, n_features)
         wav = decode_wav(b)
         if wav is not None:  # real decode for 16-bit PCM WAV
@@ -255,6 +379,9 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         arr = decode_ppm(b)
         if arr is not None:  # real nearest-neighbor resample for P6
             return encode_ppm(_resize_nn(arr, width, height))
+        arr = decode_png(b)
+        if arr is not None:  # real resample for PNG, re-encoded as PNG
+            return encode_png(_resize_nn(arr, width, height))
         return _fake_resize(b, width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -41,12 +41,20 @@ def hash_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
     if method == "xxhash64":
+        # xxhash64 is null-safe (a NULL key hashes to the seed), so
+        # null-keyed rows land deterministically in one bucket
         h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
         keep = h < int(round(rate * _BUCKETS))
     elif method == "md5":
+        # md5(NULL) is NULL, and both filter(NULL) and filter(~NULL)
+        # drop the row — coalesce to a sentinel BEFORE hashing so every
+        # null-keyed row lands in exactly one side of the split
+        key = F.coalesce(
+            F.col(key_col).cast("string"), F.lit("\x00__null_key__")
+        )
         k = int(round(rate * 16))
         nibbles = list("0123456789abcdef")[:k]
-        nib = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+        nib = F.substring(F.md5(key), 1, 1)
         keep = nib.isin(nibbles) if nibbles else F.lit(False)
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -180,6 +188,84 @@ def dedup_text_chunks(
                 lambda s: s["chunk"],
             ),
         ).alias("clean_text")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: documents are laid
+    end-to-end in a deterministic global order and the token stream is
+    cut into fixed ``seq_len`` sequences. Returns one row per
+    (document, sequence) span:
+
+        (doc_id, n_tokens, seq_id, beg, fin)
+
+    where [beg, fin) is the slice of sequence ``seq_id`` the document
+    occupies. Every token of every document lands in exactly one
+    sequence slot; a document longer than seq_len spans several
+    sequences (standard pretraining packing — no padding waste, no bin
+    packing heuristics to de-randomize).
+
+    Deterministic global order: md5(doc_id) (externally reproducible,
+    like hash_sample's md5 mode), tie-broken by doc_id. The global
+    prefix-sum is computed SCALE-SAFE: Spark's Window.orderBy with no
+    partition key would funnel 100 TB through one task, so instead the
+    order key's first two hex chars bucket the rows (a PREFIX of the
+    order key, so bucket order == global order), each bucket cumsums
+    locally, and the 256 bucket totals prefix-sum on the driver and
+    broadcast back — the textbook two-pass distributed scan."""
+    if count_col is None:
+        d = df.select(
+            F.col(doc_id_col),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__n"),
+        )
+    else:
+        d = df.select(F.col(doc_id_col), F.col(count_col).alias("__n"))
+    d = d.withColumn("__ok", F.md5(F.col(doc_id_col).cast("string")))
+    d = d.withColumn("__b", F.substring("__ok", 1, 2))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__b").orderBy("__ok", doc_id_col)
+    d = d.withColumn("__local_end", F.sum("__n").over(w))
+    totals = {
+        r["__b"]: r["t"]
+        for r in d.groupBy("__b").agg(F.sum("__n").alias("t")).collect()
+    }
+    offs, acc = {}, 0
+    for b in sorted(totals):
+        offs[b] = acc
+        acc += totals[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offs.items()) for x in kv]
+    )
+    d = (
+        d.withColumn("__start", off_map[F.col("__b")] + F.col("__local_end") - F.col("__n"))
+        .withColumn("__end", F.col("__start") + F.col("__n"))
+        .filter(F.col("__n") > 0)
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    return (
+        d.withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / L),
+                    F.floor((F.col("__end") - 1) / L),
+                )
+            ),
+        )
+        .select(
+            F.col(doc_id_col),
+            F.col("__n").alias("n_tokens"),
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.greatest(F.col("__start") - F.col("seq_id") * L, F.lit(0).cast("long")).alias("beg"),
+            F.least(F.col("__end") - F.col("seq_id") * L, L).alias("fin"),
+        )
     )
 
 

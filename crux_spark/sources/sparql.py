@@ -126,6 +126,10 @@ class _Parser:
         # the reference's ArbitraryLengthPath -> <pred>-PLUS rule head,
         # sparql.clj:21-28); rule defs are generated at query() time
         self.plus_attrs: set[str] = set()
+        # `?p+` over a VARIABLE predicate: one shared 3-ary rule over the
+        # EAV fallback scan, closure per predicate binding (the reference
+        # compiles RDF4J's ArbitraryLengthPath generally, sparql.clj:21-28)
+        self.var_plus = False
 
     # -- token plumbing ---------------------------------------------------
 
@@ -300,16 +304,25 @@ class _Parser:
         if self.at("op", "+"):
             self.next()
             path = "PLUS"
-        elif self.at("op", "*") and not attr.startswith("?"):
+        elif self.at("op", "*"):
             self.next()
             path = "STAR"
-        if path is not None and attr.startswith("?"):
-            raise NotImplementedError("property paths over variable predicates")
+        if path == "STAR" and attr.startswith("?"):
+            raise NotImplementedError(
+                "p* over variable predicates (the zero-length path leaves "
+                "the predicate unconstrained); ?p+ is supported"
+            )
         return attr, path
 
     def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o):
         if path is None:
             clauses.append([s, attr, o])
+            return
+        if attr.startswith("?"):
+            # variable predicate: closure is computed per ?p binding by a
+            # shared rule carrying the predicate as an argument
+            self.var_plus = True
+            clauses.append(["__varpred-PLUS", attr, s, o])
             return
         self.plus_attrs.add(attr)
         plus = [f"{attr[1:]}-PLUS", s, o]
@@ -570,8 +583,25 @@ class _Parser:
             _collect_vars(where, seen)
             find = seen
         out: dict = {"find": find, "where": where}
-        if self.plus_attrs:
+        if self.plus_attrs or self.var_plus:
             rules = []
+            if self.var_plus:
+                # shared transitive-closure rule over the EAV scan, with
+                # the predicate as the leading rule argument — the join on
+                # ?__pa keeps each predicate's closure separate
+                rules.append(
+                    [
+                        ["__varpred-PLUS", "?__pa", "?__px", "?__py"],
+                        ["?__px", "?__pa", "?__py"],
+                    ]
+                )
+                rules.append(
+                    [
+                        ["__varpred-PLUS", "?__pa", "?__px", "?__py"],
+                        ["?__px", "?__pa", "?__pz"],
+                        ["__varpred-PLUS", "?__pa", "?__pz", "?__py"],
+                    ]
+                )
             for attr in sorted(self.plus_attrs):
                 rule = f"{attr[1:]}-PLUS"
                 rules.append(

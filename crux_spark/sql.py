@@ -268,7 +268,7 @@ def _compile_table_spec(cat, spec: dict, q, nullable: set = frozenset()):
         )
 
     sel = {evar: ID_COL}
-    for c in clauses:
+    for ci, c in enumerate(clauses):
         _, attr, v = c
         colname = attr[1:]
         if isinstance(v, str) and v.startswith("?"):
@@ -283,8 +283,14 @@ def _compile_table_spec(cat, spec: dict, q, nullable: set = frozenset()):
                 if not opt:
                     df = df.filter(F.lit(False))
             elif is_arr(colname):
-                # cardinality-many: one output row per element
-                flat = colname + "__flat"
+                # cardinality-many: one output row per element. The flat
+                # name is unique PER CLAUSE: two clauses binding the same
+                # array attribute to different vars ([?e :a ?x] [?e :a ?y])
+                # must each explode independently, yielding the full
+                # element cross-product like the Datalog path — a shared
+                # name would make the second withColumn clobber the first
+                # and force ?x == ?y.
+                flat = f"{colname}__flat{ci}"
                 exp = F.explode_outer if opt else F.explode
                 df = df.withColumn(flat, exp(F.col(colname)))
                 colname = flat

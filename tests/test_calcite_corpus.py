@@ -260,6 +260,42 @@ def test_query_for_null(spark):
 
 # --- test-cardinality (calcite_test.clj:370) ---
 
+def test_cardinality_repeated_attr_cross_product(spark):
+    """Two clauses binding the SAME cardinality-many attribute to
+    different vars ([?e :a ?x] [?e :a ?y]) must yield the full element
+    cross-product (incl. ?x != ?y pairs), matching the Datalog path —
+    the fast path explodes each clause independently."""
+    table = {
+        **PERSON_TABLE_DOC,
+        "crux.sql.table/query": {
+            "find": ["?id", "?hw1", "?hw2"],
+            "where": [
+                ["?id", ":homeworld", "?hw1"],
+                ["?id", ":homeworld", "?hw2"],
+            ],
+        },
+        "crux.sql.table/columns": {
+            "?id": ":varchar", "?hw1": ":varchar", "?hw2": ":varchar",
+        },
+    }
+    schema = "id string, homeworld array<string>"
+    store = mkstore(
+        spark,
+        [{"id": "malcolm", "homeworld": ["Mars", "Earth"]}],
+        table,
+    )
+    got = sorted(
+        (r.hw1, r.hw2)
+        for r in sql_tables_q(
+            store, "SELECT hw1, hw2 FROM person", schema=schema
+        ).collect()
+    )
+    assert got == [
+        ("Earth", "Earth"), ("Earth", "Mars"),
+        ("Mars", "Earth"), ("Mars", "Mars"),
+    ]
+
+
 def test_cardinality(spark):
     table = dict(PERSON_TABLE_DOC)
     schema = "id string, name string, homeworld array<string>, age long, alive boolean"

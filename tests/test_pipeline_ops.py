@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from crux_spark.operators import dedup, multimodal, similarity, textops
+from crux_spark.operators import sampling as samp
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -229,6 +230,99 @@ def test_ppm_real_decode_resize_features(spark):
     assert resized[1].meta.width == 4 and resized[1].meta.height == 4
 
 
+def _png_chunk(ctype, body):
+    import zlib
+    return (len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big"))
+
+
+def _make_png(arr, filters, color_type=2):
+    """Hand-build a PNG whose scanlines use the GIVEN filter types —
+    applies the forward filter (the inverse of reconstruction) so every
+    decoder filter path is exercised against ground-truth pixels."""
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    flat = arr.reshape(h, w * ch).astype(np.int64)
+    bpp = ch
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(cur)
+        f = filters[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            a = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            filt = cur - ((a + prev) >> 1)
+        elif f == 4:
+            a = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            c = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = a + prev - c
+            pa, pb, pc = abs(p - a), abs(p - prev), abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            filt = cur - pred
+        lines.append(bytes([f]) + bytes((filt & 0xFF).astype(np.uint8)))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_real_decode(spark):
+    """PNG decodes for real (stdlib zlib + numpy filter reconstruction):
+    all five scanline filters, RGBA/gray/gray+alpha normalization, the
+    encode_png round-trip, and decode -> resize through the same Arrow
+    mapInPandas path as the other codecs."""
+    import numpy as np
+
+    from crux_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    # 5 rows so each scanline uses a different filter type
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    blob = _make_png(arr, filters=[0, 1, 2, 3, 4])
+    assert (mm.decode_png(blob) == arr).all()
+
+    # encoder round-trip (filter-0 RGB)
+    assert (mm.decode_png(mm.encode_png(arr)) == arr).all()
+
+    # grayscale (color type 0) -> replicated to RGB
+    g = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    got = mm.decode_png(_make_png(g, filters=[0, 1, 2, 4], color_type=0))
+    assert (got == np.repeat(g, 3, axis=2)).all()
+
+    # RGBA (color type 6) -> alpha dropped
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got = mm.decode_png(_make_png(rgba, filters=[0, 2, 4], color_type=6))
+    assert (got == rgba[:, :, :3]).all()
+
+    # non-PNG blobs fall through to the stub (None from the decoder)
+    assert mm.decode_png(b"not a png") is None
+    assert mm.decode_png(None) is None
+
+    # decode -> resize -> re-encode as PNG via the Spark path
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), ("image/png", 7, 5, None))], mm.MEDIA_SCHEMA
+    )
+    feats = mm.extract_features(media).collect()[0]
+    exp = arr.astype(np.float64) / 255.0
+    assert abs(feats.features[0] - round(exp[:, :, 0].mean(), 6)) < 1e-9
+    resized = mm.resize_media(media, 4, 4).collect()[0]
+    out = mm.decode_png(bytes(resized.blob))
+    assert out is not None and out.shape == (4, 4, 3)
+    # nearest-neighbor resample matches the pure-numpy reference
+    assert (out == mm._resize_nn(arr, 4, 4)).all()
+
+
 def test_wav_real_decode_features(spark):
     """16-bit PCM WAV decodes for real (RIFF chunk walk, pure numpy);
     features (duration, RMS, zero-crossings, peak) computed on actual
@@ -293,6 +387,102 @@ def test_pq_topk_recall(spark):
     # the perturbed query's true NN (its original) is always found at rank 1
     top1 = {r.query_id: r.vec_id for r in got.filter("rank = 1").collect()}
     assert top1 == {1000 + i: i for i in range(10)}
+
+    # the query side is driver-collected (per-query ADC LUT) — an
+    # unbounded caller DataFrame must raise, not silently OOM the driver
+    import pytest as _pytest
+    big = corpus.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="max_queries"):
+        sim.pq_topk(corpus, big, books, k=5, max_queries=100)
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style repetition filters on crafted documents with known
+    duplicate-line / n-gram structure."""
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'spam' twice: 1 repeat of 4 lines; repeated line
+            # chars 4 of 16 total line chars (abcd+spam+spam+wxyz)
+            (1, "abcd\nspam\nspam\nwxyz"),
+            # heavy bigram repetition: 'buy now' x4
+            (2, "buy now buy now buy now buy now"),
+            # clean text
+            (3, "a perfectly normal sentence with no repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in textops.repetition_metrics(docs).collect()}
+    assert m[1].dup_line_frac == 0.25
+    assert m[1].dup_line_char_frac == 0.25
+    assert m[3].dup_line_frac == 0.0 and m[3].dup_ngram_char_frac == 0.0
+    # doc 2: every 'buy now' bigram is identical -> top bigram covers
+    # count(4? overlapping grams) * len('buy now')=7 over 31 chars
+    assert m[2].top_ngram_char_frac > 0.6
+    assert m[2].dup_ngram_char_frac > 0.5  # 5-grams repeat too
+    assert m[3].top_ngram_char_frac < 0.5
+
+
+def test_pii_scrub(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 sent mail to a@b.io"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "example" not in out[1].text and "555" not in out[1].text
+    assert out[2].n_ipv4 == 2 and out[2].text.count("<IP>") == 2
+    assert out[2].n_email == 1
+    assert out[3].text == "no pii here"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-split packing: every token lands in exactly one slot,
+    interior sequences are exactly full, and the distributed prefix-sum
+    (bucketed cumsum + driver offsets) yields a gapless token stream."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 37) % 90)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    L = 64
+    out = samp.pack_sequences(docs, seq_len=L).collect()
+    # per-doc spans cover exactly n_tokens
+    per_doc: dict = {}
+    for r in out:
+        assert 0 <= r.beg < r.fin <= L
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_by_doc = {r.doc_id: r.n_tokens for r in out}
+    total = sum(n_by_doc.values())
+    for did, rows in per_doc.items():
+        assert sum(r.fin - r.beg for r in rows) == n_by_doc[did]
+        # a doc's spans occupy CONSECUTIVE sequences
+        sids = sorted(r.seq_id for r in rows)
+        assert sids == list(range(sids[0], sids[0] + len(sids)))
+    # every sequence slot [0, L) is covered exactly once (gapless stream)
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append((r.beg, r.fin))
+    n_seqs = max(by_seq) + 1
+    assert n_seqs == -(-total // L)
+    for sid, spans in by_seq.items():
+        spans.sort()
+        expect_end = L if sid < n_seqs - 1 else (total - 1) % L + 1
+        pos = 0
+        for b, f in spans:
+            assert b == pos
+            pos = f
+        assert pos == expect_end
+    # determinism: same assignment on re-run
+    again = samp.pack_sequences(docs, seq_len=L).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
 def test_bpe_ish_token_count(spark):

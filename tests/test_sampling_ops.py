@@ -52,6 +52,30 @@ def test_hash_sample_md5_rate_edges(docs):
         samp.hash_sample(docs, 1.5, "doc_id")
 
 
+def test_hash_split_null_keys_land_exactly_once(spark):
+    """NULL keys must land in exactly one side of the split for BOTH
+    methods — md5(NULL) is NULL and would otherwise silently drop the
+    row from train AND test."""
+    df = spark.createDataFrame(
+        [(i if i % 5 else None, f"t{i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    for method in ("xxhash64", "md5"):
+        kept = samp.hash_sample(df, 0.25, "doc_id", method=method)
+        held = samp.hash_sample(
+            df, 0.25, "doc_id", method=method, complement=True
+        )
+        texts_kept = {r.text for r in kept.collect()}
+        texts_held = {r.text for r in held.collect()}
+        assert texts_kept.isdisjoint(texts_held), method
+        assert len(texts_kept) + len(texts_held) == 100, method
+        # all null-keyed rows fall in the SAME side (one hash bucket)
+        nk = {r.text for r in kept.filter(F.col("doc_id").isNull()).collect()}
+        nh = {r.text for r in held.filter(F.col("doc_id").isNull()).collect()}
+        assert not nk or not nh, method
+        assert len(nk) + len(nh) == 20, method
+
+
 def test_hash_sample_plan_is_narrow(docs):
     # scale property: a pure filter, no shuffle in the plan
     plan = samp.hash_sample(docs, 0.25, "doc_id")._jdf.queryExecution().executedPlan().toString()

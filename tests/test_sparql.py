@@ -285,6 +285,34 @@ def test_property_path_star_between_vars(knows_cat):
     assert got == {("Cid",), ("Dan",)}
 
 
+def test_property_path_plus_variable_predicate(knows_cat):
+    """`?p+` over a VARIABLE predicate (reference compiles RDF4J's
+    ArbitraryLengthPath generally, labs/crux-rdf sparql.clj:21-28): one
+    shared 3-ary closure rule over the EAV scan, closure computed per
+    predicate binding."""
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?p ?n
+        WHERE { <http://ex/A> ?p+ ?y . ?y ex:name ?n }""",
+    )
+    # :knows reaches B, C, D transitively; :name reaches only the
+    # literal "Ann" (no onward edges) which has no ex:name — so the only
+    # other predicate closing onto a named node is none here
+    assert got == {(":knows", "Bob"), (":knows", "Cid"), (":knows", "Dan")}
+
+    # p* over a variable predicate stays unsupported (zero-length path
+    # leaves ?p unconstrained), with a clear error
+    with pytest.raises(NotImplementedError, match="variable predicates"):
+        run(
+            knows_cat,
+            """
+            PREFIX ex: <http://ex/>
+            SELECT ?n WHERE { <http://ex/A> ?p* ?y . ?y ex:name ?n }""",
+        )
+
+
 def test_sequence_path(knows_cat):
     # p1/p2 chains through a fresh intermediate variable
     got = run(

@@ -794,6 +794,105 @@ def test_bitemp_paper_full_scenario(spark):
     }
 
 
+def test_evict_in_aborted_tx_redacts_nothing(spark, tmp_path):
+    """An evict inside a tx aborted by a failed match never happened —
+    neither tx_log read-back nor compact_wal may redact on its behalf
+    (the WAL is written at submit time, before the verdict is known)."""
+    wal = str(tmp_path / "wal.jsonl")
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "secret": "s3kr1t"})])
+    store.commit()
+    # failing match aborts the whole tx, including its evict
+    aborted = store.submit_tx([
+        ("match", "a", {"id": "a", "secret": "WRONG"}),
+        ("evict", "a"),
+    ])
+    assert store.commit() == {aborted}
+    assert store.entity("a")["secret"] == "s3kr1t"
+
+    log = store.tx_log(with_ops=True).collect()
+    put_row = [r for r in log if r.op == "put"][0]
+    assert json.loads(put_row.doc_json)["secret"] == "s3kr1t"
+
+    assert store.compact_wal() == 0
+    assert "s3kr1t" in open(wal).read()
+    restored = TxStore.recover(spark, wal)
+    assert restored.entity("a")["secret"] == "s3kr1t"
+
+
+def test_evict_then_recreate_survives_compact_wal(spark, tmp_path):
+    """Docs put AFTER an evict (re-created entity) read back normally and
+    survive the physical WAL rewrite — only ops strictly before the evict
+    are tombstoned (the reference keys redaction on the content-hashes
+    that were actually evicted, tx-log-evict-454)."""
+    wal = str(tmp_path / "wal.jsonl")
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": "old-life"})])
+    store.submit_tx([("evict", "a")])
+    store.submit_tx([("put", {"id": "a", "v": "new-life"})])
+    store.commit()
+    assert store.entity("a")["v"] == "new-life"
+
+    log = store.tx_log(with_ops=True).collect()
+    docs = {r.tx_id: r.doc_json for r in log if r.op == "put"}
+    assert json.loads(docs[1]) == {"crux.db/evicted": True}
+    assert json.loads(docs[3])["v"] == "new-life"
+
+    assert store.compact_wal() == 1
+    raw = open(wal).read()
+    assert "old-life" not in raw and "new-life" in raw
+    # a recover() from the rewritten WAL reproduces the live store
+    restored = TxStore.recover(spark, wal)
+    assert restored.entity("a")["v"] == "new-life"
+
+
+def test_compact_wal_preserves_match_verdicts(spark, tmp_path):
+    """The tombstone carries the original content-hash so a replayed
+    match op compares the same hashes as the original run: a FAILED
+    pre-evict match must stay failed after compact_wal + recover (else
+    the aborted tx's other puts would silently materialize on replay)."""
+    wal = str(tmp_path / "wal.jsonl")
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": 1})])
+    # tx2: failing match on a + collateral put of b — aborted
+    tx2 = store.submit_tx([
+        ("match", "a", {"id": "a", "v": 999}),
+        ("put", {"id": "b", "v": "should-not-exist"}),
+    ])
+    # tx3: succeeding match on a + collateral put of c — commits
+    store.submit_tx([
+        ("match", "a", {"id": "a", "v": 1}),
+        ("put", {"id": "c", "v": "should-exist"}),
+    ])
+    store.submit_tx([("evict", "a")])
+    assert store.commit() == {tx2}
+    assert store.entity("b") is None
+    assert store.entity("c")["v"] == "should-exist"
+
+    store.compact_wal()
+    restored = TxStore.recover(spark, wal)
+    assert restored.aborted_txs == {tx2}
+    assert restored.entity("b") is None
+    assert restored.entity("c")["v"] == "should-exist"
+    assert restored.entity("a") is None
+
+
+def test_tx_committed_unknown_id_raises(spark):
+    """api.clj tx-committed?: an id never handed out by submit_tx raises
+    even when it is below the completed watermark (ids are dense)."""
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "a", "v": 1})])
+    store.commit()
+    assert store.tx_committed(1) is True
+    with pytest.raises(ValueError, match="unknown"):
+        store.tx_committed(0)
+    with pytest.raises(ValueError, match="unknown"):
+        store.tx_committed(99)
+    pending = store.submit_tx([("put", {"id": "b", "v": 2})])
+    with pytest.raises(ValueError, match="not yet indexed"):
+        store.tx_committed(pending)
+
+
 def test_tx_log_evict_redaction_454(spark, tmp_path):
     """tx_test.clj tx-log-evict-454: after an evict, the tx log still
     shows the op STRUCTURE of earlier puts/cas on that eid, but their

@@ -75,6 +75,24 @@ def main(only: list[str]):
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            # The driver's pandas canonicalizer cannot sort/hash
+            # array/map/struct cells (numpy.ndarray is unhashable) —
+            # reject them HERE so the mirror fails exactly where the
+            # driver would (r3 lesson: norm() tuple-izing lists masked
+            # the datalog_pull gate error for three rounds).
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: complex-typed result columns "
+                    f"{complex_cols} — encode as comma-joined strings on "
+                    f"BOTH sides for the driver canonicalizer"
+                )
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
