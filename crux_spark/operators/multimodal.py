@@ -2,12 +2,13 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The container has no image/audio LIBRARIES, so formats needing real
-codecs (JPEG/MP3/MP4...) are STUBBED behind a deterministic fake
-(clearly marked below). Three formats decode FOR REAL with pure
-stdlib+numpy parsers: PPM (P6), PNG (zlib inflate + scanline filter
-reconstruction), and 16-bit PCM WAV — proving the whole decode ->
-resize -> feature path end-to-end on actual pixels/samples; swapping
-the remaining stub for libvips/ffmpeg on a cluster with codecs changes
+third-party codecs (MP3/MP4/video...) are STUBBED behind a
+deterministic fake (clearly marked below). FOUR formats decode FOR REAL
+with pure stdlib+numpy parsers: PPM (P6), PNG (zlib inflate + scanline
+filter reconstruction), baseline JPEG (Huffman + IDCT, operators/
+jpeg.py), and 16-bit PCM WAV — proving the whole decode -> resize ->
+feature path end-to-end on actual pixels/samples; swapping the
+remaining stub for libvips/ffmpeg on a cluster with codecs changes
 nothing Spark-side (schema, partition-preserving mapInPandas, batch
 shapes, metadata structs).
 """
@@ -276,6 +277,18 @@ def _audio_features(rate: int, samples: "np.ndarray", n_features: int = 8) -> li
     return [float(round(x, 6)) for x in out[:n_features]]
 
 
+def _decode_image(b: bytes) -> "np.ndarray | None":
+    """Try every REAL image codec: PPM P6, PNG, baseline JPEG."""
+    arr = decode_ppm(b)
+    if arr is None:
+        arr = decode_png(b)
+    if arr is None:
+        from crux_spark.operators.jpeg import decode_jpeg
+
+        arr = decode_jpeg(b)
+    return arr
+
+
 def _fake_decode(blob: bytes, n_features: int = 8) -> list[float]:
     """STUB decode: deterministic per-byte-histogram 'features'.
 
@@ -301,10 +314,8 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     """
 
     def feats(b):
-        arr = decode_ppm(b)
-        if arr is None:
-            arr = decode_png(b)  # real decode for 8-bit PNG
-        if arr is not None:  # real decode for P6 / PNG images
+        arr = _decode_image(b)
+        if arr is not None:  # real decode for P6 / PNG / baseline JPEG
             return _image_features(arr, n_features)
         wav = decode_wav(b)
         if wav is not None:  # real decode for 16-bit PCM WAV
@@ -382,6 +393,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
         arr = decode_png(b)
         if arr is not None:  # real resample for PNG, re-encoded as PNG
             return encode_png(_resize_nn(arr, width, height))
+        if b is not None and b[:2] == b"\xff\xd8":
+            from crux_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+            arr = decode_jpeg(b)
+            if arr is not None:  # real resample for baseline JPEG
+                return encode_jpeg(_resize_nn(arr, width, height))
         return _fake_resize(b, width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

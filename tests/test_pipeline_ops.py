@@ -323,6 +323,60 @@ def test_png_real_decode(spark):
     assert (out == mm._resize_nn(arr, 4, 4)).all()
 
 
+def test_jpeg_real_codec(spark):
+    """Baseline JPEG decodes for real (pure numpy Huffman + IDCT,
+    T.81 Annex F/K): round-trip through our own encoder stays within
+    normal lossy error on a smooth image, exact-ish on flat color, and
+    the Spark feature/resize paths run on actual pixels."""
+    import numpy as np
+
+    from crux_spark.operators import multimodal as mm
+    from crux_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=2
+    ).astype(np.uint8)
+    blob = encode_jpeg(img)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    out = decode_jpeg(blob)
+    assert out.shape == (h, w, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3
+
+    # 4:2:0 subsampling exercises the decoder's multi-block MCU +
+    # chroma upsampling path
+    out420 = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert out420.shape == (h, w, 3)
+    assert np.abs(out420.astype(int) - img.astype(int)).mean() < 4
+
+    # flat color reconstructs (quantization exact for DC-only blocks)
+    flat = np.full((16, 24, 3), 127, np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(flat)).astype(int) - 127
+    ).max() <= 1
+
+    # odd (non-multiple-of-8) dimensions crop correctly
+    odd = np.full((13, 19, 3), 90, np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (13, 19, 3)
+
+    # non-JPEG blobs fall through
+    assert decode_jpeg(b"not a jpeg") is None and decode_jpeg(None) is None
+
+    # Spark path: features computed on decoded pixels, resize re-encodes
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), ("image/jpeg", w, h, None))], mm.MEDIA_SCHEMA
+    )
+    feats = mm.extract_features(media).collect()[0]
+    exp = out.astype(np.float64) / 255.0
+    assert abs(feats.features[0] - round(exp[:, :, 0].mean(), 6)) < 1e-9
+    resized = mm.resize_media(media, 16, 16).collect()[0]
+    rimg = decode_jpeg(bytes(resized.blob))
+    assert rimg is not None and rimg.shape == (16, 16, 3)
+    # resampled content tracks the source (same gradient direction)
+    assert rimg[:, :, 0].astype(int).mean() < rimg[:, 8:, 0].astype(int).mean() + 40
+
+
 def test_wav_real_decode_features(spark):
     """16-bit PCM WAV decodes for real (RIFF chunk walk, pure numpy);
     features (duration, RMS, zero-crossings, peak) computed on actual
