@@ -77,24 +77,26 @@ class CheckpointStore:
         return {**meta, "dir": cp_dir}
 
     # -- restore ----------------------------------------------------------
-    def restore_latest(self, spark, wal_path: str | None = None) -> TxStore | None:
+    def restore_latest(self, spark, wal_path=None) -> TxStore | None:
         """Build a TxStore from the newest checkpoint; with a WAL, replay
         only the txs PAST the checkpoint's tx id (the reference replays
-        the tx-log tail after restoring, checkpoint.clj try-restore)."""
+        the tx-log tail after restoring, checkpoint.clj try-restore).
+        Accepts any WAL spec (JSONL path, 'sqlite:<path>', backend)."""
+        from crux_spark.bitemporal.txlog import open_tx_log
+
         cps = self.available_checkpoints()
         if not cps:
             return None
         newest = cps[0]
         store = TxStore.load(spark, os.path.join(newest["dir"], "versions"))
-        if wal_path and os.path.exists(wal_path):
-            with open(wal_path) as f:
-                for line in f:
-                    entry = json.loads(line)
-                    if int(entry["tx_id"]) > newest["tx_id"]:
-                        store._pending.extend(entry["rows"])
-                        store._tx_id = max(store._tx_id, int(entry["tx_id"]))
+        backend = open_tx_log(wal_path)
+        if backend is not None:
+            for entry in backend.entries():
+                if int(entry["tx_id"]) > newest["tx_id"]:
+                    store._pending.extend(entry["rows"])
+                    store._tx_id = max(store._tx_id, int(entry["tx_id"]))
             store.commit()
-            store.wal_path = wal_path
+            store.wal_path = backend
         return store
 
     # -- retention --------------------------------------------------------

@@ -217,9 +217,22 @@ class TxStore:
         # write-ahead log: submitted txs are appended (already fn-expanded,
         # so replay is deterministic without re-registering tx fns) before
         # they are applied — the durable totally-ordered tx-log of the
-        # reference (crux-core/src/crux/kv/tx_log.clj), recast as an
-        # append-only JSONL file / object-store key
+        # reference (crux-core/src/crux/kv/tx_log.clj). Transport is
+        # pluggable (txlog.py): a plain path = JSONL file/object-store
+        # key; 'sqlite:<path>' = the crux-jdbc analogue (one tx_log SQL
+        # table, jdbc.clj); or any TxLogBackend instance.
         self.wal_path = wal_path
+
+    @property
+    def wal_path(self):
+        return self._wal_spec
+
+    @wal_path.setter
+    def wal_path(self, spec) -> None:
+        from crux_spark.bitemporal.txlog import open_tx_log
+
+        self._wal_spec = spec
+        self._wal = open_tx_log(spec)
 
     # ------------------------------------------------------------- write API
 
@@ -310,19 +323,13 @@ class TxStore:
                 raise ValueError(f"unknown op {kind!r}")
             self._pending.append(row)
             seq += 1
-        if self.wal_path:
-            with open(self.wal_path, "a") as f:
-                f.write(
-                    json.dumps(
-                        {
-                            "tx_id": tx_id,
-                            "rows": [
-                                r for r in self._pending if r["tx_id"] == tx_id
-                            ],
-                        }
-                    )
-                    + "\n"
-                )
+        if self._wal is not None:
+            self._wal.append(
+                {
+                    "tx_id": tx_id,
+                    "rows": [r for r in self._pending if r["tx_id"] == tx_id],
+                }
+            )
         return tx_id
 
     def commit(self) -> set[int]:
@@ -561,9 +568,9 @@ class TxStore:
         With ops: requires a WAL (``wal_path``); replays the durable log
         the same way recover() does."""
         if with_ops:
-            if not self.wal_path:
+            if self._wal is None:
                 raise ValueError("tx_log(with_ops=True) needs a wal_path")
-            log = self.spark.read.json(self.wal_path)
+            log = self._wal.to_df(self.spark)
             log = log.select("tx_id", F.explode("rows").alias("op"))
             # the op struct carries its own tx_id copy — keep the outer one
             op_fields = [
@@ -792,12 +799,11 @@ class TxStore:
         (tx.clj evict; the tx-log keeps redacted tombstones). Rewrites
         the WAL in place with {"crux.db/evicted": true} bodies for every
         op on an evicted eid; returns the number of redacted ops."""
-        import os
-
-        if not self.wal_path or not os.path.exists(self.wal_path):
+        if self._wal is None:
             return 0
-        with open(self.wal_path) as f:
-            entries = [json.loads(line) for line in f if line.strip()]
+        entries = list(self._wal.entries())
+        if not entries:
+            return 0
         # Only COMMITTED evicts redact (the WAL is written at submit time,
         # so it carries evicts from txs later aborted by a failed match —
         # those never happened), and only ops strictly BEFORE the evict in
@@ -836,11 +842,7 @@ class TxStore:
                                 sort_keys=True,
                             )
                             n += 1
-        tmp = self.wal_path + ".tmp"
-        with open(tmp, "w") as f:
-            for e in entries:
-                f.write(json.dumps(e) + "\n")
-        os.replace(tmp, self.wal_path)
+        self._wal.rewrite(entries)
         return n
 
     def save(self, path: str, buckets: int = 64) -> None:
@@ -854,21 +856,23 @@ class TxStore:
         )
 
     @classmethod
-    def recover(cls, spark: SparkSession, wal_path: str) -> "TxStore":
+    def recover(cls, spark: SparkSession, wal_path) -> "TxStore":
         """Rebuild a store by replaying the write-ahead log (deterministic
         replay on every node, tx.clj:424-479). Ops in the WAL are already
-        tx-fn-expanded, so no fn registry is needed."""
-        import os
+        tx-fn-expanded, so no fn registry is needed. Accepts any WAL spec
+        (JSONL path, 'sqlite:<path>', or a TxLogBackend)."""
+        from crux_spark.bitemporal.txlog import open_tx_log
 
+        backend = open_tx_log(wal_path)
         store = cls(spark, wal_path=None)
-        if os.path.exists(wal_path):
-            with open(wal_path) as f:
-                for line in f:
-                    entry = json.loads(line)
-                    store._pending.extend(entry["rows"])
-                    store._tx_id = max(store._tx_id, int(entry["tx_id"]))
+        replayed = False
+        for entry in backend.entries():
+            store._pending.extend(entry["rows"])
+            store._tx_id = max(store._tx_id, int(entry["tx_id"]))
+            replayed = True
+        if replayed:
             store.commit()
-        store.wal_path = wal_path
+        store.wal_path = backend
         return store
 
     @classmethod

@@ -70,6 +70,58 @@ def hash_split(
     return train, test
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict,
+    stratum_col: str,
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum value
+    (e.g. language, source domain) -> keep rate; strata absent from the
+    map use ``default_rate``. The corpus-rebalancing step of training
+    pipelines ("downsample en to 30%, keep the rest") as ONE
+    whole-stage-codegen'd filter — the per-row threshold is a broadcast
+    literal map lookup, the hash is the same bucket space as
+    hash_sample (so stratified samples nest inside plain samples), and
+    there is no shuffle and no per-stratum pass.
+
+    method='md5' restricts to md5+substring like hash_sample (rates
+    quantized to sixteenths, externally reproducible)."""
+    for r in [*rates.values(), default_rate]:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rates must be in [0,1], got {r}")
+    if method == "xxhash64":
+        thresholds = {
+            k: int(round(r * _BUCKETS)) for k, r in rates.items()
+        }
+        thr_map = F.create_map(
+            *[F.lit(x) for kv in sorted(thresholds.items()) for x in kv]
+        )
+        thr = F.coalesce(
+            thr_map[F.col(stratum_col)],
+            F.lit(int(round(default_rate * _BUCKETS))),
+        )
+        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+        return df.filter(h < thr)
+    if method == "md5":
+        ks = {k: int(round(r * 16)) for k, r in rates.items()}
+        thr_map = F.create_map(
+            *[F.lit(x) for kv in sorted(ks.items()) for x in kv]
+        )
+        thr = F.coalesce(
+            thr_map[F.col(stratum_col)], F.lit(int(round(default_rate * 16)))
+        )
+        key = F.coalesce(
+            F.col(key_col).cast("string"), F.lit("\x00__null_key__")
+        )
+        nib = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int")
+        return df.filter(nib < thr)
+    raise ValueError(f"unknown method {method!r}")
+
+
 def _word_shingles(text_col, n: int):
     """n-word shingles of normalized text as an array column — pure
     Catalyst exprs (no UDF): lowercase, strip non-alphanumerics, split,
@@ -144,6 +196,42 @@ def contaminated_docs(
         d_sh.join(F.broadcast(b_sh), "sh")
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Graded contamination: for EVERY doc with at least one n-word
+    shingle, (id, n_shingles, n_shared, contam_frac) — the score form of
+    contaminated_docs, for threshold-tuning instead of a hard flag.
+    Same scale shape (hashed shingles, benchmark side distinct +
+    broadcast, corpus side never self-joins); clean docs report 0.
+    Docs too short to form one shingle emit no row (no shingle set to
+    score)."""
+    d_sh = (
+        _shingle_relation(docs, [F.col(id_col)], text_col, n)
+        .select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
+    b_sh = (
+        _shingle_relation(benchmark, [], text_col, n)
+        .select(F.xxhash64("sh").alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        d_sh.join(F.broadcast(b_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias("contam_frac"),
+        )
     )
 
 

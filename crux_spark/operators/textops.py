@@ -180,6 +180,50 @@ def repetition_metrics(df: DataFrame, doc_id_col: str = "doc_id",
     )
 
 
+# --- corpus-LM quality proxy (CCNet-style, without KenLM) --------------
+
+
+def unigram_nll_scores(df: DataFrame, doc_id_col: str = "doc_id",
+                       text_col: str = "text", vocab_size: int = 65536,
+                       alpha: float = 0.5) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's OWN
+    add-alpha-smoothed unigram distribution — the perplexity-bucket
+    quality signal of CCNet/RefinedWeb, with the corpus itself as the LM
+    (no external model in this container; swapping in KenLM changes only
+    the scoring UDF, not the Spark shape). Low NLL = typical text; high
+    NLL = gibberish/rare-token soup. Returns
+    (doc_id, n_tokens, nll, ppl).
+
+    Scale shape: pass 1 builds the token frequency table (one shuffle,
+    map-side partial counts) and takes the top ``vocab_size`` terms
+    (deterministic tie-break on the token string); pass 2 broadcasts the
+    vocab back onto the exploded tokens and aggregates per doc (second
+    shuffle, keyed by doc). OOV tokens score the smoothed floor
+    alpha / (total + alpha*(V+1))."""
+    toks = df.select(
+        F.col(doc_id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt")).first()[0] or 0
+    vocab = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+    denom = float(total) + alpha * (vocab_size + 1)
+    vocab = vocab.select(
+        "tok", F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom)).alias("__lp")
+    )
+    import math
+
+    floor = math.log(alpha / denom)
+    scored = toks.join(F.broadcast(vocab), "tok", "left").select(
+        doc_id_col, F.coalesce("__lp", F.lit(floor)).alias("__lp")
+    )
+    return scored.groupBy(doc_id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("__lp"), 6).alias("nll"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("ppl"),
+    )
+
+
 # --- PII scrubbing (regex redaction, RE2-compatible patterns) ----------
 #
 # Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2

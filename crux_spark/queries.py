@@ -2455,6 +2455,100 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "contamination_scores",
+    r"""
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    bsh AS (
+      SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS sh
+      FROM dw, UNNEST(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)
+      WHERE doc_id % 97 = 0),
+    dsh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+      FROM dw, UNNEST(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)
+      WHERE doc_id % 97 <> 0)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.sh) AS BIGINT) AS n_shared,
+           round(count(b.sh) * 1.0 / count(*), 6) AS contam_frac
+    FROM dsh d LEFT JOIN bsh b ON d.sh = b.sh
+    GROUP BY d.doc_id
+    """,
+)
+def contamination_scores(spark, sf_dir):
+    """Graded benchmark-contamination fractions for every training doc
+    (the threshold-tunable form of decontaminate_ngram — same broadcast
+    shape, left join so clean docs report 0)."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return _samp.contamination_scores(train, bench, n=5)
+
+
+@register(
+    "unigram_lm_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t AS tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM freq),
+    vocab AS (SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT 65536),
+    lp AS (
+      SELECT t.doc_id,
+             coalesce(ln((v.cnt + 0.5) / (tot.total + 0.5 * 65537)),
+                      ln(0.5 / (tot.total + 0.5 * 65537))) AS lp
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(-avg(lp), 6) AS nll,
+           round(exp(-avg(lp)), 4) AS ppl
+    FROM lp GROUP BY doc_id
+    """,
+)
+def unigram_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality proxy: per-doc mean NLL under the
+    corpus's own smoothed unigram distribution (textops
+    unigram_nll_scores) — the perplexity-bucket filter, verified
+    value-for-value against DuckDB."""
+    cat = catalog_for(spark, sf_dir)
+    return _text.unigram_nll_scores(cat.table("documents"))
+
+
+@register(
+    "stratified_sample",
+    r"""
+    SELECT doc_id, lang FROM documents
+    WHERE strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+          < CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 4
+                      WHEN 'de' THEN 16 ELSE 2 END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (corpus rebalancing: keep 50%
+    of en, 25% of zh, all of de, 12.5% of everything else) — one
+    codegen'd filter, no shuffle, exact member-set match vs DuckDB via
+    the externally-reproducible md5 bucket space."""
+    cat = catalog_for(spark, sf_dir)
+    return _samp.stratified_hash_sample(
+        cat.table("documents"),
+        {"en": 0.5, "zh": 0.25, "de": 1.0},
+        stratum_col="lang",
+        key_col="doc_id",
+        default_rate=0.125,
+        method="md5",
+    ).select("doc_id", "lang")
+
+
+@register(
     "pack_sequences",
     r"""
     WITH d AS (
@@ -2505,6 +2599,10 @@ def pack_sequences(spark, sf_dir):
 #           bitemporal_store_history), events_rollup (grouping covered by
 #           events_sessionize + sql_rollup), window_lag_delta (window fns
 #           covered by window_topk).
+#   r5 queue (never driver-verified, most distinctive first):
+#       pack_sequences (distributed prefix-sum vs global-window oracle),
+#       unigram_lm_quality, text_repetition, then the remaining new
+#       gates and overflow TPC-H shapes.
 # ---------------------------------------------------------------------------
 
 _OVERFLOW = [

@@ -76,6 +76,85 @@ def test_hash_split_null_keys_land_exactly_once(spark):
         assert len(nk) + len(nh) == 20, method
 
 
+def test_contamination_scores(spark):
+    """Graded overlap: a half-contaminated doc scores 0.5, a clean doc
+    0.0, a fully-contaminated doc 1.0; too-short docs emit no row."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),              # fully contained
+            (2, "alpha beta gamma zulu xray yankee"),   # partial
+            (3, "one two three four five"),             # clean
+            (4, "hi"),                                  # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in samp.contamination_scores(docs, bench, n=3).collect()}
+    assert out[1].contam_frac == 1.0 and out[1].n_shingles == 2
+    assert out[3].contam_frac == 0.0 and out[3].n_shared == 0
+    assert 0 < out[2].contam_frac < 1
+    assert 4 not in out
+
+
+def test_unigram_nll_scores(spark):
+    """Docs of common tokens score lower NLL than rare-token docs; the
+    smoothed unigram math matches a hand computation."""
+    import math
+
+    from crux_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.unigram_nll_scores(
+        docs, vocab_size=10, alpha=0.5
+    ).collect()}
+    # corpus: common x4, rare x1, total 5; denom = 5 + 0.5*11 = 10.5
+    lp_common = math.log(4.5 / 10.5)
+    lp_rare = math.log(1.5 / 10.5)
+    assert abs(out[1].nll - round(-lp_common, 6)) < 1e-6
+    assert abs(out[2].nll - round(-(lp_common + lp_rare) / 2, 6)) < 1e-6
+    assert out[1].nll < out[2].nll
+    assert out[2].n_tokens == 2
+    assert abs(out[1].ppl - round(math.exp(-lp_common), 4)) < 1e-3
+
+
+def test_stratified_hash_sample(spark):
+    """Per-stratum rates apply independently; nests inside the plain
+    hash_sample bucket space; absent strata use default_rate."""
+    df = spark.createDataFrame(
+        [(i, ["en", "zh", "de", "fr"][i % 4]) for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = samp.stratified_hash_sample(
+        df, {"en": 0.5, "zh": 0.1, "de": 1.0}, "lang", "doc_id",
+        default_rate=0.0,
+    )
+    by = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert 175 <= by.get("en", 0) <= 325      # ~250 of 500
+    assert 20 <= by.get("zh", 0) <= 90        # ~50 of 500
+    assert by.get("de") == 500                # rate 1.0 keeps all
+    assert "fr" not in by                     # default 0 drops all
+    # nesting: the stratified keep-set for a stratum is a subset of the
+    # plain hash_sample at the same rate (same bucket space)
+    en_strat = {r.doc_id for r in out.filter("lang='en'").collect()}
+    en_plain = {
+        r.doc_id
+        for r in samp.hash_sample(
+            df.filter("lang='en'"), 0.5, "doc_id"
+        ).collect()
+    }
+    assert en_strat == en_plain
+    # plan: pure filter, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="rates"):
+        samp.stratified_hash_sample(df, {"en": 1.5}, "lang", "doc_id")
+
+
 def test_hash_sample_plan_is_narrow(docs):
     # scale property: a pure filter, no shuffle in the plan
     plan = samp.hash_sample(docs, 0.25, "doc_id")._jdf.queryExecution().executedPlan().toString()

@@ -794,6 +794,67 @@ def test_bitemp_paper_full_scenario(spark):
     }
 
 
+def test_sqlite_tx_log_transport(spark, tmp_path):
+    """The crux-jdbc analogue (txlog.SqliteTxLog: one tx_log SQL table,
+    PRIMARY KEY = total order) drives the same WAL surface as JSONL:
+    durable appends, deterministic recover, with_ops read-back, evict
+    redaction + compact, checkpoint tail-replay."""
+    wal = f"sqlite:{tmp_path}/txlog.db"
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.submit_tx([("put", {"id": "b", "v": 2})], tx_time=t(2))
+    store.commit()
+
+    # recover from the SQL table alone
+    restored = TxStore.recover(spark, wal)
+    assert restored.entity("a")["v"] == 1
+    assert restored.entity("b")["v"] == 2
+    # appends continue into the same table after recover
+    restored.submit_tx([("put", {"id": "c", "v": 3})], tx_time=t(3))
+    restored.commit()
+    again = TxStore.recover(spark, wal)
+    assert again.entity("c")["v"] == 3
+
+    # with_ops tx-log reads through the backend
+    log = again.tx_log(with_ops=True).collect()
+    assert [(r.tx_id, r.op) for r in log] == [(1, "put"), (2, "put"), (3, "put")]
+
+    # evict redaction + physical compaction rewrite the SQL rows
+    again.submit_tx([("evict", "a")])
+    again.commit()
+    assert again.compact_wal() == 1
+    import sqlite3
+
+    raw = "".join(
+        e for (e,) in sqlite3.connect(f"{tmp_path}/txlog.db").execute(
+            "SELECT entry FROM tx_log"
+        )
+    )
+    assert '"v": 1' not in raw and "crux.db/evicted" in raw
+    final = TxStore.recover(spark, wal)
+    assert final.entity("a") is None and final.entity("c")["v"] == 3
+
+
+def test_checkpoint_restore_with_sqlite_wal(spark, tmp_path):
+    """Checkpoint restore + WAL-tail replay works over the sqlite
+    transport too (checkpoint.clj try-restore, jdbc tx-log)."""
+    from crux_spark.bitemporal.checkpoint import CheckpointStore
+
+    wal = f"sqlite:{tmp_path}/txlog.db"
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.commit()
+    cps = CheckpointStore(str(tmp_path / "cps"))
+    cps.checkpoint(store)
+    # txs past the checkpoint live only in the WAL
+    store.submit_tx([("put", {"id": "b", "v": 2})], tx_time=t(2))
+    store.commit()
+
+    restored = cps.restore_latest(spark, wal_path=wal)
+    assert restored.entity("a")["v"] == 1
+    assert restored.entity("b")["v"] == 2
+
+
 def test_evict_in_aborted_tx_redacts_nothing(spark, tmp_path):
     """An evict inside a tx aborted by a failed match never happened —
     neither tx_log read-back nor compact_wal may redact on its behalf
