@@ -93,7 +93,10 @@ class CheckpointStore:
         if backend is not None:
             for entry in backend.entries():
                 if int(entry["tx_id"]) > newest["tx_id"]:
-                    store._pending.extend(entry["rows"])
+                    if entry.get("aborted"):
+                        store.aborted_txs.add(int(entry["tx_id"]))
+                    else:
+                        store._pending.extend(entry["rows"])
                     store._tx_id = max(store._tx_id, int(entry["tx_id"]))
             store.commit()
             store.wal_path = backend

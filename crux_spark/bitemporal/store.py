@@ -256,14 +256,32 @@ class TxStore:
         seq = 0
         expanded: list[tuple] = []
         aborted_by_fn = False
-        for op in ops:
+        # worklist so a tx fn may emit FURTHER fn ops (replay_test.clj
+        # "nested tx-fn": put-bob-and-ivan emits [:crux.tx/fn :put-ivan]) —
+        # emitted ops splice in place of the fn op, in order
+        queue: list = list(ops)
+        while queue:
+            op = queue.pop(0)
             if op[0] == "fn":
-                fn = self._tx_fns[op[1]]
+                fn = self._tx_fns.get(op[1])
+                if fn is None:
+                    # the reference resolves tx fns at INDEX time; an
+                    # unknown fn fails the tx, it does not fail submit
+                    # (replay_test.clj "failed tx-fn": [:crux.tx/fn
+                    # :put-petr ...] -> aborted tx, later txs fine)
+                    aborted_by_fn = True
+                    break
                 # the fn sees earlier ops of THIS tx applied
                 # (tx_test.clj:713 tx-fn-sees-in-tx-query-results):
                 # speculative fork carrying the expansion so far
                 ctx = self.with_tx(expanded, tx_time) if expanded else self
-                res = fn(ctx, *op[2:])
+                try:
+                    res = fn(ctx, *op[2:])
+                except Exception:
+                    # a throwing tx fn aborts the tx (tx.clj:218-227
+                    # logs and fails the tx), never the submit
+                    aborted_by_fn = True
+                    break
                 if res is None:
                     # nil return = no-op, tx continues (tx_test.clj:760)
                     continue
@@ -271,7 +289,7 @@ class TxStore:
                     # false return aborts the WHOLE tx (tx_test.clj:760)
                     aborted_by_fn = True
                     break
-                expanded.extend(res)
+                queue = list(res) + queue
             elif op[0] == "cas":
                 # legacy compare-and-swap (tx.clj:113-130) = match + put
                 _, eid, old_doc, new_doc = op[0], op[1], op[2], op[3]
@@ -283,6 +301,12 @@ class TxStore:
         if aborted_by_fn:
             self.aborted_txs.add(tx_id)
             self._pending_aborted.add(tx_id)
+            if self._wal is not None:
+                # the submitted-but-failed tx still occupies its slot in
+                # the durable log (the reference's log is written before
+                # indexing decides the verdict) so replay reproduces the
+                # abort and the id sequence (replay_test.clj failed-tx-fn)
+                self._wal.append({"tx_id": tx_id, "rows": [], "aborted": True})
             return tx_id
         for op in expanded:
             kind = op[0]
@@ -867,7 +891,11 @@ class TxStore:
         store = cls(spark, wal_path=None)
         replayed = False
         for entry in backend.entries():
-            store._pending.extend(entry["rows"])
+            if entry.get("aborted"):
+                # fn-failed tx: occupies its id slot, indexes nothing
+                store.aborted_txs.add(int(entry["tx_id"]))
+            else:
+                store._pending.extend(entry["rows"])
             store._tx_id = max(store._tx_id, int(entry["tx_id"]))
             replayed = True
         if replayed:

@@ -1,0 +1,109 @@
+"""Durable-log replay semantics (crux-test/test/crux/replay_test.clj):
+a node rebuilt from nothing but the tx-log reproduces the indexed state —
+including nested tx fns and failed tx fns — on BOTH WAL transports."""
+
+import pytest
+
+from crux_spark.bitemporal.store import TxStore
+
+
+@pytest.fixture(params=["jsonl", "sqlite"])
+def wal(request, tmp_path):
+    if request.param == "jsonl":
+        return str(tmp_path / "wal.jsonl")
+    return f"sqlite:{tmp_path}/wal.db"
+
+
+def test_drop_db(spark, wal):
+    """replay_test.clj drop-db: the index dies, the log survives, the
+    rebuilt node sees the doc and the watermark."""
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "hello"})])
+    store.commit()
+    del store
+
+    node2 = TxStore.recover(spark, wal)
+    assert node2.latest_submitted_tx() == 1
+    assert node2.entity("hello") == {"id": "hello"}
+
+
+def test_more_txs(spark, wal):
+    """replay_test.clj test-more-txs (scaled 1000 -> 60 for the sandbox):
+    every tx replays, the watermark matches, the full entity set reads
+    back."""
+    n = 60
+    store = TxStore(spark, wal_path=wal)
+    for x in range(n):
+        store.submit_tx([("put", {"id": f"id-{x}"})])
+    store.commit()
+
+    node2 = TxStore.recover(spark, wal)
+    assert node2.latest_submitted_tx() == n
+    assert node2.versions.select("eid").distinct().count() == n
+    assert node2.entity("id-37") == {"id": "id-37"}
+
+
+def test_replaces_tx_fn_arg_docs(spark, wal):
+    """replay_test.clj replaces-tx-fn-arg-docs: the WAL stores the
+    fn-EXPANDED ops, so a recovered node needs no fn registry and sees
+    the fn's effects — incl. the no-arg and NESTED fn forms."""
+    store = TxStore(spark, wal_path=wal)
+    store.register_tx_fn(
+        "put-ivan", lambda ctx, doc: [("put", {**doc, "id": "ivan"})]
+    )
+    store.submit_tx([("fn", "put-ivan", {"name": "Ivan"})])
+    store.commit()
+    assert store.entity("ivan") == {"id": "ivan", "name": "Ivan"}
+
+    # no-args fn
+    store.register_tx_fn(
+        "no-args", lambda ctx: [("put", {"id": "no-fn-args-doc"})]
+    )
+    store.submit_tx([("fn", "no-args")])
+    store.commit()
+
+    # nested fn: put-bob-and-ivan emits a further fn op
+    store.register_tx_fn(
+        "put-bob-and-ivan",
+        lambda ctx, bob, ivan: [
+            ("put", {**bob, "id": "bob"}),
+            ("fn", "put-ivan", ivan),
+        ],
+    )
+    store.submit_tx([("fn", "put-bob-and-ivan", {"name": "Bob"}, {"name": "Ivan2"})])
+    store.commit()
+    assert store.entity("ivan") == {"id": "ivan", "name": "Ivan2"}
+    assert store.entity("bob") == {"id": "bob", "name": "Bob"}
+
+    # recovered node: NO fns registered, same state
+    node2 = TxStore.recover(spark, wal)
+    assert node2._tx_fns == {}
+    assert node2.entity("ivan") == {"id": "ivan", "name": "Ivan2"}
+    assert node2.entity("bob") == {"id": "bob", "name": "Bob"}
+    assert node2.entity("no-fn-args-doc") == {"id": "no-fn-args-doc"}
+
+
+def test_failed_tx_fn(spark, wal):
+    """replay_test.clj "failed tx-fn": an UNKNOWN tx fn fails the TX
+    (index-time resolution), not the submit; later txs commit; the
+    failure replays as a failure. A THROWING fn behaves the same
+    (tx.clj:218-227)."""
+    store = TxStore(spark, wal_path=wal)
+    bad = store.submit_tx([("fn", "put-petr", {"name": "Petr"})])
+    assert store.commit() == {bad}
+    assert store.entity("petr") is None
+
+    store.register_tx_fn("boom", lambda ctx: 1 / 0)
+    boom = store.submit_tx([("fn", "boom"), ("put", {"id": "collateral"})])
+    assert store.commit() == {boom}
+    assert store.entity("collateral") is None
+
+    store.submit_tx([("put", {"id": "foo"})])
+    store.commit()
+    assert store.entity("foo") == {"id": "foo"}
+
+    node2 = TxStore.recover(spark, wal)
+    assert node2.entity("petr") is None
+    assert node2.entity("collateral") is None
+    assert node2.entity("foo") == {"id": "foo"}
+    assert node2.tx_committed(bad) is False

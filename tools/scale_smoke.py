@@ -101,6 +101,26 @@ def run_reach(spark, n_chains: int, length: int):
     return dt, rounds
 
 
+def run_pack(spark, n_chains: int, length: int):
+    """Sequence packing over n_chains*length docs — the distributed
+    two-pass prefix-sum must stay linear (no single-task global
+    window). 'rounds' is fixed at 2 (local cumsum pass + bucket-offset
+    pass) by construction."""
+    from crux_spark.operators.sampling import pack_sequences
+
+    n = n_chains * length
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(95)) + 5).alias("n_tok"),
+    )
+    t0 = time.monotonic()
+    out = pack_sequences(docs, seq_len=2048, count_col="n_tok")
+    rows = out.count()
+    dt = time.monotonic() - t0
+    assert rows >= n  # every doc appears in >= 1 sequence span
+    return dt, 2
+
+
 def main() -> int:
     from crux_spark import get_spark
 
@@ -112,6 +132,7 @@ def main() -> int:
     for name, fn, base in (
         ("connected_components", run_cc, 2_000),
         ("recursive_reach_tc", run_reach, 2_000),
+        ("pack_sequences", run_pack, 20_000),
     ):
         length = 16  # constant diameter across scales
         t1, r1 = fn(spark, base, length)
