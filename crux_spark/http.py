@@ -9,9 +9,15 @@ Routes (all under /_crux, like the reference):
     POST /_crux/query            {"query": {...}, "in-args": [...]}
     POST /_crux/submit-tx        {"tx-ops": [["put", {...}], ...]}
     GET  /_crux/await-tx         (commits pending txs; returns aborted ids)
+    GET  /_crux/sync
     GET  /_crux/tx-log
+    GET  /_crux/tx-committed?tx-id=...
     GET  /_crux/latest-completed-tx
+    GET  /_crux/latest-submitted-tx
+    GET  /_crux/entity-tx?eid=...
+    GET  /_crux/active-queries | recent-queries | slowest-queries
     GET  /_crux/attribute-stats
+    GET  /_crux/sparql?query=...
 
 This is a thin driver-side facade: every request delegates to the same
 Node the Python API uses, so queries still execute distributed; the
@@ -121,6 +127,26 @@ class HttpNode:
             return [r.asDict() for r in node.open_tx_log().collect()]
         if path == "/_crux/latest-completed-tx":
             return {"tx-id": node.latest_completed_tx()}
+        if path == "/_crux/latest-submitted-tx":
+            return {"tx-id": node.latest_submitted_tx()}
+        if path == "/_crux/tx-committed":
+            return {"tx-committed?": node.tx_committed(int(qs["tx-id"]))}
+        if path == "/_crux/sync":
+            # sync = await everything submitted so far (api.clj sync);
+            # identical to await-tx in this synchronous-commit model
+            node.await_tx()
+            return {"tx-id": node.latest_completed_tx()}
+        if path == "/_crux/entity-tx":
+            out = self._db(qs).entity_tx(qs["eid"])
+            if out is None:
+                raise KeyError(f"entity not found: {qs['eid']}")
+            return out
+        if path == "/_crux/active-queries":
+            return node.active_queries()
+        if path == "/_crux/recent-queries":
+            return node.recent_queries()
+        if path == "/_crux/slowest-queries":
+            return node.slowest_queries()
         if path == "/_crux/attribute-stats":
             return node.attribute_stats()
         if path == "/_crux/sparql":
@@ -140,8 +166,11 @@ class HttpNode:
                 valid_time=_parse_time(body.get("valid-time")),
                 tx=body.get("tx-id"),
             )
-            df = db.q(body["query"], *body.get("in-args", []))
-            return [list(r) for r in df.collect()]
+            # q_collect, not q: HTTP queries go through the MONITORED
+            # path (timeout-interrupt + active/recent/slowest queues),
+            # like the reference's http_server query handler
+            rows = db.q_collect(body["query"], *body.get("in-args", []))
+            return [list(r) for r in rows]
         if path == "/_crux/submit-tx":
             ops = [tuple(op) for op in body["tx-ops"]]
             tx_id = node.submit_tx(
@@ -213,6 +242,26 @@ class RemoteNode:
 
     def latest_completed_tx(self):
         return self._get("/_crux/latest-completed-tx")["tx-id"]
+
+    def latest_submitted_tx(self):
+        return self._get("/_crux/latest-submitted-tx")["tx-id"]
+
+    def tx_committed(self, tx_id: int) -> bool:
+        return self._get("/_crux/tx-committed", **{"tx-id": tx_id})[
+            "tx-committed?"
+        ]
+
+    def sync(self):
+        return self._get("/_crux/sync")["tx-id"]
+
+    def active_queries(self) -> list[dict]:
+        return self._get("/_crux/active-queries")
+
+    def recent_queries(self) -> list[dict]:
+        return self._get("/_crux/recent-queries")
+
+    def slowest_queries(self) -> list[dict]:
+        return self._get("/_crux/slowest-queries")
 
     def attribute_stats(self) -> dict:
         return self._get("/_crux/attribute-stats")

@@ -79,6 +79,36 @@ def test_http_round_trip(http_node):
     assert get(base + "/_crux/status")
 
 
+def test_http_monitoring_and_tx_routes(http_node):
+    """The remaining reference routes (http_server.clj): sync,
+    tx-committed, latest-submitted-tx, entity-tx, and the three query
+    monitoring endpoints."""
+    base = http_node.url
+    post(base + "/_crux/submit-tx", {"tx-ops": [
+        ["put", {"id": "m1", "name": "mon", "score": 1}],
+    ]})
+    assert get(base + "/_crux/sync")["tx-id"] >= 1
+    assert get(base + "/_crux/latest-submitted-tx")["tx-id"] >= 1
+    last = get(base + "/_crux/latest-completed-tx")["tx-id"]
+    assert get(base + f"/_crux/tx-committed?tx-id={last}") == {
+        "tx-committed?": True
+    }
+    with pytest.raises(urllib.error.HTTPError):  # unknown id -> 400
+        get(base + "/_crux/tx-committed?tx-id=9999")
+
+    etx = get(base + "/_crux/entity-tx?eid=m1")
+    assert etx["eid"] == "m1" and "content_hash" in etx
+
+    # run one query through the monitored path, then read the queues
+    post(base + "/_crux/query", {
+        "query": {"find": ["?e"], "where": [["?e", ":name", "mon"]]}
+    })
+    assert get(base + "/_crux/active-queries") == []
+    recent = get(base + "/_crux/recent-queries")
+    assert recent and recent[0]["status"] == "completed"
+    assert isinstance(get(base + "/_crux/slowest-queries"), list)
+
+
 def test_http_errors(http_node):
     base = http_node.url
     with pytest.raises(urllib.error.HTTPError) as e:
