@@ -123,6 +123,7 @@ def _splice(
     vt_end: int | None,
     doc: dict | None,
     deleted: bool,
+    chash: str | None = None,
 ) -> list[Version]:
     current = _current(history)
     if vt_end is not None:
@@ -179,7 +180,11 @@ def _splice(
     # later unranged ops and for history listing
     splits = [p for p in _boundaries(current) if vf < p < end]
     doc_json = None if doc is None else json.dumps(doc, sort_keys=True, default=str)
-    chash = content_hash(doc)
+    # an explicitly-passed hash (the WAL's submit-time hash) wins over
+    # recomputation: the log's hashes are immutable even after eviction
+    # redacts the doc content (the reference's content-addressed log)
+    if chash is None:
+        chash = content_hash(doc)
     for seg_from, seg_to in zip([vf] + splits, splits + [end]):
         out.append(
             Version(
@@ -204,11 +209,12 @@ def put(
     tx_time: "int | dt.datetime",
     valid_from: "int | dt.datetime | None" = None,
     valid_to: "int | dt.datetime | None" = None,
+    chash: str | None = None,
 ) -> list[Version]:
     tx_time, valid_from, valid_to = to_us(tx_time), to_us(valid_from), to_us(valid_to)
     return _splice(
         history, tx_id, tx_time, valid_from if valid_from is not None else tx_time,
-        valid_to, doc, False,
+        valid_to, doc, False, chash=chash,
     )
 
 
@@ -250,13 +256,21 @@ def matches(
     expected: dict | None,
     vt: "int | dt.datetime",
     tx: int = END_OF_TX - 1,
+    expected_hash: str | None = None,
 ) -> bool:
     """::tx/match — doc visible at vt equals expected (nil = absent)
-    (tx.clj:100-111)."""
+    (tx.clj:100-111). ``expected_hash``, when given (the WAL's
+    submit-time hash), is compared directly — hashes in the log are
+    immutable, so replay verdicts survive evict redaction of the doc
+    bodies."""
     cur = as_of(history, vt, tx)
-    if expected is None:
+    if expected is None and expected_hash is None:
         return cur is None
-    return cur is not None and cur.content_hash == content_hash(expected)
+    if cur is None:
+        return False
+    return cur.content_hash == (
+        expected_hash if expected_hash is not None else content_hash(expected)
+    )
 
 
 def entity_history(

@@ -62,6 +62,13 @@ OPS_SCHEMA = T.StructType(
         T.StructField("tx_time", T.LongType(), False),
         T.StructField("doc_json", T.StringType(), True),
         T.StructField("expected_json", T.StringType(), True),
+        # submit-time content hashes: the log's immutable identity for
+        # doc / expected (the reference's content-addressed tx-events) —
+        # evict redaction rewrites the *_json bodies but never these, so
+        # replayed match verdicts are stable. Null on legacy WAL rows
+        # (replay falls back to hashing the json bodies).
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("expected_hash", T.StringType(), True),
         T.StructField("valid_from", T.LongType(), True),
         T.StructField("valid_to", T.LongType(), True),
     ]
@@ -159,8 +166,12 @@ def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
         vf = None if pd.isna(r.valid_from) else int(r.valid_from)
         vt = None if pd.isna(r.valid_to) else int(r.valid_to)
         if op == "put":
+            stored_hash = getattr(r, "content_hash", None)
+            if not isinstance(stored_hash, str):
+                stored_hash = None  # legacy rows / NaN from pandas
             history = splice.put(
-                history, json.loads(r.doc_json), int(r.tx_id), int(r.tx_time), vf, vt
+                history, json.loads(r.doc_json), int(r.tx_id), int(r.tx_time),
+                vf, vt, chash=stored_hash,
             )
         elif op == "delete":
             history = splice.delete(history, int(r.tx_id), int(r.tx_time), vf, vt)
@@ -170,6 +181,9 @@ def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
             expected = None if r.expected_json is None or (
                 not isinstance(r.expected_json, str)
             ) else json.loads(r.expected_json)
+            expected_hash = getattr(r, "expected_hash", None)
+            if not isinstance(expected_hash, str):
+                expected_hash = None
             at = vf if vf is not None else int(r.tx_time)
             # evaluate at tx_id (not tx_id - 1): ops are applied in
             # (tx_id, seq) order, so `history` already carries THIS tx's
@@ -177,7 +191,10 @@ def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
             # (query_test.clj:1912 "match sees interim state through the
             # transaction"); for a match with no prior in-tx ops the two
             # views are identical
-            ok = splice.matches(history, expected, at, tx=int(r.tx_id))
+            ok = splice.matches(
+                history, expected, at, tx=int(r.tx_id),
+                expected_hash=expected_hash,
+            )
             verdicts.append((int(r.tx_id), ok))
         else:
             raise ValueError(f"unknown op {op!r}")
@@ -317,6 +334,8 @@ class TxStore:
                 "tx_time": tx_us,
                 "doc_json": None,
                 "expected_json": None,
+                "content_hash": None,
+                "expected_hash": None,
                 "valid_from": None,
                 "valid_to": None,
             }
@@ -326,6 +345,7 @@ class TxStore:
                     raise ValueError("put doc must carry an 'id' (:crux.db/id)")
                 row["eid"] = canon_eid(doc["id"])
                 row["doc_json"] = json.dumps(doc, sort_keys=True, default=str)
+                row["content_hash"] = splice.content_hash(doc)
                 if len(op) > 2 and op[2] is not None:
                     row["valid_from"] = to_us(op[2])
                 if len(op) > 3 and op[3] is not None:
@@ -341,6 +361,7 @@ class TxStore:
                 row["eid"] = canon_eid(op[1])
                 if op[2] is not None:
                     row["expected_json"] = json.dumps(op[2], sort_keys=True, default=str)
+                    row["expected_hash"] = splice.content_hash(op[2])
                 if len(op) > 3 and op[3] is not None:
                     row["valid_from"] = to_us(op[3])
             else:
@@ -389,8 +410,21 @@ class TxStore:
             return eval_fn
 
         if has_match:
-            # fixpoint: abort verdicts can cascade through the batch
-            for _ in range(10):
+            # SERIAL abort semantics (the reference ingests tx-by-tx,
+            # tx.clj:424-479): a tx's verdict must be computed with the
+            # abort set of all EARLIER txs final. Abort influence flows
+            # strictly forward — skipping an aborted tx's ops can only
+            # flip verdicts of LATER txs — so each round the EARLIEST
+            # not-yet-finalized failing tx is definitively aborted, while
+            # later failures are provisional (they may pass once the
+            # earlier abort's ops are skipped) and are recomputed next
+            # round. This makes batch composition semantically invisible:
+            # commit(A;B) == commit(A);commit(B) — the former monotone
+            # "once aborted, stays aborted" accumulation wrongly kept a
+            # provisional abort whose cause was itself aborted (found by
+            # test_durability_op_soup: live-vs-replay batching diverged).
+            # Rounds = number of aborted txs + 1.
+            for _ in range(100_000):
                 bad_rows = _bucketed_cogroup(
                     self.versions,
                     ops_df,
@@ -398,12 +432,12 @@ class TxStore:
                     MATCH_SCHEMA,
                     self._nbuckets(),
                 ).collect()
-                # monotone: once aborted, stays aborted (its skipped ops can
-                # only flip OTHER txs' verdicts, evaluated next round)
-                new_aborted = aborted | {r.tx_id for r in bad_rows}
-                if new_aborted == aborted:
+                new = sorted({r.tx_id for r in bad_rows} - aborted)
+                if not new:
                     break
-                aborted = new_aborted
+                aborted.add(new[0])
+            else:
+                raise RuntimeError("match-abort fixpoint did not converge")
 
         final_aborted = frozenset(aborted)
 

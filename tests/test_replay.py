@@ -83,6 +83,69 @@ def test_replaces_tx_fn_arg_docs(spark, wal):
     assert node2.entity("no-fn-args-doc") == {"id": "no-fn-args-doc"}
 
 
+def test_durability_op_soup(spark, wal):
+    """Seeded randomized durability property: a soup of puts / ranged
+    puts / deletes / matches (some failing) / evicts / re-puts across
+    several entities, committed in random-sized txs, must survive
+    compact_wal + recover with IDENTICAL per-entity corrected history,
+    identical aborted-tx set, and identical current reads — the
+    WAL-replay analogue of the r3 rectangle miner."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260814)
+    eids = ["a", "b", "c"]
+    store = TxStore(spark, wal_path=wal)
+    vcount = 0
+    for txn in range(12):
+        ops = []
+        for _ in range(rng.randint(1, 3)):
+            eid = rng.choice(eids)
+            kind = rng.choice(["put", "put_r", "delete", "match", "evict"])
+            vf = dt.datetime(2020, 1, rng.randint(1, 25))
+            if kind == "put":
+                vcount += 1
+                ops.append(("put", {"id": eid, "v": vcount}, vf))
+            elif kind == "put_r":
+                vcount += 1
+                vt = vf + dt.timedelta(days=rng.randint(1, 4))
+                ops.append(("put", {"id": eid, "v": vcount}, vf, vt))
+            elif kind == "delete":
+                ops.append(("delete", eid, vf))
+            elif kind == "match":
+                # half the matches expect a doc that's likely wrong ->
+                # some txs abort, exercising abort replay
+                expected = (
+                    None if rng.random() < 0.5
+                    else {"id": eid, "v": rng.randint(1, 5)}
+                )
+                ops.append(("match", eid, expected, vf))
+            else:
+                ops.append(("evict", eid))
+        store.submit_tx(ops, tx_time=dt.datetime(2021, 1, 1 + txn))
+        if rng.random() < 0.5:
+            store.commit()
+    store.commit()
+
+    def fingerprint(s):
+        return {
+            "aborted": sorted(s.aborted_txs),
+            "hist": {
+                e: [
+                    (v["doc"], v["valid_from"], v["valid_to"], v["tx_from"])
+                    for v in s.entity_history(e, with_corrections=True)
+                ]
+                for e in eids
+            },
+            "now": {e: s.entity(e) for e in eids},
+        }
+
+    live = fingerprint(store)
+    store.compact_wal()
+    restored = TxStore.recover(spark, wal)
+    assert fingerprint(restored) == live
+
+
 def test_failed_tx_fn(spark, wal):
     """replay_test.clj "failed tx-fn": an UNKNOWN tx fn fails the TX
     (index-time resolution), not the submit; later txs commit; the
