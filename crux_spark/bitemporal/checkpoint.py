@@ -71,7 +71,19 @@ class CheckpointStore:
         name = f"checkpoint-{tx_id}-{now.strftime('%Y%m%dT%H%M%S%f')}"
         cp_dir = os.path.join(self.path, name)
         store.save(os.path.join(cp_dir, "versions"))
-        meta = {"tx_id": tx_id, "checkpoint_at": now.isoformat()}
+        # tx_id is the watermark INCLUDING aborted ids (an aborted tx still
+        # occupies its id slot); aborted_txs up to the watermark must travel
+        # with the checkpoint — the versions table alone can't reproduce
+        # either (aborted txs index nothing), and a restored node must (a)
+        # never re-issue a pre-checkpoint id and (b) answer
+        # tx_committed(aborted_id) == False exactly like the live node.
+        meta = {
+            "tx_id": tx_id,
+            "checkpoint_at": now.isoformat(),
+            "aborted_txs": sorted(
+                int(a) for a in store.aborted_txs if a <= tx_id
+            ),
+        }
         with open(os.path.join(cp_dir, _META), "w") as f:
             json.dump(meta, f)
         return {**meta, "dir": cp_dir}
@@ -89,6 +101,17 @@ class CheckpointStore:
             return None
         newest = cps[0]
         store = TxStore.load(spark, os.path.join(newest["dir"], "versions"))
+        # TxStore.load derives _tx_id from max(tx_from), which excludes
+        # aborted txs (they index nothing). If the newest pre-checkpoint tx
+        # was aborted, the restored node would re-issue its id on the next
+        # submit_tx, writing a DUPLICATE tx_id into the durable WAL — seed
+        # the counter from the checkpoint's watermark, which includes
+        # aborted ids, and restore the pre-checkpoint abort set so
+        # tx_committed answers match the live node.
+        store._tx_id = max(store._tx_id, int(newest["tx_id"]))
+        store.aborted_txs.update(
+            int(a) for a in newest.get("aborted_txs", [])
+        )
         backend = open_tx_log(wal_path)
         if backend is not None:
             for entry in backend.entries():

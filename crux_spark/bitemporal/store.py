@@ -202,6 +202,28 @@ def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
 
 
 
+# Bound on the driver-side tx→eid map used to parallelize match-abort
+# finalization across independent entity groups (collected once per
+# match-carrying batch; ~50 B/pair → a few MB at the cap).
+_MAX_TX_EID_PAIRS = 200_000
+
+
+def _is_evict_tombstone(doc_json: str) -> bool:
+    """True iff the json body IS a compact_wal evict tombstone — checked
+    structurally (exact tombstone shape), not by substring, so a user doc
+    that merely CONTAINS a "crux.db/evicted" key is still redacted by a
+    later evict (retention would otherwise silently skip it)."""
+    try:
+        d = json.loads(doc_json)
+    except ValueError:
+        return False
+    return (
+        isinstance(d, dict)
+        and d.get("crux.db/evicted") is True
+        and set(d) <= {"crux.db/evicted", "crux.db/content-hash"}
+    )
+
+
 def canon_eid(x) -> str:
     """Canonical string form of an entity id. Map (and collection) ids
     hash by VALUE, independent of key order (tx_test.clj
@@ -423,7 +445,40 @@ class TxStore:
             # "once aborted, stays aborted" accumulation wrongly kept a
             # provisional abort whose cause was itself aborted (found by
             # test_durability_op_soup: live-vs-replay batching diverged).
-            # Rounds = number of aborted txs + 1.
+            # Abort influence travels only through SHARED entities: a tx's
+            # match verdict depends solely on ops against the eids it
+            # touches, so txs in disjoint connected entity groups cannot
+            # affect each other (even transitively). The earliest
+            # unresolved failing tx of EACH group is therefore definitive
+            # every round — rounds = (aborts in the largest dependent
+            # group) + 1 instead of (total aborts) + 1, which matters for
+            # WAL replays with many independent aborts. The tx→eid map is
+            # one bounded distinct-collect; past the bound we fall back to
+            # the strictly-serial single-finalize (still correct).
+            comp_of: dict[int, object] | None = None
+            pairs = (
+                ops_df.select("tx_id", "eid")
+                .distinct()
+                .limit(_MAX_TX_EID_PAIRS + 1)
+                .collect()
+            )
+            if len(pairs) <= _MAX_TX_EID_PAIRS:
+                parent: dict = {}
+
+                def find(x):
+                    parent.setdefault(x, x)
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for r in pairs:
+                    rt, re_ = find(("t", int(r.tx_id))), find(("e", r.eid))
+                    if rt != re_:
+                        parent[rt] = re_
+                comp_of = {
+                    int(r.tx_id): find(("t", int(r.tx_id))) for r in pairs
+                }
             for _ in range(100_000):
                 bad_rows = _bucketed_cogroup(
                     self.versions,
@@ -435,7 +490,16 @@ class TxStore:
                 new = sorted({r.tx_id for r in bad_rows} - aborted)
                 if not new:
                     break
-                aborted.add(new[0])
+                if comp_of is None:
+                    aborted.add(new[0])
+                else:
+                    # ascending order → first hit per group is its earliest
+                    seen_groups: set = set()
+                    for t in new:
+                        g = comp_of.get(t)
+                        if g not in seen_groups:
+                            seen_groups.add(g)
+                            aborted.add(t)
             else:
                 raise RuntimeError("match-abort fixpoint did not converge")
 
@@ -889,7 +953,7 @@ class TxStore:
                 if p < evict_pos.get(r.get("eid"), (-1, -1)):
                     for k in ("doc_json", "expected_json"):
                         v = r.get(k)
-                        if v is not None and '"crux.db/evicted"' not in v:
+                        if v is not None and not _is_evict_tombstone(v):
                             r[k] = json.dumps(
                                 {
                                     "crux.db/evicted": True,

@@ -23,7 +23,23 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import closing
 from typing import Iterable, Iterator
+
+# Schema of the durable log as a DataFrame — used when the log is empty
+# (json inference over zero rows would otherwise yield a schema-less frame
+# and tx_log(with_ops=True) would fail resolving 'tx_id'/'rows' instead of
+# returning an empty log).
+WAL_DF_SCHEMA = (
+    "tx_id long, aborted boolean, rows array<struct<"
+    "tx_id: long, seq: long, op: string, eid: string, tx_time: long, "
+    "doc_json: string, expected_json: string, content_hash: string, "
+    "expected_hash: string, valid_from: long, valid_to: long>>"
+)
+
+
+def _empty_log_df(spark):
+    return spark.createDataFrame([], WAL_DF_SCHEMA)
 
 
 class JsonlTxLog:
@@ -55,6 +71,8 @@ class JsonlTxLog:
     def to_df(self, spark):
         """Distributed read: at scale the log is object-store JSONL and
         this is a parallel scan."""
+        if not os.path.exists(self.path) or os.path.getsize(self.path) == 0:
+            return _empty_log_df(spark)
         return spark.read.json(self.path)
 
 
@@ -65,7 +83,9 @@ class SqliteTxLog:
 
     def __init__(self, path: str):
         self.path = path
-        with self._conn() as con:
+        # closing() actually closes the connection (sqlite3's context
+        # manager only commits); the inner `con` context scopes the tx
+        with closing(self._conn()) as con, con:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS tx_log ("
                 "tx_id INTEGER PRIMARY KEY, entry TEXT NOT NULL)"
@@ -77,21 +97,21 @@ class SqliteTxLog:
         return sqlite3.connect(self.path)
 
     def append(self, entry: dict) -> None:
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             con.execute(
                 "INSERT OR REPLACE INTO tx_log (tx_id, entry) VALUES (?, ?)",
                 (int(entry["tx_id"]), json.dumps(entry)),
             )
 
     def entries(self) -> Iterator[dict]:
-        with self._conn() as con:
+        with closing(self._conn()) as con:
             for (entry,) in con.execute(
                 "SELECT entry FROM tx_log ORDER BY tx_id"
             ):
                 yield json.loads(entry)
 
     def rewrite(self, entries: Iterable[dict]) -> None:
-        with self._conn() as con:
+        with closing(self._conn()) as con, con:
             con.execute("DELETE FROM tx_log")
             con.executemany(
                 "INSERT INTO tx_log (tx_id, entry) VALUES (?, ?)",
@@ -103,7 +123,9 @@ class SqliteTxLog:
         reads it through the JDBC data source — here the driver streams
         the json lines into an RDD for the same schema inference."""
         lines = [json.dumps(e) for e in self.entries()]
-        return spark.read.json(spark.sparkContext.parallelize(lines or ["{}"]))
+        if not lines:
+            return _empty_log_df(spark)
+        return spark.read.json(spark.sparkContext.parallelize(lines))
 
 
 def open_tx_log(spec):

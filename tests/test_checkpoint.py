@@ -85,3 +85,56 @@ def test_cleanup_retention(spark, tmp_path):
     assert kept == [4, 3]
     # the newest survivor still restores
     assert cp.restore_latest(spark).entity("x")["v"] == 3
+
+
+def test_restore_after_trailing_abort_does_not_reuse_tx_id(spark, tmp_path):
+    """A trailing match-aborted tx still occupies its id slot: the
+    restored node must not re-issue it (the versions table alone cannot
+    show it — aborted txs index nothing), or the next submit writes a
+    DUPLICATE tx_id into the durable WAL and a later recover silently
+    drops the committed put."""
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.commit()
+    # tx 2: failed match -> aborted, but the id is spent
+    store.submit_tx(
+        [("match", "a", {"id": "a", "v": 999}), ("put", {"id": "a", "v": 2})],
+        tx_time=t(2),
+    )
+    assert store.commit() == {2}
+    meta = cp.checkpoint(store)
+    assert meta["tx_id"] == 2
+
+    restored = cp.restore_latest(spark, wal_path=wal)
+    tx3 = restored.submit_tx([("put", {"id": "b", "v": 3})], tx_time=t(3))
+    assert tx3 == 3  # NOT a reuse of the aborted id 2
+    restored.commit()
+
+    # the WAL replays cleanly: b's put survives, a's aborted put doesn't
+    rec = TxStore.recover(spark, wal)
+    assert rec.entity("b", valid_time=t(4))["v"] == 3
+    assert rec.entity("a", valid_time=t(4))["v"] == 1
+
+
+def test_restore_preserves_pre_checkpoint_aborts(spark, tmp_path):
+    """tx_committed on a restored node must answer exactly like the live
+    node for PRE-checkpoint aborted txs (they're in neither the versions
+    table nor the replayed WAL tail — only the checkpoint meta)."""
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.submit_tx(
+        [("match", "a", {"id": "a", "v": 999}), ("put", {"id": "a", "v": 2})],
+        tx_time=t(2),
+    )
+    store.submit_tx([("put", {"id": "c", "v": 7})], tx_time=t(3))
+    assert store.commit() == {2}
+    assert cp.checkpoint(store)["tx_id"] == 3
+
+    restored = cp.restore_latest(spark, wal_path=wal)
+    assert restored.tx_committed(1) is True
+    assert restored.tx_committed(2) is False  # live node's answer
+    assert restored.tx_committed(3) is True

@@ -1085,3 +1085,92 @@ def test_compact_preserves_post_horizon_reads(spark):
     assert store.entity("e", valid_time=t(11))["v"] == 2
     # pre-horizon tx-travel is the documented casualty
     assert store.entity("e", valid_time=t(2), tx=1) is None
+
+
+def test_empty_wal_tx_log_with_ops_both_transports(spark, tmp_path):
+    """An empty durable log must read back as an EMPTY tx log (explicit
+    WAL schema), not an AnalysisException from schema-less json
+    inference (jdbc.clj's open-tx-log on a fresh table yields no rows)."""
+    for wal in (str(tmp_path / "w.jsonl"), "sqlite:" + str(tmp_path / "w.db")):
+        store = TxStore(spark, wal_path=wal)
+        assert store.tx_log(with_ops=True).count() == 0
+
+
+def test_compact_wal_redacts_doc_containing_evicted_key(spark, tmp_path):
+    """Redaction idempotence is checked STRUCTURALLY (exact tombstone
+    shape), not by substring: a user doc that merely contains a
+    "crux.db/evicted" key must still be redacted by a later evict —
+    anything else is a retention gap."""
+    wal = str(tmp_path / "wal.jsonl")
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx(
+        [("put", {"id": "a", "secret": "s3cr3t", "crux.db/evicted": True})],
+        tx_time=t(1),
+    )
+    store.submit_tx([("evict", "a")], tx_time=t(2))
+    store.commit()
+    assert store.compact_wal() == 1
+    put_row = list(store._wal.entries())[0]["rows"][0]
+    assert "s3cr3t" not in put_row["doc_json"]
+    d = json.loads(put_row["doc_json"])
+    assert d["crux.db/evicted"] is True
+    # idempotent: the tombstone itself is never re-wrapped
+    assert store.compact_wal() == 0
+
+
+def test_independent_match_aborts_finalize_in_parallel(spark, monkeypatch):
+    """Match-abort finalization is entity-group-parallel: failing txs on
+    DISJOINT entities can't influence each other (abort influence only
+    travels through shared eids), so they all finalize in the same round
+    — 2 eval rounds + 1 apply = 3 cogroups, not #aborts+2."""
+    import crux_spark.bitemporal.store as st
+
+    calls = {"n": 0}
+    orig = st._bucketed_cogroup
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(st, "_bucketed_cogroup", counting)
+    store = st.TxStore(spark)
+    for e in "abc":
+        store.submit_tx([("put", {"id": e, "v": 1})], tx_time=t(1))
+    store.commit()
+
+    calls["n"] = 0
+    ids = [
+        store.submit_tx(
+            [("match", e, {"id": e, "v": 999}), ("put", {"id": e, "v": 2})],
+            tx_time=t(2),
+        )
+        for e in "abc"
+    ]
+    assert store.commit() == set(ids)
+    assert calls["n"] == 3  # 2 eval rounds + 1 final apply
+    for e in "abc":
+        assert store.entity(e, valid_time=t(3))["v"] == 1
+
+
+def test_dependent_match_aborts_stay_serial(spark):
+    """Chained influence on a SHARED entity keeps the serial verdict: a
+    later match that fails only because an earlier (itself aborted) tx's
+    doc was visible must COMMIT once that abort is final —
+    commit(A;B;C) == commit(A);commit(B);commit(C)."""
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "e", "v": 1})], tx_time=t(1))
+    store.commit()
+    # batch: tx2 aborts (bad match) but would have set v=2;
+    # tx3 matches v=1 — fails only if tx2's put were visible inverted:
+    # matches v=1 (the TRUE state once tx2 aborts) and must commit.
+    tx2 = store.submit_tx(
+        [("match", "e", {"id": "e", "v": 999}), ("put", {"id": "e", "v": 2})],
+        tx_time=t(2),
+    )
+    tx3 = store.submit_tx(
+        [("match", "e", {"id": "e", "v": 1}), ("put", {"id": "e", "v": 3})],
+        tx_time=t(3),
+    )
+    assert store.commit() == {tx2}
+    assert store.tx_committed(tx3) is True
+    assert store.entity("e", valid_time=t(4))["v"] == 3
