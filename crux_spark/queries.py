@@ -2599,10 +2599,17 @@ def pack_sequences(spark, sf_dir):
 #           bitemporal_store_history), events_rollup (grouping covered by
 #           events_sessionize + sql_rollup), window_lag_delta (window fns
 #           covered by window_topk).
-#   r5 queue (never driver-verified, most distinctive first):
-#       pack_sequences (distributed prefix-sum vs global-window oracle),
-#       unigram_lm_quality, text_repetition, then the remaining new
-#       gates and overflow TPC-H shapes.
+#   r5: IN  pack_sequences (distributed prefix-sum vs global-window
+#           oracle), unigram_lm_quality (freq pass + broadcast vocab
+#           join-back), text_repetition (Gopher filters)
+#       OUT dedup_chunks (exact-hash dedup covered by dedup_exact),
+#           sample_hash_deterministic (hash-bucket selection covered by
+#           mix_corpora_weighted — same bucket space),
+#           tpch_q19 (or-join covered by datalog_or_join + tpch_q7;
+#           earned its driver row in r4).
+#   r6 queue (never driver-verified, most distinctive first):
+#       stratified_sample, contamination_scores, text_pii_scrub, then
+#       the overflow TPC-H shapes.
 # ---------------------------------------------------------------------------
 
 _OVERFLOW = [
@@ -2612,3 +2619,14 @@ _OVERFLOW = [
 ]
 for _n in _OVERFLOW:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the tail
+
+_R5_IN = ["pack_sequences", "unigram_lm_quality", "text_repetition"]
+_R5_OUT = ["dedup_chunks", "sample_hash_deterministic", "tpch_q19"]
+_order = [n for n in QUERIES if n not in _R5_IN and n not in _R5_OUT]
+# the 3 rotated-out gates all sat inside the old first-50 window, so the
+# first 47 retained names ARE the remaining window; splice the rotated-in
+# gates right after them and push the rotated-out gates to the tail
+_order = _order[:47] + _R5_IN + _order[47:] + _R5_OUT
+_reordered = {n: QUERIES[n] for n in _order}
+QUERIES.clear()
+QUERIES.update(_reordered)

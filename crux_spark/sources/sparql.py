@@ -307,11 +307,6 @@ class _Parser:
         elif self.at("op", "*"):
             self.next()
             path = "STAR"
-        if path == "STAR" and attr.startswith("?"):
-            raise NotImplementedError(
-                "p* over variable predicates (the zero-length path leaves "
-                "the predicate unconstrained); ?p+ is supported"
-            )
         return attr, path
 
     def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o):
@@ -322,7 +317,37 @@ class _Parser:
             # variable predicate: closure is computed per ?p binding by a
             # shared rule carrying the predicate as an argument
             self.var_plus = True
-            clauses.append(["__varpred-PLUS", attr, s, o])
+            plus = ["__varpred-PLUS", attr, s, o]
+            if path == "PLUS":
+                clauses.append(plus)
+                return
+            # ?p* = ?p+ UNION the zero-length path, generalized per
+            # predicate: for EVERY predicate p in the data, p* contains
+            # all (x, x) pairs over the binding domain plus p's closure
+            # (the reference routes this through RDF4J's ZeroLengthPath
+            # with a path variable, sparql.clj:257; the zero-length
+            # branch ranges ?p over the EAV predicate domain so the
+            # or-join branches bind the same vars)
+            _Parser._seq_counter += 1
+            c = _Parser._seq_counter
+            dom = [f"?__zl{c}s", attr, f"?__zl{c}o"]
+            s_var = isinstance(s, str) and s.startswith("?")
+            o_var = isinstance(o, str) and o.startswith("?")
+            if not s_var and not o_var:
+                if s == o:
+                    # zero-length trivially holds; ?p still ranges over
+                    # every predicate present in the data
+                    clauses.append(dom)
+                else:
+                    clauses.append(plus)
+                return
+            jv = [attr] + [v for v, isv in ((s, s_var), (o, o_var)) if isv]
+            zero = (
+                ["and", dom, [["identity", o], s]]
+                if (s_var and not o_var)
+                else ["and", dom, [["identity", s], o]]
+            )
+            clauses.append(["or-join", jv, ["and", plus], zero])
             return
         self.plus_attrs.add(attr)
         plus = [f"{attr[1:]}-PLUS", s, o]

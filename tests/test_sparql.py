@@ -302,15 +302,28 @@ def test_property_path_plus_variable_predicate(knows_cat):
     # other predicate closing onto a named node is none here
     assert got == {(":knows", "Bob"), (":knows", "Cid"), (":knows", "Dan")}
 
-    # p* over a variable predicate stays unsupported (zero-length path
-    # leaves ?p unconstrained), with a clear error
-    with pytest.raises(NotImplementedError, match="variable predicates"):
-        run(
-            knows_cat,
-            """
-            PREFIX ex: <http://ex/>
-            SELECT ?n WHERE { <http://ex/A> ?p* ?y . ?y ex:name ?n }""",
-        )
+
+def test_property_path_star_variable_predicate(knows_cat):
+    """`?p*` over a VARIABLE predicate: per-predicate closure UNION the
+    zero-length path, with ?p ranging over the EAV predicate domain in
+    the zero-length branch (reference: RDF4J ZeroLengthPath with a path
+    variable, sparql.clj:257 + :286-290). A ?p* ?y therefore includes
+    the reflexive row (A, A) for EVERY predicate in the data."""
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?p ?n
+        WHERE { <http://ex/A> ?p* ?y . ?y ex:name ?n }""",
+    )
+    assert got == {
+        (":knows", "Bob"),
+        (":knows", "Cid"),
+        (":knows", "Dan"),
+        # zero-length: ?y = A (named "Ann"), once per domain predicate
+        (":knows", "Ann"),
+        (":name", "Ann"),
+    }
 
 
 def test_sequence_path(knows_cat):
