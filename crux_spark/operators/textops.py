@@ -109,8 +109,19 @@ def dup_line_char_fraction(text: Column) -> Column:
 
 def _word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams (space-joined) of whitespace-tokenized text — the
-    same construction as the dedup shingles, kept as an array column."""
-    ws = tokens(F.lower(text))
+    same construction as the dedup shingles, kept as an array column.
+
+    NOTE: when `text` is a raw expression, the transform lambda
+    re-evaluates the whole lower+split tree once PER GRAM POSITION —
+    O(tokens²) per document. Hot paths must materialize the token array
+    as a column first and use `_ngrams_of(F.col(...), n)` (the same
+    rule as dedup.exploded_shingles, measured ~100x)."""
+    return _ngrams_of(tokens(F.lower(text)), n)
+
+
+def _ngrams_of(ws: Column, n: int) -> Column:
+    """Word n-grams over an ALREADY-BOUND token array column: the lambda
+    only does array access per element."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
@@ -140,7 +151,11 @@ def top_ngram_char_coverage(df: DataFrame, doc_id_col: str = "doc_id",
     grams = df.select(
         F.col(doc_id_col),
         F.length(text_col).alias("__chars"),
-        F.explode(_word_ngrams(F.col(text_col), n)).alias("__g"),
+        tokens(F.lower(F.col(text_col))).alias("__ws"),
+    ).select(
+        doc_id_col,
+        "__chars",
+        F.explode(_ngrams_of(F.col("__ws"), n)).alias("__g"),
     )
     per_gram = grams.groupBy(doc_id_col, "__chars", "__g").agg(
         F.count("*").alias("__cnt")
@@ -156,24 +171,78 @@ def top_ngram_char_coverage(df: DataFrame, doc_id_col: str = "doc_id",
 def repetition_metrics(df: DataFrame, doc_id_col: str = "doc_id",
                        text_col: str = "text", dup_n: int = 5,
                        top_n: int = 2) -> DataFrame:
-    """Attach the Gopher repetition family: dup_line_frac,
-    dup_line_char_frac, dup_ngram_char_frac (per-row, zero shuffle) and
-    top_ngram_char_frac (one (doc, gram) shuffle)."""
+    """Attach the Gopher repetition family: dup_line_frac and
+    dup_line_char_frac stay per-row (lines per doc are few), while BOTH
+    n-gram stats come from ONE shared exploded (doc, gram) aggregation.
+
+    The dup-n-gram stat used to be a per-row
+    ``array_distinct(word_ngrams)`` expression — Catalyst's
+    array_distinct on string arrays is pairwise, O(tokens²) PER
+    DOCUMENT, which is quadratic in doc length and pathological for the
+    long-document tail of a real corpus. The exploded-count form is the
+    same duplicate-char mass (Σ (cnt−1)·len over distinct grams ==
+    Σ len over occurrences − Σ len over distinct) at O(tokens) map work
+    plus the partial-agg shuffle the top-gram stat already paid for —
+    and both families ride the SAME explode pass."""
     t = F.col(text_col)
     base = df.select(
         doc_id_col,
         F.round(dup_line_fraction(t), 6).alias("dup_line_frac"),
         F.round(dup_line_char_fraction(t), 6).alias("dup_line_char_frac"),
-        F.round(dup_ngram_char_fraction(t, dup_n), 6).alias(
-            "dup_ngram_char_frac"
+    )
+    tag = lambda role, grams: F.transform(
+        grams, lambda g: F.struct(F.lit(role).alias("r"), g.alias("g"))
+    )
+    # token array bound as a column BEFORE the window-slide lambdas — an
+    # inline expression would be re-evaluated per gram position,
+    # O(tokens²) per document (the exploded_shingles rule)
+    src = df.select(
+        F.col(doc_id_col),
+        F.length(text_col).alias("__chars"),
+        tokens(F.lower(t)).alias("__ws"),
+    )
+    ws = F.col("__ws")
+    fams = [tag("d", _ngrams_of(ws, dup_n))]
+    if top_n != dup_n:
+        fams.append(tag("t", _ngrams_of(ws, top_n)))
+    grams = src.select(
+        F.col(doc_id_col),
+        "__chars",
+        F.explode(F.concat(*fams) if len(fams) > 1 else fams[0]).alias(
+            "__ng"
         ),
     )
-    top = top_ngram_char_coverage(df, doc_id_col, text_col, top_n)
-    return base.join(top, doc_id_col, "left").select(
+    per_gram = grams.groupBy(doc_id_col, "__chars", "__ng").agg(
+        F.count("*").alias("__cnt")
+    )
+    chars = F.greatest(F.first("__chars"), F.lit(1))
+    is_dup = F.col("__ng.r") == "d"
+    is_top = F.lit(True) if top_n == dup_n else (F.col("__ng.r") == "t")
+    stats = per_gram.groupBy(doc_id_col).agg(
+        (
+            F.sum(
+                F.when(
+                    is_dup, (F.col("__cnt") - 1) * F.length("__ng.g")
+                ).otherwise(F.lit(0))
+            )
+            / chars
+        ).alias("dup_ngram_char_frac"),
+        (
+            F.max(
+                F.when(
+                    is_top, F.col("__cnt") * F.length("__ng.g")
+                ).otherwise(F.lit(0))
+            )
+            / chars
+        ).alias("top_ngram_char_frac"),
+    )
+    return base.join(stats, doc_id_col, "left").select(
         doc_id_col,
         "dup_line_frac",
         "dup_line_char_frac",
-        "dup_ngram_char_frac",
+        F.round(F.coalesce("dup_ngram_char_frac", F.lit(0.0)), 6).alias(
+            "dup_ngram_char_frac"
+        ),
         F.round(F.coalesce("top_ngram_char_frac", F.lit(0.0)), 6).alias(
             "top_ngram_char_frac"
         ),
