@@ -89,11 +89,13 @@ class CheckpointStore:
         return {**meta, "dir": cp_dir}
 
     # -- restore ----------------------------------------------------------
-    def restore_latest(self, spark, wal_path=None) -> TxStore | None:
+    def restore_latest(self, spark, wal_path=None, doc_store=None) -> TxStore | None:
         """Build a TxStore from the newest checkpoint; with a WAL, replay
         only the txs PAST the checkpoint's tx id (the reference replays
         the tx-log tail after restoring, checkpoint.clj try-restore).
-        Accepts any WAL spec (JSONL path, 'sqlite:<path>', backend)."""
+        Accepts any WAL spec (JSONL path, 'sqlite:<path>', backend); a
+        doc-store spec re-attaches unchanged (it persists independently
+        of checkpoints, like the reference's doc store)."""
         from crux_spark.bitemporal.txlog import open_tx_log
 
         cps = self.available_checkpoints()
@@ -123,6 +125,7 @@ class CheckpointStore:
                     store._tx_id = max(store._tx_id, int(entry["tx_id"]))
             store.commit()
             store.wal_path = backend
+        store.doc_store = doc_store
         return store
 
     # -- retention --------------------------------------------------------

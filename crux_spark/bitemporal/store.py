@@ -245,6 +245,7 @@ class TxStore:
         spark: SparkSession,
         versions: DataFrame | None = None,
         wal_path: str | None = None,
+        doc_store=None,
     ):
         self.spark = spark
         self.versions = versions or spark.createDataFrame([], VERSIONS_SCHEMA)
@@ -261,6 +262,24 @@ class TxStore:
         # key; 'sqlite:<path>' = the crux-jdbc analogue (one tx_log SQL
         # table, jdbc.clj); or any TxLogBackend instance.
         self.wal_path = wal_path
+        # content-addressed doc store (db.clj DocumentStore): same
+        # pluggable-transport seam as the WAL — a plain path = JSONL
+        # (S3/blob analogue), 'sqlite:<path>' = crux-jdbc analogue, or
+        # any backend object. When configured, submitted docs are
+        # persisted there at submit time (the reference writes docs to
+        # the doc store BEFORE the tx log) and `documents()` reads it.
+        self.doc_store = doc_store
+
+    @property
+    def doc_store(self):
+        return self._doc_store_spec
+
+    @doc_store.setter
+    def doc_store(self, spec) -> None:
+        from crux_spark.bitemporal.docstore import open_doc_store
+
+        self._doc_store_spec = spec
+        self._docs = open_doc_store(spec)
 
     @property
     def wal_path(self):
@@ -390,6 +409,23 @@ class TxStore:
                 raise ValueError(f"unknown op {kind!r}")
             self._pending.append(row)
             seq += 1
+        if self._docs is not None:
+            # docs (incl. match-expected docs — they're content-addressed
+            # args too) reach the doc store at submit time, before the
+            # log entry, mirroring the reference's write order
+            batch: dict[str, tuple] = {}
+            for r in self._pending:
+                if r["tx_id"] != tx_id:
+                    continue
+                if r["content_hash"] and r["doc_json"]:
+                    batch[r["content_hash"]] = (
+                        r["eid"], json.loads(r["doc_json"])
+                    )
+                if r["expected_hash"] and r["expected_json"]:
+                    batch[r["expected_hash"]] = (
+                        r["eid"], json.loads(r["expected_json"])
+                    )
+            self._docs.submit_docs(batch)
         if self._wal is not None:
             self._wal.append(
                 {
@@ -411,6 +447,34 @@ class TxStore:
         )
         has_match = any(r["op"] == "match" for r in self._pending)
         aborted = self.apply_ops_df(ops_df, has_match=has_match)
+        if self._docs is not None:
+            # COMMITTED evicts tombstone the entity's docs in the doc
+            # store (an evict inside an aborted tx never happened). Docs
+            # referenced at-or-after the evict position in THIS batch
+            # survive — a recover() replays the whole history as one
+            # batch and must preserve post-evict re-puts exactly like
+            # the live incremental run did (the reference keys eviction
+            # on the content hashes referenced BEFORE the evict).
+            evict_pos: dict[str, tuple[int, int]] = {}
+            for r in self._pending:
+                if r["op"] == "evict" and r["tx_id"] not in aborted:
+                    p = (r["tx_id"], r["seq"])
+                    if p > evict_pos.get(r["eid"], (-1, -1)):
+                        evict_pos[r["eid"]] = p
+            if evict_pos:
+                keep: dict[str, set] = {e: set() for e in evict_pos}
+                for r in self._pending:
+                    e = r.get("eid")
+                    if (
+                        e in evict_pos
+                        and r["tx_id"] not in aborted
+                        and (r["tx_id"], r["seq"]) > evict_pos[e]
+                    ):
+                        for k in ("content_hash", "expected_hash"):
+                            if r.get(k):
+                                keep[e].add(r[k])
+                for e in evict_pos:
+                    self._docs.evict_eid(e, keep_hashes=keep[e])
         self._pending = []
         return aborted | fn_aborted
 
@@ -651,14 +715,25 @@ class TxStore:
     def documents(self, content_hashes: list[str]) -> dict[str, dict]:
         """Fetch docs by content hash (api.clj `documents`; the
         reference's content-addressed doc-store fetch,
-        document_store.clj:1-121). One pruned filter over versions."""
-        rows = (
-            self.versions.filter(F.col("content_hash").isin(content_hashes))
-            .select("content_hash", "doc_json")
-            .dropDuplicates(["content_hash"])
-            .collect()
-        )
-        return {r.content_hash: json.loads(r.doc_json) for r in rows}
+        document_store.clj:1-121). With a doc store configured, that
+        transport answers (point lookups — the reference's path);
+        hashes it doesn't know fall back to the pruned versions scan."""
+        out: dict[str, dict] = {}
+        missing = list(content_hashes)
+        if self._docs is not None:
+            out = self._docs.fetch_docs(missing)
+            missing = [h for h in missing if h not in out]
+        if missing:
+            rows = (
+                self.versions.filter(F.col("content_hash").isin(missing))
+                .select("content_hash", "doc_json")
+                .dropDuplicates(["content_hash"])
+                .collect()
+            )
+            out.update(
+                {r.content_hash: json.loads(r.doc_json) for r in rows}
+            )
+        return out
 
     def completed_watermark(self) -> int:
         """Highest tx id already applied to the versions table, computed
@@ -978,15 +1053,17 @@ class TxStore:
         )
 
     @classmethod
-    def recover(cls, spark: SparkSession, wal_path) -> "TxStore":
+    def recover(cls, spark: SparkSession, wal_path, doc_store=None) -> "TxStore":
         """Rebuild a store by replaying the write-ahead log (deterministic
         replay on every node, tx.clj:424-479). Ops in the WAL are already
         tx-fn-expanded, so no fn registry is needed. Accepts any WAL spec
-        (JSONL path, 'sqlite:<path>', or a TxLogBackend)."""
+        (JSONL path, 'sqlite:<path>', or a TxLogBackend); an existing
+        doc-store spec re-attaches unchanged (it persists independently
+        of the replay, like the reference's doc store)."""
         from crux_spark.bitemporal.txlog import open_tx_log
 
         backend = open_tx_log(wal_path)
-        store = cls(spark, wal_path=None)
+        store = cls(spark, wal_path=None, doc_store=doc_store)
         replayed = False
         for entry in backend.entries():
             if entry.get("aborted"):

@@ -121,6 +121,123 @@ def run_pack(spark, n_chains: int, length: int):
     return dt, 2
 
 
+def synth_docs(spark, n_docs: int, words_per_doc: int = 60,
+               vocab: int = 1000, dup_every: int = 0):
+    """Deterministic synthetic documents, generated DISTRIBUTEDLY (no
+    driver lists): word j of doc i is 'w<h>' with h a hash of (seed, j).
+    dup_every>0 makes doc i a copy of doc i%dup_every (planted repeats
+    for the chunk-dedup smoke)."""
+    seed = F.pmod(F.col("id"), F.lit(dup_every)) if dup_every else F.col("id")
+    word = lambda j: F.concat(
+        F.lit("w"),
+        F.pmod(F.xxhash64(seed * F.lit(1_000_003) + j), F.lit(vocab)),
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words_per_doc)), word
+            ),
+        ).alias("text"),
+    )
+
+
+def run_dedup_chunks(spark, n_docs: int, _length: int):
+    """Chunk dedup: 2 shuffles by construction (chunk window + doc
+    reassembly) regardless of corpus size."""
+    from crux_spark.operators.sampling import dedup_text_chunks
+
+    docs = synth_docs(spark, n_docs, dup_every=max(2, n_docs // 2))
+    t0 = time.monotonic()
+    n = dedup_text_chunks(docs).count()
+    dt = time.monotonic() - t0
+    assert 0 < n <= n_docs
+    return dt, 2
+
+
+def run_decontam(spark, n_docs: int, _length: int):
+    """Decontamination: benchmark = every 97th doc (planted hits), so
+    flagged count is exact and the broadcast join must stay the plan."""
+    from crux_spark.operators.sampling import contaminated_docs
+
+    docs = synth_docs(spark, n_docs)
+    bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0).select("text")
+    t0 = time.monotonic()
+    n = contaminated_docs(docs, bench, n=13).count()
+    dt = time.monotonic() - t0
+    assert n == (n_docs + 96) // 97, n
+    return dt, 1
+
+
+def run_unigram(spark, n_docs: int, _length: int):
+    from crux_spark.operators.textops import unigram_nll_scores
+
+    docs = synth_docs(spark, n_docs)
+    t0 = time.monotonic()
+    n = unigram_nll_scores(docs, vocab_size=4096).count()
+    dt = time.monotonic() - t0
+    assert n == n_docs
+    return dt, 2
+
+
+_WATDIV_SMOKE = [
+    # the 5 slowest template instances of tests/test_watdiv.py (largest
+    # intermediate fan-out: the 5-hop C1, the follows+ closure P1, the
+    # review snowflake F1, the purchase-union C2, the offer chain F3)
+    ("C1", "SELECT ?u ?w WHERE { ?u wsdbm:follows ?v . ?v wsdbm:likes ?p"
+           " . ?p rev:hasReview ?r . ?r rev:reviewer ?w . "
+           "?w sorg:nationality <http://db.uwaterloo.ca/~galuc/wsdbm/Country0> }"),
+    ("P1", "SELECT ?n WHERE { <http://db.uwaterloo.ca/~galuc/wsdbm/User0>"
+           " wsdbm:follows+ ?v . ?v foaf:givenName ?n }"),
+    ("F1", "SELECT ?t ?u WHERE { ?p rdf:type "
+           "<http://db.uwaterloo.ca/~galuc/wsdbm/ProductCategory0> . "
+           "?p dc:title ?t . ?p rev:hasReview ?r . ?r rev:reviewer ?u . "
+           "?u sorg:nationality <http://db.uwaterloo.ca/~galuc/wsdbm/Country0> }"),
+    ("C2", "SELECT ?u WHERE { { ?u wsdbm:likes ?p . ?p rdf:type "
+           "<http://db.uwaterloo.ca/~galuc/wsdbm/ProductCategory0> } UNION "
+           "{ ?u wsdbm:makesPurchase ?pu . ?pu wsdbm:purchaseFor ?p2 . "
+           "?p2 rdf:type <http://db.uwaterloo.ca/~galuc/wsdbm/ProductCategory0> } }"),
+    ("F3", "SELECT ?ret ?t WHERE { ?ret gr:offers ?o . ?o gr:includes ?p"
+           " . ?p og:tag <http://db.uwaterloo.ca/~galuc/wsdbm/Topic0> . "
+           "?p dc:title ?t }"),
+]
+
+_WATDIV_PREFIXES = """
+PREFIX wsdbm: <http://db.uwaterloo.ca/~galuc/wsdbm/>
+PREFIX sorg: <http://schema.org/>
+PREFIX foaf: <http://xmlns.com/foaf/>
+PREFIX rev: <http://purl.org/stuff/rev#>
+PREFIX gr: <http://purl.org/goodrelations/>
+PREFIX og: <http://ogp.me/ns#>
+PREFIX dc: <http://purl.org/dc/terms/>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+"""
+
+
+def run_watdiv(spark, n_users: int, _length: int):
+    """The 5 heaviest WatDiv template instances over a 1x/10x corpus
+    (corpus build excluded from the timing; query eval only)."""
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+    from crux_spark.sources.loaders import pivot_triples
+    from crux_spark.sources.sparql import sparql_to_datalog
+    from crux_spark.sources.watdiv import watdiv_df
+
+    wide = pivot_triples(watdiv_df(spark, n_users)).localCheckpoint()
+    cat = Catalog(spark)
+    cat.add_documents("watdiv", wide)
+    t0 = time.monotonic()
+    total_rows = 0
+    for _name, text in _WATDIV_SMOKE:
+        total_rows += q(
+            cat, sparql_to_datalog(_WATDIV_PREFIXES + text)
+        ).count()
+    dt = time.monotonic() - t0
+    assert total_rows > 0
+    return dt, len(_WATDIV_SMOKE)
+
+
 def main() -> int:
     from crux_spark import get_spark
 
@@ -133,12 +250,16 @@ def main() -> int:
         ("connected_components", run_cc, 2_000),
         ("recursive_reach_tc", run_reach, 2_000),
         ("pack_sequences", run_pack, 20_000),
+        ("dedup_chunks", run_dedup_chunks, 20_000),
+        ("decontaminate_ngram", run_decontam, 20_000),
+        ("unigram_lm_quality", run_unigram, 20_000),
+        ("watdiv_5_slowest", run_watdiv, 300),
     ):
-        length = 16  # constant diameter across scales
+        length = 16  # constant diameter across scales (graph ops)
         t1, r1 = fn(spark, base, length)
         t10, r10 = fn(spark, base * 10, length)
-        print(f"{name:<22}{'1x':>6}{base * length:>10}{t1:>8.2f}{r1:>8}")
-        print(f"{name:<22}{'10x':>6}{base * 10 * length:>10}{t10:>8.2f}{r10:>8}")
+        print(f"{name:<22}{'1x':>6}{base:>10}{t1:>8.2f}{r1:>8}")
+        print(f"{name:<22}{'10x':>6}{base * 10:>10}{t10:>8.2f}{r10:>8}")
         if r10 > r1 + 1:  # rounds must be diameter-bound, not size-bound
             failures.append(f"{name}: rounds grew {r1} -> {r10}")
         if t10 > max(t1, 0.5) * 30:  # sub-quadratic wall guard (noisy box)
