@@ -40,6 +40,57 @@ from crux_spark.bitemporal.store import OPS_SCHEMA, TxStore
 # parquet schema for the on-disk tx log (one row per op; tx_id orders txs)
 TX_LOG_SCHEMA = OPS_SCHEMA
 
+# the columns Spark's kafka source exposes for every consumed record —
+# the PUBLIC wire shape (Structured Streaming Kafka integration guide);
+# a recorded-segment fixture with these columns exercises everything but
+# the socket
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_envelope(raw: DataFrame) -> DataFrame:
+    """Kafka record batch/stream -> TX_LOG_SCHEMA op rows.
+
+    Each record's value is one tx as the JSON WAL envelope
+    {"tx_id": N, "rows": [op...]} (store.py submit_tx — same bytes the
+    JSONL/sqlite transports persist; crux-kafka's tx-record analogue,
+    kafka.clj). Contract pieces beyond the parse:
+
+    - TOTAL ORDER: the tx topic has ONE partition (kafka.clj topic
+      config), so offset order == tx order; downstream the cogrouped
+      splice orders ops by (tx_id, seq) per entity, so envelope arrival
+      order within a batch is immaterial as long as tx_id is faithful.
+    - AT-LEAST-ONCE REDELIVERY: consumer restarts can re-deliver
+      records; dedup on tx_id (redelivered records are byte-identical,
+      so which copy survives is immaterial). dropDuplicates is the
+      stream-legal stateful dedup.
+    - Aborted txs write an empty rows array (the failed-tx-fn WAL
+      entry): the explode yields no op rows, matching replay semantics.
+
+    Works on a streaming OR batch DataFrame with KAFKA_WIRE_SCHEMA
+    columns."""
+    from pyspark.sql import types as T
+
+    envelope = T.StructType(
+        [
+            T.StructField("tx_id", T.LongType()),
+            T.StructField(
+                "rows", T.ArrayType(T.StructType(TX_LOG_SCHEMA.fields))
+            ),
+        ]
+    )
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), envelope).alias("tx")
+        )
+        .select(F.col("tx.tx_id").alias("__tx_id"), F.col("tx.rows").alias("__rows"))
+        .dropDuplicates(["__tx_id"])
+        .select(F.explode("__rows").alias("op"))
+        .select("op.*")
+    )
+
 
 class TxLogStream:
     """Structured-Streaming tx ingester: tails an append-only parquet tx
@@ -99,28 +150,12 @@ class TxLogStream:
         (store.py submit_tx) — exploded into op rows."""
         cfg = self.reader_config()
         if cfg["format"] == "kafka":
-            from pyspark.sql import types as T
-
-            envelope = T.StructType(
-                [
-                    T.StructField("tx_id", T.LongType()),
-                    T.StructField(
-                        "rows", T.ArrayType(T.StructType(TX_LOG_SCHEMA.fields))
-                    ),
-                ]
-            )
             raw = (
                 self.spark.readStream.format("kafka")
                 .options(**cfg["options"])
                 .load()
             )
-            return (
-                raw.select(
-                    F.from_json(F.col("value").cast("string"), envelope).alias("tx")
-                )
-                .select(F.explode("tx.rows").alias("op"))
-                .select("op.*")
-            )
+            return parse_kafka_envelope(raw)
         return self.spark.readStream.schema(TX_LOG_SCHEMA).parquet(self.log_dir)
 
     def listen(self, fn: Callable[[int, DataFrame], None]) -> None:
