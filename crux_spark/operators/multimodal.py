@@ -2,15 +2,17 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The container has no image/audio LIBRARIES, so formats needing real
-third-party codecs (MP3/MP4/video...) are STUBBED behind a
+third-party codecs (MP4/video, MP3 SAMPLE decode) are STUBBED behind a
 deterministic fake (clearly marked below). FOUR formats decode FOR REAL
 with pure stdlib+numpy parsers: PPM (P6), PNG (zlib inflate + scanline
 filter reconstruction), baseline JPEG (Huffman + IDCT, operators/
 jpeg.py), and 16-bit PCM WAV — proving the whole decode -> resize ->
-feature path end-to-end on actual pixels/samples; swapping the
-remaining stub for libvips/ffmpeg on a cluster with codecs changes
-nothing Spark-side (schema, partition-preserving mapInPandas, batch
-shapes, metadata structs).
+feature path end-to-end on actual pixels/samples; MP3 gets a REAL
+sync-frame metadata parser (duration/bitrate/VBR from the public frame
+header layout; see parse_mp3). Swapping the remaining stubs for
+libvips/ffmpeg on a cluster with codecs changes nothing Spark-side
+(schema, partition-preserving mapInPandas, batch shapes, metadata
+structs).
 """
 
 from __future__ import annotations
@@ -275,6 +277,167 @@ def _audio_features(rate: int, samples: "np.ndarray", n_features: int = 8) -> li
         slices = np.array_split(samples, n_hist)
         out += [float(np.sqrt(np.mean(s**2))) if len(s) else 0.0 for s in slices]
     return [float(round(x, 6)) for x in out[:n_features]]
+
+
+# --- real parser: MP3 sync-frame walk (metadata, no sample decode) -----
+#
+# Frame header layout from the PUBLIC spec (ISO/IEC 11172-3 §2.4.1.3 /
+# 13818-3 for MPEG-2, widely documented): 11 sync bits, 2 version bits,
+# 2 layer bits, protection, 4 bitrate-index, 2 samplerate-index,
+# padding, private, 2 channel-mode, ... Full audio decode needs the
+# polyphase filterbank — out of scope in-sandbox — but duration /
+# bitrate / VBR metadata come straight from walking the frame headers,
+# which is what media cataloging needs first.
+
+_MP3_BITRATE = {  # kbps by (mpeg1?, layer) -> index table; 0 = free
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (False, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {  # Hz by version bits (00=2.5, 10=2, 11=1)
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+
+def parse_mp3(blob: bytes) -> "dict | None":
+    """Walk the sync frames of an MPEG audio stream; returns
+    {version, layer, sample_rate, n_frames, duration_s, bitrate_kbps,
+    vbr, mode} or None if no coherent frame sequence is found. Skips a
+    leading ID3v2 tag (10-byte header + syncsafe size); resyncs past
+    garbage between frames."""
+    if blob is None or len(blob) < 4:
+        return None
+    i = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        sz = (
+            (blob[6] & 0x7F) << 21
+            | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7
+            | (blob[9] & 0x7F)
+        )
+        i = 10 + sz
+    n_frames = 0
+    duration = 0.0
+    bitrates: set[int] = set()
+    first: dict | None = None
+    while i + 4 <= len(blob):
+        if not (blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0):
+            if n_frames:  # trailing tag/garbage after a valid stream
+                break
+            i += 1  # resync before the first frame
+            continue
+        h1, h2, h3 = blob[i + 1], blob[i + 2], blob[i + 3]
+        ver_bits = (h1 >> 3) & 0x3
+        layer_bits = (h1 >> 1) & 0x3
+        br_idx = (h2 >> 4) & 0xF
+        sr_idx = (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 0x1
+        mode = (h3 >> 6) & 0x3
+        if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            i += 1
+            continue
+        mpeg1 = ver_bits == 3
+        layer = 4 - layer_bits  # bits 11=I, 10=II, 01=III
+        kbps = _MP3_BITRATE[(mpeg1, layer)][br_idx]
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            samples, flen = 384, (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            samples = 1152 if (mpeg1 or layer == 2) else 576
+            coef = samples // 8
+            flen = coef * kbps * 1000 // rate + padding
+        if flen <= 4:
+            break
+        if first is None:
+            first = {
+                "version": "1" if mpeg1 else ("2" if ver_bits == 2 else "2.5"),
+                "layer": layer,
+                "sample_rate": rate,
+                "mode": ["stereo", "joint_stereo", "dual_channel", "mono"][mode],
+            }
+        n_frames += 1
+        duration += samples / rate
+        bitrates.add(kbps)
+        i += flen
+    if not n_frames or first is None:
+        return None
+    vbr = len(bitrates) > 1
+    return {
+        **first,
+        "n_frames": n_frames,
+        "duration_s": round(duration, 3),
+        "bitrate_kbps": round(sum(bitrates) / len(bitrates))
+        if vbr
+        else next(iter(bitrates)),
+        "vbr": vbr,
+    }
+
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+    ]
+)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Per-blob format sniff + metadata: real parses for PPM/PNG/JPEG
+    (dimensions), WAV (rate/duration) and MP3 (frame-walk duration /
+    bitrate); 'unknown' otherwise. Arrow-batched, partition-preserving
+    — the cataloging pass a media pipeline runs before deciding what to
+    decode where."""
+
+    def meta(b):
+        if b is None:
+            return ("unknown", None, None, None, None, None)
+        arr = _decode_image(b)
+        if arr is not None:
+            kind = (
+                "ppm" if b[:2] == b"P6"
+                else "png" if b[:8] == b"\x89PNG\r\n\x1a\n"
+                else "jpeg"
+            )
+            return (kind, int(arr.shape[1]), int(arr.shape[0]), None, None, None)
+        wav = decode_wav(b)
+        if wav is not None:
+            rate, samples = wav
+            return ("wav", None, None, int(rate),
+                    round(len(samples) / rate, 3), None)
+        mp3 = parse_mp3(b)
+        if mp3 is not None:
+            return ("mp3", None, None, int(mp3["sample_rate"]),
+                    mp3["duration_s"], int(mp3["bitrate_kbps"]))
+        return ("unknown", None, None, None, None, None)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ms = pdf["blob"].map(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ms.map(lambda m: m[0]),
+                    "width": ms.map(lambda m: m[1]),
+                    "height": ms.map(lambda m: m[2]),
+                    "sample_rate": ms.map(lambda m: m[3]),
+                    "duration_s": ms.map(lambda m: m[4]),
+                    "bitrate_kbps": ms.map(lambda m: m[5]),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(run, METADATA_SCHEMA)
 
 
 def _decode_image(b: bytes) -> "np.ndarray | None":

@@ -591,3 +591,77 @@ def test_sketch_aggregates_through_datalog(spark):
         # HLL default relative error ~2.3%
         assert abs(by[g].n_approx - by[g].n_exact) <= max(3, 0.05 * by[g].n_exact)
         assert 85 <= by[g].p95 <= 96
+
+
+def _mp3_frame(kbps_idx=9, sr_idx=0, padding=0, mpeg1=True, layer3=True):
+    """One MPEG1 Layer III frame with a valid header and zero payload
+    (header layout per the public ISO/IEC 11172-3 spec)."""
+    h1 = 0xFB if mpeg1 else 0xF3  # sync + version + layer III + no CRC
+    h2 = (kbps_idx << 4) | (sr_idx << 2) | (padding << 1)
+    h3 = 0xC0  # mono
+    kbps = multimodal._MP3_BITRATE[(mpeg1, 3)][kbps_idx]
+    rate = multimodal._MP3_RATES[3 if mpeg1 else 2][sr_idx]
+    coef = 144 if mpeg1 else 72
+    flen = coef * kbps * 1000 // rate + padding
+    return bytes([0xFF, h1, h2, h3]) + b"\x00" * (flen - 4)
+
+
+def test_mp3_frame_walk_metadata():
+    # 10 CBR frames of MPEG1 Layer III 128kbps 44100Hz
+    blob = b"".join(_mp3_frame() for _ in range(10))
+    m = multimodal.parse_mp3(blob)
+    assert m["version"] == "1" and m["layer"] == 3
+    assert m["sample_rate"] == 44100
+    assert m["n_frames"] == 10
+    assert m["bitrate_kbps"] == 128 and m["vbr"] is False
+    assert abs(m["duration_s"] - 10 * 1152 / 44100) < 1e-3
+    assert m["mode"] == "mono"
+
+    # ID3v2 tag (syncsafe size) is skipped
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 4]) + b"\x00" * (128 + 4)
+    m2 = multimodal.parse_mp3(tag + blob)
+    assert m2["n_frames"] == 10
+
+    # VBR: mixed 128/192 frames -> vbr flag + averaged bitrate
+    vblob = b"".join(
+        _mp3_frame(kbps_idx=9 if i % 2 else 11) for i in range(8)
+    )
+    mv = multimodal.parse_mp3(vblob)
+    assert mv["vbr"] is True and 128 < mv["bitrate_kbps"] < 192
+
+    # garbage before the first frame: resync; garbage-only: None
+    assert multimodal.parse_mp3(b"\x12\x34" * 5 + blob)["n_frames"] == 10
+    assert multimodal.parse_mp3(b"\x00" * 64) is None
+    # MPEG2 Layer III (576-sample frames at 22050)
+    m22 = multimodal.parse_mp3(
+        b"".join(_mp3_frame(mpeg1=False) for _ in range(4))
+    )
+    assert m22["version"] == "2" and m22["sample_rate"] == 22050
+    assert abs(m22["duration_s"] - 4 * 576 / 22050) < 1e-3
+
+
+def test_media_metadata_catalog(spark):
+    """media_metadata sniffs every real format (dims for images,
+    rate/duration for audio) through the Arrow batch path."""
+    import io
+    import struct as st
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    ppm = multimodal.encode_ppm(img)
+    png = multimodal.encode_png(img)
+    rate, n = 8000, 1600
+    wav = (
+        b"RIFF" + st.pack("<I", 36 + n * 2) + b"WAVEfmt " +
+        st.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16) +
+        b"data" + st.pack("<I", n * 2) + b"\x00" * (n * 2)
+    )
+    mp3 = b"".join(_mp3_frame() for _ in range(5))
+    rows = [(1, ppm), (2, png), (3, wav), (4, mp3), (5, b"garbage")]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r.media_id: r for r in multimodal.media_metadata(media).collect()}
+    assert got[1].kind == "ppm" and (got[1].width, got[1].height) == (6, 4)
+    assert got[2].kind == "png" and (got[2].width, got[2].height) == (6, 4)
+    assert got[3].kind == "wav" and got[3].sample_rate == rate
+    assert abs(got[3].duration_s - n / rate) < 1e-3
+    assert got[4].kind == "mp3" and got[4].bitrate_kbps == 128
+    assert got[5].kind == "unknown"
