@@ -238,6 +238,22 @@ def run_watdiv(spark, n_users: int, _length: int):
     return dt, len(_WATDIV_SMOKE)
 
 
+def _cleanup(spark) -> None:
+    """Unpin dead section-local localCheckpoint blocks (chain graphs,
+    closures, the pivoted watdiv table): without this, pinned storage
+    accumulates across ~700 stages and the late sections stall with all
+    task slots blocked on execution memory (observed: a 64-task union
+    stage wedged at 32 running / 0% CPU until the suite timeout) — the
+    same failure mode the r5 bench protocol fixed between gates."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> int:
     from crux_spark import get_spark
 
@@ -257,7 +273,9 @@ def main() -> int:
     ):
         length = 16  # constant diameter across scales (graph ops)
         t1, r1 = fn(spark, base, length)
+        _cleanup(spark)
         t10, r10 = fn(spark, base * 10, length)
+        _cleanup(spark)
         print(f"{name:<22}{'1x':>6}{base:>10}{t1:>8.2f}{r1:>8}")
         print(f"{name:<22}{'10x':>6}{base * 10:>10}{t10:>8.2f}{r10:>8}")
         if r10 > r1 + 1:  # rounds must be diameter-bound, not size-bound
