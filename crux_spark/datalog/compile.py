@@ -52,7 +52,7 @@ MAX_FIXPOINT_ITERATIONS = 200
 # tools/scale_smoke.py to assert log-bounded convergence (TC squaring:
 # ceil(log2 diameter) rounds; semi-naive: diameter-bounded). Reset before
 # a query, read after; purely diagnostic.
-FIXPOINT_STATS = {"tc_rounds": 0, "fixpoint_rounds": 0}
+FIXPOINT_STATS = {"tc_rounds": 0, "fixpoint_rounds": 0, "tc_seeded_rounds": 0}
 
 
 # open pred-constraint registry — the reference's extensible
@@ -1170,6 +1170,36 @@ class Compiler:
         is the one fixpoint cost Spark cannot amortize (per-round job
         latency), so this is the scale lever; non-TC shapes fall back to
         the semi-naive fixpoint below."""
+        E = self._tc_edge_relation(name)
+        if E is None:
+            return None
+        S = E.localCheckpoint()
+        n = S.count()
+        for _ in range(64):  # 2^64 diameter bound
+            FIXPOINT_STATS["tc_rounds"] += 1
+            # the squaring self-join must NEVER broadcast: S doubles every
+            # round and its post-checkpoint size estimate lures AQE into a
+            # driver-OOM broadcast once the closure passes a few million
+            # rows — pin a sort-merge join (both sides are the same large,
+            # already-checkpointed relation; SMJ is the 100 TB-safe shape)
+            comp = (
+                S.alias("a")
+                .join(
+                    S.alias("b").hint("merge"),
+                    F.col("a.__r1") == F.col("b.__r0"),
+                )
+                .select(F.col("a.__r0"), F.col("b.__r1"))
+            )
+            S2 = S.unionByName(comp).distinct().localCheckpoint()
+            n2 = S2.count()
+            if n2 == n:
+                return S
+            S, n = S2, n2
+        raise RuntimeError(f"TC doubling for {name!r} did not converge")
+
+    def _tc_edge_relation(self, name: str) -> DataFrame | None:
+        """When `name` is TC-shaped (see _tc_doubling), the compiled
+        base-branch edge relation E over (__r0, __r1); None otherwise."""
         defs = self.rules[name]
         if len(defs) != 2 or any(len(p) != 2 for p, _ in defs):
             return None
@@ -1227,33 +1257,56 @@ class Compiler:
             return None
 
         canon = ["__r0", "__r1"]
-        S = (
-            self._compile_rule_branch(bp, bb, canon)
+        return self._compile_rule_branch(bp, bb, canon).distinct()
+
+    def _tc_seeded(self, name: str, bound_idx: int, seed) -> DataFrame | None:
+        """Demand-driven closure for a TC-shaped rule invoked with a
+        BOUND endpoint: semi-naive frontier expansion from the seed over
+        the edge relation, instead of materializing the full closure.
+
+        Why this exists: squaring computes ALL-PAIRS reachability — on a
+        dense real-world graph (social hubs) the closure is Θ(V²) rows
+        and the squaring join composes Θ(V³) intermediate pairs, hours
+        of spill for an answer that only needs one row's reach (found by
+        the WatDiv 10x smoke: `<User0> follows+ ?v` ground to a halt at
+        3k users). Seeded BFS does rounds = diameter of the REACHED
+        region, each round |frontier ⋈ E| — the magic-set adornment of
+        TC, and the shape a 100 TB graph query must take when an
+        endpoint is bound. Long-diameter graphs pay more rounds than
+        squaring's log₂, but their per-round work is tiny — and the
+        unbound call sites still get the squaring path."""
+        E = self._tc_edge_relation(name)
+        if E is None:
+            return None
+        E = E.localCheckpoint(eager=False)  # re-joined every round
+        # bound second arg == forward BFS over reversed edges
+        src, dst = ("__r0", "__r1") if bound_idx == 0 else ("__r1", "__r0")
+        frontier = (
+            E.filter(F.col(src) == F.lit(seed))
+            .select(F.col(dst).alias("__n"))
             .distinct()
             .localCheckpoint()
         )
-        n = S.count()
-        for _ in range(64):  # 2^64 diameter bound
-            FIXPOINT_STATS["tc_rounds"] += 1
-            # the squaring self-join must NEVER broadcast: S doubles every
-            # round and its post-checkpoint size estimate lures AQE into a
-            # driver-OOM broadcast once the closure passes a few million
-            # rows — pin a sort-merge join (both sides are the same large,
-            # already-checkpointed relation; SMJ is the 100 TB-safe shape)
-            comp = (
-                S.alias("a")
-                .join(
-                    S.alias("b").hint("merge"),
-                    F.col("a.__r1") == F.col("b.__r0"),
-                )
-                .select(F.col("a.__r0"), F.col("b.__r1"))
+        reached = frontier
+        for _ in range(100_000):
+            FIXPOINT_STATS["tc_seeded_rounds"] += 1
+            if not frontier.head(1):
+                break
+            step = (
+                frontier.join(E, frontier["__n"] == E[src])
+                .select(E[dst].alias("__n"))
+                .distinct()
             )
-            S2 = S.unionByName(comp).distinct().localCheckpoint()
-            n2 = S2.count()
-            if n2 == n:
-                return S
-            S, n = S2, n2
-        raise RuntimeError(f"TC doubling for {name!r} did not converge")
+            frontier = step.join(reached, "__n", "left_anti").localCheckpoint()
+            reached = reached.unionByName(frontier).localCheckpoint()
+        else:
+            raise RuntimeError(f"seeded closure for {name!r} did not converge")
+        cols = (
+            (F.lit(seed).alias("__r0"), F.col("__n").alias("__r1"))
+            if bound_idx == 0
+            else (F.col("__n").alias("__r0"), F.lit(seed).alias("__r1"))
+        )
+        return reached.select(*cols)
 
     def _recursion_group(self, name: str) -> set[str]:
         """Rules mutually recursive with `name` (including `name` itself if
@@ -1623,7 +1676,25 @@ class Compiler:
             # strictly smaller plan otherwise
             rel = self._rule_relation_specialized(name, const_args)
         else:
-            rel = self.rule_relation(name)
+            rel = None
+            if (
+                const_args
+                and self._recursion_group(name) == {name}
+                and name not in self._rule_cache
+            ):
+                # TC-shaped recursion with a bound endpoint: seeded BFS
+                # from the constant instead of the full (possibly dense)
+                # closure — see _tc_seeded. Cached per (rule, seed).
+                bidx = 0 if 0 in const_args else next(iter(const_args))
+                skey = (name, "seed", bidx, repr(const_args[bidx]))
+                if skey in self._rule_cache:
+                    rel = self._rule_cache[skey]
+                else:
+                    rel = self._tc_seeded(name, bidx, const_args[bidx])
+                    if rel is not None:
+                        self._rule_cache[skey] = rel
+            if rel is None:
+                rel = self.rule_relation(name)
         sel, filters = [], []
         seen: dict[str, int] = {}
         for i, a in enumerate(args):

@@ -450,3 +450,75 @@ def test_deep_chain_transitive_closure_doubling(spark):
         res = q(cat, {"find": ["?y"], "in": ["?s"], "rules": rules,
                       "where": [["r", "?s", "?y"]]}, "n0")
         assert res.count() == 300
+
+
+REACH_RULES = [
+    [["reach", "?x", "?y"], ["?x", ":follows", "?y"]],
+    [["reach", "?x", "?y"], ["?x", ":follows", "?z"], ["reach", "?z", "?y"]],
+]
+
+
+def test_seeded_closure_bound_endpoint(people_catalog):
+    """A TC-shaped rule invoked with a BOUND endpoint takes the seeded
+    BFS path (demand-driven — the full closure of a dense graph is
+    TH(V^2) rows and squaring composes TH(V^3) pairs; found by the
+    WatDiv 10x smoke), and its answers must equal the full-closure
+    path's, both directions."""
+    from crux_spark.datalog.compile import FIXPOINT_STATS
+
+    # full closure (unbound call -> squaring) as the oracle
+    full = rows(
+        q(
+            people_catalog,
+            {"find": ["?x", "?y"],
+             "where": [["reach", "?x", "?y"]],
+             "rules": REACH_RULES},
+        )
+    )
+    before = FIXPOINT_STATS["tc_seeded_rounds"]
+    fwd = rows(
+        q(
+            people_catalog,
+            {"find": ["?y"],
+             "where": [["reach", "a", "?y"]],
+             "rules": REACH_RULES},
+        )
+    )
+    assert fwd == sorted({(y,) for x, y in full if x == "a"})
+    assert fwd == [("b",), ("c",), ("d",)]
+    assert FIXPOINT_STATS["tc_seeded_rounds"] > before  # path engaged
+
+    back = rows(
+        q(
+            people_catalog,
+            {"find": ["?x"],
+             "where": [["reach", "?x", "d"]],
+             "rules": REACH_RULES},
+        )
+    )
+    assert back == sorted({(x,) for x, y in full if y == "d"})
+    assert back == [("a",), ("b",), ("c",)]
+
+    # both endpoints bound: existence via the seeded relation + filter
+    hit = rows(
+        q(
+            people_catalog,
+            {"find": ["?n"],
+             "where": [
+                 ["reach", "a", "?m"], ["?m", ":name", "?n"],
+                 [["=", "?m", "d"]],
+             ],
+             "rules": REACH_RULES},
+        )
+    )
+    assert hit == [("Dee",)]
+    # disconnected seed: e reaches only f
+    only_f = rows(
+        q(
+            people_catalog,
+            {"find": ["?y"],
+             "where": [["reach", "e", "?y"]],
+             "rules": REACH_RULES},
+        )
+    )
+    assert only_f == [("f",)]
