@@ -1198,10 +1198,31 @@ class Compiler:
         raise RuntimeError(f"TC doubling for {name!r} did not converge")
 
     def _tc_edge_relation(self, name: str) -> DataFrame | None:
-        """When `name` is TC-shaped (see _tc_doubling), the compiled
-        base-branch edge relation E over (__r0, __r1); None otherwise."""
+        """When `name` is a plain arity-2 TC shape (see _tc_doubling),
+        the compiled base-branch edge relation E over (__r0, __r1);
+        None otherwise."""
+        info = self._tc_shape_info(name)
+        if info is None:
+            return None
+        E, t, d, k = info
+        return E if k == 2 else None
+
+    def _tc_shape_info(self, name: str):
+        """Generalized (labeled) TC-shape detection: a 2-branch
+        self-recursive rule whose recursive branch passes every head
+        param through the self-call except ONE (the transit position t,
+        replaced by a fresh var), whose residual becomes alpha-equal to
+        the base branch when the fresh var takes head param d's place.
+        Every E-tuple is then an edge v_t → v_d carrying the remaining
+        params as LABELS (e.g. the SPARQL variable-predicate closure:
+        arity-3 (?p ?x ?y), edges x→y labeled p — per-predicate
+        closure). Returns (E, t, d, arity) with E the compiled base
+        relation over __r0..__rN, or None."""
         defs = self.rules[name]
-        if len(defs) != 2 or any(len(p) != 2 for p, _ in defs):
+        if len(defs) != 2:
+            return None
+        k = len(defs[0][0])
+        if len(defs[1][0]) != k or k < 2:
             return None
 
         def top_refs(body):
@@ -1229,35 +1250,43 @@ class Compiler:
         (bp, bb), (rp, rb) = base[0], rec[0]
         if any_nested_ref(bb) or any_nested_ref(rb):
             return None
-        sc = top_refs(rb)[0]
-        x, y = rp
-        residual = [c for c in rb if c is not sc]
-        a0, a1 = sc[1], sc[2]
-        if is_var(a0) and a0 not in (x, y) and a1 == y:
-            subst = {a0: y}          # right-linear: E(x,z), r(z,y)
-        elif is_var(a1) and a1 not in (x, y) and a0 == x:
-            subst = {a1: x}          # left-linear: r(x,z), E(z,y)
-        else:
+        if not all(is_var(p) for p in rp) or len(set(rp)) != k:
             return None
-        residual = [self._substitute(c, subst) for c in residual]
+        sc = top_refs(rb)[0]
+        args = list(sc[1:])
+        if len(args) != k:
+            return None
+        diff = [i for i in range(k) if args[i] != rp[i]]
+        if len(diff) != 1:
+            return None
+        t = diff[0]
+        f = args[t]
+        if not is_var(f) or f in rp:
+            return None
+        residual = [c for c in rb if c is not sc]
 
         def alpha(params, body):
             mapping: dict[str, str] = {}
 
-            def walk(f):
-                if is_var(f):
-                    return mapping.setdefault(f, f"_v{len(mapping)}")
-                if isinstance(f, (list, tuple)):
-                    return tuple(walk(e) for e in f)
-                return f
+            def walk(form):
+                if is_var(form):
+                    return mapping.setdefault(form, f"_v{len(mapping)}")
+                if isinstance(form, (list, tuple)):
+                    return tuple(walk(e) for e in form)
+                return form
 
             return walk([list(params)] + list(body))
 
-        if alpha(rp, residual) != alpha(bp, bb):
-            return None
-
-        canon = ["__r0", "__r1"]
-        return self._compile_rule_branch(bp, bb, canon).distinct()
+        base_alpha = alpha(bp, bb)
+        for d in range(k):
+            if d == t:
+                continue
+            cand = [self._substitute(c, {f: rp[d]}) for c in residual]
+            if alpha(rp, cand) == base_alpha:
+                canon = [f"__r{i}" for i in range(k)]
+                E = self._compile_rule_branch(bp, bb, canon).distinct()
+                return E, t, d, k
+        return None
 
     def _tc_seeded(self, name: str, bound_idx: int, seed) -> DataFrame | None:
         """Demand-driven closure for a TC-shaped rule invoked with a
@@ -1274,16 +1303,32 @@ class Compiler:
         TC, and the shape a 100 TB graph query must take when an
         endpoint is bound. Long-diameter graphs pay more rounds than
         squaring's log₂, but their per-round work is tiny — and the
-        unbound call sites still get the squaring path."""
-        E = self._tc_edge_relation(name)
-        if E is None:
+        unbound call sites still get the squaring path.
+
+        Works for LABELED closures too (any arity matched by
+        _tc_shape_info): extra head params ride the walk as label
+        columns and each chain keeps its labels constant — e.g. the
+        SPARQL variable-predicate closure `<const> ?p+ ?y` walks all
+        per-predicate graphs from the seed in one BFS, labels unbound."""
+        info = self._tc_shape_info(name)
+        if info is None:
             return None
+        E, t, d, k = info
+        if bound_idx not in (t, d):
+            return None  # label-bound only: no transit seed to walk from
+        other = d if bound_idx == t else t
+        labels = [i for i in range(k) if i not in (t, d)]
+        b_col, o_col = f"__r{bound_idx}", f"__r{other}"
+        # walk state uses __l* names so joins back against E (which the
+        # frontier's lineage derives from) are never self-ambiguous
+        lcols = [f"__l{i}" for i in labels]
         E = E.localCheckpoint(eager=False)  # re-joined every round
-        # bound second arg == forward BFS over reversed edges
-        src, dst = ("__r0", "__r1") if bound_idx == 0 else ("__r1", "__r0")
         frontier = (
-            E.filter(F.col(src) == F.lit(seed))
-            .select(F.col(dst).alias("__n"))
+            E.filter(F.col(b_col) == F.lit(seed))
+            .select(
+                *[F.col(f"__r{i}").alias(f"__l{i}") for i in labels],
+                F.col(o_col).alias("__n"),
+            )
             .distinct()
             .localCheckpoint()
         )
@@ -1292,21 +1337,32 @@ class Compiler:
             FIXPOINT_STATS["tc_seeded_rounds"] += 1
             if not frontier.head(1):
                 break
+            cond = F.col("__n") == E[b_col]
+            for i in labels:
+                cond = cond & (F.col(f"__l{i}") == E[f"__r{i}"])
             step = (
-                frontier.join(E, frontier["__n"] == E[src])
-                .select(E[dst].alias("__n"))
+                frontier.join(E, cond)
+                .select(
+                    *[E[f"__r{i}"].alias(f"__l{i}") for i in labels],
+                    E[o_col].alias("__n"),
+                )
                 .distinct()
             )
-            frontier = step.join(reached, "__n", "left_anti").localCheckpoint()
+            frontier = step.join(
+                reached, lcols + ["__n"], "left_anti"
+            ).localCheckpoint()
             reached = reached.unionByName(frontier).localCheckpoint()
         else:
             raise RuntimeError(f"seeded closure for {name!r} did not converge")
-        cols = (
-            (F.lit(seed).alias("__r0"), F.col("__n").alias("__r1"))
-            if bound_idx == 0
-            else (F.col("__n").alias("__r0"), F.lit(seed).alias("__r1"))
-        )
-        return reached.select(*cols)
+        out = []
+        for i in range(k):
+            if i == bound_idx:
+                out.append(F.lit(seed).alias(f"__r{i}"))
+            elif i == other:
+                out.append(F.col("__n").alias(f"__r{i}"))
+            else:
+                out.append(F.col(f"__l{i}").alias(f"__r{i}"))
+        return reached.select(*out)
 
     def _recursion_group(self, name: str) -> set[str]:
         """Rules mutually recursive with `name` (including `name` itself if
@@ -1685,14 +1741,18 @@ class Compiler:
                 # TC-shaped recursion with a bound endpoint: seeded BFS
                 # from the constant instead of the full (possibly dense)
                 # closure — see _tc_seeded. Cached per (rule, seed).
-                bidx = 0 if 0 in const_args else next(iter(const_args))
-                skey = (name, "seed", bidx, repr(const_args[bidx]))
-                if skey in self._rule_cache:
-                    rel = self._rule_cache[skey]
-                else:
-                    rel = self._tc_seeded(name, bidx, const_args[bidx])
+                # Try each bound position: label-bound indices don't
+                # seed (return None), a transit-bound one does.
+                for bidx in sorted(const_args):
+                    skey = (name, "seed", bidx, repr(const_args[bidx]))
+                    if skey in self._rule_cache:
+                        rel = self._rule_cache[skey]
+                    else:
+                        rel = self._tc_seeded(name, bidx, const_args[bidx])
+                        if rel is not None:
+                            self._rule_cache[skey] = rel
                     if rel is not None:
-                        self._rule_cache[skey] = rel
+                        break
             if rel is None:
                 rel = self.rule_relation(name)
         sel, filters = [], []

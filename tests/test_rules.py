@@ -522,3 +522,40 @@ def test_seeded_closure_bound_endpoint(people_catalog):
         )
     )
     assert only_f == [("f",)]
+
+
+def test_labeled_seeded_closure(people_catalog):
+    """Generalized (labeled) TC seeding: a 3-ary closure rule carrying
+    a label param (the SPARQL variable-predicate closure shape) invoked
+    with a bound transit endpoint walks per-label graphs from the seed;
+    answers must equal the full bottom-up fixpoint's."""
+    from crux_spark.datalog.compile import FIXPOINT_STATS
+
+    rules = [
+        [["lreach", "?a", "?x", "?y"], ["?x", "?a", "?y"]],
+        [["lreach", "?a", "?x", "?y"],
+         ["?x", "?a", "?z"], ["lreach", "?a", "?z", "?y"]],
+    ]
+    full = rows(
+        q(
+            people_catalog,
+            {"find": ["?a", "?x", "?y"],
+             "where": [["lreach", "?a", "?x", "?y"]],
+             "rules": rules},
+        )
+    )
+    before = FIXPOINT_STATS["tc_seeded_rounds"]
+    seeded = rows(
+        q(
+            people_catalog,
+            {"find": ["?a", "?y"],
+             "where": [["lreach", "?a", "a", "?y"]],
+             "rules": rules},
+        )
+    )
+    assert FIXPOINT_STATS["tc_seeded_rounds"] > before
+    assert seeded == sorted({(a, y) for a, x, y in full if x == "a"})
+    # per-label closure: follows-chains from a, and a's scalar attrs
+    assert (":follows", "d") in seeded       # 3-hop follows chain
+    assert (":name", "Ann") in seeded        # 1-step attr edge
+    assert (":follows", "f") not in seeded   # e's chain never leaks
