@@ -458,7 +458,36 @@ REACH_RULES = [
 ]
 
 
-def test_seeded_closure_bound_endpoint(people_catalog):
+@pytest.fixture()
+def people_only_catalog(spark):
+    """An ISOLATED catalog holding just the people table: the seeded-
+    closure tests sweep the var-attr EAV scan and assert exact result
+    sets, so the session-shared catalog (mutated by other modules)
+    would leak foreign tables into the closure."""
+    from crux_spark import Catalog
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.LongType()),
+            T.StructField("follows", T.ArrayType(T.StringType())),
+        ]
+    )
+    data = [
+        ("a", "Ann", 30, ["b"]),
+        ("b", "Bob", 40, ["c"]),
+        ("c", "Cid", 50, ["d"]),
+        ("d", "Dee", 60, []),
+        ("e", "Eve", 20, ["f"]),
+        ("f", "Fay", 25, None),
+    ]
+    cat = Catalog(spark)
+    cat.add_documents("people", spark.createDataFrame(data, schema), id_col="id")
+    return cat
+
+
+def test_seeded_closure_bound_endpoint(people_only_catalog):
     """A TC-shaped rule invoked with a BOUND endpoint takes the seeded
     BFS path (demand-driven — the full closure of a dense graph is
     TH(V^2) rows and squaring composes TH(V^3) pairs; found by the
@@ -469,7 +498,7 @@ def test_seeded_closure_bound_endpoint(people_catalog):
     # full closure (unbound call -> squaring) as the oracle
     full = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?x", "?y"],
              "where": [["reach", "?x", "?y"]],
              "rules": REACH_RULES},
@@ -478,7 +507,7 @@ def test_seeded_closure_bound_endpoint(people_catalog):
     before = FIXPOINT_STATS["tc_seeded_rounds"]
     fwd = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?y"],
              "where": [["reach", "a", "?y"]],
              "rules": REACH_RULES},
@@ -490,7 +519,7 @@ def test_seeded_closure_bound_endpoint(people_catalog):
 
     back = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?x"],
              "where": [["reach", "?x", "d"]],
              "rules": REACH_RULES},
@@ -502,7 +531,7 @@ def test_seeded_closure_bound_endpoint(people_catalog):
     # both endpoints bound: existence via the seeded relation + filter
     hit = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?n"],
              "where": [
                  ["reach", "a", "?m"], ["?m", ":name", "?n"],
@@ -515,7 +544,7 @@ def test_seeded_closure_bound_endpoint(people_catalog):
     # disconnected seed: e reaches only f
     only_f = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?y"],
              "where": [["reach", "e", "?y"]],
              "rules": REACH_RULES},
@@ -524,7 +553,7 @@ def test_seeded_closure_bound_endpoint(people_catalog):
     assert only_f == [("f",)]
 
 
-def test_labeled_seeded_closure(people_catalog):
+def test_labeled_seeded_closure(people_only_catalog):
     """Generalized (labeled) TC seeding: a 3-ary closure rule carrying
     a label param (the SPARQL variable-predicate closure shape) invoked
     with a bound transit endpoint walks per-label graphs from the seed;
@@ -538,7 +567,7 @@ def test_labeled_seeded_closure(people_catalog):
     ]
     full = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?a", "?x", "?y"],
              "where": [["lreach", "?a", "?x", "?y"]],
              "rules": rules},
@@ -547,7 +576,7 @@ def test_labeled_seeded_closure(people_catalog):
     before = FIXPOINT_STATS["tc_seeded_rounds"]
     seeded = rows(
         q(
-            people_catalog,
+            people_only_catalog,
             {"find": ["?a", "?y"],
              "where": [["lreach", "?a", "a", "?y"]],
              "rules": rules},
