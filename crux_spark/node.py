@@ -455,3 +455,39 @@ class Node:
             *[F.count(F.col(c)).alias(c) for c in attrs]
         ).first()
         return {f":{c}": int(row[c]) for c in attrs}
+
+
+class IngestClient:
+    """Write-only node: submits transactions to the durable tx log and
+    doc store WITHOUT an index store (api.clj new-ingest-client;
+    ingest_client_test.clj) — the shape used by dedicated ingest
+    processes that never query. A full node later starts on the same
+    log (TxStore.recover) and indexes everything submitted here.
+
+    Composes a TxStore purely for its submit path (op expansion, WAL
+    append, doc-store write); intentionally exposes NO commit/query
+    surface. Reopening on an existing log continues the id sequence."""
+
+    def __init__(self, spark, wal_path, doc_store=None):
+        from crux_spark.bitemporal.store import TxStore
+
+        self._store = TxStore(spark, wal_path=wal_path, doc_store=doc_store)
+        for entry in self._store._wal.entries():
+            self._store._tx_id = max(
+                self._store._tx_id, int(entry["tx_id"])
+            )
+
+    def submit_tx(self, ops, tx_time=None) -> int:
+        return self._store.submit_tx(ops, tx_time=tx_time)
+
+    def register_tx_fn(self, name, fn) -> None:
+        self._store.register_tx_fn(name, fn)
+
+    def latest_submitted_tx(self):
+        return self._store.latest_submitted_tx()
+
+    def tx_log(self, after_tx_id=None, with_ops: bool = True):
+        """Submitted (not-yet-indexed) events straight off the durable
+        log — the reference's db/open-tx-log on the ingest client's
+        tx-log component."""
+        return self._store.tx_log(after_tx_id=after_tx_id, with_ops=with_ops)

@@ -300,3 +300,42 @@ def test_splice_full_bitemporal_rectangle(ops):
                 assert got is not None and got.doc_json == splice.json.dumps(
                     expected, sort_keys=True, default=str
                 ), (ops, k, at)
+
+
+def test_ingest_client(spark, tmp_path):
+    """ingest_client_test.clj: a write-only client submits to the
+    durable log + doc store; its open-tx-log shows the submitted events
+    BEFORE any node indexes them; a node starting on the same log
+    indexes and answers tx_committed/query."""
+    from crux_spark.bitemporal import splice
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.node import IngestClient
+
+    wal = str(tmp_path / "wal.jsonl")
+    ds = str(tmp_path / "docs.jsonl")
+    client = IngestClient(spark, wal, doc_store=ds)
+    doc = {"id": "ivan", "name": "Ivan"}
+    tx = client.submit_tx([("put", doc)])
+    assert tx == 1
+
+    # write-only: no commit / query surface exists
+    assert not hasattr(client, "commit")
+    assert not hasattr(client, "entity")
+
+    log = client.tx_log(with_ops=True).collect()
+    assert [(r.tx_id, r.op, r.eid) for r in log] == [(1, "put", "ivan")]
+    # the doc reached the content-addressed store at submit time
+    h = splice.content_hash(doc)
+    from crux_spark.bitemporal.docstore import open_doc_store
+    assert open_doc_store(ds).fetch_docs([h]) == {h: doc}
+
+    # reopening continues the id sequence (the log is the authority)
+    again = IngestClient(spark, wal, doc_store=ds)
+    assert again.submit_tx([("put", {"id": "petr", "name": "Petr"})]) == 2
+
+    # a full node on the same log indexes everything submitted
+    node_store = TxStore.recover(spark, wal, doc_store=ds)
+    assert node_store.tx_committed(1) is True
+    assert node_store.tx_committed(2) is True
+    assert node_store.entity("ivan")["name"] == "Ivan"
+    assert node_store.entity("petr")["name"] == "Petr"
