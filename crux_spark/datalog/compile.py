@@ -396,13 +396,19 @@ class Compiler:
                 self.entity_tables.setdefault(e, tname)
             elif isinstance(e, (set, frozenset)):
                 # set literal in entity position = one-of match
-                # (query_test.clj:1180-1193); empty set matches nothing
-                vals = [str(x) for x in e]
+                # (query_test.clj:1180-1193); empty set matches nothing,
+                # and a nil member matches nothing (nil is not an entity
+                # id — nil-in-entity-position-shouldnt-yield-results-1486)
+                vals = [str(x) for x in e if x is not None]
                 filters.append(
                     F.col(ID_COL).isin(vals) if vals else F.lit(False)
                 )
             elif not is_blank(e):
-                filters.append(F.col(ID_COL) == F.lit(self.env.get(e, e)))
+                ev = self.env.get(e, e)
+                # literal nil entity yields no results (issue 1486)
+                filters.append(
+                    F.lit(False) if ev is None else F.col(ID_COL) == F.lit(ev)
+                )
             for ref, v in items:
                 col = F.col(ref.column)
                 if is_var(v) and v in self.env:
@@ -428,18 +434,32 @@ class Compiler:
                     # (query_test.clj:1153-1178); against a
                     # cardinality-many attribute, ANY member matching ANY
                     # element suffices (reference: each set member is a
-                    # triple alternative). Empty set matches nothing.
+                    # triple alternative). Empty set matches nothing. A
+                    # nil member matches nil-valued attrs (issue 1487 —
+                    # `#{nil 2}` matches both) via an explicit IS NULL
+                    # disjunct, since isin() silently drops nulls.
                     vals = list(v)
+                    non_null = [x for x in vals if x is not None]
                     if not vals:
                         filters.append(F.lit(False))
                     elif ref.is_array:
-                        filters.append(
+                        cond = (
                             F.arrays_overlap(
-                                col, F.array(*[F.lit(x) for x in vals])
+                                col, F.array(*[F.lit(x) for x in non_null])
                             )
+                            if non_null
+                            else F.lit(False)
                         )
+                        if None in vals:
+                            cond = cond | F.exists(col, lambda x: x.isNull())
+                        filters.append(cond)
                     else:
-                        filters.append(col.isin(vals))
+                        cond = (
+                            col.isin(non_null) if non_null else F.lit(False)
+                        )
+                        if None in vals:
+                            cond = cond | col.isNull()
+                        filters.append(cond)
                 elif (
                     isinstance(v, (list, tuple))
                     and v
@@ -450,6 +470,18 @@ class Compiler:
                     # are single values, not cardinality-many)
                     arr = F.array(*[F.lit(x) for x in v[1:]])
                     filters.append(col == arr)
+                elif v is None:
+                    # literal nil value matches only nil-valued attrs
+                    # (literal-nil-value-...-1487). Wide-table model
+                    # caveat, documented divergence: an entity MISSING
+                    # the key entirely is indistinguishable from one
+                    # carrying an explicit nil (both are NULL cells), so
+                    # this matches both; the reference distinguishes them.
+                    filters.append(
+                        F.exists(col, lambda x: x.isNull())
+                        if ref.is_array
+                        else col.isNull()
+                    )
                 elif ref.is_array:
                     filters.append(F.array_contains(col, F.lit(v)))
                 else:

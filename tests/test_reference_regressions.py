@@ -626,6 +626,46 @@ def test_binds_against_false_arg_bug_885(spark):
 
     assert names_for(False) == {("foo", False)}
     assert names_for(True) == {("bar", True)}
+    # the nil leg (885's third case): a nil :in binding matches the
+    # nil-valued attr. Documented divergence from the reference: in the
+    # wide-table model "key present with nil" and "key absent" are the
+    # same NULL cell, so this also matches entities missing the key.
+    assert names_for(None) == {("baz", None)}
+
+
+def test_nil_literals_in_triple_clauses_1486_1487(spark):
+    """nil-in-entity-position-shouldnt-yield-results-1486 +
+    literal-nil-value-in-triple-clause-should-only-match-nil-1487
+    (query_test.clj:3699-3740), over the wide-table model (absent key
+    == nil-valued key — documented divergence, see compile.py)."""
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("foo", T.LongType()),
+        ]
+    )
+    cat.add_documents(
+        "nils",
+        spark.createDataFrame([("1", None), ("2", 2)], schema),
+        id_col="id",
+    )
+
+    def res(where, find="?e"):
+        return {tuple(r) for r in q(cat, {"find": [find], "where": where}).collect()}
+
+    # 1486: nil entity (bare or in a set) yields no results
+    assert res([[None, ":foo", "?v"]], find="?v") == set()
+    assert res([[{None}, ":foo", "?v"]], find="?v") == set()
+    # 1487: existence matches only non-nil (wide-table: NULL = absent)
+    assert res([["?e", ":foo", "_"]]) == {("2",)}
+    # literal nil matches ONLY the nil-valued entity
+    assert res([["?e", ":foo", None]]) == {("1",)}
+    assert res([["?e", ":foo", {None}]]) == {("1",)}
+    # a set with nil AND a value matches both
+    assert res([["?e", ":foo", {None, 2}]]) == {("1",), ("2",)}
+    # empty set matches nothing
+    assert res([["?e", ":foo", set()]]) == set()
 
 
 # --- sub-queries battery (query_test.clj:1303-1438) ---
