@@ -128,3 +128,41 @@ def dedup_keep_list(
     return cc.select(
         F.col("id").alias("doc_id"), F.col("component").alias("keep_id")
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters and pick each cluster's
+    BEST-QUALITY representative (highest quality, lowest id on ties) —
+    the canonical-selection step training pipelines run after near-dup
+    detection, where 'keep the first' would discard the cleanest copy.
+
+    Returns (id_col, canonical_id, is_canonical) for every clustered
+    doc; unpaired docs are their own canonicals and are not returned
+    (same contract as dedup_keep_list). Scale shape: connected
+    components (log-round) + one (component)-keyed max_by aggregation +
+    a broadcast join-back of the small winners relation."""
+    cc = connected_components(pairs, id_a, id_b)
+    member = cc.join(
+        docs.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
+        "id",
+    )
+    winners = member.groupBy("component").agg(
+        F.max_by(
+            "id", F.struct(F.col("__q").alias("q"), (-F.col("id")).alias("nid"))
+        ).alias("canonical_id")
+    )
+    return (
+        member.join(F.broadcast(winners), "component")
+        .select(
+            F.col("id").alias(id_col),
+            "canonical_id",
+            (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

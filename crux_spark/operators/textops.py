@@ -337,3 +337,86 @@ def bpe_ish_token_count(text: Column) -> Column:
 def bpe_ish_tokens(text: Column) -> Column:
     """The pretokens themselves (array column), for inspection/tests."""
     return F.regexp_extract_all(text, F.lit(f"({_BPE_PRETOKEN})"), 1)
+
+
+# --- Gopher document-level quality rules (Rae et al. 2021, Table A1) ---
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, doc_id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         max_bullet_line_frac: float = 0.9,
+                         max_ellipsis_line_frac: float = 0.3,
+                         min_alpha_word_frac: float = 0.8,
+                         min_stop_hits: int = 2) -> DataFrame:
+    """The published Gopher document-level filter rules (Rae et al.
+    2021, Table A1 — public heuristics), as per-row Catalyst
+    expressions over a materialized token array (zero shuffle, fully
+    codegen'd, DuckDB-oracle-checkable):
+
+    - word count within [min_words, max_words];
+    - mean word length within [min, max];
+    - (# of '#' or '...') / words <= max_symbol_word_ratio;
+    - fraction of lines starting with a bullet <= max_bullet_line_frac,
+      ending with an ellipsis <= max_ellipsis_line_frac;
+    - fraction of words containing an alphabetic char >= min;
+    - at least min_stop_hits distinct common English stop words.
+
+    Returns per-doc metric columns plus the combined `gopher_keep`."""
+    src = df.select(
+        F.col(doc_id_col),
+        F.col(text_col).alias("__t"),
+        tokens(F.col(text_col)).alias("__ws"),
+        F.split(F.col(text_col), r"\n").alias("__lines"),
+    )
+    ws, lines, t = F.col("__ws"), F.col("__lines"), F.col("__t")
+    n_words = F.size(ws)
+    mean_wl = _sum_lengths(ws) / F.greatest(n_words, F.lit(1))
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+        + (
+            F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+        ) / F.lit(3)
+    )
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ) / n_lines
+    alpha_frac = F.size(
+        F.filter(ws, lambda w: w.rlike(r"[a-zA-Z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = src.select(
+        doc_id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("gopher_keep", keep)

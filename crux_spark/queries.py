@@ -2630,3 +2630,116 @@ _order = _order[:47] + _R5_IN + _order[47:] + _R5_OUT
 _reordered = {n: QUERIES[n] for n in _order}
 QUERIES.clear()
 QUERIES.update(_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r5 additions — registered AFTER the window reorder above, so they land in
+# the overflow tail (mirror-checked at two SFs now; driver rows via the
+# rotation policy in a future round).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_gopher_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(ws) AS n_words,
+        round(list_sum(list_transform(ws, w -> length(w))) * 1.0
+              / greatest(len(ws), 1), 6) AS mean_word_len,
+        round((length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) / 3.0)
+              / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+        round(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*])'))) * 1.0
+              / greatest(len(lines), 1), 6) AS bullet_line_frac,
+        round(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) * 1.0
+              / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+        round(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0
+              / greatest(len(ws), 1), 6) AS alpha_word_frac,
+        len(list_intersect(list_transform(ws, w -> lower(w)),
+            ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_word_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 2 AS INT) AS gopher_keep
+    FROM m
+    """,
+)
+def text_gopher_filter(spark, sf_dir):
+    """The published Gopher document-level filter rules (Rae et al.
+    2021, Table A1): word-count bounds, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
+    presence — each a per-row Catalyst expression over a materialized
+    token array (zero shuffle) plus the combined keep decision."""
+    cat = catalog_for(spark, sf_dir)
+    out = _text.gopher_quality_flags(cat.table("documents"))
+    return out.withColumn("gopher_keep", F.col("gopher_keep").cast("int"))
+
+
+@register(
+    "dedup_canonical",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i, t FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(v, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.v
+    ), comp AS (
+      SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+    ), ranked AS (
+      SELECT comp.doc_id, component, length(d.text) AS q,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY length(d.text) DESC, comp.doc_id ASC) AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+    ), winners AS (
+      SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1
+    )
+    SELECT r.doc_id, w.canonical_id,
+           CAST(r.doc_id = w.canonical_id AS INT) AS is_canonical
+    FROM ranked r JOIN winners w USING (component)
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """Canonical-representative selection after near-dup clustering:
+    each cluster keeps its BEST-QUALITY member (here quality = text
+    length; highest wins, lowest id on ties) instead of an arbitrary
+    survivor — the step a training pipeline runs so dedup keeps the
+    cleanest copy. CC label propagation + one per-component max_by +
+    broadcast winners join-back."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents").withColumn("quality", F.length("text"))
+    pairs = _dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = _graph.canonical_by_quality(docs, pairs)
+    return out.withColumn("is_canonical", F.col("is_canonical").cast("int"))

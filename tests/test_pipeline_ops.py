@@ -665,3 +665,51 @@ def test_media_metadata_catalog(spark):
     assert abs(got[3].duration_s - n / rate) < 1e-3
     assert got[4].kind == "mp3" and got[4].bitrate_kbps == 128
     assert got[5].kind == "unknown"
+
+
+def test_gopher_quality_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            # natural prose: passes everything
+            (1, ("the cat and the dog have been to the house of friends "
+                 "and that was good to see with many fine words indeed " * 3)),
+            # too short
+            (2, "tiny doc"),
+            # symbol soup: '#' density over threshold
+            (3, ("# " * 60) + "the be to of and words here"),
+            # bullets everywhere
+            (4, "\n".join("- item %d the be to of" % i for i in range(20))),
+            # no stopwords
+            (5, "lorem ipsum dolor sit amet " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.gopher_quality_flags(docs).collect()}
+    assert got[1].gopher_keep is True
+    assert got[2].gopher_keep is False and got[2].n_words < 50
+    assert got[3].gopher_keep is False and got[3].symbol_word_ratio > 0.1
+    assert got[4].gopher_keep is False and got[4].bullet_line_frac > 0.9
+    assert got[5].gopher_keep is False and got[5].stop_hits < 2
+
+
+def test_canonical_by_quality_tie_break(spark):
+    from crux_spark.operators import graph
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 5.0), (9, 1.0)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1)], "id_a long, id_b long"
+    )  # one cluster {1,2,3,4}; doc 9 unpaired
+    got = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in graph.canonical_by_quality(docs, pairs).collect()
+    }
+    # highest quality wins; tie (2 vs 3, both 30.0) -> LOWEST id
+    assert got == {
+        1: (2, False),
+        2: (2, True),
+        3: (2, False),
+        4: (2, False),
+    }  # unpaired doc 9 not returned (its own canonical)
