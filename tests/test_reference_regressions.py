@@ -1504,3 +1504,46 @@ def test_any_value_as_entity_id(spark):
         },
     ).collect()
     assert sorted(r.name for r in got) == ["Ivan", "Petr", "Pi"]
+
+
+def test_cardinality_join_order_avoids_cross_product(spark):
+    """query_test.clj:3582 asserts the reference planner's
+    vars-in-join-order; here join ordering is Catalyst/AQE's job
+    (SURVEY §4.2), so the faithful assertion is behavioral: the
+    compiled plan must contain NO cartesian product (the clauses chain
+    on shared vars), and the answers must be exact."""
+    cat = Catalog(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("my_name", T.StringType()),
+            T.StructField("my_number", T.LongType()),
+        ]
+    )
+    rows_ = []
+    for n in range(100):
+        rows_ += [
+            (f"dummy-{n}", str(n), None),
+            (f"ivan-{n}", "Ivan", n),
+            (f"oleg-{n}", "Oleg", n),
+        ]
+    cat.add_documents(
+        "xprod", spark.createDataFrame(rows_, schema), id_col="id"
+    )
+    res = q(
+        cat,
+        {
+            "find": ["?e1"],
+            "where": [
+                ["?e1", ":my_name", "Ivan"],
+                ["?e2", ":my_name", "Oleg"],
+                ["?e1", ":my_number", "?n"],
+                ["?e2", ":my_number", "?n"],
+            ],
+        },
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r.e1 for r in res.collect()}
+    assert got == {f"ivan-{n}" for n in range(100)}
