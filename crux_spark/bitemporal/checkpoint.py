@@ -114,6 +114,13 @@ class CheckpointStore:
         store.aborted_txs.update(
             int(a) for a in newest.get("aborted_txs", [])
         )
+        # attach the doc store BEFORE replaying the WAL tail, matching
+        # TxStore.recover: an evict op in the replayed tail must run the
+        # doc-store tombstone pass during commit() (with self._docs None
+        # it would silently skip, leaving evicted docs readable after a
+        # crash between submit and commit). evict_eid is idempotent, so
+        # re-applying on the happy path is harmless.
+        store.doc_store = doc_store
         backend = open_tx_log(wal_path)
         if backend is not None:
             for entry in backend.entries():
@@ -125,7 +132,6 @@ class CheckpointStore:
                     store._tx_id = max(store._tx_id, int(entry["tx_id"]))
             store.commit()
             store.wal_path = backend
-        store.doc_store = doc_store
         return store
 
     # -- retention --------------------------------------------------------

@@ -366,6 +366,9 @@ class TxStore:
                 # abort and the id sequence (replay_test.clj failed-tx-fn)
                 self._wal.append({"tx_id": tx_id, "rows": [], "aborted": True})
             return tx_id
+        tx_rows: list[dict] = []  # this tx's rows — avoids rescanning the
+        # whole _pending backlog per submit (O(n^2) for long-running
+        # write-only clients that never commit/drain)
         for op in expanded:
             kind = op[0]
             row = {
@@ -408,15 +411,14 @@ class TxStore:
             else:
                 raise ValueError(f"unknown op {kind!r}")
             self._pending.append(row)
+            tx_rows.append(row)
             seq += 1
         if self._docs is not None:
             # docs (incl. match-expected docs — they're content-addressed
             # args too) reach the doc store at submit time, before the
             # log entry, mirroring the reference's write order
             batch: dict[str, tuple] = {}
-            for r in self._pending:
-                if r["tx_id"] != tx_id:
-                    continue
+            for r in tx_rows:
                 if r["content_hash"] and r["doc_json"]:
                     batch[r["content_hash"]] = (
                         r["eid"], json.loads(r["doc_json"])
@@ -427,12 +429,7 @@ class TxStore:
                     )
             self._docs.submit_docs(batch)
         if self._wal is not None:
-            self._wal.append(
-                {
-                    "tx_id": tx_id,
-                    "rows": [r for r in self._pending if r["tx_id"] == tx_id],
-                }
-            )
+            self._wal.append({"tx_id": tx_id, "rows": tx_rows})
         return tx_id
 
     def commit(self) -> set[int]:

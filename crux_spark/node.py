@@ -478,7 +478,15 @@ class IngestClient:
             )
 
     def submit_tx(self, ops, tx_time=None) -> int:
-        return self._store.submit_tx(ops, tx_time=tx_time)
+        tx_id = self._store.submit_tx(ops, tx_time=tx_time)
+        # A write-only client never calls commit(), so the indexing
+        # backlog would otherwise grow unboundedly for the life of the
+        # process (exactly the dedicated-ingest scenario this class is
+        # for). Everything durable — WAL entry, doc-store batch — was
+        # written by submit_tx; the pending rows only feed the index this
+        # client intentionally doesn't have. Drain them.
+        self._store._pending.clear()
+        return tx_id
 
     def register_tx_fn(self, name, fn) -> None:
         self._store.register_tx_fn(name, fn)

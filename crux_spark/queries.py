@@ -2655,7 +2655,7 @@ QUERIES.update(_reordered)
         round((length(text) - length(replace(text, '#', ''))
                + (length(text) - length(replace(text, '...', ''))) / 3.0)
               / greatest(len(ws), 1), 6) AS symbol_word_ratio,
-        round(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*])'))) * 1.0
+        round(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) * 1.0
               / greatest(len(lines), 1), 6) AS bullet_line_frac,
         round(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) * 1.0
               / greatest(len(lines), 1), 6) AS ellipsis_line_frac,

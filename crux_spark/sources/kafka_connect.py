@@ -52,12 +52,15 @@ def transform_sink_record(record: dict, props: dict | None = None) -> tuple:
     if record.get("value") is None and record.get("key") is not None:
         return ("delete", record["key"])
     doc = dict(record_value_to_doc(record["value"]))
-    eid = (
-        doc.get("id")
-        or (props.get(ID_KEY_CONFIG) and doc.get(props[ID_KEY_CONFIG]))
-        or record.get("key")
-        or str(uuid.uuid4())
-    )
+    # explicit None checks, not truthiness: 0, "" and False are valid ids
+    # (an `or` chain would silently re-key the doc and split its history)
+    eid = doc.get("id")
+    if eid is None and props.get(ID_KEY_CONFIG) is not None:
+        eid = doc.get(props[ID_KEY_CONFIG])
+    if eid is None:
+        eid = record.get("key")
+    if eid is None:
+        eid = str(uuid.uuid4())
     doc["id"] = eid
     return ("put", doc)
 

@@ -342,6 +342,28 @@ class _Parser:
                     clauses.append(plus)
                 return
             jv = [attr] + [v for v, isv in ((s, s_var), (o, o_var)) if isv]
+            if s_var and o_var:
+                # BOTH endpoints variable: the zero-length path binds
+                # s = o over the graph's term domain (RDF4J
+                # ZeroLengthPath semantics — subjects ∪ objects), not
+                # from an outside binding that may not exist. Two
+                # branches: s ranges over domain subjects, and over
+                # domain objects; or-join set-union dedups terms that
+                # appear as both.
+                zero_s = [
+                    "and", dom,
+                    [["identity", f"?__zl{c}s"], s],
+                    [["identity", s], o],
+                ]
+                zero_o = [
+                    "and", dom,
+                    [["identity", f"?__zl{c}o"], s],
+                    [["identity", s], o],
+                ]
+                clauses.append(
+                    ["or-join", jv, ["and", plus], zero_s, zero_o]
+                )
+                return
             zero = (
                 ["and", dom, [["identity", o], s]]
                 if (s_var and not o_var)

@@ -138,3 +138,34 @@ def test_restore_preserves_pre_checkpoint_aborts(spark, tmp_path):
     assert restored.tx_committed(1) is True
     assert restored.tx_committed(2) is False  # live node's answer
     assert restored.tx_committed(3) is True
+
+
+def test_restore_replays_evict_through_doc_store(spark, tmp_path):
+    """An evict in the replayed WAL tail must run the doc-store
+    tombstone pass, exactly like TxStore.recover: the doc store must be
+    attached BEFORE the tail replays. Regression: restore_latest used to
+    attach it after commit(), so a crash between submit and commit of an
+    evict restored with the evicted docs still fetchable."""
+    from crux_spark.bitemporal import splice
+    from crux_spark.bitemporal.docstore import open_doc_store
+
+    wal = str(tmp_path / "wal.jsonl")
+    docs = str(tmp_path / "docs.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal, doc_store=docs)
+    secret = {"id": "a", "v": "secret"}
+    store.submit_tx([("put", secret)], tx_time=t(1))
+    store.commit()
+    cp.checkpoint(store)
+    # evict submitted (durable in WAL + doc store untouched yet) but the
+    # node dies before commit() — the checkpoint predates the evict
+    store.submit_tx([("evict", "a")], tx_time=t(2))
+
+    h = splice.content_hash(secret)
+    assert open_doc_store(docs).fetch_docs([h]) == {h: secret}
+
+    restored = cp.restore_latest(spark, wal_path=wal, doc_store=docs)
+    assert restored.entity("a", valid_time=t(3)) is None
+    # the tombstone pass ran during tail replay: content is gone from
+    # the store, and documents() answers the redaction sentinel at most
+    assert open_doc_store(docs).fetch_docs([h]).get(h, {}).get("v") != "secret"

@@ -143,3 +143,22 @@ def test_source_task_doc_mode(store):
     assert kc.poll_source_doc_mode(store, after_tx_id=3) == [
         {"offset": 4, "key": "hello-doc", "value": None}
     ]
+
+
+def test_sink_record_falsy_ids_preserved():
+    """Falsy-but-valid ids (0, empty string, False) must key the doc —
+    an `or` chain would silently re-key under the record key / a UUID
+    and split the entity's history."""
+    from crux_spark.sources.kafka_connect import transform_sink_record
+
+    for falsy in (0, "", False):
+        op = transform_sink_record(
+            {"key": "reckey", "value": {"id": falsy, "v": 1}}
+        )
+        assert op[0] == "put" and op[1]["id"] == falsy
+    # id-key config pointing at a falsy field value
+    op = transform_sink_record(
+        {"key": "reckey", "value": {"custom": 0, "v": 1}},
+        {"id.key": "custom"},
+    )
+    assert op[1]["id"] == 0

@@ -339,3 +339,23 @@ def test_ingest_client(spark, tmp_path):
     assert node_store.tx_committed(2) is True
     assert node_store.entity("ivan")["name"] == "Ivan"
     assert node_store.entity("petr")["name"] == "Petr"
+
+
+def test_ingest_client_drains_pending(spark, tmp_path):
+    """A write-only client never calls commit(), so submitted rows must
+    not accumulate in the composed store's indexing backlog (unbounded
+    memory + O(n^2) rescans in exactly the long-running dedicated-ingest
+    scenario the class exists for). Durability is unaffected: the WAL
+    entry and doc-store batch are written by submit_tx itself."""
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.node import IngestClient
+
+    wal = str(tmp_path / "wal.jsonl")
+    client = IngestClient(spark, wal, doc_store=str(tmp_path / "docs.jsonl"))
+    for i in range(5):
+        client.submit_tx([("put", {"id": f"e{i}", "v": i})])
+    assert client._store._pending == []
+    # the durable log still carries every op; a node can index them all
+    rec = TxStore.recover(spark, wal)
+    assert rec.latest_completed_tx() == 5
+    assert rec.entity("e4")["v"] == 4

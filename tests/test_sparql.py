@@ -516,3 +516,29 @@ def test_bound_with_optional(vcard_cat):
     }"""
     assert run(vcard_cat, base % "!") == {("Matt Jones",), ("Sarah Jones",)}
     assert run(vcard_cat, base % "") == {("Becky Smith",), ("John Smith",)}
+
+
+def test_property_path_star_variable_predicate_both_unbound(knows_cat):
+    """`?x ?p* ?y` with BOTH endpoints unbound: the zero-length branch
+    must GROUND ?x over the graph's term domain (subjects ∪ objects of
+    the predicate's edges — RDF4J ZeroLengthPath grounds from the graph,
+    never from an outside binding that may not exist). Regression: the
+    old compile copied ?y from ?x but left ?x unbound."""
+    got = run(
+        knows_cat,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?p ?x ?n
+        WHERE { ?x ?p* ?y . ?y ex:name ?n }""",
+    )
+    A, B, C, D = (f"http://ex/{x}" for x in "ABCD")
+    assert got == {
+        # ?p+ closure (only :knows closes onto named nodes)
+        (":knows", A, "Bob"), (":knows", A, "Cid"), (":knows", A, "Dan"),
+        (":knows", B, "Cid"), (":knows", B, "Dan"), (":knows", C, "Dan"),
+        # zero-length: x = y over each predicate's subject∪object domain
+        (":knows", A, "Ann"), (":knows", B, "Bob"),
+        (":knows", C, "Cid"), (":knows", D, "Dan"),
+        (":name", A, "Ann"), (":name", B, "Bob"),
+        (":name", C, "Cid"), (":name", D, "Dan"),
+    }
