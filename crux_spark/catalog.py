@@ -172,6 +172,11 @@ class Catalog:
                 ID_COL, F.concat_ws("_", *[F.col(c).cast("string") for c in pkey])
             )
         self._dfs[name] = df
+        # a new table invalidates any cached/materialized EAV view — the
+        # union no longer covers the catalog (re-materialize to opt back
+        # into the single-scan path)
+        self._eav = None
+        self._eav_path = None
         self._table_attrs[name] = []
         for field in df.schema.fields:
             if field.name == ID_COL:
@@ -278,6 +283,43 @@ class Catalog:
                 out = out.unionByName(v)
             self._eav = out
         return self._eav
+
+    def materialize_eav(self, path: str | None = None) -> str:
+        """Write the catalog-wide EAV view ONCE to parquet, partitioned
+        by attribute, and make every subsequent ``eav_view()`` consumer —
+        var-attribute scans (``[?e ?a ?v]``), the ``?p+``/``?p*``
+        variable-predicate closure domain — read that single table
+        instead of re-computing the N-table union per clause.
+
+        Why: the union view re-scans and explodes EVERY registered table
+        for EVERY var-attr clause (and per closure round). At 100 TB
+        that's the difference between one columnar scan with
+        attribute-partition pruning (a fixed-``a`` filter prunes to one
+        partition directory) and N full scans. The reference stores EAV
+        natively in its index (index_store.clj AVE/AEV), so var-attr is
+        free there; this is the opt-in Spark equivalent.
+
+        Idempotent per catalog: returns the existing path on a second
+        call. Pass ``path`` to control the location (default:
+        spark-warehouse/crux_eav)."""
+        if getattr(self, "_eav_path", None) is not None:
+            return self._eav_path
+        import os as _os
+
+        path = path or _os.path.join("spark-warehouse", "crux_eav")
+        # build the union fresh (not the cached self._eav, which may
+        # already BE a materialized read from a prior catalog)
+        from crux_spark.sources.loaders import triples_view
+
+        self._materialize_all()
+        views = [triples_view(self._dfs[t]) for t in self._dfs]
+        out = views[0]
+        for v in views[1:]:
+            out = out.unionByName(v)
+        out.write.mode("overwrite").partitionBy("a").parquet(path)
+        self._eav = self.spark.read.parquet(path)
+        self._eav_path = path
+        return path
 
     def register_views(self) -> None:
         """Expose every table as a temp view for the spark.sql() surface

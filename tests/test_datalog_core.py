@@ -472,3 +472,49 @@ def test_q21_plan_shape_locked(spark):
     assert len(facts["scans"]) <= 6, facts["scans"]
     assert facts["checkpoint_reads"] >= 2  # shared base reused
     assert facts["shuffle_exchanges"] <= 8
+
+
+def test_materialize_eav_single_scan(catalog, tmp_path):
+    """Catalog.materialize_eav(): var-attribute scans read ONE
+    attribute-partitioned parquet table instead of re-computing the
+    N-table union per clause (the reference holds EAV natively in its
+    index, index_store.clj AVE/AEV; this is the opt-in Spark
+    equivalent). Asserts: same answers both ways, single FileScan in the
+    materialized plan, attribute-partition pruning for fixed-a filters."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog import q
+
+    query = {
+        "find": ["?e", "?v"],
+        "keys": ["e", "v"],
+        "where": [
+            ["?e", "?a", "?v"],
+            [["=", "?a", ":c_acctbal"]],
+            [[">", "?v", 9000.0]],
+        ],
+    }
+    before = {(r.e, r.v) for r in q(catalog, query).collect()}
+
+    path = catalog.materialize_eav(str(tmp_path / "eav"))
+    assert catalog.materialize_eav() == path  # idempotent
+    after_df = q(catalog, query)
+    assert {(r.e, r.v) for r in after_df.collect()} == before
+
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString repeats the plan under "== Initial Plan =="; judge
+    # the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    # one scan of the materialized table; none of the base tables
+    assert final.count("FileScan parquet") == 1, plan
+    assert "eav" in final
+    # fixed-attribute equality reached the scan as a partition filter
+    assert ":c_acctbal" in final.split("PartitionFilters")[1].split("]")[0], plan
+
+    # the pruned scan reads only the one attribute partition
+    n_part = (
+        catalog.eav_view().filter(F.col("a") == ":c_acctbal").count()
+    )
+    assert n_part == catalog.table("customer").filter(
+        F.col("c_acctbal").isNotNull()
+    ).count()
