@@ -87,6 +87,18 @@ def _cleanup(spark) -> None:
         pass
 
 
+def _timed_run(fn, spark, sf_dir):
+    """One measured execution: build the frame, COLLECT it (never
+    count() — count() executes a derived plan that prunes the query's
+    own projections, the r4 text_repetition fiction), return
+    (seconds, df, n_rows). The df's OWN QueryExecution has now run, so
+    _fingerprint(df) describes the plan that was actually timed."""
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = len(df.collect())
+    return time.perf_counter() - t0, df, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -120,15 +132,12 @@ def main() -> None:
     total = 0.0
     for name, fn in queries.items():
         storage[name] = _pinned_storage_mb(spark)
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
+            dt, df, n = _timed_run(fn, spark, sf_dir)
         except Exception as e:  # a failing query should show as slow+flagged
             print(f"# bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        dt = time.perf_counter() - t0
         plans[name] = _fingerprint(df)
         del df
         # min-of-2 for EVERY query — heavyweights are exactly where one

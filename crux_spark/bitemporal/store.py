@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import logging
 from typing import Any, Callable, Iterable
 
 import pandas as pd
@@ -523,7 +524,19 @@ class TxStore:
                 .limit(_MAX_TX_EID_PAIRS + 1)
                 .collect()
             )
-            if len(pairs) <= _MAX_TX_EID_PAIRS:
+            if len(pairs) > _MAX_TX_EID_PAIRS:
+                # the fallback is CORRECT but strictly serial: one
+                # finalized abort per fixpoint round instead of one per
+                # independent entity group — surface it instead of
+                # silently degrading (N aborts -> N+1 rounds)
+                logging.getLogger(__name__).warning(
+                    "match finalization: > %d distinct (tx, eid) pairs in "
+                    "batch; falling back to serial per-round abort "
+                    "finalization (correct, but one round per abort — "
+                    "split the batch or raise _MAX_TX_EID_PAIRS)",
+                    _MAX_TX_EID_PAIRS,
+                )
+            else:
                 parent: dict = {}
 
                 def find(x):

@@ -19,10 +19,14 @@ def t(day):
     return dt.datetime(2023, 3, day)
 
 
-@pytest.fixture(params=["jsonl", "sqlite"])
-def ds_spec(request, tmp_path):
+@pytest.fixture(params=["jsonl", "sqlite", "s3"])
+def ds_spec(request, tmp_path, monkeypatch):
     if request.param == "jsonl":
         return str(tmp_path / "docs.jsonl")
+    if request.param == "s3":
+        # blob transport (crux-s3 analogue) over the local emulation
+        monkeypatch.setenv("CRUX_SPARK_BLOB_DIR", str(tmp_path / "blob"))
+        return "s3://test-bucket/crux/docs"
     return "sqlite:" + str(tmp_path / "docs.db")
 
 

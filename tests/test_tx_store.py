@@ -1174,3 +1174,39 @@ def test_dependent_match_aborts_stay_serial(spark):
     assert store.commit() == {tx2}
     assert store.tx_committed(tx3) is True
     assert store.entity("e", valid_time=t(4))["v"] == 3
+
+
+@pytest.mark.parametrize("cap,expect_warn", [(4, True), (5, False)])
+def test_match_finalization_cap_boundary(spark, caplog, monkeypatch,
+                                         cap, expect_warn):
+    """At cap+1 distinct (tx, eid) pairs the entity-group-parallel
+    finalization falls back to strictly-serial rounds — the fallback
+    must WARN (it silently degrades N independent aborts to N rounds)
+    and must produce identical verdicts/state either way."""
+    import logging
+
+    from crux_spark.bitemporal import store as store_mod
+
+    monkeypatch.setattr(store_mod, "_MAX_TX_EID_PAIRS", cap)
+    store = TxStore(spark)
+    store.submit_tx(
+        [("put", {"id": "a", "v": 1}), ("put", {"id": "b", "v": 1}),
+         ("put", {"id": "c", "v": 1})],
+        tx_time=t(1),
+    )  # 3 pairs
+    store.submit_tx(
+        [("match", "a", {"id": "a", "v": 999}), ("put", {"id": "a", "v": 2})],
+        tx_time=t(2),
+    )  # +1 pair, fails
+    store.submit_tx(
+        [("match", "b", {"id": "b", "v": 1}), ("put", {"id": "b", "v": 2})],
+        tx_time=t(3),
+    )  # +1 pair, passes -> 5 distinct (tx, eid) pairs total
+    with caplog.at_level(logging.WARNING,
+                         logger="crux_spark.bitemporal.store"):
+        aborted = store.commit()
+    assert aborted == {2}
+    assert store.entity("a", valid_time=t(4))["v"] == 1
+    assert store.entity("b", valid_time=t(4))["v"] == 2
+    warned = any("serial per-round abort" in r.message for r in caplog.records)
+    assert warned is expect_warn
