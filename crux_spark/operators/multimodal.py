@@ -2,17 +2,21 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The container has no image/audio LIBRARIES, so formats needing real
-third-party codecs (MP4/video, MP3 SAMPLE decode) are STUBBED behind a
-deterministic fake (clearly marked below). FOUR formats decode FOR REAL
-with pure stdlib+numpy parsers: PPM (P6), PNG (zlib inflate + scanline
-filter reconstruction), baseline JPEG (Huffman + IDCT, operators/
-jpeg.py), and 16-bit PCM WAV — proving the whole decode -> resize ->
-feature path end-to-end on actual pixels/samples; MP3 gets a REAL
-sync-frame metadata parser (duration/bitrate/VBR from the public frame
-header layout; see parse_mp3). Swapping the remaining stubs for
-libvips/ffmpeg on a cluster with codecs changes nothing Spark-side
-(schema, partition-preserving mapInPandas, batch shapes, metadata
-structs).
+third-party codecs (MP4/video, MPEG audio Layer II/III SAMPLES) are
+STUBBED behind a deterministic fake (clearly marked below). FIVE
+formats decode FOR REAL with pure stdlib+numpy parsers: PPM (P6), PNG
+(zlib inflate + scanline filter reconstruction), baseline JPEG
+(Huffman + IDCT, operators/jpeg.py), 16-bit PCM WAV, and MPEG-1 Audio
+Layer I (requantization + 32-band PQMF synthesis, operators/
+mpeg_audio.py) — proving the whole decode -> resize -> feature path
+end-to-end on actual pixels/samples. All MPEG audio layers get the
+REAL sync-frame metadata parser (duration/bitrate/VBR from the public
+frame header layout; see parse_mp3); Layer II/III sample decode stays
+stubbed because their bit-allocation/huffman tables are numeric spec
+tables with no closed form (see mpeg_audio.py's docstring). Swapping
+the remaining stubs for libvips/ffmpeg on a cluster with codecs
+changes nothing Spark-side (schema, partition-preserving mapInPandas,
+batch shapes, metadata structs).
 """
 
 from __future__ import annotations
@@ -483,6 +487,21 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
         wav = decode_wav(b)
         if wav is not None:  # real decode for 16-bit PCM WAV
             return _audio_features(*wav, n_features)
+        if b is not None and len(b) > 4 and (
+            b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0)
+        ):
+            # real sample decode for MPEG-1 Layer I (PQMF synthesis,
+            # mpeg_audio.py); Layer II/III raise there (labeled stub:
+            # their allocation/huffman tables are numeric spec tables)
+            # and fall through to the byte-histogram fake
+            try:
+                from crux_spark.operators.mpeg_audio import decode_layer1
+
+                dec = decode_layer1(b)
+                if dec is not None:
+                    return _audio_features(*dec, n_features)
+            except NotImplementedError:
+                pass
         return _fake_decode(b, n_features)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
