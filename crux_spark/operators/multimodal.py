@@ -3,13 +3,16 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The container has no image/audio LIBRARIES, so formats needing real
 third-party codecs (MP4/video, MPEG audio Layer II/III SAMPLES) are
-STUBBED behind a deterministic fake (clearly marked below). FIVE
+STUBBED behind a deterministic fake (clearly marked below). SIX
 formats decode FOR REAL with pure stdlib+numpy parsers: PPM (P6), PNG
 (zlib inflate + scanline filter reconstruction), baseline JPEG
-(Huffman + IDCT, operators/jpeg.py), 16-bit PCM WAV, and MPEG-1 Audio
+(Huffman + IDCT, operators/jpeg.py), 16-bit PCM WAV, MPEG-1 Audio
 Layer I (requantization + 32-band PQMF synthesis, operators/
-mpeg_audio.py) — proving the whole decode -> resize -> feature path
-end-to-end on actual pixels/samples. All MPEG audio layers get the
+mpeg_audio.py), and MJPEG-in-AVI video (RIFF container walk +
+per-frame JPEG, operators/avi.py — sample_frames returns real
+standalone JPEGs, features come from real frame pixels) — proving the
+whole decode -> resize -> feature path end-to-end on actual
+pixels/samples. All MPEG audio layers get the
 REAL sync-frame metadata parser (duration/bitrate/VBR from the public
 frame header layout; see parse_mp3); Layer II/III sample decode stays
 stubbed because their bit-allocation/huffman tables are numeric spec
@@ -415,6 +418,15 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 else "jpeg"
             )
             return (kind, int(arr.shape[1]), int(arr.shape[0]), None, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from crux_spark.operators.avi import parse_avi
+
+            avi = parse_avi(b)
+            if avi is not None:
+                return ("avi", avi.get("width"), avi.get("height"), None,
+                        round(avi["duration_ms"] / 1000.0, 3)
+                        if avi.get("duration_ms") is not None else None,
+                        None)
         wav = decode_wav(b)
         if wav is not None:
             rate, samples = wav
@@ -484,6 +496,15 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
         arr = _decode_image(b)
         if arr is not None:  # real decode for P6 / PNG / baseline JPEG
             return _image_features(arr, n_features)
+        if b is not None and bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"AVI ":
+            # real video features for MJPEG AVI: middle frame's pixels
+            from crux_spark.operators.avi import avi_frames
+
+            fr = avi_frames(bytes(b))
+            if fr:
+                mid = _decode_image(fr[len(fr) // 2])
+                if mid is not None:
+                    return _image_features(mid, n_features)
         wav = decode_wav(b)
         if wav is not None:  # real decode for 16-bit PCM WAV
             return _audio_features(*wav, n_features)
@@ -637,12 +658,20 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # STUB frame decode: 16-byte deterministic slice at the frame
-            # offset (replace with an ffmpeg seek+decode)
+            # REAL frame extraction for MJPEG-in-AVI (RIFF walk ->
+            # per-frame standalone JPEG, operators/avi.py); other
+            # containers fall back to the 16-byte STUB slice (replace
+            # with an ffmpeg seek+decode on a cluster with codecs)
             def frame_of(row):
                 b, ts = row["blob"], row["ts_ms"]
                 if b is None or not len(b):
                     return None
+                if bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"AVI ":
+                    from crux_spark.operators.avi import decode_avi_frame
+
+                    jpg = decode_avi_frame(bytes(b), int(ts))
+                    if jpg is not None:
+                        return jpg
                 off = int(ts) % max(1, len(b))
                 return bytes(b[off : off + 16])
 
