@@ -392,3 +392,51 @@ def mix_corpora(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def epoch_shard_shuffle(
+    df: DataFrame,
+    seed: str = "s",
+    epoch: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment — the
+    export step a training pipeline runs per epoch: every row gets a
+    (shard, idx) position that is a pure function of (seed, epoch, id),
+    so any worker on any cluster re-derives the same order with no
+    driver RNG, no global coordination, and bit-identical resumes.
+
+    Mechanism: key = md5(seed:epoch:id) (a fresh pseudo-random
+    permutation per epoch), shard = first hex nibble mod n_shards,
+    idx = rank of the key within its shard.
+
+    Scale: ONE hash-shuffle on shard, then a per-shard window sort —
+    never a global total-order sort (a single-partition row_number is
+    the classic 100 TB bottleneck; shards bound every sort to
+    corpus/n_shards rows and shard count is chosen >= cluster
+    parallelism). Readers stream shard files independently; epoch+1 is
+    a new key, not a new plan.
+    """
+    if not 1 <= n_shards <= 16:
+        # first-nibble sharding keeps the shard fn trivially portable
+        # (any engine can substr a hex digest); widen via more nibbles
+        # if a deployment needs >16 shards
+        raise ValueError("n_shards must be in 1..16")
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.lit(str(epoch)),
+                    F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    out = df.withColumn("__key", key).withColumn(
+        "shard",
+        (F.conv(F.substring("__key", 1, 1), 16, 10).cast("int")
+         % F.lit(int(n_shards))).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__key").asc(),
+                                            F.col(id_col).asc())
+    return (
+        out.withColumn("idx", F.row_number().over(w).cast("long"))
+        .drop("__key")
+    )

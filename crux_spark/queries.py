@@ -2921,3 +2921,38 @@ _r6_order = _r6_order[:42] + _R6_IN + _r6_order[42:] + _R6_OUT
 _r6_reordered = {n: QUERIES[n] for n in _r6_order}
 QUERIES.clear()
 QUERIES.update(_r6_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r6 late additions — registered AFTER the window reorder, so they land in
+# the overflow tail (mirror-checked at two SFs; driver rows via rotation —
+# r7 queue: epoch_shard_shuffle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_shard_shuffle",
+    """
+    SELECT doc_id, shard, idx FROM (
+      SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 16
+                  AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY CAST((strpos('0123456789abcdef',
+                                          substr(k, 1, 1)) - 1) % 16 AS INT)
+               ORDER BY k, doc_id) AS BIGINT) AS idx
+      FROM (SELECT doc_id, md5('s7:2:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents)
+    )
+    """,
+)
+def epoch_shard_shuffle(spark, sf_dir):
+    """Deterministic per-epoch shuffle + shard assignment for training
+    export (seeded md5 permutation; per-shard ordered index; one
+    hash-shuffle + per-shard window, never a global total-order sort) —
+    oracled cell-for-cell against DuckDB's md5/row_number."""
+    cat = catalog_for(spark, sf_dir)
+    out = _samp.epoch_shard_shuffle(
+        cat.table("documents"), seed="s7", epoch=2, n_shards=16
+    )
+    return out.select("doc_id", "shard", "idx")

@@ -214,3 +214,37 @@ def test_mix_corpora(docs):
     a = sorted((r.source, r.epoch, r.doc_id) for r in mixed.collect())
     b = sorted((r.source, r.epoch, r.doc_id) for r in again.collect())
     assert a == b
+
+
+def test_epoch_shard_shuffle_deterministic_and_scale_shape(spark):
+    """epoch_shard_shuffle: same (seed, epoch, id) -> same (shard, idx)
+    on any partitioning; a new epoch is a different permutation; the
+    plan has exactly one shuffle (per-shard window) and no
+    single-partition global sort."""
+    from crux_spark.operators.sampling import epoch_shard_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = epoch_shard_shuffle(df, seed="x", epoch=1).collect()
+    b = epoch_shard_shuffle(df.repartition(7), seed="x", epoch=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-proof
+    # every shard's idx is a dense 1..n ranking
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.idx)
+    for shard, idxs in by_shard.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), shard
+    assert len(by_shard) == 16
+    # a new epoch permutes: same rows, different order
+    c = epoch_shard_shuffle(df, seed="x", epoch=2).collect()
+    assert sorted(r.doc_id for r in c) == sorted(r.doc_id for r in a)
+    assert {(r.doc_id, r.shard, r.idx) for r in c} != {
+        (r.doc_id, r.shard, r.idx) for r in a
+    }
+    # scale shape: one hash-partitioning exchange, keyed by shard (a
+    # global row_number would show a SinglePartition exchange)
+    out = epoch_shard_shuffle(df, seed="x", epoch=1)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in final, final
+    assert final.count("Exchange hashpartitioning") == 1, final
