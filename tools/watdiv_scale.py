@@ -9,8 +9,13 @@ triples, through BOTH compilers (sparql_to_datalog and the
 independently hand-compiled Datalog), asserting full row-set agreement
 per instance and recording wall clock per query.
 
-Usage: python tools/watdiv_scale.py [n_users]   (default 32000 ≈ 1.05M triples)
-Writes WATDIV_SCALE.json at the repo root.
+Usage: python tools/watdiv_scale.py [n_users] [rows|counts]
+  n_users: default 32000 ≈ 1.05M triples (310000 ≈ 10M, reference scale)
+  mode:    'rows' (default) compares FULL row sets; 'counts' compares
+           result counts — what watdiv_crux.clj itself records — and
+           keeps the comparison distributed (no driver collect of
+           multi-million-row results at 10M).
+Writes WATDIV_SCALE.json (rows mode) / WATDIV_SCALE_COUNTS.json.
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ TIMEOUT_BAR = 30.0  # the reference's own per-query timeout
 
 def main() -> None:
     n_users = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "rows"
 
     from test_watdiv import _IDS, PREFIXES, TEMPLATES  # noqa: E402
 
@@ -61,30 +67,37 @@ def main() -> None:
     for (fam, builder, args), qid in zip(TEMPLATES, _IDS):
         sparql, datalog = builder(*args)
         t1 = time.perf_counter()
-        got = {tuple(r) for r in q(cat, sparql_to_datalog(PREFIXES + sparql)).collect()}
+        sdf = q(cat, sparql_to_datalog(PREFIXES + sparql))
+        if mode == "counts":
+            got = sdf.count()
+        else:
+            got = {tuple(r) for r in sdf.collect()}
         dt_sparql = time.perf_counter() - t1
         t2 = time.perf_counter()
-        exp = {tuple(r) for r in q(cat, datalog).collect()}
+        hdf = q(cat, datalog)
+        exp = hdf.count() if mode == "counts" else {tuple(r) for r in hdf.collect()}
         dt_hand = time.perf_counter() - t2
         agree = got == exp
         if not agree:
             disagreements.append(qid)
         if max(dt_sparql, dt_hand) > TIMEOUT_BAR:
             over_bar.append(qid)
+        n_rows = got if mode == "counts" else len(got)
         results[qid] = {
-            "rows": len(got),
+            "rows": n_rows,
             "agree": agree,
             "sparql_s": round(dt_sparql, 2),
             "hand_s": round(dt_hand, 2),
         }
         print(
-            f"# {qid}: rows={len(got)} agree={agree} "
+            f"# {qid}: rows={n_rows} agree={agree} "
             f"sparql={dt_sparql:.2f}s hand={dt_hand:.2f}s",
             file=sys.stderr,
         )
 
     out = {
         "n_users": n_users,
+        "mode": mode,
         "n_triples": n_triples,
         "n_entities": n_entities,
         "build_s": round(t_build, 1),
@@ -96,7 +109,7 @@ def main() -> None:
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "WATDIV_SCALE.json",
+        "WATDIV_SCALE_COUNTS.json" if mode == "counts" else "WATDIV_SCALE.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
