@@ -1048,6 +1048,76 @@ class Compiler:
             branch_forms.append(["and", *forms] if len(forms) > 1 else forms[0])
         return ["or", *branch_forms]
 
+    @staticmethod
+    def _try_merge_or_branches(branches: list) -> "list | None":
+        """Or-branches that are IDENTICAL except one literal inside one
+        triple clause merge into a single branch carrying a set literal
+        (one-of) at that position — N full branch plans (N copies of
+        every join, then union + distinct) collapse to ONE plan with an
+        isin filter. The classic shape is SPARQL
+        `{ ?r :name "A" } UNION { ?r :name "B" }` and the reference's
+        or-of-literals (query.clj compiles those to the same index
+        range union this rewrite produces). Returns None when branches
+        differ in structure, in more than one position, or in a
+        non-literal — semantics there need the general union path."""
+        lits = (str, int, float, bool)
+        norm = []
+        for b in branches:
+            if not isinstance(b, (list, tuple)) or not b:
+                return None
+            norm.append(list(b[1:]) if b[0] == "and" else [b])
+        first = norm[0]
+        if len(norm) < 2 or any(len(n) != len(first) for n in norm[1:]):
+            return None
+        diff_clause = None
+        for ci in range(len(first)):
+            if all(n[ci] == first[ci] for n in norm[1:]):
+                continue
+            if diff_clause is not None:
+                return None  # branches differ in 2+ clauses
+            diff_clause = ci
+        if diff_clause is None:
+            return [["and"] + first]  # identical branches: keep one
+        cands = [n[diff_clause] for n in norm]
+        c0 = cands[0]
+        # the differing clause must be a triple [e :attr v?] in every
+        # branch, same attr, same length
+        if not all(
+            isinstance(c, (list, tuple))
+            and len(c) == len(c0)
+            and len(c) in (2, 3)
+            and isinstance(c[1], str)
+            and c[1].startswith(":")
+            and c[1] == c0[1]
+            for c in cands
+        ):
+            return None
+        diff_pos = None
+        for pi in range(len(c0)):
+            if all(c[pi] == c0[pi] for c in cands[1:]):
+                continue
+            if diff_pos is not None:
+                return None  # two positions differ inside the clause
+            diff_pos = pi
+        if diff_pos is None or diff_pos == 1:
+            return None
+        vals = [c[diff_pos] for c in cands]
+        # plain same-type literals only (vars would change binding
+        # semantics; mixed types would hit isin's implicit casts)
+        if not all(
+            isinstance(v, lits) and not isinstance(v, bool)
+            and type(v) is type(vals[0]) and not (
+                isinstance(v, str) and (v.startswith("?") or v == "_")
+            )
+            for v in vals
+        ):
+            return None
+        merged_clause = list(c0)
+        merged_clause[diff_pos] = frozenset(vals)
+        merged = list(first)
+        merged[diff_clause] = merged_clause
+        return [["and"] + merged]
+
     def compile_or(
         self,
         joinvars: list | None,
@@ -1055,6 +1125,9 @@ class Compiler:
         outer: DataFrame | None = None,
         distinct: bool = True,
     ) -> DataFrame:
+        merged = self._try_merge_or_branches(branches)
+        if merged is not None:
+            branches = merged
         bdfs = []
         for b in branches:
             cls = (

@@ -518,3 +518,100 @@ def test_materialize_eav_single_scan(catalog, tmp_path):
     assert n_part == catalog.table("customer").filter(
         F.col("c_acctbal").isNotNull()
     ).count()
+
+
+def test_or_branch_literal_merge(catalog):
+    """Or-branches identical except one literal collapse into a single
+    set-literal (one-of) branch: SAME answers as the general union
+    path, and the executed plan carries ONE copy of the branch joins
+    instead of N (the N-branch union plan repeats every join per
+    branch)."""
+    from crux_spark.datalog import q
+    from crux_spark.datalog.compile import Compiler
+
+    # unit-level rewrites
+    m = Compiler._try_merge_or_branches(
+        [
+            ["and", ["?r", ":r_regionkey", "?rk"], ["?r", ":r_name", "ASIA"]],
+            ["and", ["?r", ":r_regionkey", "?rk"], ["?r", ":r_name", "EUROPE"]],
+        ]
+    )
+    assert m == [
+        ["and", ["?r", ":r_regionkey", "?rk"],
+         ["?r", ":r_name", frozenset({"ASIA", "EUROPE"})]]
+    ]
+    # NOT merged: two clauses differ
+    assert Compiler._try_merge_or_branches(
+        [
+            ["and", ["?r", ":r_name", "ASIA"], ["?r", ":r_regionkey", 1]],
+            ["and", ["?r", ":r_name", "EUROPE"], ["?r", ":r_regionkey", 2]],
+        ]
+    ) is None
+    # NOT merged: differing position is a variable in one branch
+    assert Compiler._try_merge_or_branches(
+        [["?r", ":r_name", "ASIA"], ["?r", ":r_name", "?x"]]
+    ) is None
+    # NOT merged: mixed literal types
+    assert Compiler._try_merge_or_branches(
+        [["?c", ":c_nationkey", 1], ["?c", ":c_nationkey", "x"]]
+    ) is None
+    # identical branches: redundant or collapses to one
+    assert Compiler._try_merge_or_branches(
+        [["?r", ":r_name", "ASIA"], ["?r", ":r_name", "ASIA"]]
+    ) == [["and", ["?r", ":r_name", "ASIA"]]]
+
+    # end-to-end: merged plan answers == manual union, one join not two
+    query = {
+        "find": ["?name"],
+        "keys": ["n_name"],
+        "where": [
+            ["?n", ":n_name", "?name"],
+            ["?n", ":n_regionkey", "?rk"],
+            [
+                "or-join", ["?rk"],
+                ["and", ["?r", ":r_regionkey", "?rk"],
+                 ["?r", ":r_name", "ASIA"]],
+                ["and", ["?r", ":r_regionkey", "?rk"],
+                 ["?r", ":r_name", "EUROPE"]],
+            ],
+        ],
+    }
+    df = q(catalog, query)
+    got = sorted(r.n_name for r in df.collect())
+    from pyspark.sql import functions as F
+
+    n, r = catalog.table("nation"), catalog.table("region")
+    exp = sorted(
+        x.n_name
+        for x in n.join(
+            r.filter(F.col("r_name").isin("ASIA", "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_name").collect()
+    )
+    assert got == exp and got
+    import re
+
+    def n_joins(frame):
+        frame.collect()
+        final = (
+            frame._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        return len(re.findall(r"BroadcastHashJoin|SortMergeJoin", final)), final
+
+    merged_joins, merged_plan = n_joins(df)
+    # the union of branches is gone from the merged plan
+    assert "Union" not in merged_plan, merged_plan
+    # and it carries strictly fewer joins than the general union path
+    import crux_spark.datalog.compile as C
+
+    real = C.Compiler._try_merge_or_branches
+    C.Compiler._try_merge_or_branches = staticmethod(lambda branches: None)
+    try:
+        df_u = q(catalog, query)
+        assert sorted(r.n_name for r in df_u.collect()) == got
+        union_joins, union_plan = n_joins(df_u)
+    finally:
+        C.Compiler._try_merge_or_branches = real
+    assert "Union" in union_plan, union_plan
+    assert merged_joins < union_joins, (merged_joins, union_joins)
