@@ -174,9 +174,10 @@ class Catalog:
         self._dfs[name] = df
         # a new table invalidates any cached/materialized EAV view — the
         # union no longer covers the catalog (re-materialize to opt back
-        # into the single-scan path)
+        # into the single-scan path) — and the compiled-plan cache
         self._eav = None
         self._eav_path = None
+        self._plan_cache = {}
         self._table_attrs[name] = []
         for field in df.schema.fields:
             if field.name == ID_COL:

@@ -2165,14 +2165,61 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
     return df
 
 
+_PLAN_CACHE_CAP = 256  # the reference's query plan cache (query.clj:1993-2001)
+
+
+def _plan_cache_key(query: dict) -> "str | None":
+    """Canonical cache key for an argument-free query dict; None when
+    the query isn't safely cacheable (callable members, etc.)."""
+    import json as _json
+
+    def enc(o):
+        if isinstance(o, (set, frozenset)):
+            return ["__set__"] + sorted(map(repr, o))
+        if callable(o):
+            raise TypeError("callable")
+        return repr(o)
+
+    try:
+        return _json.dumps(query, sort_keys=True, default=enc)
+    except TypeError:
+        return None
+
+
 def q(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
     """Run a Datalog query; returns the (lazy) result DataFrame.
+
+    Repeated argument-free queries hit a per-catalog compiled-plan LRU
+    (the reference's query plan cache, query.clj:1993-2001): compilation
+    is driver-side Python + JVM round trips, pure per (catalog, query),
+    and dominates latency for repeated point lookups. Queries with
+    ``:in`` args bake bindings into the plan and skip the cache; any
+    catalog registration invalidates it (same lifecycle as the EAV
+    view).
 
     The eager set-vs-vector collection of the reference (query.clj:1781-1803)
     is left to the caller: `.collect()` the returned frame (or `q_eager`
     below for the reference's timeout-interrupted eager collection).
     """
-    return compile_query(catalog, query, *args)
+    if args or not isinstance(query, dict):
+        return compile_query(catalog, query, *args)
+    key = _plan_cache_key(query)
+    if key is None:
+        return compile_query(catalog, query)
+    cache = getattr(catalog, "_plan_cache", None)
+    if cache is not None and key in cache:
+        return cache[key]
+    df = compile_query(catalog, query)
+    # re-fetch AFTER compiling: compilation lazily materializes tables,
+    # and registration resets the cache (correctly — the catalog
+    # changed); writing to the pre-compile dict would orphan the entry
+    cache = getattr(catalog, "_plan_cache", None)
+    if cache is None:
+        cache = catalog._plan_cache = {}
+    if len(cache) >= _PLAN_CACHE_CAP:
+        cache.pop(next(iter(cache)))  # FIFO eviction is enough here
+    cache[key] = df
+    return df
 
 
 DEFAULT_QUERY_TIMEOUT_MS = 30_000  # query.clj:2005-2007

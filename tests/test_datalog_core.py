@@ -608,6 +608,7 @@ def test_or_branch_literal_merge(catalog):
     real = C.Compiler._try_merge_or_branches
     C.Compiler._try_merge_or_branches = staticmethod(lambda branches: None)
     try:
+        catalog._plan_cache = {}  # force recompile under the patch
         df_u = q(catalog, query)
         assert sorted(r.n_name for r in df_u.collect()) == got
         union_joins, union_plan = n_joins(df_u)
@@ -615,3 +616,42 @@ def test_or_branch_literal_merge(catalog):
         C.Compiler._try_merge_or_branches = real
     assert "Union" in union_plan, union_plan
     assert merged_joins < union_joins, (merged_joins, union_joins)
+
+
+def test_plan_cache_reuse_and_invalidation(catalog, spark):
+    """Argument-free queries hit the per-catalog compiled-plan LRU
+    (query.clj:1993-2001); :in args skip it; registering a table
+    invalidates it."""
+    from crux_spark import Catalog
+
+    query = {"find": ["?name"], "where": [["?n", ":n_name", "?name"]]}
+    d1 = q(catalog, query)
+    d2 = q(catalog, query)
+    assert d1 is d2  # same compiled plan object
+    # args-bearing queries are never cached
+    qa = {"find": ["?name"], "in": ["?rk"],
+          "where": [["?n", ":n_name", "?name"],
+                    ["?n", ":n_regionkey", "?rk"]]}
+    a1, a2 = q(catalog, qa, 1), q(catalog, qa, 2)
+    assert a1 is not a2
+    assert a1.count() != a2.count() or rows(a1) != rows(a2)
+    # registration invalidates: a fresh catalog answers with new state
+    c2 = Catalog(spark)
+    c2.add_documents(
+        "ppl", spark.createDataFrame([("a", "Ann")], "id string, n_name string"),
+        id_col="id",
+    )
+    p1 = q(c2, query)
+    assert [r.name for r in p1.collect()] == ["Ann"]
+    # re-registering the collection must invalidate the cached plan —
+    # a stale hit would keep answering ["Ann"]
+    c2.add_documents(
+        "ppl",
+        spark.createDataFrame(
+            [("a", "Ann"), ("b", "Bob")], "id string, n_name string"
+        ),
+        id_col="id",
+    )
+    p2 = q(c2, query)
+    assert p1 is not p2
+    assert sorted(r.name for r in p2.collect()) == ["Ann", "Bob"]
