@@ -320,6 +320,8 @@ class Catalog:
         out.write.mode("overwrite").partitionBy("a").parquet(path)
         self._eav = self.spark.read.parquet(path)
         self._eav_path = path
+        # compiled plans built on the union view are now stale
+        self._plan_cache = {}
         return path
 
     def register_views(self) -> None:

@@ -59,8 +59,11 @@ SAMPLE_SEED: int | None = None
 
 
 def set_sample_seed(seed: int | None) -> None:
+    from . import epoch
+
     global SAMPLE_SEED
     SAMPLE_SEED = seed
+    epoch.bump()  # the seed is baked into compiled sample/rand exprs
 
 
 def _seed() -> int:
@@ -98,7 +101,10 @@ def _rand_n(c: str, n: int) -> Column:
 
 
 def register_aggregate(name: str, fn) -> None:
+    from . import epoch
+
     _CUSTOM[name] = fn
+    epoch.bump()
 
 
 def is_agg_form(el: Any) -> bool:

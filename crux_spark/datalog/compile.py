@@ -2170,8 +2170,25 @@ _PLAN_CACHE_CAP = 256  # the reference's query plan cache (query.clj:1993-2001)
 
 def _plan_cache_key(query: dict) -> "str | None":
     """Canonical cache key for an argument-free query dict; None when
-    the query isn't safely cacheable (callable members, etc.)."""
+    the query isn't safely cacheable (callable members, sampling
+    aggregates — an unseeded `rand`/`sample` bakes a fresh draw seed
+    into each compile, so serving a cached plan would freeze the
+    draw). Keys carry the compile-environment epoch (user fns, custom
+    aggregates, sample seed), so registry mutations invalidate by
+    construction."""
     import json as _json
+
+    from . import epoch
+
+    def has_sampling(o) -> bool:
+        if isinstance(o, (list, tuple)):
+            if o and o[0] in ("rand", "sample"):
+                return True
+            return any(has_sampling(x) for x in o)
+        return False
+
+    if has_sampling(query.get("find", [])):
+        return None
 
     def enc(o):
         if isinstance(o, (set, frozenset)):
@@ -2181,9 +2198,10 @@ def _plan_cache_key(query: dict) -> "str | None":
         return repr(o)
 
     try:
-        return _json.dumps(query, sort_keys=True, default=enc)
+        body = _json.dumps(query, sort_keys=True, default=enc)
     except TypeError:
         return None
+    return f"{epoch.current()}|{body}"
 
 
 def q(catalog: Catalog, query: dict, *args: Any) -> DataFrame:

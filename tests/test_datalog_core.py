@@ -605,7 +605,10 @@ def test_or_branch_literal_merge(catalog):
     # and it carries strictly fewer joins than the general union path
     import crux_spark.datalog.compile as C
 
-    real = C.Compiler._try_merge_or_branches
+    # class access unwraps the staticmethod descriptor, so grab the
+    # descriptor itself — restoring the bare function would rebind it
+    # as an instance method and poison every later or-join compile
+    real = C.Compiler.__dict__["_try_merge_or_branches"]
     C.Compiler._try_merge_or_branches = staticmethod(lambda branches: None)
     try:
         catalog._plan_cache = {}  # force recompile under the patch
@@ -614,6 +617,7 @@ def test_or_branch_literal_merge(catalog):
         union_joins, union_plan = n_joins(df_u)
     finally:
         C.Compiler._try_merge_or_branches = real
+        catalog._plan_cache = {}
     assert "Union" in union_plan, union_plan
     assert merged_joins < union_joins, (merged_joins, union_joins)
 
