@@ -172,23 +172,35 @@ def main() -> None:
         )
         with open(side, "w") as f:
             json.dump(
-                {"sf": sf, "plans": plans, "pinned_storage_mb": storage},
+                {
+                    "sf": sf,
+                    "queries": timings,  # FULL per-query map lives here
+                    "plans": plans,
+                    "pinned_storage_mb": storage,
+                },
                 f,
                 indent=1,
             )
         print(f"# plan fingerprints -> {side}", file=sys.stderr)
     except Exception as e:
         print(f"# could not write BENCH_PLANS.json: {e}", file=sys.stderr)
+    # The compact line carries per-query detail for the driver's 50-gate
+    # correctness window (registry order — the same names CORRECTNESS_r{N}
+    # records); overflow-tail gate timings live in BENCH_PLANS.json. This
+    # keeps the line's size FIXED as the registry grows instead of creeping
+    # back toward the tail-window cliff that ate BENCH_r05.
+    window = dict(list(timings.items())[:50])
     compact = json.dumps(
         {
             "metric": "suite_total_wall",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": timings,
+            "queries": window,
             "sf": sf,
             # directly comparable to BASELINE.md (reference: ~190s for
             # its TPC-H suite at sf 0.05, i.e. HALF this data volume)
             "tpch_total": tpch_total,
+            "n_queries": len(timings),
         }
     )
     if len(compact) > 1900:

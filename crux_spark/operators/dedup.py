@@ -398,3 +398,133 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def window_hashes(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every length-``n`` sliding window of whitespace tokens, as
+    (id, pos, h): pos is the 1-based start token, h a 64-bit hash of the
+    window's tokens joined on an unprintable separator. The exploded
+    relation that backs substring-level dedup (Lee et al. 2021,
+    arXiv:2107.06499 — their suffix-array pass; overlapping fixed-width
+    windows are the shuffle-friendly equivalent for a fixed minimum
+    match length).
+
+    Scale: one narrow pass — windows are built per-row with
+    transform+slice (O(len·n) character work, no shuffle) and exploded;
+    nothing materializes driver-side. Hashing shrinks shuffle bytes to
+    12/row downstream; 64-bit collisions at corpus scale are ~1 pair
+    per 2^32 distinct windows and only ever over-merge a span."""
+    ws = F.split(F.col(text_col), " ")
+    t = _spread(docs.select(F.col(id_col).alias("id"), ws.alias("__ws")))
+    nwin = F.size("__ws") - (n - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col("__ws"), i, n))),
+    )
+    return t.select("id", F.posexplode(wins).alias("__p0", "h")).select(
+        "id", (F.col("__p0") + 1).alias("pos"), "h"
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated substrings: every span of >= n
+    consecutive tokens that appears verbatim in at least one OTHER
+    document, merged to maximal extent. Returns one row per span:
+    (id, span_start, span_end, span_tokens) in token coordinates —
+    the exact-substring layer of training-data dedup (Lee et al. 2021
+    §3: duplicate text segments removed at the span, not document,
+    level; crux has no analogue — this is pipeline-native).
+
+    Plan shape at scale: window build is narrow; ONE shuffle groups
+    windows by hash for the cross-doc test (partial count-distinct
+    map-side); the survivors join back on h (co-partitioned with the
+    agg — exchange reuse); one shuffle on id for the per-doc interval
+    union. Interval union is gaps-and-islands: a duplicated window at
+    pos covers tokens [pos, pos+n-1]; a new island starts where pos
+    exceeds the running max end + 1. No driver state, no quadratic
+    pair expansion — a window shared by k docs costs k rows, not k^2
+    pairs."""
+    wins = window_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    dwin = wins.join(dup, "h").select("id", "pos")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dwin.withColumn(
+        "__new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + (n - 1)).over(w), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum("__new").over(
+            Window.partitionBy("id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document rollup of duplicate_spans: (doc_id, n_spans,
+    dup_tokens, n_tokens, dup_frac) for every document that contains at
+    least one cross-document duplicated >=n-token span. The triage view
+    a pipeline filters or trims on before the expensive cut-and-rejoin
+    rewrite."""
+    spans = duplicate_spans(docs, n=n, id_col=id_col, text_col=text_col)
+    ntok = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+        )
+        .join(ntok, id_col)
+        .select(
+            id_col,
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+        )
+    )

@@ -2900,8 +2900,10 @@ def sparql_path_closure(spark, sf_dir):
 #           top-k -> tpch_q4/q21), tpch_q22 (anti+or-join -> q21),
 #           datalog_subquery (q-pred subquery -> tpch_q11),
 #           window_topk (window fns -> events_sessionize).
-#   r7 queue (never driver-verified after this round): none — every
-#   registered gate will hold at least one driver row once r6 records.
+#   r7 queue (never driver-verified after this round): the two r6 late
+#   additions in the overflow tail — epoch_shard_shuffle,
+#   dedup_substring_spans; every other registered gate will hold at
+#   least one driver row once r6 records.
 # ---------------------------------------------------------------------------
 
 _R6_IN = [
@@ -2926,7 +2928,7 @@ QUERIES.update(_r6_reordered)
 # ---------------------------------------------------------------------------
 # r6 late additions — registered AFTER the window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
-# r7 queue: epoch_shard_shuffle).
+# r7 queue: epoch_shard_shuffle, dedup_substring_spans).
 # ---------------------------------------------------------------------------
 
 
@@ -2956,3 +2958,64 @@ def epoch_shard_shuffle(spark, sf_dir):
         cat.table("documents"), seed="s7", epoch=2, n_shards=16
     )
     return out.select("doc_id", "shard", "idx")
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), toks AS (
+      SELECT doc_id, gs.pos::INT AS pos, w[gs.pos] AS tok, len(w) AS ntok
+      FROM ws, LATERAL (SELECT unnest(range(1, len(w)+1)) AS pos) gs
+    ), wins AS (
+      SELECT doc_id, pos, string_agg(tok, chr(31)) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS g, ntok
+      FROM toks QUALIFY pos <= ntok - 9
+    ), dup AS (
+      SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), dwin AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (g)
+    ), flagged AS (
+      SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 9) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        THEN 1 ELSE 0 END AS nw
+      FROM dwin
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+      FROM isl GROUP BY doc_id, isl
+    ), ntok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           CAST(any_value(n_tokens) AS INT) AS n_tokens,
+           round(sum(span_end - span_start + 1)::DOUBLE
+                 / any_value(n_tokens), 6) AS dup_frac
+    FROM spans s JOIN ntok USING (doc_id) GROUP BY s.doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document exact substring dedup at the SPAN level (Lee et
+    al. 2021, arXiv:2107.06499): per-doc count/volume/fraction of
+    maximal >=10-token spans shared verbatim with another document —
+    sliding window hashes -> one cross-doc shuffle -> gaps-and-islands
+    interval union. Oracled against the full windowed-string_agg
+    construction in DuckDB (grams compared as strings there; 64-bit
+    hashes here)."""
+    cat = catalog_for(spark, sf_dir)
+    out = _dedup.duplicate_span_stats(cat.table("documents"), n=10)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "dup_frac",
+    )

@@ -57,17 +57,21 @@ def test_count_plan_would_fail_the_invariant(spark):
 def test_final_record_line_is_compact_and_parseable():
     """The r5 regression: plans+storage pushed the one-line record past
     the driver's ~2 KB tail capture (BENCH_r05.json parsed:null). The
-    compact record for the CURRENT gate registry must stay under the
-    guard threshold, and the guard itself must produce valid JSON."""
+    compact line now carries per-query detail only for the 50-gate
+    correctness window (the full map lives in BENCH_PLANS.json), so its
+    size is FIXED as the registry grows: the window record must stay
+    under the guard threshold no matter how many gates register."""
     from crux_spark.queries import QUERIES
 
+    names = list(QUERIES)
     record = {
         "metric": "suite_total_wall",
         "value": 99.999,
         "unit": "sec",
-        "queries": {name: 99.99 for name in QUERIES},
+        "queries": {name: 99.99 for name in names[:50]},
         "sf": 0.1,
         "tpch_total": 99.999,
+        "n_queries": len(names),
     }
     line = json.dumps(record)
     assert len(line) <= 1900, (
@@ -76,3 +80,5 @@ def test_final_record_line_is_compact_and_parseable():
         "BENCH_PLANS.json"
     )
     assert json.loads(line)["queries"]
+    # every correctness-window gate name is present in the compact line
+    assert set(json.loads(line)["queries"]) == set(names[:50])

@@ -713,3 +713,44 @@ def test_canonical_by_quality_tie_break(spark):
         3: (2, False),
         4: (2, False),
     }  # unpaired doc 9 not returned (its own canonical)
+
+
+def test_duplicate_spans_handcrafted(spark):
+    """Span semantics pinned on a corpus built to exercise each rule:
+    cross-doc requirement, maximality (overlapping windows merge),
+    island split on a genuine gap, sub-n shared runs excluded."""
+    shared = " ".join(f"s{i}" for i in range(12))          # 12 shared tokens
+    shared2 = " ".join(f"z{i}" for i in range(10))         # exactly n
+    short = " ".join(f"q{i}" for i in range(9))            # n-1: below window
+    df = spark.createDataFrame(
+        [
+            # doc 1: shared at tokens 3..14, gap, shared2 at 20..29
+            (1, "a b " + shared + " x y w v u " + shared2),
+            (2, "c " + shared + " d"),
+            (3, shared2),
+            # docs 4/5 share only a 9-token run — no window fits
+            (4, short + " k1"),
+            (5, short + " k2"),
+            # doc 6 repeats shared WITHIN itself only — not cross-doc for z
+            (6, "m " + shared2.replace("z", "self") + " m "
+                + shared2.replace("z", "self")),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, n=10).collect()
+    }
+    assert spans == {
+        (1, 3, 14),    # maximal: all 3 windows over the 12 tokens merge
+        (1, 20, 29),   # separate island after the 5-token gap
+        (2, 2, 13),
+        (3, 1, 10),    # exactly-n span
+    }
+    stats = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.dup_frac)
+        for r in dedup.duplicate_span_stats(df, n=10).collect()
+    }
+    assert stats[1] == (2, 22, round(22 / 29, 6))
+    assert stats[3] == (1, 10, 1.0)
+    assert 4 not in stats and 5 not in stats and 6 not in stats
