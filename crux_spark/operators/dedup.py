@@ -422,8 +422,14 @@ def window_hashes(
     ws = F.split(F.col(text_col), " ")
     t = _spread(docs.select(F.col(id_col).alias("id"), ws.alias("__ws")))
     nwin = F.size("__ws") - (n - 1)
+    # sequence(1, stop) runs DESCENDING for stop < 1 ([1, 0] — and
+    # slice(.., 0, n) then throws), so docs shorter than n tokens get an
+    # explicitly empty window list
+    starts = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
     wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
+        starts,
         lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(F.col("__ws"), i, n))),
     )
     return t.select("id", F.posexplode(wins).alias("__p0", "h")).select(
@@ -527,4 +533,96 @@ def duplicate_span_stats(
             "n_tokens",
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
         )
+    )
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The cut step of span-level dedup (Lee et al. 2021 §4: remove
+    every duplicated occurrence but one): for each duplicated window the
+    corpus-first occurrence — lexicographically smallest (doc, pos) —
+    WINS and is kept; every other occurrence is cut. Cut windows merge
+    to maximal intervals per doc (same gaps-and-islands as
+    duplicate_spans) and the surviving tokens reassemble in order.
+    Returns (id_col, clean_text, n_tokens, kept_tokens) for EVERY
+    document (unaffected docs pass through verbatim; a fully-cut doc
+    keeps clean_text='').
+
+    Plan shape: windows are narrow; one shuffle on h decides both
+    cross-doc-ness and the winner (a single min_by struct agg — no
+    window function over the full stream); join-back on h is
+    co-partitioned; one shuffle on id for interval union + reassembly.
+    The winner rule is a pure function of the corpus, so reruns and
+    resharded clusters cut the SAME tokens."""
+    wins = window_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+    winner = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct("id").alias("ndocs"),
+            F.min(F.struct("id", "pos")).alias("w"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select("h", F.col("w.id").alias("wid"), F.col("w.pos").alias("wpos"))
+    )
+    cut = wins.join(winner, "h").filter(
+        (F.col("id") != F.col("wid")) | (F.col("pos") != F.col("wpos"))
+    ).select("id", "pos").dropDuplicates(["id", "pos"])
+    w_hist = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        cut.withColumn(
+            "__new",
+            F.when(
+                F.col("pos")
+                > F.coalesce(F.max(F.col("pos") + (n - 1)).over(w_hist), F.lit(-1))
+                + 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                Window.partitionBy("id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id", "__isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (n - 1)).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__cuts"))
+    )
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), ws.alias("__ws"))
+    joined = base.join(isl.withColumnRenamed("id", id_col), id_col, "left")
+    cuts = F.coalesce(
+        F.col("__cuts"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # per-row array filter: token at 1-based position i survives unless
+    # some cut interval covers i — intervals per doc are few (they are
+    # maximal and disjoint), so this is cheap JVM-side work, no extra
+    # shuffle for reassembly
+    kept = F.filter(
+        F.transform(
+            F.col("__ws"), lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))
+        ),
+        lambda s: ~F.exists(
+            cuts, lambda c: (s["p"] >= c["s"]) & (s["p"] <= c["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+        F.size("__ws").alias("n_tokens"),
+        F.size(kept).alias("kept_tokens"),
     )

@@ -2900,9 +2900,9 @@ def sparql_path_closure(spark, sf_dir):
 #           top-k -> tpch_q4/q21), tpch_q22 (anti+or-join -> q21),
 #           datalog_subquery (q-pred subquery -> tpch_q11),
 #           window_topk (window fns -> events_sessionize).
-#   r7 queue (never driver-verified after this round): the two r6 late
+#   r7 queue (never driver-verified after this round): the r6 late
 #   additions in the overflow tail — epoch_shard_shuffle,
-#   dedup_substring_spans; every other registered gate will hold at
+#   dedup_substring_spans, dedup_span_trim; every other registered gate will hold at
 #   least one driver row once r6 records.
 # ---------------------------------------------------------------------------
 
@@ -2928,7 +2928,8 @@ QUERIES.update(_r6_reordered)
 # ---------------------------------------------------------------------------
 # r6 late additions — registered AFTER the window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
-# r7 queue: epoch_shard_shuffle, dedup_substring_spans).
+# r7 queue: epoch_shard_shuffle, dedup_substring_spans,
+# dedup_span_trim).
 # ---------------------------------------------------------------------------
 
 
@@ -3019,3 +3020,60 @@ def dedup_substring_spans(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "dup_frac",
     )
+
+
+@register(
+    "dedup_span_trim",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), toks AS (
+      SELECT doc_id, gs.pos::INT AS pos, w[gs.pos] AS tok, len(w) AS ntok
+      FROM ws, LATERAL (SELECT unnest(range(1, len(w)+1)) AS pos) gs
+    ), wins AS (
+      SELECT doc_id, pos, string_agg(tok, chr(31)) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS g, ntok
+      FROM toks QUALIFY pos <= ntok - 9
+    ), marked AS (
+      SELECT doc_id, pos, g,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+             count(DISTINCT doc_id) OVER (PARTITION BY g) AS ndocs
+      FROM wins
+    ), cut AS (
+      SELECT DISTINCT doc_id, pos FROM marked WHERE ndocs >= 2 AND rn > 1
+    ), flagged AS (
+      SELECT doc_id, pos, CASE WHEN pos > coalesce(max(pos + 9) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        THEN 1 ELSE 0 END AS nw
+      FROM cut
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged
+    ), iv AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+      FROM isl GROUP BY doc_id, isl
+    ), keptt AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM iv
+                        WHERE iv.doc_id = t.doc_id
+                          AND t.pos BETWEEN iv.s AND iv.e)
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+           CAST(any_value(len(string_split(d.text, ' '))) AS INT) AS n_tokens,
+           CAST(count(k.pos) AS INT) AS kept_tokens
+    FROM documents d LEFT JOIN keptt k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_span_trim(spark, sf_dir):
+    """The cut step of span-level exact-substring dedup (Lee et al.
+    2021 §4): the corpus-first occurrence of each duplicated >=10-token
+    window wins; every other occurrence is cut (maximal merged
+    intervals) and the surviving tokens reassemble in order. Full-text
+    DuckDB oracle — clean_text compared verbatim for all docs."""
+    cat = catalog_for(spark, sf_dir)
+    return _dedup.trim_duplicate_spans(cat.table("documents"), n=10)

@@ -754,3 +754,30 @@ def test_duplicate_spans_handcrafted(spark):
     assert stats[1] == (2, 22, round(22 / 29, 6))
     assert stats[3] == (1, 10, 1.0)
     assert 4 not in stats and 5 not in stats and 6 not in stats
+
+
+def test_trim_duplicate_spans_winner_semantics(spark):
+    """First-occurrence-wins: the lexicographically smallest (doc, pos)
+    occurrence of a duplicated window keeps its text; every other
+    occurrence — including extra occurrences inside the winner doc —
+    is cut; non-duplicated docs pass through verbatim."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, "a b " + shared + " tail1"),
+            (2, shared + " tail2"),
+            # doc 3 contains the span TWICE: both occurrences lose to doc 1
+            (3, shared + " mid " + shared),
+            (4, "totally unrelated text with enough tokens here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.trim_duplicate_spans(df, n=10).collect()}
+    assert out[1].clean_text == "a b " + shared + " tail1"  # winner intact
+    assert out[2].clean_text == "tail2"
+    assert out[3].clean_text == "mid"
+    assert out[4].clean_text == out[4].clean_text == (
+        "totally unrelated text with enough tokens here ok"
+    )
+    assert out[2].n_tokens == 11 and out[2].kept_tokens == 1
+    assert out[3].n_tokens == 21 and out[3].kept_tokens == 1
