@@ -440,3 +440,78 @@ def epoch_shard_shuffle(
         out.withColumn("idx", F.row_number().over(w).cast("long"))
         .drop("__key")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: take
+    documents in (quality desc, id asc) order until ``budget`` tokens
+    are reached; the document that crosses the budget line is included
+    (the budget is a target, not a cap — matching how pretraining data
+    curation fills a token quota from the top of a quality ranking).
+    Returns (id_col, quality_col, n_tokens, cum_before) for the
+    selected documents.
+
+    Scale: a global Window.orderBy would funnel the corpus through ONE
+    task, so the global prefix-sum runs as the two-pass distributed
+    scan: rows bucket by which quality-quantile range they fall in
+    (boundaries from approxQuantile — only bucket BALANCE is
+    approximate; bucket order always equals global order because the
+    bucket is a pure function of the quality value), each bucket
+    cumsums locally under its own window, and the n_buckets totals
+    prefix-sum on the driver and broadcast back."""
+    df = df.filter(F.col(quality_col).isNotNull())  # unrankable rows
+    if count_col is None:
+        d = df.select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__n"),
+        )
+    else:
+        d = df.select(
+            F.col(id_col), F.col(quality_col), F.col(count_col).alias("__n")
+        )
+    # descending-quality bucket index: 0 = best. Boundaries are interior
+    # quantiles; searchsorted via array + filter keeps it JVM-side.
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.select(quality_col).approxQuantile(quality_col, qs, 0.001)))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    # count of boundaries strictly greater than the value = number of
+    # quantile ranges ABOVE this row = its descending bucket index
+    d = d.withColumn(
+        "__b",
+        F.size(F.filter(barr, lambda b: b > F.col(quality_col).cast("double"))),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__b").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    d = d.withColumn("__local_end", F.sum("__n").over(w))
+    totals = {
+        r["__b"]: r["t"]
+        for r in d.groupBy("__b").agg(F.sum("__n").alias("t")).collect()
+    }
+    offs, acc = {}, 0
+    for b in sorted(totals):
+        offs[b] = acc
+        acc += totals[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offs.items()) for x in kv]
+    )
+    d = d.withColumn(
+        "cum_before", off_map[F.col("__b")] + F.col("__local_end") - F.col("__n")
+    )
+    return d.filter(F.col("cum_before") < F.lit(int(budget))).select(
+        F.col(id_col),
+        F.col(quality_col),
+        F.col("__n").alias("n_tokens"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )

@@ -2902,7 +2902,8 @@ def sparql_path_closure(spark, sf_dir):
 #           window_topk (window fns -> events_sessionize).
 #   r7 queue (never driver-verified after this round): the r6 late
 #   additions in the overflow tail — epoch_shard_shuffle,
-#   dedup_substring_spans, dedup_span_trim; every other registered gate will hold at
+#   dedup_substring_spans, dedup_span_trim, select_token_budget;
+#   every other registered gate will hold at
 #   least one driver row once r6 records.
 # ---------------------------------------------------------------------------
 
@@ -2929,7 +2930,7 @@ QUERIES.update(_r6_reordered)
 # r6 late additions — registered AFTER the window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
 # r7 queue: epoch_shard_shuffle, dedup_substring_spans,
-# dedup_span_trim).
+# dedup_span_trim, select_token_budget).
 # ---------------------------------------------------------------------------
 
 
@@ -3077,3 +3078,38 @@ def dedup_span_trim(spark, sf_dir):
     DuckDB oracle — clean_text compared verbatim for all docs."""
     cat = catalog_for(spark, sf_dir)
     return _dedup.trim_duplicate_spans(cat.table("documents"), n=10)
+
+
+@register(
+    "select_token_budget",
+    """
+    SELECT doc_id, n_chars, n_tokens,
+           coalesce(cum_before, 0) AS cum_before FROM (
+      SELECT doc_id, n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+               AS n_tokens,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    OVER (ORDER BY n_chars DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS cum_before
+      FROM documents
+    ) WHERE coalesce(cum_before, 0) < 20000
+    """,
+)
+def select_token_budget(spark, sf_dir):
+    """Quality-ranked selection under a token budget (fill a pretraining
+    token quota from the top of a ranking): docs in (n_chars desc,
+    doc_id) order until 20k tokens, budget-crossing doc included. The
+    engine computes the global prefix-sum with the two-pass
+    quantile-bucketed scan (no single-task global sort); the oracle is
+    DuckDB's window cumsum — cell-for-cell including cum_before."""
+    cat = catalog_for(spark, sf_dir)
+    out = _samp.select_token_budget(
+        cat.table("documents"), budget=20_000, quality_col="n_chars"
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "cum_before",
+    )

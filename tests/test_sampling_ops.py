@@ -248,3 +248,28 @@ def test_epoch_shard_shuffle_deterministic_and_scale_shape(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "SinglePartition" not in final, final
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_select_token_budget_boundary_and_ties(spark):
+    """The budget-crossing doc is included; ties order by id; null
+    quality is dropped; cum_before matches the serial scan."""
+    from crux_spark.operators.sampling import select_token_budget
+
+    rows = [
+        (1, 5.0, "a b c d"),        # 4 tokens
+        (2, 9.0, "a b c"),          # 3 tokens, best quality
+        (3, 5.0, "x y z w v"),      # 5 tokens, ties doc 1 — doc 1 first
+        (4, None, "dropped doc"),
+        (5, 1.0, "u v"),            # below the cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, text string")
+    # order: 2 (3 tok, cum 0), 1 (4 tok, cum 3), 3 (5 tok, cum 7), 5 (cum 12)
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_before)
+        for r in select_token_budget(
+            df, budget=8, quality_col="q", n_buckets=4
+        ).collect()
+    }
+    # budget 8: cum_before of doc 3 is 7 < 8 -> included (crosses);
+    # doc 5 cum_before 12 -> out; doc 4 null quality -> out
+    assert got == {2: (3, 0), 1: (4, 3), 3: (5, 7)}
