@@ -626,3 +626,139 @@ def trim_duplicate_spans(
         F.size("__ws").alias("n_tokens"),
         F.size(kept).alias("kept_tokens"),
     )
+
+
+# --- Cross-document line-level dedup (RefinedWeb / MassiveText style) --
+
+
+def _line_relation(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    min_chars: int,
+) -> DataFrame:
+    """(id, idx, line, __norm, __eligible): every physical line of every
+    document with its 1-based index. __norm is the dedup key
+    (whitespace-trimmed); lines shorter than ``min_chars`` after trimming
+    are ineligible for dedup (blank separators and one-char bullets
+    shouldn't glue unrelated documents together)."""
+    lines = F.split(F.col(text_col), sep, -1)
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lines).alias("__p0", "line"),
+    ).select("id", (F.col("__p0") + 1).alias("idx"), "line")
+    norm = F.trim(F.col("line"))
+    return t.select(
+        "id",
+        "idx",
+        "line",
+        norm.alias("__norm"),
+        (F.length(norm) >= min_chars).alias("__eligible"),
+    )
+
+
+def duplicate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Lines repeated verbatim across documents: the triage view of
+    line-level dedup (RefinedWeb, Penedo et al. 2023 §3.3 — boilerplate
+    headers/footers/navigation repeat across pages of a site; MassiveText
+    removes them before document-level dedup). Returns one row per
+    duplicated line: (line, n_docs, n_occurrences), lines trimmed for
+    comparison, ordered nowhere (set semantics).
+
+    Scale: one narrow split+explode, ONE shuffle keyed by the line text
+    (map-side partial count + count-distinct) — a line shared by k docs
+    costs k rows, never k^2 pairs."""
+    rel = _line_relation(docs, id_col, text_col, sep, min_chars).filter(
+        "__eligible"
+    )
+    return (
+        rel.groupBy("__norm")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("__norm").alias("line"), "n_docs", "n_occurrences")
+    )
+
+
+def trim_duplicate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+    mode: str = "keep_first",
+) -> DataFrame:
+    """Remove cross-document duplicated lines and reassemble each
+    document (the line-granularity sibling of trim_duplicate_spans).
+    ``mode='keep_first'`` keeps the corpus-first occurrence —
+    lexicographically smallest (doc, idx) — and cuts every other
+    occurrence (Lee et al. 2021 keep-one semantics); ``mode='drop_all'``
+    cuts every occurrence (RefinedWeb's boilerplate removal: a line
+    repeated across >= min_docs documents is navigation/chrome and no
+    copy is worth keeping). Returns (id_col, clean_text, n_lines,
+    kept_lines) for EVERY document; untouched docs pass through
+    verbatim (original spacing inside lines preserved — only whole
+    lines are removed).
+
+    Plan shape: split+explode is narrow; one shuffle on the trimmed
+    line decides cross-doc-ness and the winner in a single min_by
+    struct agg (no global window); join-back on the same key is
+    co-partitioned (exchange reuse); one shuffle on id collects each
+    doc's cut indexes; reassembly is a per-row array filter — no extra
+    shuffle. Deterministic: the winner is a pure function of the
+    corpus, so reruns cut the SAME lines."""
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"mode must be keep_first or drop_all, got {mode!r}")
+    rel = _line_relation(docs, id_col, text_col, sep, min_chars)
+    elig = rel.filter("__eligible")
+    dup = (
+        elig.groupBy("__norm")
+        .agg(
+            F.count_distinct("id").alias("__nd"),
+            F.min(F.struct("id", "idx")).alias("__w"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select(
+            "__norm",
+            F.col("__w.id").alias("__wid"),
+            F.col("__w.idx").alias("__widx"),
+        )
+    )
+    cut = elig.join(dup, "__norm")
+    if mode == "keep_first":
+        cut = cut.filter(
+            (F.col("id") != F.col("__wid")) | (F.col("idx") != F.col("__widx"))
+        )
+    cuts = cut.groupBy("id").agg(F.collect_list("idx").alias("__cuts"))
+    lines = F.split(F.col(text_col), sep, -1)
+    base = docs.select(F.col(id_col), lines.alias("__ls"))
+    joined = base.join(
+        cuts.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "__cuts", F.coalesce(F.col("__cuts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__ls"), lambda l, i: F.struct((i + 1).alias("p"), l.alias("l"))
+        ),
+        lambda s: ~F.array_contains(F.col("__cuts"), s["p"]),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(sep, F.transform(kept, lambda s: s["l"])).alias(
+            "clean_text"
+        ),
+        F.size("__ls").alias("n_lines"),
+        F.size(kept).alias("kept_lines"),
+    )

@@ -515,3 +515,39 @@ def select_token_budget(
         F.col("__n").alias("n_tokens"),
         F.col("cum_before").cast("long").alias("cum_before"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: list | None = None,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, by rank under ``order_by``
+    (list of Columns; default: ascending by every non-group column name,
+    deterministic). The per-domain cap of web-corpus curation — an
+    over-represented domain (or source, or license bucket) must not
+    dominate the training mix, so each group contributes its top-n by
+    quality/length and no more. ``keep_rank=True`` appends the 1-based
+    rank column ``rk``.
+
+    Scale shape: ONE hash-shuffle on the group key + a per-group sort
+    (row_number window) + a codegen'd filter — no global sort, no
+    driver state. Group skew is the only hazard (one mega-domain =
+    one hot partition); AQE's skew handling splits oversized partitions
+    post-shuffle, and the window itself is streaming (rank-filter
+    short-circuits memory at n rows only with a full sort per group —
+    acceptable because per-group data is one partition's slice, not the
+    corpus)."""
+    from pyspark.sql import Window
+
+    if order_by is None:
+        order_by = [
+            F.col(c).asc() for c in df.columns if c != group_col
+        ]
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    out = df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= n
+    )
+    return out if keep_rank else out.drop("rk")

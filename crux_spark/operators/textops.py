@@ -420,3 +420,66 @@ def gopher_quality_flags(df: DataFrame, doc_id_col: str = "doc_id",
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("gopher_keep", keep)
+
+
+def bigram_nll_scores(df: DataFrame, doc_id_col: str = "doc_id",
+                      text_col: str = "text", vocab_size: int = 65536,
+                      alpha: float = 0.5) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's OWN
+    add-alpha-smoothed CONDITIONAL bigram distribution — the next step
+    up from unigram_nll_scores toward the KenLM-order-5 scorer CCNet
+    uses (Wenzek et al. 2020): a doc full of common words in an
+    improbable ORDER now scores badly, which the unigram model cannot
+    see. p(w|v) = (c(v,w)+alpha) / (c(v,·)+alpha*(V+1)), with the
+    bigram table capped at the top ``vocab_size`` bigrams
+    (deterministic tie-break on the bigram string); an out-of-vocab
+    bigram under a KNOWN context scores the context's smoothed floor.
+    Returns (doc_id, n_bigrams, nll, ppl) for every document with at
+    least one bigram (>= 2 non-empty tokens).
+
+    Scale shape: pass 1 builds bigram + context counts (two shuffles,
+    map-side partial aggregation); the top-V bigram table broadcasts
+    back onto the exploded bigram stream, the context table (corpus
+    vocabulary — too big to assume broadcastable at 100 TB) joins by
+    hash on the context token; final per-doc agg is one shuffle keyed
+    by doc. Everything between is whole-stage-codegen'd array work —
+    the bigram stream never materializes driver-side."""
+    import math
+
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != ""
+    )
+    t = df.select(F.col(doc_id_col), toks.alias("__ws"))
+    sz = F.size("__ws")
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice("__ws", 1, sz - 1),
+            F.slice("__ws", 2, sz - 1),
+            lambda a, b: F.struct(
+                a.alias("ctx"), F.concat_ws(" ", a, b).alias("big")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,big:string>>"))
+    rows = t.select(doc_id_col, F.explode(pairs).alias("__b")).select(
+        doc_id_col, F.col("__b.ctx").alias("ctx"), F.col("__b.big").alias("big")
+    )
+    bg_freq = rows.groupBy("big").agg(F.count("*").alias("cnt"))
+    ctx_freq = rows.groupBy("ctx").agg(F.count("*").alias("ccnt"))
+    vocab = bg_freq.orderBy(F.desc("cnt"), F.asc("big")).limit(vocab_size)
+    scored = (
+        rows.join(F.broadcast(vocab), "big", "left")
+        .join(ctx_freq, "ctx")
+        .select(
+            doc_id_col,
+            F.log(
+                (F.coalesce("cnt", F.lit(0)) + F.lit(alpha))
+                / (F.col("ccnt") + F.lit(alpha * (vocab_size + 1)))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(doc_id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("__lp"), 6).alias("nll"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("ppl"),
+    )

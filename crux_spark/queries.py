@@ -2902,7 +2902,8 @@ def sparql_path_closure(spark, sf_dir):
 #           window_topk (window fns -> events_sessionize).
 #   r7 queue (never driver-verified after this round): the r6 late
 #   additions in the overflow tail — epoch_shard_shuffle,
-#   dedup_substring_spans, dedup_span_trim, select_token_budget;
+#   dedup_substring_spans, dedup_span_trim, select_token_budget,
+#   dedup_line_trim, source_cap_topn, bigram_lm_quality;
 #   every other registered gate will hold at
 #   least one driver row once r6 records.
 # ---------------------------------------------------------------------------
@@ -2930,7 +2931,8 @@ QUERIES.update(_r6_reordered)
 # r6 late additions — registered AFTER the window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
 # r7 queue: epoch_shard_shuffle, dedup_substring_spans,
-# dedup_span_trim, select_token_budget).
+# dedup_span_trim, select_token_budget, dedup_line_trim,
+# source_cap_topn, bigram_lm_quality).
 # ---------------------------------------------------------------------------
 
 
@@ -3113,3 +3115,121 @@ def select_token_budget(spark, sf_dir):
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "cum_before",
     )
+
+
+@register(
+    "dedup_line_trim",
+    r"""
+    WITH dw AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    ), wr AS (
+      SELECT doc_id,
+             string_agg(array_to_string(ws[i:i+11], ' '), chr(10)
+                        ORDER BY i) AS text
+      FROM dw, UNNEST(range(1, len(ws)+1, 12)) AS t(i)
+      GROUP BY doc_id
+    ), l AS (
+      SELECT w.doc_id, i AS idx, ls[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM wr) w,
+           UNNEST(range(1, len(ls)+1)) AS t(i)
+    ), d AS (
+      SELECT l.*,
+             count(distinct doc_id) OVER (PARTITION BY trim(line)) AS nd,
+             row_number() OVER (PARTITION BY trim(line)
+                                ORDER BY doc_id, idx) AS rn
+      FROM l WHERE length(trim(line)) >= 1
+    ), cut AS (SELECT doc_id, idx FROM d WHERE nd >= 2 AND rn > 1)
+    SELECT l.doc_id,
+           coalesce(string_agg(l.line, chr(10) ORDER BY l.idx)
+                      FILTER (WHERE c.idx IS NULL), '') AS clean_text,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(count(*) FILTER (WHERE c.idx IS NULL) AS INT) AS kept_lines
+    FROM l LEFT JOIN cut c ON l.doc_id = c.doc_id AND l.idx = c.idx
+    GROUP BY l.doc_id
+    """,
+)
+def dedup_line_trim(spark, sf_dir):
+    """Cross-document line-level dedup (RefinedWeb/MassiveText
+    boilerplate removal, keep-first semantics): the corpus has no
+    newline structure, so BOTH engines first rewrap each doc into
+    12-token lines (deterministic, aligned — 96 cross-doc duplicate
+    lines at sf0.01), then cut every non-first occurrence of a line
+    repeated across >= 2 docs and reassemble. clean_text compared
+    VERBATIM for all docs against the DuckDB window/row_number
+    construction."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(12))
+    wrapped = F.array_join(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, 12))),
+        "\n",
+    )
+    rew = docs.select("doc_id", wrapped.alias("text"))
+    return _dedup.trim_duplicate_lines(rew, min_docs=2, min_chars=1)
+
+
+@register(
+    "source_cap_topn",
+    """
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def source_cap_topn(spark, sf_dir):
+    """Per-source document cap (the per-domain cap of web-corpus
+    curation: no source may dominate the mix): keep each source's top
+    10 docs by (n_chars desc, doc_id) — one hash-shuffle on source +
+    per-group row_number, no global sort. Cell-for-cell vs DuckDB's
+    window."""
+    cat = catalog_for(spark, sf_dir)
+    out = _samp.cap_per_group(
+        cat.table("documents"),
+        "source",
+        10,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        keep_rank=True,
+    )
+    return out.select("doc_id", "source", "n_chars", "rk")
+
+
+@register(
+    "bigram_lm_quality",
+    r"""
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] AS ctx, ws[i] || ' ' || ws[i+1] AS big
+      FROM dw, UNNEST(range(1, greatest(len(ws)-1, 0)+1)) AS t(i)
+    ), bf AS (SELECT big, count(*) AS cnt FROM bg GROUP BY big),
+    cf AS (SELECT ctx, count(*) AS ccnt FROM bg GROUP BY ctx),
+    vocab AS (SELECT big, cnt FROM bf ORDER BY cnt DESC, big LIMIT 65536),
+    lp AS (
+      SELECT g.doc_id,
+             ln((coalesce(v.cnt, 0) + 0.5) / (cf.ccnt + 0.5 * 65537)) AS lp
+      FROM bg g LEFT JOIN vocab v ON g.big = v.big
+                JOIN cf ON g.ctx = cf.ctx
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 6) AS nll,
+           round(exp(-avg(lp)), 4) AS ppl
+    FROM lp GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark, sf_dir):
+    """Conditional-bigram LM quality score (one step from unigram
+    toward CCNet's KenLM scorer): per-doc mean NLL of p(w|v) under the
+    corpus's own add-alpha bigram distribution — word-salad order now
+    scores worse than natural order over the SAME bag of words.
+    Verified value-for-value against the DuckDB construction."""
+    cat = catalog_for(spark, sf_dir)
+    return _text.bigram_nll_scores(cat.table("documents"))

@@ -781,3 +781,95 @@ def test_trim_duplicate_spans_winner_semantics(spark):
     )
     assert out[2].n_tokens == 11 and out[2].kept_tokens == 1
     assert out[3].n_tokens == 21 and out[3].kept_tokens == 1
+
+
+def test_duplicate_lines_cross_doc_only(spark):
+    """Only lines repeated across >= min_docs DISTINCT docs count;
+    within-doc repeats alone don't; blank/short lines are ineligible."""
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\nBOILERPLATE FOOTER\nunique to one"),
+            (2, "other text\nBOILERPLATE FOOTER\n\nmore"),
+            # line repeated twice WITHIN doc 3 only -> not cross-doc
+            (3, "self repeat\nself repeat\nx"),
+            (4, "   BOILERPLATE FOOTER   \nlast"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.line: r for r in dedup.duplicate_lines(df, min_chars=2).collect()}
+    assert set(out) == {"BOILERPLATE FOOTER"}
+    assert out["BOILERPLATE FOOTER"].n_docs == 3
+    assert out["BOILERPLATE FOOTER"].n_occurrences == 3
+
+
+def test_trim_duplicate_lines_modes(spark):
+    """keep_first keeps the corpus-first (doc,idx) occurrence; drop_all
+    removes every occurrence; untouched docs pass through verbatim with
+    original inner spacing; trimming only affects the MATCH, not the
+    kept text."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nSHARED LINE\nomega"),
+            (2, "SHARED LINE\nbody two"),
+            (3, "pre\n  SHARED LINE  \npost"),
+            (4, "no dups   here\nat all"),
+        ],
+        "doc_id long, text string",
+    )
+    keep = {
+        r.doc_id: r
+        for r in dedup.trim_duplicate_lines(df, min_chars=2).collect()
+    }
+    # corpus-first occurrence is (doc 1, idx 2) -> doc 1 intact
+    assert keep[1].clean_text == "alpha\nSHARED LINE\nomega"
+    assert keep[2].clean_text == "body two"
+    assert keep[3].clean_text == "pre\npost"  # trimmed-match line cut
+    assert keep[4].clean_text == "no dups   here\nat all"
+    assert keep[3].n_lines == 3 and keep[3].kept_lines == 2
+    drop = {
+        r.doc_id: r
+        for r in dedup.trim_duplicate_lines(
+            df, min_chars=2, mode="drop_all"
+        ).collect()
+    }
+    assert drop[1].clean_text == "alpha\nomega"
+    assert drop[2].clean_text == "body two"
+    assert drop[3].clean_text == "pre\npost"
+    with pytest.raises(ValueError):
+        dedup.trim_duplicate_lines(df, mode="bogus")
+
+
+def test_cap_per_group_rank_and_determinism(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 100), ("a", 2, 300), ("a", 3, 300), ("a", 4, 50),
+            ("b", 5, 10),
+        ],
+        "src string, doc_id long, n long",
+    )
+    out = samp.cap_per_group(
+        df, "src", 2,
+        order_by=[F.col("n").desc(), F.col("doc_id").asc()],
+        keep_rank=True,
+    ).collect()
+    got = sorted((r.src, r.doc_id, r.rk) for r in out)
+    # ties on n=300 break by doc_id asc -> 2 then 3; cap at 2 keeps both
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1)]
+
+
+def test_bigram_nll_orders_word_salad_below_normal_text(spark):
+    """A doc reusing common words in an IMPROBABLE order must score
+    worse (higher nll) than the typical-order docs that built the LM —
+    the signal unigram NLL cannot see (identical unigram counts)."""
+    normal = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    salad = [(100, "mat the on sat cat the")]  # same bag of words
+    short = [(200, "one")]  # < 2 tokens -> no bigrams, excluded
+    df = spark.createDataFrame(
+        normal + salad + short, "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.bigram_nll_scores(df).collect()}
+    assert 200 not in out
+    assert out[100].n_bigrams == 5 and out[1].n_bigrams == 5
+    assert out[100].nll > out[1].nll
+    # all typical docs identical text -> identical score
+    assert out[1].nll == out[8].nll
