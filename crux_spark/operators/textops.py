@@ -483,3 +483,44 @@ def bigram_nll_scores(df: DataFrame, doc_id_col: str = "doc_id",
         F.round(-F.avg("__lp"), 6).alias("nll"),
         F.round(F.exp(-F.avg("__lp")), 4).alias("ppl"),
     )
+
+
+def hashed_classifier_score(df: DataFrame, doc_id_col: str = "doc_id",
+                            text_col: str = "text", seed: str = "clf",
+                            scale: float = 4.0, bias: float = 0.0) -> DataFrame:
+    """Linear text-classifier inference with the hashing trick (the
+    fastText / Vowpal-Wabbit model shape: every token indexes a weight
+    by hash — no vocabulary table, OOV impossible by construction):
+    score = sigmoid(bias + scale * mean(w[h(token)])). The weights here
+    are the seeded hash itself mapped to [-1, 1) — a stand-in for
+    trained parameters (no model artifact ships in this container); a
+    trained model changes ONLY the token->weight expression (or swaps
+    in a broadcast weight table), not the plan.
+
+    Scale shape: pure per-row Catalyst array work — tokenize, transform
+    each token through md5 -> 16-bit bucket -> weight, sequential-fold
+    sum, sigmoid. ZERO shuffle at any corpus size; the fold order is
+    the array order, so scores are bit-deterministic and
+    oracle-checkable. Returns (doc_id, n_tokens, raw, score); docs with
+    no tokens are dropped (nothing to average)."""
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+    w = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), t)), 1, 4), 16, 10
+        ).cast("long")
+        / F.lit(32767.5)
+        - F.lit(1.0),
+    )
+    n = F.size(w)
+    raw = F.aggregate(w, F.lit(0.0), lambda acc, x: acc + x) / n
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.lit(scale) * raw)))
+    return (
+        df.select(
+            F.col(doc_id_col),
+            n.alias("n_tokens"),
+            F.round(raw, 6).alias("raw"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -2903,7 +2903,7 @@ def sparql_path_closure(spark, sf_dir):
 #   r7 queue (never driver-verified after this round): the r6 late
 #   additions in the overflow tail — epoch_shard_shuffle,
 #   dedup_substring_spans, dedup_span_trim, select_token_budget,
-#   dedup_line_trim, source_cap_topn, bigram_lm_quality;
+#   dedup_line_trim, source_cap_topn, bigram_lm_quality, text_clf_score;
 #   every other registered gate will hold at
 #   least one driver row once r6 records.
 # ---------------------------------------------------------------------------
@@ -2932,7 +2932,7 @@ QUERIES.update(_r6_reordered)
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
 # r7 queue: epoch_shard_shuffle, dedup_substring_spans,
 # dedup_span_trim, select_token_budget, dedup_line_trim,
-# source_cap_topn, bigram_lm_quality).
+# source_cap_topn, bigram_lm_quality, text_clf_score).
 # ---------------------------------------------------------------------------
 
 
@@ -3233,3 +3233,43 @@ def bigram_lm_quality(spark, sf_dir):
     Verified value-for-value against the DuckDB construction."""
     cat = catalog_for(spark, sf_dir)
     return _text.bigram_nll_scores(cat.table("documents"))
+
+
+@register(
+    "text_clf_score",
+    r"""
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, len(ws) AS n_tokens,
+             list_transform(ws, t ->
+               ((strpos('0123456789abcdef',
+                        substr(md5('clf:' || t), 1, 1)) - 1) * 4096.0
+                + (strpos('0123456789abcdef',
+                          substr(md5('clf:' || t), 2, 1)) - 1) * 256.0
+                + (strpos('0123456789abcdef',
+                          substr(md5('clf:' || t), 3, 1)) - 1) * 16.0
+                + (strpos('0123456789abcdef',
+                          substr(md5('clf:' || t), 4, 1)) - 1))
+               / 32767.5 - 1.0) AS wl
+      FROM dw
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round(list_sum(wl) / n_tokens, 6) AS raw,
+           round(1.0 / (1.0 + exp(-4.0 * (list_sum(wl) / n_tokens))), 6)
+             AS score
+    FROM w WHERE n_tokens > 0
+    """,
+)
+def text_clf_score(spark, sf_dir):
+    """Hashed linear classifier inference (fastText/VW hashing trick):
+    token -> md5 16-bit bucket -> weight in [-1,1), per-doc mean,
+    sigmoid — ZERO-shuffle per-row Catalyst array fold, scores
+    bit-deterministic (fold order = array order) and verified
+    cell-for-cell against the DuckDB reconstruction of the same hash
+    space."""
+    cat = catalog_for(spark, sf_dir)
+    return _text.hashed_classifier_score(cat.table("documents"))

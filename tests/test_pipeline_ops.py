@@ -873,3 +873,30 @@ def test_bigram_nll_orders_word_salad_below_normal_text(spark):
     assert out[100].nll > out[1].nll
     # all typical docs identical text -> identical score
     assert out[1].nll == out[8].nll
+
+
+def test_hashed_classifier_score_shape(spark):
+    """Hashing-trick inference: deterministic across runs, weights
+    bounded so score stays strictly inside (0,1), empty docs dropped,
+    identical docs score identically."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "completely different words here"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.hashed_classifier_score(df).collect()}
+    assert 4 not in out  # no tokens
+    assert out[1].score == out[2].score and out[1].raw == out[2].raw
+    for r in out.values():
+        assert -1.0 <= r.raw <= 1.0 and 0.0 < r.score < 1.0
+    # rerun -> identical (pure function of text + seed)
+    again = {r.doc_id: r for r in textops.hashed_classifier_score(df).collect()}
+    assert {k: (v.raw, v.score) for k, v in out.items()} == {
+        k: (v.raw, v.score) for k, v in again.items()
+    }
+    # a different seed is a different model
+    other = {
+        r.doc_id: r
+        for r in textops.hashed_classifier_score(df, seed="other").collect()
+    }
+    assert other[1].raw != out[1].raw
