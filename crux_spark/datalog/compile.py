@@ -1437,16 +1437,34 @@ class Compiler:
             .distinct()
             .localCheckpoint()
         )
+        # reached is the lazy union of the per-round frontier
+        # checkpoints, collapsed (re-checkpointed) every few rounds:
+        # fully lazy would hand round k a k-leg union plan — quadratic
+        # PLANNING time on long-diameter walks (a 300-deep chain went
+        # from seconds to minutes); fully eager copies O(|reached|)
+        # every round. Capping the legs bounds plan depth while paying
+        # the copy only once per _COLLAPSE rounds.
+        _COLLAPSE = 8
+        frontiers = [frontier]
         reached = frontier
+        cnt = frontier.count()
+        # Broadcasting the frontier keeps E un-shuffled: past the
+        # auto-broadcast threshold (E is the full edge relation — at
+        # graph scale it NEVER broadcasts) the join would otherwise
+        # re-shuffle E every round. The frontier's size is exact (it is
+        # a materialized checkpoint), so the hint is guarded, not
+        # speculative; oversized frontiers fall back to AQE's choice.
+        bcast_cap = 2_000_000
         for _ in range(100_000):
             FIXPOINT_STATS["tc_seeded_rounds"] += 1
-            if not frontier.head(1):
+            if not cnt:
                 break
             cond = F.col("__n") == E[b_col]
             for i in labels:
                 cond = cond & (F.col(f"__l{i}") == E[f"__r{i}"])
+            probe = F.broadcast(frontier) if cnt <= bcast_cap else frontier
             step = (
-                frontier.join(E, cond)
+                probe.join(E, cond)
                 .select(
                     *[E[f"__r{i}"].alias(f"__l{i}") for i in labels],
                     E[o_col].alias("__n"),
@@ -1456,7 +1474,14 @@ class Compiler:
             frontier = step.join(
                 reached, lcols + ["__n"], "left_anti"
             ).localCheckpoint()
-            reached = reached.unionByName(frontier).localCheckpoint()
+            cnt = frontier.count()
+            frontiers.append(frontier)
+            reached = reduce(
+                lambda a, b: a.unionByName(b), frontiers
+            )
+            if len(frontiers) >= _COLLAPSE:
+                reached = reached.localCheckpoint()
+                frontiers = [reached]
         else:
             raise RuntimeError(f"seeded closure for {name!r} did not converge")
         out = []
