@@ -1278,9 +1278,11 @@ class Compiler:
         E = self._tc_edge_relation(name)
         if E is None:
             return None
+        from crux_spark.metrics import record_loop
+
         S = E.localCheckpoint()
         n = S.count()
-        for _ in range(64):  # 2^64 diameter bound
+        for _it in range(64):  # 2^64 diameter bound
             FIXPOINT_STATS["tc_rounds"] += 1
             # the squaring self-join must NEVER broadcast: S doubles every
             # round and its post-checkpoint size estimate lures AQE into a
@@ -1294,6 +1296,11 @@ class Compiler:
                     F.col("a.__r1") == F.col("b.__r0"),
                 )
                 .select(F.col("a.__r0"), F.col("b.__r1"))
+            )
+            record_loop(
+                "tc_squaring",
+                rounds=_it + 1,
+                round_df=comp if _it == 0 else None,
             )
             S2 = S.unionByName(comp).distinct().localCheckpoint()
             n2 = S2.count()
@@ -1451,18 +1458,42 @@ class Compiler:
         # Broadcasting the frontier keeps E un-shuffled: past the
         # auto-broadcast threshold (E is the full edge relation — at
         # graph scale it NEVER broadcasts) the join would otherwise
-        # re-shuffle E every round. The frontier's size is exact (it is
-        # a materialized checkpoint), so the hint is guarded, not
-        # speculative; oversized frontiers fall back to AQE's choice.
+        # re-shuffle E every round. The frontier's row count is exact (it
+        # is a materialized checkpoint) — but an explicit F.broadcast hint
+        # bypasses Spark's BYTE-based autoBroadcastJoinThreshold, so the
+        # guard must measure bytes, not rows: 2M rows of wide string
+        # labels can be hundreds of serialized MB. Cap the hint by the
+        # optimizer's own size estimate of the checkpointed frame (exact
+        # materialized bytes for a LogicalRDD) as well as by rows;
+        # anything over either cap falls back to AQE's choice.
         bcast_cap = 2_000_000
+        bcast_byte_cap = 64 << 20  # 64 MiB serialized — driver-safe
+
+        def _est_bytes(df) -> int | None:
+            try:
+                return int(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:
+                return None
+
+        from crux_spark.metrics import record_loop
+
+        _rounds = 0
         for _ in range(100_000):
             FIXPOINT_STATS["tc_seeded_rounds"] += 1
+            _rounds += 1
             if not cnt:
                 break
             cond = F.col("__n") == E[b_col]
             for i in labels:
                 cond = cond & (F.col(f"__l{i}") == E[f"__r{i}"])
-            probe = F.broadcast(frontier) if cnt <= bcast_cap else frontier
+            fb = _est_bytes(frontier)
+            small = cnt <= bcast_cap and (fb is None or fb <= bcast_byte_cap)
+            probe = F.broadcast(frontier) if small else frontier
             step = (
                 probe.join(E, cond)
                 .select(
@@ -1471,9 +1502,13 @@ class Compiler:
                 )
                 .distinct()
             )
-            frontier = step.join(
-                reached, lcols + ["__n"], "left_anti"
-            ).localCheckpoint()
+            pre = step.join(reached, lcols + ["__n"], "left_anti")
+            record_loop(
+                "tc_seeded",
+                rounds=_rounds,
+                round_df=pre if _rounds == 1 else None,
+            )
+            frontier = pre.localCheckpoint()
             cnt = frontier.count()
             frontiers.append(frontier)
             reached = reduce(
@@ -1481,9 +1516,19 @@ class Compiler:
             )
             if len(frontiers) >= _COLLAPSE:
                 reached = reached.localCheckpoint()
+                # the superseded per-round frontier checkpoints (and the
+                # previous collapsed reached) are unreferenced by any
+                # later plan once the new checkpoint materializes —
+                # drop the python refs and collect so the ContextCleaner
+                # can reclaim their executor storage blocks during long
+                # walks instead of after the whole query
                 frontiers = [reached]
+                import gc as _gc
+
+                _gc.collect()
         else:
             raise RuntimeError(f"seeded closure for {name!r} did not converge")
+        record_loop("tc_seeded", rounds=_rounds)
         out = []
         for i in range(k):
             if i == bound_idx:
@@ -1604,9 +1649,12 @@ class Compiler:
         # shapes) and bootstrap rounds fall back to totals, which stays
         # correct (monotone) just less incremental. Convergence = a round
         # where no member produced new tuples.
+        from crux_spark.metrics import record_loop
+
         prev_delta: dict[str, DataFrame | None] = {m: None for m in group}
         for it in range(MAX_FIXPOINT_ITERATIONS):
             FIXPOINT_STATS["fixpoint_rounds"] += 1
+            record_loop("semi_naive_fixpoint", rounds=it + 1)
             grew = False
             new_delta: dict[str, DataFrame | None] = {m: None for m in group}
             for m in group:

@@ -43,10 +43,13 @@ def connected_components(
     ``stats``, if given, is filled with {'path': 'driver'|'distributed',
     'rounds': n} — diagnostic only (tools/scale_smoke.py asserts the
     round count stays log-bounded as the graph scales)."""
+    from crux_spark.metrics import record_loop
+
     probe = pairs.limit(driver_limit_edges + 1).collect() if driver_limit_edges else None
     if probe is not None and len(probe) <= driver_limit_edges:
         if stats is not None:
             stats.update(path="driver", rounds=0)
+        record_loop("connected_components", rounds=0, path="driver")
         parent: dict = {}
 
         def find(x):
@@ -98,14 +101,20 @@ def connected_components(
         jump = merged.select(
             F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
         )
-        new_labels = (
-            merged.join(jump, merged["lbl"] == jump["jid"], "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("jlbl", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint()
+        pre = merged.join(jump, merged["lbl"] == jump["jid"], "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("jlbl", "lbl")).alias("lbl"),
         )
+        # loop-aware fingerprint: every round runs this same shape — record
+        # round 1's static plan facts (the final frame's fingerprint shows
+        # none of the per-round shuffles)
+        record_loop(
+            "connected_components",
+            rounds=it + 1,
+            round_df=pre if it == 0 else None,
+            path="distributed",
+        )
+        new_labels = pre.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
