@@ -124,7 +124,25 @@ class HttpNode:
         if path == "/_crux/await-tx":
             return {"aborted": sorted(node.await_tx())}
         if path == "/_crux/tx-log":
-            return [r.asDict() for r in node.open_tx_log().collect()]
+            # cursor pagination, matching the reference's after-tx-id
+            # param (http_server.clj:330-424 streams from a cursor; a
+            # JSON facade pages instead): the driver never materializes
+            # more than `limit`+1 rows per request, whatever the log size
+            after = int(qs["after-tx-id"]) if qs.get("after-tx-id") else None
+            limit = int(qs.get("limit", "100"))
+            rows = [
+                r.asDict()
+                for r in node.open_tx_log(after_tx_id=after)
+                .orderBy("tx_id")
+                .limit(limit + 1)
+                .collect()
+            ]
+            more = len(rows) > limit
+            rows = rows[:limit]
+            return {
+                "tx-log": rows,
+                "next-after-tx-id": rows[-1]["tx_id"] if more else None,
+            }
         if path == "/_crux/latest-completed-tx":
             return {"tx-id": node.latest_completed_tx()}
         if path == "/_crux/latest-submitted-tx":
@@ -155,8 +173,12 @@ class HttpNode:
             # SPARQLRepository) — compiled through sources/sparql.py
             from crux_spark.sources.sparql import sparql_to_datalog
 
-            df = self._db(qs).q(sparql_to_datalog(qs["query"]))
-            return [list(r) for r in df.collect()]
+            rows = self._db(qs).q_stream(
+                sparql_to_datalog(qs["query"]),
+                limit=int(qs["limit"]) if qs.get("limit") else None,
+                offset=int(qs.get("offset", "0")),
+            )
+            return [list(r) for r in rows]
         raise KeyError(f"no route {path}")
 
     def _post(self, path: str, body: dict):
@@ -166,10 +188,17 @@ class HttpNode:
                 valid_time=_parse_time(body.get("valid-time")),
                 tx=body.get("tx-id"),
             )
-            # q_collect, not q: HTTP queries go through the MONITORED
-            # path (timeout-interrupt + active/recent/slowest queues),
-            # like the reference's http_server query handler
-            rows = db.q_collect(body["query"], *body.get("in-args", []))
+            # q_stream, not q: HTTP queries go through the MONITORED
+            # path (active/recent/slowest queues) AND fetch through
+            # toLocalIterator with optional limit/offset — one partition
+            # in flight driver-side, never a full-result collect() per
+            # request (the reference streams from a cursor)
+            rows = db.q_stream(
+                body["query"],
+                *body.get("in-args", []),
+                limit=body.get("limit"),
+                offset=body.get("offset", 0),
+            )
             return [list(r) for r in rows]
         if path == "/_crux/submit-tx":
             ops = [tuple(op) for op in body["tx-ops"]]
@@ -266,8 +295,21 @@ class RemoteNode:
     def attribute_stats(self) -> dict:
         return self._get("/_crux/attribute-stats")
 
-    def open_tx_log(self) -> list[dict]:
-        return self._get("/_crux/tx-log")
+    def open_tx_log(self, page_size: int = 100) -> list[dict]:
+        """Page through the server's cursor (after-tx-id + limit) —
+        client memory is the full log only because this convenience
+        returns a list; iterate pages yourself for bounded reads."""
+        out: list[dict] = []
+        after = None
+        while True:
+            resp = self._get(
+                "/_crux/tx-log",
+                **{"after-tx-id": after, "limit": page_size},
+            )
+            out.extend(resp["tx-log"])
+            after = resp.get("next-after-tx-id")
+            if after is None:
+                return out
 
 
 class RemoteDb:

@@ -221,6 +221,44 @@ class Db:
             state["finished_at"] = time.time()
             self.node._record_finished_query(state)
 
+    def q_stream(
+        self, query: dict, *args: Any, limit: int | None = None, offset: int = 0
+    ) -> list:
+        """Monitored query execution that never collect()s the full
+        frame driver-side: rows come through toLocalIterator (one
+        partition in flight at a time — the reference's cursor-backed
+        open-q, http_server.clj:330-424) and are bounded by
+        offset/limit. The HTTP facade's query path; q_collect stays the
+        timeout-interrupted eager surface for in-process callers."""
+        import itertools
+        import time
+        import uuid
+
+        qid = uuid.uuid4().hex[:12]
+        state = {
+            "query_id": qid,
+            "query": query,
+            "started_at": time.time(),
+            "finished_at": None,
+            "status": "in-progress",
+            "error": None,
+        }
+        self.node._record_submitted_query(state)
+        try:
+            df = self.q(query, *args)
+            it = df.toLocalIterator()
+            stop = None if limit is None else offset + limit
+            rows = list(itertools.islice(it, offset, stop))
+            state["status"] = "completed"
+            return rows
+        except Exception as e:
+            state["status"] = "failed"
+            state["error"] = repr(e)
+            raise
+        finally:
+            state["finished_at"] = time.time()
+            self.node._record_finished_query(state)
+
 
 class Node:
     """The running engine instance (the reference's node, minus the wiring

@@ -71,7 +71,8 @@ def test_http_round_trip(http_node):
     assert [h["doc"]["name"] for h in hist] == ["ann", "ann2"]
 
     log = get(base + "/_crux/tx-log")
-    assert [e["tx_id"] for e in log] == [1, 2]
+    assert [e["tx_id"] for e in log["tx-log"]] == [1, 2]
+    assert log["next-after-tx-id"] is None
 
     stats = get(base + "/_crux/attribute-stats")
     assert stats.get(":name", 0) >= 2
@@ -167,5 +168,67 @@ def test_remote_node_client(spark):
         assert [e["doc"]["v"] for e in rh] == [e["doc"]["v"] for e in lh] == [1, 2]
 
         assert [e["tx_id"] for e in remote.open_tx_log()] == [1, 2]
+    finally:
+        h.close()
+
+
+def test_tx_log_pagination_bounded(spark):
+    """Multi-page tx-log cursor: each request returns at most `limit`
+    entries plus a next-after-tx-id cursor; following the cursor yields
+    the full log exactly once, in order — the server never has to
+    materialize more than limit+1 rows per request (http_server.clj's
+    cursor semantics as JSON pagination)."""
+    from crux_spark.http import RemoteNode
+
+    node = Node(spark, schema="id string, v long")
+    h = HttpNode(node)
+    try:
+        for i in range(7):
+            node.submit_tx([("put", {"id": f"d{i}", "v": i})])
+        node.await_tx()
+
+        base = h.url
+        seen, after, pages = [], None, 0
+        while True:
+            q = f"?limit=3" + (f"&after-tx-id={after}" if after else "")
+            resp = get(base + "/_crux/tx-log" + q)
+            assert len(resp["tx-log"]) <= 3  # bounded per request
+            seen.extend(e["tx_id"] for e in resp["tx-log"])
+            pages += 1
+            after = resp["next-after-tx-id"]
+            if after is None:
+                break
+        assert seen == list(range(1, 8))  # complete, ordered, no dups
+        assert pages == 3  # 3 + 3 + 1 — the cursor really paged
+
+        # the client convenience walks the same cursor transparently
+        remote = RemoteNode(h.url)
+        assert [e["tx_id"] for e in remote.open_tx_log(page_size=2)] == list(
+            range(1, 8)
+        )
+    finally:
+        h.close()
+
+
+def test_query_stream_limit_offset(spark):
+    """POST /_crux/query with limit/offset fetches through
+    toLocalIterator — bounded result pages, stable order with order-by."""
+    node = Node(spark, schema="id string, v long")
+    h = HttpNode(node)
+    try:
+        for i in range(10):
+            node.submit_tx([("put", {"id": f"e{i}", "v": i})])
+        node.await_tx()
+        q = {
+            "find": ["?v"],
+            "where": [["?e", ":v", "?v"]],
+            "order-by": [["?v", "asc"]],
+        }
+        page1 = post(h.url + "/_crux/query", {"query": q, "limit": 4})
+        page2 = post(
+            h.url + "/_crux/query", {"query": q, "limit": 4, "offset": 4}
+        )
+        assert [r[0] for r in page1] == [0, 1, 2, 3]
+        assert [r[0] for r in page2] == [4, 5, 6, 7]
     finally:
         h.close()
