@@ -356,9 +356,34 @@ class Compiler:
                 .alias(f"{vc}__typed_num")
             )
             sel.append(F.col("v_ts").alias(f"{vc}__typed_ts"))
+            # cross-type TOTAL order (codec.clj:81-99): values sort by
+            # type tag first — boolean(4) < long(5) < double(6) <
+            # date(7) < string(8), nil lowest — then by the typed value
+            # within the tag. Spark struct comparison is field-wise, and
+            # two rows with equal tags have the same single non-null
+            # value field, so one struct column gives order-by the
+            # reference's heterogeneous ordering instead of the
+            # stringified sort.
+            sel.append(
+                F.struct(
+                    F.when(F.col("v_bool").isNotNull(), F.lit(4))
+                    .when(F.col("v_long").isNotNull(), F.lit(5))
+                    .when(F.col("v_double").isNotNull(), F.lit(6))
+                    .when(F.col("v_ts").isNotNull(), F.lit(7))
+                    .when(F.col("v_string").isNotNull(), F.lit(8))
+                    .otherwise(F.lit(3))
+                    .alias("tag"),
+                    F.col("v_bool").cast("int").alias("b"),
+                    F.col("v_long").alias("l"),
+                    F.col("v_double").alias("d"),
+                    F.col("v_ts").alias("t"),
+                    F.col("v_string").alias("s"),
+                ).alias(f"{vc}__typed_ord")
+            )
             self.typed_vars[v] = {
                 "num": f"{vc}__typed_num",
                 "ts": f"{vc}__typed_ts",
+                "ord": f"{vc}__typed_ord",
             }
         elif not is_blank(v):
             lit = self.env.get(v, v)
@@ -2154,6 +2179,7 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             )
 
     out_cols: list[str] = []
+    ord_cols: dict[str, str] = {}  # hidden typed-order sort columns
     if aggs:
         gcols = [var_col(v) for v in plain]
         agg_exprs = []
@@ -2181,7 +2207,17 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
                 out_cols.append(var_col(el))
             else:
                 out_cols.append(pull_aliases[id(el)])
-        df = df.select(*out_cols)
+        # order-by over an EAV-bound value var sorts by the typed
+        # total-order struct (codec.clj:81-99), not the stringified
+        # value — carry the hidden __typed_ord column through the
+        # projection; it is dropped again after the sort below
+        if order_by:
+            for item in order_by:
+                name = item[0] if isinstance(item, (list, tuple)) else item
+                oc = comp.typed_vars.get(name, {}).get("ord")
+                if oc is not None and oc in df.columns and is_var(name):
+                    ord_cols[var_col(name)] = oc
+        df = df.select(*out_cols, *ord_cols.values())
         # set semantics: dedup unless ordered/limited (query.clj:1783).
         # Map-typed results can't participate in Spark set ops — dedup via
         # their JSON form instead (same value-equality, stable key order
@@ -2210,8 +2246,15 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             else:
                 df = df.distinct()
 
+    hidden_ord = ord_cols
     if keys:
-        df = df.toDF(*keys)
+        if hidden_ord:
+            df = df.select(
+                *[F.col(c).alias(k) for c, k in zip(out_cols, keys)],
+                *hidden_ord.values(),
+            )
+        else:
+            df = df.toDF(*keys)
         renames = dict(zip(out_cols, keys))
     else:
         renames = {}
@@ -2222,15 +2265,23 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
         for item in order_by:
             name, direction = (item if isinstance(item, (list, tuple)) else (item, "asc"))
             col_name = var_col(name) if is_var(name) else name
-            col_name = renames.get(col_name, col_name)
-            if col_name not in avail:
+            if col_name not in renames and col_name not in avail:
                 # bug-418 semantics: ordering keys must be returned
                 raise ValueError(
                     f"order-by requires an element from :find; "
                     f"unreturned element: {name!r}"
                 )
-            sort_cols.append(F.col(col_name).asc() if direction == "asc" else F.col(col_name).desc())
+            # EAV-bound vars sort by the typed total-order struct
+            sort_key = hidden_ord.get(col_name, renames.get(col_name, col_name))
+            if sort_key not in avail:
+                raise ValueError(
+                    f"order-by requires an element from :find; "
+                    f"unreturned element: {name!r}"
+                )
+            sort_cols.append(F.col(sort_key).asc() if direction == "asc" else F.col(sort_key).desc())
         df = df.orderBy(*sort_cols)
+        if hidden_ord:
+            df = df.drop(*hidden_ord.values())
     if offset is not None:
         df = df.offset(offset)
     if limit is not None:

@@ -659,3 +659,110 @@ def test_plan_cache_reuse_and_invalidation(catalog, spark):
     p2 = q(c2, query)
     assert p1 is not p2
     assert sorted(r.name for r in p2.collect()) == ["Ann", "Bob"]
+
+
+def test_mixed_type_value_total_order(spark):
+    """codec_test.clj's ordering property over a heterogeneous EAV
+    attribute: values sort by type tag first — boolean < long < double <
+    date < string (codec.clj:81-99 tag ids 4..8) — then by typed value
+    within the tag, never by the stringified value (under which "0.5" <
+    "10" < "Apple" < "true" would interleave the types)."""
+    import datetime as dt
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    cat = Catalog(spark)
+    cat.add_documents(
+        "t_long",
+        spark.createDataFrame([("l1", 900), ("l2", 12)], "_id string, val long"),
+    )
+    cat.add_documents(
+        "t_dbl",
+        spark.createDataFrame(
+            [("d1", 0.5), ("d2", 9000.25)], "_id string, val double"
+        ),
+    )
+    cat.add_documents(
+        "t_str",
+        spark.createDataFrame(
+            [("s1", "10"), ("s2", "Apple")], "_id string, val string"
+        ),
+    )
+    cat.add_documents(
+        "t_bool",
+        spark.createDataFrame(
+            [("b1", True), ("b2", False)], "_id string, val boolean"
+        ),
+    )
+    cat.add_documents(
+        "t_ts",
+        spark.createDataFrame(
+            [("t1", dt.datetime(2020, 1, 1)), ("t2", dt.datetime(1999, 6, 1))],
+            "_id string, val timestamp",
+        ),
+    )
+
+    query = {
+        "find": ["?e", "?v"],
+        "keys": ["e", "v"],
+        "where": [["?e", "?a", "?v"], [["=", "?a", ":val"]]],
+        "order-by": [["?v", "asc"]],
+    }
+    got = [r.e for r in q(cat, query).collect()]
+    assert got == ["b2", "b1", "l2", "l1", "d1", "d2", "t2", "t1", "s1", "s2"]
+
+    desc = dict(query, **{"order-by": [["?v", "desc"]]})
+    assert [r.e for r in q(cat, desc).collect()] == list(reversed(got))
+
+
+def test_mixed_type_order_property(spark):
+    """Randomized round-trips of the same property: engine order over a
+    mixed-type attribute == python sort by (type tag, typed value)."""
+    import random
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        longs = rng.sample(range(-10_000, 10_000), 6)
+        dbls = [rng.uniform(-1e4, 1e4) for _ in range(6)]
+        strs = [f"s{rng.randrange(10**6)}" for _ in range(6)]
+        cat = Catalog(spark)
+        cat.add_documents(
+            "ml",
+            spark.createDataFrame(
+                [(f"L{i}", v) for i, v in enumerate(longs)], "_id string, val long"
+            ),
+        )
+        cat.add_documents(
+            "md",
+            spark.createDataFrame(
+                [(f"D{i}", v) for i, v in enumerate(dbls)], "_id string, val double"
+            ),
+        )
+        cat.add_documents(
+            "ms",
+            spark.createDataFrame(
+                [(f"S{i}", v) for i, v in enumerate(strs)], "_id string, val string"
+            ),
+        )
+        got = [
+            r.e
+            for r in q(
+                cat,
+                {
+                    "find": ["?e", "?v"],
+                    "keys": ["e", "v"],
+                    "where": [["?e", "?a", "?v"], [["=", "?a", ":val"]]],
+                    "order-by": [["?v", "asc"]],
+                },
+            ).collect()
+        ]
+        expect = (
+            [f"L{i}" for i in sorted(range(6), key=lambda i: longs[i])]
+            + [f"D{i}" for i in sorted(range(6), key=lambda i: dbls[i])]
+            + [f"S{i}" for i in sorted(range(6), key=lambda i: strs[i])]
+        )
+        assert got == expect, f"seed {seed}"
