@@ -122,6 +122,12 @@ class Compiler:
         # compare stringified values (the reference's tagged codec gives a
         # typed order, codec.clj:81-99)
         self.typed_vars: dict[str, dict[str, str]] = {}
+        # id(scan-df) -> number of literal constraints in the scan; the
+        # join chain starts from the most-constrained scan (the stats
+        # lite analogue of the reference's stats-driven clause order,
+        # query.clj:586-703 — selective relations first shrink every
+        # intermediate)
+        self._scan_scores: dict[int, int] = {}
 
     # ------------------------------------------------------------------ util
 
@@ -187,7 +193,12 @@ class Compiler:
             ["or-join", joinvars, *[["and", *b] for b in branches]]
         ]
 
-    def compile_clauses(self, clauses: list, extra_rels: list[DataFrame] = ()) -> DataFrame:
+    def compile_clauses(
+        self,
+        clauses: list,
+        extra_rels: list[DataFrame] = (),
+        out_vars: "set[str] | None" = None,
+    ) -> DataFrame:
         expanded: list = []
         for c in clauses:
             tag = (
@@ -257,7 +268,31 @@ class Compiler:
                 raise ValueError(f"unparseable where clause: {c!r}")
         dfs = [d for e, pats in triples.items() for d in self.scan_group(e, pats)]
         dfs.extend(rels)
-        df = self.join_all(dfs)
+        # selective scans first (stable for ties, so unconstrained
+        # queries keep their clause order); the greedy chain below then
+        # grows outward from the most literal-constrained relation
+        if len(dfs) > 1:
+            dfs.sort(key=lambda d: -self._scan_scores.get(id(d), 0))
+        # Early projection + dedup (set semantics only — out_vars is
+        # passed by compile_query exactly when the final result gets a
+        # distinct anyway): an existential var dropped as soon as no
+        # later clause needs it collapses duplicate-path blowup INSIDE
+        # the join chain instead of at the end. A 5-hop graph walk whose
+        # middle vars fan out (WatDiv C1: 14M distinct (u,w) pairs out
+        # of a vastly larger path bag) goes from materializing every
+        # path to materializing each distinct prefix once — the
+        # difference between minutes and seconds at 10M triples, and
+        # the difference between feasible and not at 100 TB.
+        keep = None
+        if out_vars is not None:
+            keep = {var_col(v) for v in out_vars}
+            for p in preds:
+                keep |= {var_col(v) for v in self._clause_vars(p)}
+            for joinvars, sub in negs + ors:
+                keep |= {var_col(v) for v in self._clause_vars(sub)}
+                for jv in joinvars or ():
+                    keep.add(var_col(jv))
+        df = self.join_all(dfs, keep=keep)
         # or/not compile AFTER the base join so branches may be correlated
         # with outer-bound vars (predicates over outer vars inside a
         # negation/disjunction, query_test.clj's not/or corpus)
@@ -415,6 +450,14 @@ class Compiler:
             select = []
             explodes = []
             var_src: dict[str, str] = {}
+            n_lit = 0
+            if not (is_var(e) and e not in self.env) and not is_blank(e):
+                n_lit += 1
+            for _ref, _v in items:
+                if is_var(_v) and _v in self.env:
+                    _v = self.env[_v]
+                if not is_var(_v) and not is_blank(_v):
+                    n_lit += 1
             if is_var(e) and e not in self.env:
                 select.append(F.col(ID_COL).alias(var_col(e)))
                 var_src[e] = ID_COL
@@ -516,19 +559,45 @@ class Compiler:
             for out_name, src in explodes:
                 df = df.withColumn(out_name, F.explode(F.col(src)))
                 select.append(F.col(out_name))
-            out.append(df.select(*select) if select else df.select(F.lit(1).alias("__exists")))
+            scan = df.select(*select) if select else df.select(F.lit(1).alias("__exists"))
+            self._scan_scores[id(scan)] = n_lit
+            out.append(scan)
         return out
 
     # ------------------------------------------------------------------ joins
 
-    def join_all(self, dfs: list[DataFrame]) -> DataFrame:
+    def join_all(
+        self, dfs: list[DataFrame], keep: "set[str] | None" = None
+    ) -> DataFrame:
         """Greedy shared-variable join chain; Catalyst/AQE reorders and
         chooses physical strategy, so the chain order only needs to be
-        *connected*, not optimal."""
+        *connected*, not optimal.
+
+        ``keep`` (set-semantics queries only): columns the caller still
+        needs after the chain. After each pairwise join, columns needed
+        neither by the caller nor by any remaining relation are dropped
+        and the prefix deduplicated — see compile_clauses on why."""
         if not dfs:
             return self.spark.range(1).select(F.lit(1).alias("__unit"))
         remaining = list(dfs)
         cur = remaining.pop(0)
+
+        def _project_dedup(cur: DataFrame) -> DataFrame:
+            future: set = set()
+            for d in remaining:
+                future |= set(d.columns)
+            base_keep = (keep | future) - {"__exists"}
+
+            def needed(c: str) -> bool:
+                if "__typed_" in c:
+                    return c.split("__typed_")[0] in base_keep
+                return c in base_keep
+
+            cols = [c for c in cur.columns if needed(c)]
+            if set(cols) == set(cur.columns) or not cols:
+                return cur
+            return cur.select(*cols).dropDuplicates()
+
         while remaining:
             for i, d in enumerate(remaining):
                 shared = sorted(
@@ -547,6 +616,8 @@ class Compiler:
                     ]
                     cur = cur.join(d.drop(*dup_typed), on=shared, how="inner")
                     remaining.pop(i)
+                    if keep is not None:
+                        cur = _project_dedup(cur)
                     break
             else:
                 # disconnected component -> cartesian product. Broadcast the
@@ -1480,6 +1551,7 @@ class Compiler:
         frontiers = [frontier]
         reached = frontier
         cnt = frontier.count()
+        reached_rows = cnt  # exact: every frontier is counted when materialized
         # Broadcasting the frontier keeps E un-shuffled: past the
         # auto-broadcast threshold (E is the full edge relation — at
         # graph scale it NEVER broadcasts) the join would otherwise
@@ -1487,21 +1559,41 @@ class Compiler:
         # is a materialized checkpoint) — but an explicit F.broadcast hint
         # bypasses Spark's BYTE-based autoBroadcastJoinThreshold, so the
         # guard must measure bytes, not rows: 2M rows of wide string
-        # labels can be hundreds of serialized MB. Cap the hint by the
-        # optimizer's own size estimate of the checkpointed frame (exact
-        # materialized bytes for a LogicalRDD) as well as by rows;
-        # anything over either cap falls back to AQE's choice.
+        # labels can be hundreds of serialized MB. Rows are capped
+        # directly; bytes via a sampled row width (see _est_bytes on why
+        # optimizer stats cannot be trusted here); anything over either
+        # cap falls back to AQE's choice.
         bcast_cap = 2_000_000
         bcast_byte_cap = 64 << 20  # 64 MiB serialized — driver-safe
+        # below this row count even pathological 1 KiB rows stay under
+        # the byte cap, so the common tiny-frontier rounds skip the
+        # sampling job entirely
+        bcast_free_rows = 50_000
 
-        def _est_bytes(df) -> int | None:
+        def _est_bytes(df, rows: int) -> int | None:
+            """Sampled per-row width x exact row count. The optimizer's
+            sizeInBytes is useless here: a checkpointed frame reports its
+            ORIGIN plan's estimate, and the origin joins against the
+            lazily-checkpointed E whose unknown stats multiply out to
+            astronomically large defaults (found the hard way: the r7
+            broadcast hint silently never fired once a byte guard trusted
+            those stats)."""
+            if rows <= bcast_free_rows:
+                return None  # caller treats as within-cap
             try:
-                return int(
-                    df._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
+                sample = df.limit(256).collect()
+                if not sample:
+                    return 0
+                w = sum(
+                    sum(
+                        len(v) if isinstance(v, str) else 8
+                        for v in r
+                        if v is not None
+                    )
+                    + 16
+                    for r in sample
+                ) / len(sample)
+                return int(w * rows)
             except Exception:
                 return None
 
@@ -1516,7 +1608,7 @@ class Compiler:
             cond = F.col("__n") == E[b_col]
             for i in labels:
                 cond = cond & (F.col(f"__l{i}") == E[f"__r{i}"])
-            fb = _est_bytes(frontier)
+            fb = _est_bytes(frontier, cnt)
             small = cnt <= bcast_cap and (fb is None or fb <= bcast_byte_cap)
             probe = F.broadcast(frontier) if small else frontier
             step = (
@@ -1527,14 +1619,29 @@ class Compiler:
                 )
                 .distinct()
             )
-            pre = step.join(reached, lcols + ["__n"], "left_anti")
+            # the novelty anti-join's right side is the reached set —
+            # its exact cumulative row count is the sum of frontier
+            # counts, so the same guarded broadcast removes the
+            # remaining per-round sort-merge (left_anti builds on the
+            # right side)
+            r_small = reached_rows <= bcast_cap and (
+                reached_rows <= bcast_free_rows
+                or (fb is not None and fb * (reached_rows / max(cnt, 1)) <= bcast_byte_cap)
+            )
+            anti_rhs = F.broadcast(reached) if r_small else reached
+            pre = step.join(anti_rhs, lcols + ["__n"], "left_anti")
             record_loop(
                 "tc_seeded",
                 rounds=_rounds,
                 round_df=pre if _rounds == 1 else None,
+                frontier_broadcast=bool(small),
+                reached_broadcast=bool(r_small),
+                frontier_rows=int(cnt),
+                frontier_bytes=fb,
             )
             frontier = pre.localCheckpoint()
             cnt = frontier.count()
+            reached_rows += cnt
             frontiers.append(frontier)
             reached = reduce(
                 lambda a, b: a.unionByName(b), frontiers
@@ -2119,7 +2226,23 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
             raise ValueError(f"bad :in spec {spec!r}")
 
     comp = Compiler(catalog, rules, env)
-    df = comp.compile_clauses(where, extra_rels=rels)
+    # Set-semantics early-projection hint: the final result is
+    # distinct'd exactly when there is no order/limit (vector semantics)
+    # and no aggregate/pull (bag semantics feeding the aggregate /
+    # struct assembly needing the entity var) — in that case the join
+    # chain may drop existential vars early and dedup prefixes (see
+    # join_all). :find must be all plain vars for the hint to be valid.
+    _set_sem = (
+        not (query.get("order-by") or query.get("order_by"))
+        and query.get("limit") is None
+        and query.get("offset") is None
+        and all(is_var(el) for el in find)
+    )
+    df = comp.compile_clauses(
+        where,
+        extra_rels=rels,
+        out_vars={el for el in find if is_var(el)} if _set_sem else None,
+    )
 
     # a scalar :in arg is substituted into filters, never bound as a
     # column; if it appears in :find, project it back as a literal

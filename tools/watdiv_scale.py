@@ -94,6 +94,19 @@ def main() -> None:
             f"sparql={dt_sparql:.2f}s hand={dt_hand:.2f}s",
             file=sys.stderr,
         )
+        # unpin dead per-query checkpoint blocks between instances
+        # (bench.py's cleanup): without this, closure checkpoints
+        # accumulate across 59 instances and the heavyweights at the
+        # tail run under memory pressure — observed as a 6x wall blowup
+        # on a re-execution of the IDENTICAL plan
+        del sdf, hdf
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     out = {
         "n_users": n_users,
