@@ -98,6 +98,90 @@ def train_centroids(
     return cents
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column:
+    (id, cluster, dist) after ``iterations`` assignment passes —
+    document clustering for corpus curation (topic balancing, cluster
+    canonical picks), distinct from train_centroids' bounded-sample IVF
+    codebook: HERE every assignment pass and every centroid update is
+    distributed over the full corpus.
+
+    Scale shape per iteration: one vectorized Arrow pass assigns each
+    row against the broadcast k x dim centroid matrix (map-only), and
+    ONE shuffle computes the elementwise centroid means as dim avg()
+    aggregates with map-side partial aggregation; the k x dim result
+    (kilobytes) is collected and rebroadcast. Nothing corpus-sized ever
+    reaches the driver.
+
+    Determinism across engines and partitionings: float sums are
+    order-sensitive, so centroid means are QUANTIZED to 10^-quant after
+    every update and distances to 10^-quant before the argmin (ties ->
+    lowest cluster id); the iteration trajectory is then a pure
+    function of the data. Init = the first k vectors by id."""
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = np.array([list(r[0]) for r in init], dtype=np.float64)
+    dim = cents.shape[1]
+    spark = corpus.sparkSession
+
+    from pyspark.sql.functions import pandas_udf
+
+    def assign_with(C: np.ndarray):
+        Cq = np.round(C, quant)
+
+        @pandas_udf("struct<cluster:int, dist:double>")
+        def assign(v: pd.Series) -> pd.DataFrame:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            d = np.round(
+                np.sqrt(((M[:, None, :] - Cq[None, :, :]) ** 2).sum(-1)),
+                quant,
+            )
+            cl = np.argmin(d, axis=1)  # first min = lowest cluster id
+            return pd.DataFrame(
+                {"cluster": cl.astype("int32"), "dist": d[np.arange(len(cl)), cl]}
+            )
+
+        return assign
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    assigned = None
+    for it in range(iterations):
+        u = assign_with(cents)
+        assigned = base.select(
+            id_col, "__v", u(F.col("__v")).alias("__a")
+        ).select(
+            id_col,
+            "__v",
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist").alias("dist"),
+        )
+        if it == iterations - 1:
+            break
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__v")[i]), quant).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        # clusters that captured no rows keep their previous centroid
+        for r in rows:
+            cents[r["cluster"]] = [r[f"c{i}"] for i in range(dim)]
+        cents = np.round(cents, quant)
+    return assigned.select(id_col, "cluster", "dist")
+
+
 def _cell_assign_udf(centroids: np.ndarray, n: int):
     """Arrow-vectorized nearest-centroid assignment: each batch of vectors
     is one numpy matmul against the (tiny, closure-captured) centroid

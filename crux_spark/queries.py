@@ -3376,3 +3376,105 @@ _r8_order = _r8_order[:34] + _R8_IN + _r8_order[34:] + _R8_OUT
 _r8_reordered = {n: QUERIES[n] for n in _r8_order}
 QUERIES.clear()
 QUERIES.update(_r8_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r8 additions — registered AFTER the r8 window reorder, so they land in
+# the overflow tail (mirror-checked at two SFs; driver rows via rotation —
+# r9 queue: bloom_decontaminate, kmeans_embeddings).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_decontaminate",
+    r"""
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    bsh AS (
+      SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS sh
+      FROM dw, UNNEST(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)
+      WHERE doc_id % 89 = 0),
+    dsh AS (
+      SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+      FROM dw, UNNEST(range(1, greatest(len(ws)-4, 0)+1)) AS t(i)
+      WHERE doc_id % 89 <> 0)
+    SELECT doc_id, CAST(count(DISTINCT dsh.sh) AS BIGINT) AS n_shared
+    FROM dsh JOIN bsh USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered exact decontamination (sampling.py
+    bloom_decontaminate): the benchmark's shingle hashes compress into a
+    broadcast bitset tested per corpus shingle in vectorized Arrow
+    batches — negatives are a map-only scan, only Bloom hits pay the
+    exact join. The oracle is the PLAIN exact decontamination: a
+    hash-match proves the prefilter+verify pipeline loses nothing and
+    admits nothing (false positives stripped by the verify join)."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0)
+    return _samp.bloom_decontaminate(train, bench, n=5)
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, quant: int = 6) -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL: assignment = row_number
+    over (quantized euclidean distance, cluster id); centroid update =
+    elementwise avg via index unnest, quantized; empty clusters keep the
+    previous centroid (LEFT JOIN + COALESCE). Mirrors kmeans_assign's
+    quantized trajectory exactly (similarity.py)."""
+    q = quant
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,"
+        f" list_transform(v, x -> round(x, {q})) AS v"
+        f" FROM e ORDER BY vec_id LIMIT {k}),",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid, dist FROM ("
+            f"SELECT e.vec_id, {prev}.cid,"
+            f" round(list_distance(e.v, {prev}.v), {q}) AS dist,"
+            f" row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            f" round(list_distance(e.v, {prev}.v), {q}), {prev}.cid) AS rn"
+            f" FROM e CROSS JOIN {prev}) WHERE rn = 1),"
+        )
+        if it == iterations:
+            break
+        parts.append(
+            f"m{it} AS (SELECT cid, i, round(avg(x), {q}) AS m FROM ("
+            f"SELECT a{it}.cid, t.i, e.v[t.i] AS x"
+            f" FROM a{it} JOIN e USING (vec_id),"
+            f" UNNEST(range(1, len(e.v) + 1)) AS t(i)) GROUP BY cid, i),"
+        )
+        parts.append(
+            f"u{it} AS (SELECT cid, list(m ORDER BY i) AS v FROM m{it} GROUP BY cid),"
+        )
+        parts.append(
+            f"c{it} AS (SELECT {prev}.cid, COALESCE(u{it}.v, {prev}.v) AS v"
+            f" FROM {prev} LEFT JOIN u{it} USING (cid)),"
+        )
+        prev = f"c{it}"
+    sql = "\n".join(parts).rstrip().rstrip(",")
+    sql += (
+        f"\nSELECT vec_id, CAST(cid AS INT) AS cluster, dist"
+        f" FROM a{iterations}"
+    )
+    return sql
+
+
+@register("kmeans_embeddings", _kmeans_oracle_sql())
+def kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means document clustering
+    (similarity.py kmeans_assign): per-iteration map-only Arrow
+    assignment against broadcast centroids + ONE partial-aggregated
+    shuffle for the elementwise means; quantized trajectory makes the
+    result a pure function of the data, verified cell-for-cell against
+    the DuckDB unrolled-iteration reconstruction."""
+    cat = catalog_for(spark, sf_dir)
+    return _sim.kmeans_assign(cat.table("embeddings"), k=8, iterations=3)

@@ -900,3 +900,37 @@ def test_hashed_classifier_score_shape(spark):
         for r in textops.hashed_classifier_score(df, seed="other").collect()
     }
     assert other[1].raw != out[1].raw
+
+
+def test_kmeans_assign_separable(spark):
+    """Distributed Lloyd's on three well-separated blobs: every blob
+    member lands with its blob's seed after 3 iterations; reruns are
+    bit-identical (quantized trajectory); a duplicate seed yields an
+    empty cluster that keeps its previous centroid without crashing."""
+    import random
+
+    from crux_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(42)
+    rows = []
+    # ids 0..2 are the three seeds (init = first k by id), one per blob
+    for i in range(30):
+        blob = i % 3
+        center = [10.0 * blob] * 4
+        rows.append(
+            (i, [c + rng.uniform(-0.5, 0.5) for c in center])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(emb, k=3, iterations=3).collect()
+    by_id = {r.vec_id: r.cluster for r in out}
+    assert len(by_id) == 30
+    for i in range(30):
+        assert by_id[i] == by_id[i % 3], f"vec {i} strayed from its blob seed"
+    # determinism: identical assignments and distances on a rerun
+    out2 = kmeans_assign(emb, k=3, iterations=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    # k=4 gives a 4th seed inside blob 0 -> some cluster may end empty
+    # mid-iteration; the run must stay total and cover every vector
+    out4 = kmeans_assign(emb, k=4, iterations=3).collect()
+    assert len(out4) == 30 and {r.cluster for r in out4} <= {0, 1, 2, 3}
