@@ -766,3 +766,68 @@ def test_mixed_type_order_property(spark):
             + [f"S{i}" for i in sorted(range(6), key=lambda i: strs[i])]
         )
         assert got == expect, f"seed {seed}"
+
+
+def test_join_all_early_projection_dedup(spark):
+    """Set-semantics early dedup (join_all keep=...): existential vars
+    drop as soon as no remaining relation needs them and the prefix
+    dedups — a fan-out middle hop must not multiply the final distinct
+    pairs, and the intermediate plan must show the inserted aggregate."""
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog.compile import Compiler, var_col
+
+    cat = Catalog(spark)
+    comp = Compiler(cat, [], {})
+    a = spark.createDataFrame(
+        [(1, i) for i in range(4)], [var_col("?u"), var_col("?v")]
+    )
+    b = spark.createDataFrame(
+        [(i, 7) for i in range(4)], [var_col("?v"), var_col("?w")]
+    )
+    out = comp.join_all([a, b], keep={var_col("?u"), var_col("?w")})
+    assert sorted(out.columns) == sorted([var_col("?u"), var_col("?w")])
+    rows = out.collect()
+    # 4 paths from u=1 to w=7 through 4 distinct v — deduped to ONE row
+    # inside the chain, not just at the end
+    assert [(r[0], r[1]) for r in rows] == [(1, 7)]
+    # without the hint the bag keeps all 4 paths (pre-change behavior)
+    assert comp.join_all([a, b]).count() == 4
+
+
+def test_scan_order_prefers_literal_constraints(spark):
+    """Selective scans join first: a query whose LAST clause carries the
+    only literal gets that scan as the chain seed (scan-score sort is
+    stable, so unconstrained queries keep clause order)."""
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog import q
+
+    cat = Catalog(spark)
+    cat.add_documents(
+        "people",
+        spark.createDataFrame(
+            [("p1", "ann", "paris"), ("p2", "bob", "oslo"), ("p3", "cyd", "paris")],
+            "_id string, name string, city string",
+        ),
+    )
+    # correctness is unchanged regardless of order
+    rows = q(
+        cat,
+        {
+            "find": ["?n"],
+            "keys": ["n"],
+            "where": [
+                ["?p", ":name", "?n"],
+                ["?p", ":city", "paris"],
+            ],
+        },
+    ).collect()
+    assert sorted(r.n for r in rows) == ["ann", "cyd"]
+    # and the scorer itself ranks the literal-filtered scan higher
+    from crux_spark.datalog.compile import Compiler
+
+    comp = Compiler(cat, [], {})
+    scans = comp.scan_group("?p", [(":name", "?n")]) + comp.scan_group(
+        "?p", [(":city", "paris")]
+    )
+    scores = [comp._scan_scores.get(id(s), 0) for s in scans]
+    assert scores == [0, 1]
