@@ -969,18 +969,38 @@ def text_analysis(spark, sf_dir):
 @register(
     "dedup_exact",
     r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, '  ' || upper(substr(text, 1, 1)) || substr(text, 2)
+      FROM documents WHERE doc_id % 50 = 0
+    )
     SELECT content_hash, n_docs, keep_id, dup_ids
     FROM (
       SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
              count(*) AS n_docs, min(doc_id) AS keep_id,
              array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
-      FROM documents GROUP BY 1
+      FROM aug GROUP BY 1
     ) t WHERE n_docs > 1
     """,
 )
 def dedup_exact(spark, sf_dir):
+    """Exact normalized-hash dedup, driven over a corpus with PLANTED
+    near-verbatim copies (every 50th doc reappears at id+2000000 with
+    leading whitespace and a case change — exactly what the
+    normalization must collapse). The synthetic corpus has no natural
+    exact duplicates, so the unplanted form was a vacuous 0-row gate."""
     cat = catalog_for(spark, sf_dir)
-    out = _dedup.exact_duplicates(cat.table("documents"))
+    docs = cat.table("documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+    )
+    out = _dedup.exact_duplicates(docs.unionByName(planted))
     # array column -> comma-joined string for the driver canonicalizer
     # (module docstring discipline; the operator itself keeps the array)
     return out.withColumn(
