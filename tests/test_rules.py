@@ -588,3 +588,43 @@ def test_labeled_seeded_closure(people_only_catalog):
     assert (":follows", "d") in seeded       # 3-hop follows chain
     assert (":name", "Ann") in seeded        # 1-step attr edge
     assert (":follows", "f") not in seeded   # e's chain never leaks
+
+
+def test_seeded_closure_rounds_broadcast(spark):
+    """Regression guard: every seeded-closure round must broadcast BOTH
+    the frontier probe and the reached anti-join side when they are
+    small — the r7 hint silently stopped firing when a byte guard
+    trusted optimizer sizeInBytes (origin-plan default stats), and every
+    round paid two sort-merge shuffles of E. The loop fingerprint makes
+    the plan visible; this pins it."""
+    from crux_spark import Catalog, metrics
+    from crux_spark.datalog import q
+
+    cat = Catalog(spark)
+    edges = [(f"m{i}", f"m{i+1}") for i in range(12)]
+    cat.add_documents(
+        "g2", spark.createDataFrame(edges, "_id string, nxt string")
+    )
+    metrics.reset_loops()
+    n = q(
+        cat,
+        {
+            "find": ["?v"],
+            "where": [["reach2", "m0", "?v"]],
+            "rules": [
+                [["reach2", "?x", "?y"], ["?x", ":nxt", "?y"]],
+                [
+                    ["reach2", "?x", "?y"],
+                    ["?x", ":nxt", "?z"],
+                    ["reach2", "?z", "?y"],
+                ],
+            ],
+        },
+    ).count()
+    assert n == 12
+    ls = metrics.loops_snapshot()["tc_seeded"]
+    assert ls["frontier_broadcast"] is True
+    assert ls["reached_broadcast"] is True
+    rp = ls["round_plan"]
+    assert rp["joins"].get("BroadcastHashJoin") == 2, rp
+    assert "SortMergeJoin" not in rp["joins"], rp
