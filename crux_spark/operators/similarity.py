@@ -647,3 +647,121 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def sq8_train(corpus: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Per-dimension (min, max) quantization bounds for SQ8 — ONE
+    distributed aggregate (map-side partials) returning 2 x dim doubles;
+    nothing corpus-sized reaches the driver."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    row = corpus.agg(
+        *[F.min(F.col(vec_col)[i].cast("double")).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(F.col(vec_col)[i].cast("double")).alias(f"hi{i}") for i in range(dim)],
+    ).collect()[0]
+    lo = np.array([row[f"lo{i}"] for i in range(dim)], dtype=np.float64)
+    hi = np.array([row[f"hi{i}"] for i in range(dim)], dtype=np.float64)
+    return lo, hi
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bounds: tuple | None = None,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) approximate top-k with exact re-rank:
+    each corpus vector quantizes per-dimension to uint8 against global
+    (min, max) bounds — 1 byte/dim, the middle ground between PQ's
+    m bytes/vector and raw floats — and queries score the DEQUANTIZED
+    vectors (one numpy matmul per Arrow batch, no shuffle). The
+    per-query `shortlist` best candidates re-rank with exact cosine,
+    so the output carries true similarities (pq_topk's contract:
+    recall failures surface as missing ids, never drifted scores).
+
+    Scale: the scoring pass reads dim bytes/vector; bounds are a single
+    distributed min/max aggregate; only shortlist x queries vectors are
+    touched for the re-rank."""
+    from pyspark.sql import types as T
+
+    if bounds is None:
+        bounds = sq8_train(corpus, vec_col)
+    lo, hi = np.asarray(bounds[0], float), np.asarray(bounds[1], float)
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+
+    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"sq8_topk query side exceeds max_queries={max_queries}; "
+            "queries broadcast into the scoring batches — batch them"
+        )
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.clip(
+                np.round((V - lo) / scale), 0, 255
+            ).astype(np.uint8)  # the stored representation: 1 byte/dim
+            deq = codes.astype(np.float64) * scale + lo
+            deq = deq / np.maximum(
+                np.linalg.norm(deq, axis=1, keepdims=True), 1e-12
+            )
+            scores = Q @ deq.T
+            n = len(V)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "vec_id": np.tile(pdf[id_col].to_numpy(), len(qids)),
+                    "approx": scores.ravel(),
+                }
+            )
+
+    approx = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        approx.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    rer = (
+        short.join(c, "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn(
+            "sim",
+            cosine(
+                F.col("cvec").cast("array<double>"),
+                F.col("qvec").cast("array<double>"),
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1178,6 +1178,7 @@ def ann_ivf(spark, sf_dir):
 
 
 _PQ_BOOKS: dict = {}
+_SQ8_BOUNDS: dict = {}
 
 
 @register(
@@ -3401,7 +3402,7 @@ QUERIES.update(_r8_reordered)
 # ---------------------------------------------------------------------------
 # r8 additions — registered AFTER the r8 window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
-# r9 queue: bloom_decontaminate, kmeans_embeddings).
+# r9 queue: bloom_decontaminate, kmeans_embeddings, ann_sq8).
 # ---------------------------------------------------------------------------
 
 
@@ -3498,3 +3499,41 @@ def kmeans_embeddings(spark, sf_dir):
     the DuckDB unrolled-iteration reconstruction."""
     cat = catalog_for(spark, sf_dir)
     return _sim.kmeans_assign(cat.table("embeddings"), k=8, iterations=3)
+
+
+@register(
+    "ann_sq8",
+    """
+    SELECT vec_id + 1000000 AS query_id, vec_id,
+           round(list_cosine_similarity(
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.001,
+                          CAST(embedding[2:] AS DOUBLE[])),
+             CAST(embedding AS DOUBLE[])), 6) AS sim,
+           1 AS rank
+    FROM embeddings WHERE vec_id < 25
+    """,
+)
+def ann_sq8(spark, sf_dir):
+    """Scalar-quantization (SQ8) ANN with a DuckDB-checkable answer
+    (the ann_ivf/ann_pq perturbed-query pattern): per-dimension uint8
+    codes against global min/max bounds score a dequantized dot product
+    to shortlist candidates; exact re-rank returns true cosines. A
+    hash-match proves the 1-byte/dim representation routes each
+    perturbed query's shortlist to contain its original vector AND the
+    re-rank surfaces it at rank 1. At 100 TB the scoring pass reads dim
+    bytes/vector; bounds are one distributed min/max aggregate."""
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings")
+    ck = (id(spark), sf_dir)
+    if ck not in _SQ8_BOUNDS:
+        _SQ8_BOUNDS[ck] = _sim.sq8_train(emb)
+    queries_df = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return _sim.sq8_topk(
+        emb, queries_df, bounds=_SQ8_BOUNDS[ck], k=1, shortlist=32
+    )

@@ -934,3 +934,38 @@ def test_kmeans_assign_separable(spark):
     # mid-iteration; the run must stay total and cover every vector
     out4 = kmeans_assign(emb, k=4, iterations=3).collect()
     assert len(out4) == 30 and {r.cluster for r in out4} <= {0, 1, 2, 3}
+
+
+def test_sq8_topk_recall(spark):
+    """SQ8 shortlist+re-rank vs brute force: with a generous shortlist
+    the top-5 sets coincide and the sims are EXACT (re-rank contract);
+    the uint8 codes genuinely quantize (bounds span the data)."""
+    import random
+
+    import numpy as np
+
+    from crux_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 4").select(
+        (emb.vec_id + 1000).alias("query_id"), "embedding"
+    )
+    lo, hi = sq8_train(emb)
+    assert (np.asarray(hi) > np.asarray(lo)).all()
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in sq8_topk(emb, queries, (lo, hi), k=5, shortlist=40).collect()
+    }
+    assert got == exact
