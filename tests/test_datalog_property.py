@@ -253,3 +253,59 @@ def test_sql_table_fast_path_matches_datalog(prop_spark, docs, sel, lit_filter):
     fast = _compile_table_spec(cat, spec, q)
     full = q(cat, spec)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect())), spec
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy, clauses=query_strategy)
+def test_projected_find_matches_brute_force(prop_spark, docs, clauses):
+    """Same universe, but :find projects a strict SUBSET of the bound
+    vars — the exact shape where the set-semantics early projection +
+    dedup rewrite (join_all keep=...) fires. The engine's distinct
+    projected set must equal the brute-force result projected onto the
+    same vars."""
+    spark = prop_spark
+    int_vars = {c[3] for c in clauses if c[0] == "av"} | {
+        c[2] for c in clauses if c[0] == "cmp"
+    }
+    ent_vars = (
+        {c[1] for c in clauses if c[0] != "cmp"}
+        | {c[3] for c in clauses if c[0] == "ref"}
+        | {c[2] for c in clauses if c[0] == "negref"}
+    )
+    if int_vars & ent_vars:
+        return
+    bound = {c[1] for c in clauses if c[0] in ("av", "alit", "ref", "or2")} | {
+        c[3] for c in clauses if c[0] in ("av", "ref")
+    }
+    unbound_consumer = any(
+        (c[0] == "cmp" and c[2] not in bound)
+        or (c[0] == "neg" and c[1] not in bound)
+        or (c[0] == "negref" and not (c[1] in bound and c[2] in bound))
+        for c in clauses
+    )
+    if unbound_consumer or len(bound) < 2:
+        return  # nothing to project away
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("r", T.StringType()),
+        ]
+    )
+    rows = [(e, d["a"], d["b"], d["r"]) for e, d in docs.items()]
+    cat = Catalog(spark)
+    cat.add_documents("docs", spark.createDataFrame(rows, schema), id_col="id")
+    query, used = to_datalog(clauses)
+    keep = sorted(bound)[: len(bound) // 2] or sorted(bound)[:1]
+    query["find"] = [f"?{v}" for v in keep]
+    expected = {
+        tuple(row[used.index(v)] for v in keep)
+        for row in brute_force(docs, clauses)
+    }
+    got = {tuple(r) for r in q(cat, query).collect()}
+    assert got == expected, (clauses, keep, docs)
