@@ -765,3 +765,60 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — k-means clusters the space,
+    then ONLY within-cluster pairs are compared, and a vector is dropped
+    when a lower-id cluster-mate sits above the cosine threshold
+    (deterministic keep-first stand-in for the paper's keep rule).
+    Returns every vector: (id, cluster, keep, dup_of) with dup_of the
+    smallest witnessing keeper-candidate id (null when kept).
+
+    Why this exists at 100 TB: all-pairs cosine is quadratic in the
+    corpus; SemDeDup confines the quadratic step to a cluster. Scale k
+    with the corpus (the paper uses ~100k clusters for LAION-scale) so
+    cluster sizes stay bounded; the clustering itself is the
+    distributed, quantized kmeans_assign above (engine-independent
+    trajectory), so the WHOLE operator is a pure function of the data.
+    The within-cluster join shuffles on cluster id — one shuffle, skew
+    bounded by the largest cluster."""
+    assign = kmeans_assign(
+        corpus, k=k, iterations=iterations, vec_col=vec_col,
+        id_col=id_col, quant=quant,
+    ).select(id_col, "cluster")
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(assign, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.round(F.col("__sim"), quant) >= threshold)
+        .groupBy(F.col("__ida").alias(id_col))
+        .agg(F.min("__idb").alias("dup_of"))
+    )
+    return (
+        assign.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -3402,7 +3402,8 @@ QUERIES.update(_r8_reordered)
 # ---------------------------------------------------------------------------
 # r8 additions — registered AFTER the r8 window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
-# r9 queue: bloom_decontaminate, kmeans_embeddings, ann_sq8).
+# r9 queue: bloom_decontaminate, kmeans_embeddings, ann_sq8,
+# semantic_dedup).
 # ---------------------------------------------------------------------------
 
 
@@ -3442,12 +3443,14 @@ def bloom_decontaminate(spark, sf_dir):
     return _samp.bloom_decontaminate(train, bench, n=5)
 
 
-def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, quant: int = 6) -> str:
-    """Unrolled Lloyd's iterations in DuckDB SQL: assignment = row_number
-    over (quantized euclidean distance, cluster id); centroid update =
-    elementwise avg via index unnest, quantized; empty clusters keep the
-    previous centroid (LEFT JOIN + COALESCE). Mirrors kmeans_assign's
-    quantized trajectory exactly (similarity.py)."""
+def _kmeans_ctes(k: int = 8, iterations: int = 3, quant: int = 6) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs (shared by the kmeans
+    and semdedup oracles): assignment = row_number over (quantized
+    euclidean distance, cluster id); centroid update = elementwise avg
+    via index unnest, quantized; empty clusters keep the previous
+    centroid (LEFT JOIN + COALESCE). Mirrors kmeans_assign's quantized
+    trajectory exactly (similarity.py). The final assignment CTE is
+    a{iterations}."""
     q = quant
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
@@ -3481,12 +3484,36 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, quant: int = 6) -> str:
             f" FROM {prev} LEFT JOIN u{it} USING (cid)),"
         )
         prev = f"c{it}"
-    sql = "\n".join(parts).rstrip().rstrip(",")
-    sql += (
+    return "\n".join(parts).rstrip().rstrip(",")
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, quant: int = 6) -> str:
+    return _kmeans_ctes(k, iterations, quant) + (
         f"\nSELECT vec_id, CAST(cid AS INT) AS cluster, dist"
         f" FROM a{iterations}"
     )
-    return sql
+
+
+def _semdedup_oracle_sql(
+    k: int = 8, iterations: int = 3, quant: int = 6, threshold: float = 0.45
+) -> str:
+    """SemDeDup oracle: the shared k-means CTEs, then within-cluster
+    pairs only — a vector is dropped when a lower-id cluster-mate sits
+    at rounded cosine >= threshold (keep-first rule)."""
+    a = f"a{iterations}"
+    return _kmeans_ctes(k, iterations, quant) + (
+        f""",
+    drp AS (
+      SELECT x.vec_id, min(y.vec_id) AS dup_of
+      FROM {a} x JOIN {a} y ON x.cid = y.cid AND y.vec_id < x.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(ex.v, ey.v), {quant}) >= {threshold}
+      GROUP BY x.vec_id)
+    SELECT {a}.vec_id, CAST({a}.cid AS INT) AS cluster,
+           (drp.dup_of IS NULL) AS keep, drp.dup_of
+    FROM {a} LEFT JOIN drp USING (vec_id)"""
+    )
 
 
 @register("kmeans_embeddings", _kmeans_oracle_sql())
@@ -3536,4 +3563,18 @@ def ann_sq8(spark, sf_dir):
     )
     return _sim.sq8_topk(
         emb, queries_df, bounds=_SQ8_BOUNDS[ck], k=1, shortlist=32
+    )
+
+
+@register("semantic_dedup", _semdedup_oracle_sql())
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup of the embedding
+    corpus — distributed quantized k-means confines the quadratic
+    cosine step to WITHIN each cluster (the paper's core trick: never
+    all-pairs), keep-first drop rule. Every vector returns
+    (vec_id, cluster, keep, dup_of); oracle reconstructs the identical
+    clustering + within-cluster join in DuckDB."""
+    cat = catalog_for(spark, sf_dir)
+    return _sim.semantic_dedup(
+        cat.table("embeddings"), k=8, iterations=3, threshold=0.45
     )

@@ -969,3 +969,33 @@ def test_sq8_topk_recall(spark):
         for r in sq8_topk(emb, queries, (lo, hi), k=5, shortlist=40).collect()
     }
     assert got == exact
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """SemDeDup semantics: exact duplicates land in one cluster and the
+    LOWER id is kept; near-identical vectors above threshold drop with
+    dup_of pointing at the kept witness; vectors in other clusters are
+    never compared (keep=True however similar conceptually)."""
+    from crux_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0, 0.0]),
+        (2, [10.0, 0.05, 0.0, 0.0]),   # near-dup of 0 (same blob)
+        (3, [0.0, 10.0, 0.0, 0.0]),    # exact dup of 1
+        (4, [9.8, 0.1, 0.0, 0.0]),     # near-dup of 0 too
+        (5, [0.0, -10.0, 0.0, 0.0]),   # own direction
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in semantic_dedup(
+            emb, k=3, iterations=2, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[0] == (True, None)
+    assert out[1] == (True, None)
+    assert out[3] == (False, 1)       # exact dup drops, witness is id 1
+    assert out[2] == (False, 0) and out[4] == (False, 0)  # cos>0.999 to 0
+    assert out[5][0] is True
