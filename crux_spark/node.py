@@ -227,12 +227,19 @@ class Db:
         """Monitored query execution that never collect()s the full
         frame driver-side: rows come through toLocalIterator (one
         partition in flight at a time — the reference's cursor-backed
-        open-q, http_server.clj:330-424) and are bounded by
-        offset/limit. The HTTP facade's query path; q_collect stays the
-        timeout-interrupted eager surface for in-process callers."""
+        open-q, http_server.clj:330-424), bounded by offset/limit, and
+        interrupted on ``:timeout`` (ms, same default as q_collect) by
+        cancelling the query's job group. The HTTP facade's query path;
+        q_collect stays the eager full-collect surface."""
         import itertools
+        import threading
         import time
         import uuid
+
+        from crux_spark.datalog.compile import (
+            DEFAULT_QUERY_TIMEOUT_MS,
+            QueryTimeoutError,
+        )
 
         qid = uuid.uuid4().hex[:12]
         state = {
@@ -244,13 +251,42 @@ class Db:
             "error": None,
         }
         self.node._record_submitted_query(state)
+        timeout_ms = (
+            query.get("timeout", DEFAULT_QUERY_TIMEOUT_MS)
+            if isinstance(query, dict)
+            else DEFAULT_QUERY_TIMEOUT_MS
+        )
+        sc = self.node.spark.sparkContext
+        group = f"crux-q-{qid}"
+        out: dict = {}
+
+        def run():
+            # job group is thread-local: set inside the consumer thread
+            # so the cancel targets exactly this query's lazy jobs
+            sc.setJobGroup(group, "crux_spark streamed query", interruptOnCancel=True)
+            try:
+                df = self.q(query, *args)
+                it = df.toLocalIterator()
+                stop = None if limit is None else offset + limit
+                out["rows"] = list(itertools.islice(it, offset, stop))
+            except Exception as e:
+                out["err"] = e
+            finally:
+                sc.setJobGroup("", "")
+
         try:
-            df = self.q(query, *args)
-            it = df.toLocalIterator()
-            stop = None if limit is None else offset + limit
-            rows = list(itertools.islice(it, offset, stop))
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(timeout_ms / 1000.0)
+            if th.is_alive():
+                sc.cancelJobGroup(group)
+                raise QueryTimeoutError(
+                    f"query exceeded timeout of {timeout_ms} ms"
+                )
+            if "err" in out:
+                raise out["err"]
             state["status"] = "completed"
-            return rows
+            return out["rows"]
         except Exception as e:
             state["status"] = "failed"
             state["error"] = repr(e)
