@@ -524,3 +524,42 @@ def hashed_classifier_score(df: DataFrame, doc_id_col: str = "doc_id",
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+def c4_quality_flags(df: DataFrame, doc_id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, the public
+    description of the Colossal Clean Crawled Corpus): per LINE keep
+    only lines that (a) end in a terminal punctuation mark (. ! ? "),
+    (b) contain at least 3 words, (c) do not contain the word
+    'javascript' (case-insensitive); per PAGE drop documents with fewer
+    than 5 sentences, containing 'lorem ipsum', or containing a curly
+    brace. Returns per doc: line counts, sentence count (terminal
+    punctuation marks in the kept text), the page flags, the combined
+    c4_keep decision and clean_text (kept lines rejoined).
+
+    All per-row Catalyst expressions over one split — zero shuffle; at
+    100 TB this is a map-only pass like the Gopher filter."""
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = lambda l: (  # noqa: E731
+        F.rtrim(l).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 3)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{") | F.col(text_col).contains("}")
+    return df.select(
+        F.col(doc_id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= 5) & ~has_lorem & ~has_brace
+        ).alias("c4_keep"),
+        clean.alias("clean_text"),
+    )

@@ -3403,7 +3403,7 @@ QUERIES.update(_r8_reordered)
 # r8 additions — registered AFTER the r8 window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
 # r9 queue: bloom_decontaminate, kmeans_embeddings, ann_sq8,
-# semantic_dedup).
+# semantic_dedup, text_c4_filter).
 # ---------------------------------------------------------------------------
 
 
@@ -3578,3 +3578,87 @@ def semantic_dedup(spark, sf_dir):
     return _sim.semantic_dedup(
         cat.table("embeddings"), k=8, iterations=3, threshold=0.45
     )
+
+
+@register(
+    "text_c4_filter",
+    r"""
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    built AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(1, greatest(len(ws), 1) + 1, 4),
+                              i -> array_to_string(ws[i:i+3], ' ') || '.'),
+               chr(10))
+             || CASE WHEN doc_id % 13 = 0
+                     THEN chr(10) || 'enable javascript to proceed.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                     THEN chr(10) || 'see { config } block.'
+                     ELSE '' END AS text
+      FROM dw),
+    lined AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             (contains(text, '{') OR contains(text, '}')) AS has_brace
+      FROM built),
+    keptl AS (
+      SELECT doc_id, lines, has_lorem, has_brace,
+             list_filter(lines, l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                   x -> x <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lined)
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           CAST(length(regexp_replace(array_to_string(kept, chr(10)),
+                                      '[^.!?]', '', 'g')) AS BIGINT)
+             AS n_sentences,
+           has_lorem, has_brace,
+           (length(regexp_replace(array_to_string(kept, chr(10)),
+                                  '[^.!?]', '', 'g')) >= 5
+            AND NOT has_lorem AND NOT has_brace) AS c4_keep,
+           array_to_string(kept, chr(10)) AS clean_text
+    FROM keptl
+    """,
+)
+def text_c4_filter(spark, sf_dir):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) end-to-end
+    (textops.c4_quality_flags). The synthetic corpus has no sentence
+    structure, so BOTH engines first build it deterministically: docs
+    rewrap into 4-token period-terminated lines (the trailing partial
+    line trips the >=3-words rule), and every 13th/17th/19th doc gets a
+    planted javascript line / 'lorem ipsum' / curly-brace line — so all
+    six rules fire somewhere in the corpus and the oracle checks each
+    doc's metrics, flags, keep decision and clean_text verbatim."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(4)
+    )
+    body = F.array_join(
+        F.transform(
+            starts,
+            lambda i: F.concat(F.concat_ws(" ", F.slice(ws, i, 4)), F.lit(".")),
+        ),
+        "\n",
+    )
+    did = F.col("doc_id")
+    text2 = F.concat(
+        body,
+        F.when(did % 13 == 0, F.lit("\nenable javascript to proceed.")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit("\nsee { config } block.")).otherwise(F.lit("")),
+    )
+    built = docs.select("doc_id", text2.alias("text"))
+    return _text.c4_quality_flags(built)

@@ -999,3 +999,39 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert out[3] == (False, 1)       # exact dup drops, witness is id 1
     assert out[2] == (False, 0) and out[4] == (False, 0)  # cos>0.999 to 0
     assert out[5][0] is True
+
+
+def test_c4_quality_flags_rules(spark):
+    """Each C4 rule in isolation: terminal punctuation, >=3 words,
+    javascript-line drop, lorem-ipsum page drop, curly-brace page drop,
+    <5 sentences page drop."""
+    from crux_spark.operators.textops import c4_quality_flags
+
+    docs = [
+        # 5 good sentences -> kept verbatim
+        (1, "this line is fine.\nanother good line here!\nthird one stands?\n"
+            'a quoted line ends well."\nfinal sentence stays.'),
+        # line rules: no terminal punct / 2 words / javascript
+        (2, "no terminal punctuation here\ntoo short.\nenable JavaScript to view this.\n"
+            "good line number one.\ngood line number two.\ngood line number three.\n"
+            "good line number four.\ngood line number five."),
+        # page rules
+        (3, "contains lorem ipsum filler.\n" + "a good long sentence here.\n" * 5),
+        (4, "var x = { a: 1 }.\n" + "a good long sentence here.\n" * 5),
+        (5, "only two good sentences.\nthis is the second one."),
+    ]
+    out = {
+        r.doc_id: r
+        for r in c4_quality_flags(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].c4_keep and out[1].clean_text == docs[0][1]
+    r2 = out[2]
+    assert r2.n_kept_lines == 5 and r2.n_sentences == 5 and r2.c4_keep
+    assert "JavaScript" not in r2.clean_text
+    assert "too short." not in r2.clean_text
+    assert "no terminal punctuation" not in r2.clean_text
+    assert out[3].has_lorem and not out[3].c4_keep
+    assert out[4].has_brace and not out[4].c4_keep
+    assert out[5].n_sentences == 2 and not out[5].c4_keep
