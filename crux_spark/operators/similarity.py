@@ -799,26 +799,38 @@ def semantic_dedup(
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).join(assign, id_col)
-    a = vecs.select(
-        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cluster"
+
+    # per-cluster pairwise cosine as ONE numpy matmul per group (the
+    # quadratic step, confined to a cluster): vastly cheaper than a
+    # per-pair expression-evaluated join; ids sort ascending inside the
+    # group so "smallest witnessing id" is the first hit in row order
+    out_schema = (
+        f"{id_col} long, cluster int, keep boolean, dup_of long"
     )
-    b = vecs.select(
-        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cluster"
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("__idb") < F.col("__ida"))
-        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.round(F.col("__sim"), quant) >= threshold)
-        .groupBy(F.col("__ida").alias(id_col))
-        .agg(F.min("__idb").alias("dup_of"))
-    )
-    return (
-        assign.join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.col("dup_of").isNull().alias("keep"),
-            "dup_of",
+
+    def cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["__v"].to_numpy())[order].astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.round(Mn @ Mn.T, quant)
+        hit = S >= threshold
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            js = np.nonzero(hit[i, :i])[0]
+            if len(js):
+                dup_of[i] = ids[js[0]]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": np.full(n, int(pdf["cluster"].iloc[0]), dtype="int32"),
+                "keep": dup_of < 0,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+            }
         )
-    )
+
+    return vecs.groupBy("cluster").applyInPandas(cluster_dedup, out_schema)
