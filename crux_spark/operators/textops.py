@@ -563,3 +563,71 @@ def c4_quality_flags(df: DataFrame, doc_id_col: str = "doc_id",
         ).alias("c4_keep"),
         clean.alias("clean_text"),
     )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 65536,
+    alpha: float = 0.5,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every raw-corpus document by its log importance weight under hashed
+    bag-of-words models of a TARGET distribution vs the RAW distribution
+    — the published recipe for selecting pretraining data that looks
+    like a target domain. Features are 16-bit md5 unigram buckets (the
+    hashing trick; same hash space construction as
+    hashed_classifier_score so a SQL oracle can rebuild it);
+    per-feature log-ratio lambda(b) = log p_target(b) - log p_raw(b)
+    with add-alpha smoothing over the bucket space; a document's weight
+    is the sum of lambda over its tokens. Returns
+    (doc_id, n_tokens, logw, logw_per_token).
+
+    Scale shape: one count aggregate per corpus over at most n_buckets
+    keys (map-side partials, kilobyte results), the lambda table
+    broadcasts, and the per-doc score is one shuffle keyed by doc —
+    the raw corpus is never joined against the target corpus."""
+    bucket = lambda tok: (  # noqa: E731 — 16-bit md5 prefix, base-16
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), tok)), 1, 4), 16, 10)
+        .cast("long")
+    )
+
+    def bucketed(df):
+        toks = df.select(
+            F.col(doc_id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        ).filter(F.col("tok") != "")
+        return toks.select(doc_id_col, bucket(F.col("tok")).alias("__b"))
+
+    raw_toks = bucketed(docs)
+    tgt_counts = (
+        bucketed(target).groupBy("__b").agg(F.count("*").alias("__ct"))
+    )
+    raw_counts = raw_toks.groupBy("__b").agg(F.count("*").alias("__cr"))
+    t_total = tgt_counts.agg(F.sum("__ct")).first()[0] or 0
+    r_total = raw_counts.agg(F.sum("__cr")).first()[0] or 0
+    t_denom = float(t_total) + alpha * n_buckets
+    r_denom = float(r_total) + alpha * n_buckets
+    lam = (
+        raw_counts.join(tgt_counts, "__b", "full")
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce("__ct", F.lit(0)) + F.lit(alpha)) / F.lit(t_denom))
+                - F.log((F.coalesce("__cr", F.lit(0)) + F.lit(alpha)) / F.lit(r_denom))
+            ).alias("__lam"),
+        )
+    )
+    import math
+
+    floor = math.log(alpha / t_denom) - math.log(alpha / r_denom)
+    scored = raw_toks.join(F.broadcast(lam), "__b", "left").select(
+        doc_id_col, F.coalesce("__lam", F.lit(floor)).alias("__lam")
+    )
+    return scored.groupBy(doc_id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("__lam"), 6).alias("logw"),
+        F.round(F.avg("__lam"), 6).alias("logw_per_token"),
+    )

@@ -3403,7 +3403,7 @@ QUERIES.update(_r8_reordered)
 # r8 additions — registered AFTER the r8 window reorder, so they land in
 # the overflow tail (mirror-checked at two SFs; driver rows via rotation —
 # r9 queue: bloom_decontaminate, kmeans_embeddings, ann_sq8,
-# semantic_dedup, text_c4_filter).
+# semantic_dedup, text_c4_filter, dsir_weights).
 # ---------------------------------------------------------------------------
 
 
@@ -3662,3 +3662,62 @@ def text_c4_filter(spark, sf_dir):
     )
     built = docs.select("doc_id", text2.alias("text"))
     return _text.c4_quality_flags(built)
+
+
+@register(
+    "dsir_weights",
+    r"""
+    WITH tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    tt AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b
+      FROM (SELECT doc_id, md5('dsir:' || t) AS h
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                  FROM tgt)
+            WHERE t <> '')
+    ),
+    rt AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b
+      FROM (SELECT doc_id, md5('dsir:' || t) AS h
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                  FROM raw)
+            WHERE t <> '')
+    ),
+    tc AS (SELECT b, count(*) AS ct FROM tt GROUP BY b),
+    rc AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
+    tots AS (SELECT (SELECT count(*) FROM tt) AS t_total,
+                    (SELECT count(*) FROM rt) AS r_total),
+    lam AS (
+      SELECT COALESCE(tc.b, rc.b) AS b,
+             ln((COALESCE(ct, 0) + 0.5) / (t_total + 0.5 * 65536))
+             - ln((COALESCE(cr, 0) + 0.5) / (r_total + 0.5 * 65536)) AS lam
+      FROM tc FULL JOIN rc ON tc.b = rc.b, tots
+    )
+    SELECT rt.doc_id, count(*) AS n_tokens,
+           round(sum(lam.lam), 6) AS logw,
+           round(avg(lam.lam), 6) AS logw_per_token
+    FROM rt JOIN lam ON rt.b = lam.b
+    GROUP BY rt.doc_id
+    """,
+)
+def dsir_weights(spark, sf_dir):
+    """DSIR importance weights (textops.dsir_log_ratios, Xie et al.
+    2023): src0 plays the target domain, the other 19 sources the raw
+    corpus; every raw doc scores sum/mean of hashed-unigram log ratios.
+    The raw corpus always hits lam (every raw bucket has cr >= 1), so
+    the oracle's inner join equals the engine's left join + floor."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return _text.dsir_log_ratios(raw, target)

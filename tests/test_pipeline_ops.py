@@ -1035,3 +1035,27 @@ def test_c4_quality_flags_rules(spark):
     assert out[3].has_lorem and not out[3].c4_keep
     assert out[4].has_brace and not out[4].c4_keep
     assert out[5].n_sentences == 2 and not out[5].c4_keep
+
+
+def test_dsir_log_ratios_direction(spark):
+    """DSIR sanity: a raw doc written in the target's vocabulary scores
+    a HIGHER importance weight than one sharing nothing with the target;
+    hand-computed lambda for a 1-token doc matches."""
+    import math
+
+    from crux_spark.operators.textops import dsir_log_ratios
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta alpha")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "zulu yankee xray"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_log_ratios(raw, target).collect()}
+    assert out[1].logw_per_token > out[2].logw_per_token
+    # hand check doc 3 (one token 'alpha'): counts — target: alpha=3 of 5;
+    # raw: alpha=3 of 7 (2 in doc 1 + 1 in doc 3)
+    B, a = 65536, 0.5
+    lam = math.log((3 + a) / (5 + a * B)) - math.log((3 + a) / (7 + a * B))
+    assert abs(out[3].logw - round(lam, 6)) <= 1e-6
