@@ -238,6 +238,32 @@ def run_watdiv(spark, n_users: int, _length: int):
     return dt, len(_WATDIV_SMOKE)
 
 
+def run_semantic_dedup(spark, n_vecs: int, _length: int):
+    """SemDeDup with k scaled PROPORTIONALLY to the corpus (the
+    documented discipline: cluster sizes stay bounded, so the
+    within-cluster quadratic step stays constant-per-cluster and the
+    whole op scales ~linearly — with k FIXED it would grow ~100x at
+    10x). 'rounds' reported = k-means iterations (constant)."""
+    import random
+
+    from crux_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n_vecs)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    k = max(8, n_vecs // 250)  # ~250 vectors per cluster at every scale
+    t0 = time.monotonic()
+    n = semantic_dedup(emb, k=k, iterations=2, threshold=0.99).count()
+    dt = time.monotonic() - t0
+    assert n == n_vecs
+    return dt, 2
+
+
 def _cleanup(spark) -> None:
     """Unpin dead section-local localCheckpoint blocks (chain graphs,
     closures, the pivoted watdiv table): without this, pinned storage
@@ -270,6 +296,7 @@ def main() -> int:
         ("decontaminate_ngram", run_decontam, 20_000),
         ("unigram_lm_quality", run_unigram, 20_000),
         ("watdiv_5_slowest", run_watdiv, 300),
+        ("semantic_dedup", run_semantic_dedup, 2_000),
     ):
         length = 16  # constant diameter across scales (graph ops)
         t1, r1 = fn(spark, base, length)
