@@ -3721,3 +3721,57 @@ def dsir_weights(spark, sf_dir):
     target = docs.filter(F.col("source") == "src0")
     raw = docs.filter(F.col("source") != "src0")
     return _text.dsir_log_ratios(raw, target)
+
+
+# ---------------------------------------------------------------------------
+# r9 WINDOW ROTATION (policy block above, queries.py ~2650): the driver
+# records correctness for the FIRST 50 entries only.
+#   r9: IN  (a) the 6 r8 additions that have never held a driver row —
+#           bloom_decontaminate, kmeans_embeddings, ann_sq8,
+#           semantic_dedup, text_c4_filter, dsir_weights — and (b) the 6
+#           gates whose newest driver row is the stalest in the registry
+#           (r3: bitemporal_history_bounded, events_rollup,
+#           window_lag_delta; r4: dedup_chunks, sample_hash_deterministic,
+#           tpch_q19), now 4-6 rounds of planner change old.
+#       OUT 12 gates, each holding a fresh r8 driver-green row AND whose
+#           operator surface stays covered by an in-window gate:
+#           tpch_q8 (join chain + or-branch merge -> tpch_q7 stays),
+#           tpch_q10 (join+group+topk -> tpch_q7/q15 stay + tpch_q19
+#           rotating in), tpch_q14 (conditional agg over join -> tpch_q19
+#           rotating in + sql_surface CASE battery), tpch_q17 (scalar-agg
+#           subquery -> tpch_q11 stays), tpch_q20 (nested semi-join ->
+#           tpch_q4 stays), tpch_q21_anti (anti-join -> tpch_q21 stays),
+#           dedup_span_trim (span machinery -> dedup_substring_spans +
+#           dedup_line_trim stay), select_token_budget (two-pass
+#           prefix-sum -> pack_sequences stays), epoch_shard_shuffle
+#           (hash-bucket selection -> stratified_sample stays +
+#           sample_hash_deterministic rotating in, same bucket space),
+#           source_cap_topn (per-group top-N -> agg_min_max_n +
+#           events_sessionize stay), text_clf_score (zero-shuffle per-row
+#           text expr -> text_gopher_filter stays + text_c4_filter
+#           rotating in), bigram_lm_quality (n-gram freq + context join ->
+#           unigram_lm_quality stays + dsir_weights rotating in).
+#   All 12 rotated-out gates keep running in bench and in the per-round
+#   86-gate mirror (tools/check_oracles.py -> MIRROR_r{N}.json).
+# ---------------------------------------------------------------------------
+
+_R9_IN = [
+    "bloom_decontaminate", "kmeans_embeddings", "ann_sq8",
+    "semantic_dedup", "text_c4_filter", "dsir_weights",
+    "bitemporal_history_bounded", "events_rollup", "window_lag_delta",
+    "dedup_chunks", "sample_hash_deterministic", "tpch_q19",
+]
+_R9_OUT = [
+    "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q17", "tpch_q20",
+    "tpch_q21_anti", "dedup_span_trim", "select_token_budget",
+    "epoch_shard_shuffle", "source_cap_topn", "text_clf_score",
+    "bigram_lm_quality",
+]
+_r9_order = [n for n in QUERIES if n not in _R9_IN and n not in _R9_OUT]
+# all 12 rotated-out gates sat inside the old first-50 window, so the first
+# 38 retained names ARE the remaining window; splice the rotated-in gates
+# right after them and push the rotated-out gates to the tail
+_r9_order = _r9_order[:38] + _R9_IN + _r9_order[38:] + _R9_OUT
+_r9_reordered = {n: QUERIES[n] for n in _r9_order}
+QUERIES.clear()
+QUERIES.update(_r9_reordered)
