@@ -84,6 +84,39 @@ def _is_pred(c: Any) -> bool:
     )
 
 
+def _dedup_map_safe(df: DataFrame) -> DataFrame:
+    """Value-dedup that tolerates map-typed columns.
+
+    Spark forbids set operations (``dropDuplicates``/``distinct``) on
+    MAP columns (UNSUPPORTED_FEATURE.SET_OPERATION_ON_MAP_TYPE). When any
+    column is a map, dedup via its JSON form instead — ``to_json`` over
+    ``map_entries`` gives the same value-equality with a stable key order
+    within a build. Plain ``dropDuplicates`` otherwise."""
+    map_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _T.MapType)
+    ]
+    if not map_cols:
+        return df.dropDuplicates()
+    from pyspark.sql import Window
+
+    others = [c for c in df.columns if c not in map_cols]
+    w = Window.partitionBy(
+        *(others + [f"__mk_{c}" for c in map_cols])
+    ).orderBy(F.lit(1))
+    return (
+        df.select(
+            "*",
+            *[
+                F.to_json(F.map_entries(c)).alias(f"__mk_{c}")
+                for c in map_cols
+            ],
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*df.columns)
+    )
+
+
 class Compiler:
     def __init__(self, catalog: Catalog, rules: list | None = None, env: dict | None = None):
         self.catalog = catalog
@@ -596,7 +629,7 @@ class Compiler:
             cols = [c for c in cur.columns if needed(c)]
             if set(cols) == set(cur.columns) or not cols:
                 return cur
-            return cur.select(*cols).dropDuplicates()
+            return _dedup_map_safe(cur.select(*cols))
 
         while remaining:
             for i, d in enumerate(remaining):
@@ -2346,28 +2379,7 @@ def compile_query(catalog: Catalog, query: dict, *args: Any) -> DataFrame:
         # their JSON form instead (same value-equality, stable key order
         # within a build).
         if not (order_by or limit is not None or offset is not None):
-            from pyspark.sql import types as _T
-
-            map_cols = [
-                f.name
-                for f in df.schema.fields
-                if isinstance(f.dataType, _T.MapType)
-            ]
-            if map_cols:
-                from pyspark.sql import Window
-
-                others = [c for c in df.columns if c not in map_cols]
-                w = Window.partitionBy(
-                    *(others + [f"__mk_{c}" for c in map_cols])
-                ).orderBy(F.lit(1))
-                df = (
-                    df.select("*", *[F.to_json(F.map_entries(c)).alias(f"__mk_{c}") for c in map_cols])
-                    .withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .select(*df.columns)
-                )
-            else:
-                df = df.distinct()
+            df = _dedup_map_safe(df)
 
     hidden_ord = ord_cols
     if keys:

@@ -1547,3 +1547,45 @@ def test_cardinality_join_order_avoids_cross_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = {r.e1 for r in res.collect()}
     assert got == {f"ivan-{n}" for n in range(100)}
+
+
+def test_map_typed_value_early_projection_dedup(spark):
+    """r9 regression (advisor): join_all's early set-semantics
+    projection+dedup called dropDuplicates() on frames carrying
+    map-typed value columns, which Spark forbids
+    (UNSUPPORTED_FEATURE.SET_OPERATION_ON_MAP_TYPE). Projecting away
+    the existential ?s after the ?r join triggers the early dedup with
+    the map column ?m still in flight — must take the map-safe
+    to_json/row_number path, same value-equality."""
+    cat = Catalog(spark)
+    docs = spark.createDataFrame(
+        [
+            ("d1", {"a": 1}, "r1"),
+            ("d2", {"b": 2}, "r1"),
+            ("d3", {"a": 1}, "r2"),
+        ],
+        "id string, m map<string,bigint>, ref string",
+    )
+    refs = spark.createDataFrame(
+        [("r1", 10), ("r2", 3)], "id string, score bigint"
+    )
+    cat.add_documents("mapdocs", docs, id_col="id")
+    cat.add_documents("maprefs", refs, id_col="id")
+    res = q(
+        cat,
+        {
+            "find": ["?e", "?m"],
+            "where": [
+                ["?e", ":m", "?m"],
+                ["?e", ":ref", "?r"],
+                ["?r", ":score", "?s"],
+            ],
+        },
+    )
+    assert dict(res.dtypes)["m"].startswith("map<")
+    got = sorted((r.e, tuple(sorted(r.m.items()))) for r in res.collect())
+    assert got == [
+        ("d1", (("a", 1),)),
+        ("d2", (("b", 2),)),
+        ("d3", (("a", 1),)),
+    ]
