@@ -542,28 +542,61 @@ def train_pq_codebooks(
     return books
 
 
-def pq_topk(
+def _partial_topk_gen(qids, shortlist, score_name, scorer):
+    """mapInPandas generator factory: per PARTITION, stream batches
+    through `scorer(pdf) -> (ids[n], scores[Q, n])`, keep a running
+    per-query top-`shortlist` (score desc, vec_id asc tie-break —
+    identical to the downstream merge window, so partial-then-merge is
+    bit-equal to a global sort), and emit ONE Q x shortlist frame when
+    the partition is exhausted. The Q x N cross product never leaves the
+    task: the exchange downstream sees <= Q x shortlist x partitions
+    rows instead of Q x corpus. Self-matches (vec_id == query_id) are
+    masked before selection."""
+    S = shortlist
+
+    def gen(batches):
+        best_s = None  # [Q, S] running scores, -inf padded
+        best_i = None  # [Q, S] running vec_ids
+        for pdf in batches:
+            ids, scores = scorer(pdf)
+            if best_s is None:
+                nq = scores.shape[0]
+                best_s = np.full((nq, S), -np.inf)
+                best_i = np.full((nq, S), np.iinfo(np.int64).max, dtype=np.int64)
+            scores[ids[None, :] == qids[:, None]] = -np.inf
+            cand_s = np.concatenate([best_s, scores], axis=1)
+            cand_i = np.concatenate(
+                [best_i, np.broadcast_to(ids, scores.shape)], axis=1
+            )
+            order = np.lexsort((cand_i, -cand_s), axis=-1)[:, :S]
+            best_s = np.take_along_axis(cand_s, order, axis=1)
+            best_i = np.take_along_axis(cand_i, order, axis=1)
+        if best_s is not None:
+            keep = np.isfinite(best_s.ravel())
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, S)[keep],
+                    "vec_id": best_i.ravel()[keep],
+                    score_name: best_s.ravel()[keep],
+                }
+            )
+
+    return gen
+
+
+def pq_partial_scores(
     corpus: DataFrame,
     queries: DataFrame,
     codebooks: np.ndarray,
-    k: int = 5,
     shortlist: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 10_000,
 ) -> DataFrame:
-    """PQ approximate top-k with exact re-rank: corpus vectors encode to
-    m-byte codes (narrow Arrow pass), every query scores ALL codes by
-    asymmetric distance computation (per-batch numpy: one LUT of
-    query-subvector x codebook dot products, then a table lookup — no
-    shuffle, no pairwise vector math), the per-query `shortlist` best
-    candidates re-rank with exact cosine. Returns
-    (query_id, vec_id, sim, rank) with EXACT sims, so recall failures
-    are visible as missing ids, never as drifted scores.
-
-    Scale: the ADC pass reads codes (m bytes/vector), not vectors; only
-    shortlist x queries vectors are touched for the re-rank."""
+    """ADC scoring pass of pq_topk, emitting per-partition partial
+    top-`shortlist` candidates per query — (query_id, vec_id, adc),
+    <= queries x shortlist rows per corpus partition (never Q x N)."""
     from pyspark.sql import types as T
 
     B = np.asarray(codebooks, dtype=np.float64)  # [m, ksub, dsub]
@@ -583,6 +616,8 @@ def pq_topk(
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     # LUT[q, j, c] = dot(query_j_subvector, codebook_j_centroid_c)
     lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+    # ||centroid||^2 per subspace, for the matmul-expanded encode below
+    b_sq = (B**2).sum(axis=2)  # [m, ksub]
 
     out_schema = T.StructType(
         [
@@ -592,34 +627,60 @@ def pq_topk(
         ]
     )
 
-    def score(batches):
-        for pdf in batches:
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            # encode: per subspace, nearest codebook centroid (L2)
-            codes = np.empty((len(V), m), dtype=np.int64)
-            for j in range(m):
-                sub = V[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d2, axis=1)
-            # ADC: scores[q, row] = sum_j LUT[q, j, codes[row, j]]
-            scores = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
-            n = len(V)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n),
-                    "vec_id": np.tile(pdf[id_col].to_numpy(), len(qids)),
-                    "adc": scores.ravel(),
-                }
-            )
+    def scorer(pdf):
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        # encode: per subspace, nearest codebook centroid (L2) via the
+        # matmul expansion argmin(||s||^2 - 2 s.c + ||c||^2) — the ||s||^2
+        # term is constant per row, so only a [batch, ksub] temp, never
+        # the [batch, ksub, dsub] 3-D difference tensor
+        codes = np.empty((len(V), m), dtype=np.int64)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(b_sq[j][None, :] - 2.0 * (sub @ B[j].T), axis=1)
+        # ADC: scores[q, row] = sum_j LUT[q, j, codes[row, j]]
+        scores = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+        return pdf[id_col].to_numpy(), scores
 
-    adc = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _partial_topk_gen(qids, shortlist, "adc", scorer), out_schema
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """PQ approximate top-k with exact re-rank: corpus vectors encode to
+    m-byte codes (narrow Arrow pass), every query scores ALL codes by
+    asymmetric distance computation (per-batch numpy: one LUT of
+    query-subvector x codebook dot products, then a table lookup), the
+    per-query `shortlist` best candidates re-rank with exact cosine.
+    Returns (query_id, vec_id, sim, rank) with EXACT sims, so recall
+    failures are visible as missing ids, never as drifted scores.
+
+    Scale: the ADC pass reads codes (m bytes/vector), not vectors, and
+    keeps the per-query top-shortlist INSIDE each task (streaming
+    partial top-k across Arrow batches) — the merge exchange carries
+    <= queries x shortlist x partitions rows, never the Q x N cross
+    product; only shortlist x queries vectors are touched for the
+    re-rank."""
+    adc = pq_partial_scores(
+        corpus, queries, codebooks, shortlist, id_col, vec_col,
+        query_id_col, max_queries,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("vec_id").asc()
     )
     short = (
-        adc.filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("r", F.row_number().over(w))
+        adc.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= shortlist)
         .select("query_id", "vec_id")
     )
@@ -664,29 +725,20 @@ def sq8_train(corpus: DataFrame, vec_col: str = "embedding") -> tuple:
     return lo, hi
 
 
-def sq8_topk(
+def sq8_partial_scores(
     corpus: DataFrame,
     queries: DataFrame,
     bounds: tuple | None = None,
-    k: int = 5,
     shortlist: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 10_000,
 ) -> DataFrame:
-    """Scalar-quantization (SQ8) approximate top-k with exact re-rank:
-    each corpus vector quantizes per-dimension to uint8 against global
-    (min, max) bounds — 1 byte/dim, the middle ground between PQ's
-    m bytes/vector and raw floats — and queries score the DEQUANTIZED
-    vectors (one numpy matmul per Arrow batch, no shuffle). The
-    per-query `shortlist` best candidates re-rank with exact cosine,
-    so the output carries true similarities (pq_topk's contract:
-    recall failures surface as missing ids, never drifted scores).
-
-    Scale: the scoring pass reads dim bytes/vector; bounds are a single
-    distributed min/max aggregate; only shortlist x queries vectors are
-    touched for the re-rank."""
+    """Quantize-dequantize-score pass of sq8_topk, emitting
+    per-partition partial top-`shortlist` candidates per query —
+    (query_id, vec_id, approx), <= queries x shortlist rows per corpus
+    partition (never Q x N)."""
     from pyspark.sql import types as T
 
     if bounds is None:
@@ -712,33 +764,57 @@ def sq8_topk(
         ]
     )
 
-    def score(batches):
-        for pdf in batches:
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.clip(
-                np.round((V - lo) / scale), 0, 255
-            ).astype(np.uint8)  # the stored representation: 1 byte/dim
-            deq = codes.astype(np.float64) * scale + lo
-            deq = deq / np.maximum(
-                np.linalg.norm(deq, axis=1, keepdims=True), 1e-12
-            )
-            scores = Q @ deq.T
-            n = len(V)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n),
-                    "vec_id": np.tile(pdf[id_col].to_numpy(), len(qids)),
-                    "approx": scores.ravel(),
-                }
-            )
+    def scorer(pdf):
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        codes = np.clip(
+            np.round((V - lo) / scale), 0, 255
+        ).astype(np.uint8)  # the stored representation: 1 byte/dim
+        deq = codes.astype(np.float64) * scale + lo
+        deq = deq / np.maximum(
+            np.linalg.norm(deq, axis=1, keepdims=True), 1e-12
+        )
+        return pdf[id_col].to_numpy(), Q @ deq.T
 
-    approx = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _partial_topk_gen(qids, shortlist, "approx", scorer), out_schema
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bounds: tuple | None = None,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) approximate top-k with exact re-rank:
+    each corpus vector quantizes per-dimension to uint8 against global
+    (min, max) bounds — 1 byte/dim, the middle ground between PQ's
+    m bytes/vector and raw floats — and queries score the DEQUANTIZED
+    vectors (one numpy matmul per Arrow batch). The per-query
+    `shortlist` best candidates re-rank with exact cosine, so the
+    output carries true similarities (pq_topk's contract: recall
+    failures surface as missing ids, never drifted scores).
+
+    Scale: the scoring pass reads dim bytes/vector; bounds are a single
+    distributed min/max aggregate; the per-query top-shortlist stays
+    INSIDE each task (streaming partial top-k across Arrow batches), so
+    the merge exchange carries <= queries x shortlist x partitions rows,
+    never Q x N; only shortlist x queries vectors are touched for the
+    re-rank."""
+    approx = sq8_partial_scores(
+        corpus, queries, bounds, shortlist, id_col, vec_col,
+        query_id_col, max_queries,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("vec_id").asc()
     )
     short = (
-        approx.filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("r", F.row_number().over(w))
+        approx.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= shortlist)
         .select("query_id", "vec_id")
     )

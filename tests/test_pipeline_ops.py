@@ -1059,3 +1059,62 @@ def test_dsir_log_ratios_direction(spark):
     B, a = 65536, 0.5
     lam = math.log((3 + a) / (5 + a * B)) - math.log((3 + a) / (7 + a * B))
     assert abs(out[3].logw - round(lam, 6)) <= 1e-6
+
+
+def test_ann_partial_topk_bounded_intermediate(spark):
+    """r9 scale fix: the ANN shortlist step must NEVER materialize the
+    Q x N cross product into an exchange. The partial-scores frame each
+    task emits is bounded by queries x shortlist x partitions, and the
+    partial-then-merge pipeline is bit-equal to a global sort (same
+    (score desc, vec_id asc) tie-break in both)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crux_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.normal(size=16).tolist()) for i in range(500)]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    queries = spark.createDataFrame(
+        [(1000 + i, vecs[i][1]) for i in range(6)],
+        "query_id long, embedding array<double>",
+    )
+    nq, shortlist, nparts = 6, 20, corpus.rdd.getNumPartitions()
+
+    books = sim.train_pq_codebooks(corpus, m=8, ksub=16)
+    pq_partials = sim.pq_partial_scores(corpus, queries, books, shortlist)
+    assert pq_partials.count() <= nq * shortlist * nparts
+
+    bounds = sim.sq8_train(corpus)
+    sq_partials = sim.sq8_partial_scores(corpus, queries, bounds, shortlist)
+    assert sq_partials.count() <= nq * shortlist * nparts
+
+    # merge-of-partials == exact top-shortlist over ALL approx scores:
+    # sq8 dequantized scores recomputed densely in numpy as the oracle
+    lo, hi = np.asarray(bounds[0]), np.asarray(bounds[1])
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    V = np.array([v for _, v in vecs])
+    deq = np.clip(np.round((V - lo) / scale), 0, 255) * scale + lo
+    deq = deq / np.linalg.norm(deq, axis=1, keepdims=True)
+    Q = np.array([vecs[i][1] for i in range(6)])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    scores = Q @ deq.T
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id").asc()
+    )
+    merged = {
+        (r.query_id, r.r): r.vec_id
+        for r in sq_partials.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .collect()
+    }
+    for qi in range(6):
+        s = scores[qi].copy()
+        order = np.lexsort((np.arange(500), -s))
+        expect = [int(v) for v in order[:shortlist]]
+        got = [merged[(1000 + qi, r)] for r in range(1, shortlist + 1)]
+        assert got == expect, (qi, got[:5], expect[:5])
