@@ -156,7 +156,13 @@ def canonical_by_quality(
     doc; unpaired docs are their own canonicals and are not returned
     (same contract as dedup_keep_list). Scale shape: connected
     components (log-round) + one (component)-keyed max_by aggregation +
-    a broadcast join-back of the small winners relation."""
+    a join-back of the winners relation with NO forced broadcast:
+    winners is one row PER CLUSTER, which grows with the corpus (a
+    100 TB near-dup graph can carry 10^8+ clusters), so an
+    unconditional hint would bypass Spark's byte threshold and OOM the
+    driver exactly when it matters. AQE converts the exchange to a
+    broadcast join at runtime when the aggregated winners side is
+    actually small — the byte-accurate version of the old hint."""
     cc = connected_components(pairs, id_a, id_b)
     member = cc.join(
         docs.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
@@ -168,7 +174,7 @@ def canonical_by_quality(
         ).alias("canonical_id")
     )
     return (
-        member.join(F.broadcast(winners), "component")
+        member.join(winners, "component")
         .select(
             F.col("id").alias(id_col),
             "canonical_id",

@@ -1118,3 +1118,40 @@ def test_ann_partial_topk_bounded_intermediate(spark):
         expect = [int(v) for v in order[:shortlist]]
         got = [merged[(1000 + qi, r)] for r in range(1, shortlist + 1)]
         assert got == expect, (qi, got[:5], expect[:5])
+
+
+def test_canonical_by_quality_distributed_path(spark):
+    """r9 scale fix: winners (one row per cluster) must not be
+    force-broadcast — it grows with the corpus. With the broadcast
+    machinery disabled entirely the join-back must still plan (as a
+    shuffle join) and produce the same answer; with defaults AQE is
+    free to pick broadcast at runtime from actual sizes."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.operators import graph
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(60)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 30) for i in range(30)], "id_a long, id_b long"
+    )  # 30 two-doc clusters
+    expect = {
+        r.doc_id: r.canonical_id
+        for r in graph.canonical_by_quality(docs, pairs).collect()
+    }
+    assert len(expect) == 60
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        res = graph.canonical_by_quality(docs, pairs)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # no hint survives to force a broadcast when the threshold is off
+        assert "BroadcastHashJoin" not in plan, plan
+        got = {r.doc_id: r.canonical_id for r in res.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert got == expect
