@@ -124,7 +124,11 @@ def kmeans_assign(
     order-sensitive, so centroid means are QUANTIZED to 10^-quant after
     every update and distances to 10^-quant before the argmin (ties ->
     lowest cluster id); the iteration trajectory is then a pure
-    function of the data. Init = the first k vectors by id."""
+    function of the data. Residual risk (documented, not eliminated): a
+    mean whose exact value sits within ~1e-10 of a 10^-quant rounding
+    boundary can round differently across engines/partitionings and
+    shift the trajectory — keep quant coarse relative to the data
+    magnitude. Init = the first k vectors by id."""
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = np.array([list(r[0]) for r in init], dtype=np.float64)
     dim = cents.shape[1]
@@ -134,17 +138,46 @@ def kmeans_assign(
 
     def assign_with(C: np.ndarray):
         Cq = np.round(C, quant)
+        c_sq = (Cq**2).sum(axis=1)  # [k]
 
         @pandas_udf("struct<cluster:int, dist:double>")
         def assign(v: pd.Series) -> pd.DataFrame:
             M = np.stack(v.to_numpy()).astype(np.float64)
-            d = np.round(
-                np.sqrt(((M[:, None, :] - Cq[None, :, :]) ** 2).sum(-1)),
-                quant,
+            # candidate selection via the matmul expansion
+            # ||x||^2 - 2 x.c + ||c||^2: a [batch, k] temp, never the
+            # [batch, k, dim] 3-D difference tensor (at paper-scale
+            # k~1e5, dim 512+ that temp is tens of GB per Arrow batch).
+            # The expansion suffers cancellation for tiny distances, so
+            # the REPORTED distance is recomputed in the exact
+            # difference form — but only for clusters within a margin
+            # of the row's minimum (almost always 1), keeping the
+            # recompute at ~[batch, dim] while staying bit-identical to
+            # a full difference-form kernel.
+            d2 = (
+                (M**2).sum(axis=1)[:, None]
+                - 2.0 * (M @ Cq.T)
+                + c_sq[None, :]
             )
-            cl = np.argmin(d, axis=1)  # first min = lowest cluster id
+            da = np.sqrt(np.maximum(d2, 0.0))
+            dmin = da.min(axis=1)
+            # margin: one rounding step (1e-quant) covers any cluster
+            # whose ROUNDED distance could tie or beat the winner; the
+            # expansion's own fp error (~1e-10) rides inside it
+            cand_r, cand_c = np.nonzero(da <= (dmin[:, None] + 2 * 10.0**-quant))
+            exact = np.round(
+                np.sqrt(((M[cand_r] - Cq[cand_c]) ** 2).sum(axis=1)), quant
+            )
+            # per-row min of (rounded exact dist, cluster id): sort
+            # candidates by (row, dist, cid) and keep each row's first —
+            # rounded ties go to the LOWEST cluster id, as before
+            order = np.lexsort((cand_c, exact, cand_r))
+            _, first = np.unique(cand_r[order], return_index=True)
+            win = order[first]
             return pd.DataFrame(
-                {"cluster": cl.astype("int32"), "dist": d[np.arange(len(cl)), cl]}
+                {
+                    "cluster": cand_c[win].astype("int32"),
+                    "dist": exact[win],
+                }
             )
 
         return assign
@@ -165,19 +198,21 @@ def kmeans_assign(
         )
         if it == iterations - 1:
             break
+        # elementwise centroid means: posexplode -> ONE partial-
+        # aggregated shuffle keyed (cluster, dim-index). The exchange
+        # carries <= k x dim rows per map task after the combine and
+        # k x dim rows reach the driver — the same single-shuffle shape
+        # as unrolling one avg() column per dimension, but it doesn't
+        # build a dim-wide agg list (untenable at dim 1536)
         rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.round(F.avg(F.col("__v")[i]), quant).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            assigned.select("cluster", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("cluster", "__i")
+            .agg(F.round(F.avg("__x"), quant).alias("m"))
             .collect()
         )
         # clusters that captured no rows keep their previous centroid
         for r in rows:
-            cents[r["cluster"]] = [r[f"c{i}"] for i in range(dim)]
+            cents[r["cluster"], r["__i"]] = r["m"]
         cents = np.round(cents, quant)
     return assigned.select(id_col, "cluster", "dist")
 
@@ -712,16 +747,23 @@ def pq_topk(
 
 def sq8_train(corpus: DataFrame, vec_col: str = "embedding") -> tuple:
     """Per-dimension (min, max) quantization bounds for SQ8 — ONE
-    distributed aggregate (map-side partials) returning 2 x dim doubles;
-    nothing corpus-sized reaches the driver."""
+    distributed aggregate keyed by dim-index (posexplode + map-side
+    partials, so the exchange carries <= dim rows per map task — no
+    2 x dim-wide agg list, which is untenable at dim 1536); dim rows of
+    (lo, hi) doubles reach the driver, nothing corpus-sized."""
     first = corpus.select(vec_col).first()
     dim = len(first[0])
-    row = corpus.agg(
-        *[F.min(F.col(vec_col)[i].cast("double")).alias(f"lo{i}") for i in range(dim)],
-        *[F.max(F.col(vec_col)[i].cast("double")).alias(f"hi{i}") for i in range(dim)],
-    ).collect()[0]
-    lo = np.array([row[f"lo{i}"] for i in range(dim)], dtype=np.float64)
-    hi = np.array([row[f"hi{i}"] for i in range(dim)], dtype=np.float64)
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(F.min("__x").alias("lo"), F.max("__x").alias("hi"))
+        .collect()
+    )
+    lo = np.empty(dim, dtype=np.float64)
+    hi = np.empty(dim, dtype=np.float64)
+    for r in rows:
+        lo[r["__i"]] = r["lo"]
+        hi[r["__i"]] = r["hi"]
     return lo, hi
 
 

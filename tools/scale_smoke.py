@@ -264,6 +264,35 @@ def run_semantic_dedup(spark, n_vecs: int, _length: int):
     return dt, 2
 
 
+def run_kmeans_highdim(spark, n_vecs: int, _length: int):
+    """Paper-scale k-means shape (r9 kernel fix): k=1024, dim=256. The
+    old assignment kernel allocated a [batch, k, dim] 3-D temp —
+    batch 10k x 1024 x 256 doubles = 20 GB per Arrow batch, an
+    immediate per-task OOM. The matmul-expansion kernel holds a
+    [batch, k] score matrix (~80 MB) + a [candidates, dim] exact
+    recompute, and the posexplode centroid update never builds a
+    dim-wide agg list. 'rounds' = iterations (constant)."""
+    import random
+
+    from crux_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(13)
+    dim, k = 256, 1024
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n_vecs)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    out = kmeans_assign(emb, k=k, iterations=2)
+    n = out.count()
+    dt = time.monotonic() - t0
+    assert n == n_vecs
+    assert out.select("cluster").distinct().count() <= k
+    return dt, 2
+
+
 def _cleanup(spark) -> None:
     """Unpin dead section-local localCheckpoint blocks (chain graphs,
     closures, the pivoted watdiv table): without this, pinned storage
@@ -297,6 +326,7 @@ def main() -> int:
         ("unigram_lm_quality", run_unigram, 20_000),
         ("watdiv_5_slowest", run_watdiv, 300),
         ("semantic_dedup", run_semantic_dedup, 2_000),
+        ("kmeans_k1024_d256", run_kmeans_highdim, 2_000),
     ):
         length = 16  # constant diameter across scales (graph ops)
         t1, r1 = fn(spark, base, length)
