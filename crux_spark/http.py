@@ -35,6 +35,23 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+# Server-side paging bounds: a request that omits 'limit' gets the
+# default page, and no request can demand more than the max in one
+# response — otherwise an unlimited query still list()s the whole
+# result on the driver and the bounded-driver-memory contract of
+# q_stream's cursor fetch is void. Clients page with offset+limit
+# (the reference's cursor-backed open-q serves the same role,
+# http_server.clj:330-424).
+DEFAULT_PAGE_LIMIT = 10_000
+MAX_PAGE_LIMIT = 100_000
+
+
+def _page_limit(requested) -> int:
+    if requested is None:
+        return DEFAULT_PAGE_LIMIT
+    return min(int(requested), MAX_PAGE_LIMIT)
+
+
 def _parse_time(s: str | None) -> dt.datetime | None:
     if not s:
         return None
@@ -175,7 +192,7 @@ class HttpNode:
 
             rows = self._db(qs).q_stream(
                 sparql_to_datalog(qs["query"]),
-                limit=int(qs["limit"]) if qs.get("limit") else None,
+                limit=_page_limit(qs.get("limit")),
                 offset=int(qs.get("offset", "0")),
             )
             return [list(r) for r in rows]
@@ -190,13 +207,14 @@ class HttpNode:
             )
             # q_stream, not q: HTTP queries go through the MONITORED
             # path (active/recent/slowest queues) AND fetch through
-            # toLocalIterator with optional limit/offset — one partition
-            # in flight driver-side, never a full-result collect() per
-            # request (the reference streams from a cursor)
+            # toLocalIterator with a server-enforced page limit — one
+            # partition in flight driver-side AND a bounded row list per
+            # response, never a full-result collect() per request (the
+            # reference streams from a cursor; clients page here)
             rows = db.q_stream(
                 body["query"],
                 *body.get("in-args", []),
-                limit=body.get("limit"),
+                limit=_page_limit(body.get("limit")),
                 offset=body.get("offset", 0),
             )
             return [list(r) for r in rows]

@@ -273,8 +273,14 @@ def bloom_decontaminate(
     )
     words = np.zeros(int(m) >> 6, dtype=np.uint64)
     GOLD = np.uint64(0x9E3779B97F4A7C15)
+    # probe 1 reads the LOW bits_log2 bits of h; probe 2 must come from
+    # INDEPENDENT bits — the HIGH bits of the multiplicative hash. With
+    # m a power of two, (h * GOLD) % m depends only on h's low bits, so
+    # it is a fixed bijection of probe 1 (every probe-1 collision is a
+    # probe-2 collision too, collapsing the pair to one effective probe)
+    shift = np.uint64(64 - bits_log2)
     with np.errstate(over="ignore"):
-        for idx in (hashes % m, (hashes * GOLD) % m):
+        for idx in (hashes % m, (hashes * GOLD) >> shift):
             np.bitwise_or.at(
                 words, (idx >> np.uint64(6)).astype(np.int64),
                 np.uint64(1) << (idx & np.uint64(63)),
@@ -291,7 +297,7 @@ def bloom_decontaminate(
         h = s.to_numpy().astype(_np.int64).view(_np.uint64)
         with _np.errstate(over="ignore"):
             i1 = h % m
-            i2 = (h * GOLD) % m
+            i2 = (h * GOLD) >> _np.uint64(64 - int(bits_log2))
         t1 = (bs[(i1 >> _np.uint64(6)).astype(_np.int64)] >> (i1 & _np.uint64(63))) & _np.uint64(1)
         t2 = (bs[(i2 >> _np.uint64(6)).astype(_np.int64)] >> (i2 & _np.uint64(63))) & _np.uint64(1)
         return pd.Series((t1 & t2).astype(bool))

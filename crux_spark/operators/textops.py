@@ -588,10 +588,21 @@ def dsir_log_ratios(
     Scale shape: one count aggregate per corpus over at most n_buckets
     keys (map-side partials, kilobyte results), the lambda table
     broadcasts, and the per-doc score is one shuffle keyed by doc —
-    the raw corpus is never joined against the target corpus."""
-    bucket = lambda tok: (  # noqa: E731 — 16-bit md5 prefix, base-16
-        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), tok)), 1, 4), 16, 10)
+    the raw corpus is never joined against the target corpus.
+
+    The bucket is derived FROM n_buckets (enough md5 hex chars to cover
+    the space, then mod — at the 65536 default that reduces to the
+    plain 4-hex-char prefix, bit-compatible with
+    hashed_classifier_score's space), so the smoothing denominators and
+    the feature space always describe the same number of buckets; a
+    non-power-of-16 n_buckets carries the usual slight mod bias."""
+    import math as _math
+
+    nhex = min(15, max(1, _math.ceil(_math.log(max(n_buckets, 2), 16))))
+    bucket = lambda tok: (  # noqa: E731 — md5 prefix, base-16, mod space
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), tok)), 1, nhex), 16, 10)
         .cast("long")
+        % n_buckets
     )
 
     def bucketed(df):

@@ -232,3 +232,19 @@ def test_query_stream_limit_offset(spark):
         assert [r[0] for r in page2] == [4, 5, 6, 7]
     finally:
         h.close()
+
+
+def test_http_page_limit_caps_unlimited_requests():
+    """r9 (advisor): a request that omits 'limit' must get the server
+    default page, and an absurd limit is capped — the facade never
+    list()s an unbounded result driver-side."""
+    from crux_spark.http import (
+        DEFAULT_PAGE_LIMIT,
+        MAX_PAGE_LIMIT,
+        _page_limit,
+    )
+
+    assert _page_limit(None) == DEFAULT_PAGE_LIMIT
+    assert _page_limit(7) == 7
+    assert _page_limit("25") == 25
+    assert _page_limit(10**9) == MAX_PAGE_LIMIT

@@ -1060,6 +1060,17 @@ def test_dsir_log_ratios_direction(spark):
     lam = math.log((3 + a) / (5 + a * B)) - math.log((3 + a) / (7 + a * B))
     assert abs(out[3].logw - round(lam, 6)) <= 1e-6
 
+    # r9 (advisor): n_buckets must drive the FEATURE SPACE, not just the
+    # smoothing denominators — at n_buckets=256 every bucket lands in
+    # [0, 256) and the 1-token hand check holds with B=256
+    out256 = {
+        r.doc_id: r
+        for r in dsir_log_ratios(raw, target, n_buckets=256).collect()
+    }
+    B = 256
+    lam = math.log((3 + a) / (5 + a * B)) - math.log((3 + a) / (7 + a * B))
+    assert abs(out256[3].logw - round(lam, 6)) <= 1e-6
+
 
 def test_ann_partial_topk_bounded_intermediate(spark):
     """r9 scale fix: the ANN shortlist step must NEVER materialize the
