@@ -46,6 +46,15 @@ def normalize_rows(cols, rows):
 
 
 def main(only: list[str]):
+    import json as _json
+
+    json_out = None
+    if "--json" in only:
+        i = only.index("--json")
+        json_out = only[i + 1]
+        only = only[:i] + only[i + 2:]
+    records: dict[str, dict] = {}
+
     import __spark_entry__ as entrymod
 
     # VANILLA session on purpose — the driver's harness builds one with no
@@ -87,6 +96,8 @@ def main(only: list[str]):
             ]
             if complex_cols:
                 failures.append(name)
+                records[name] = {"status": "fail",
+                                 "err": f"complex-typed cols {complex_cols}"}
                 print(
                     f"FAIL {name}: complex-typed result columns "
                     f"{complex_cols} — encode as comma-joined strings on "
@@ -96,11 +107,14 @@ def main(only: list[str]):
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            records[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"....  {name}: no oracle, rows={len(srows)} "
-                  f"({(datetime.datetime.now()-t0).total_seconds():.1f}s)")
+            dt = (datetime.datetime.now() - t0).total_seconds()
+            records[name] = {"status": "rows_only", "rows": len(srows),
+                             "sec": round(dt, 1)}
+            print(f"....  {name}: no oracle, rows={len(srows)} ({dt:.1f}s)")
             continue
         try:
             res = con.sql(oracles[name])
@@ -108,6 +122,7 @@ def main(only: list[str]):
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            records[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
@@ -126,10 +141,28 @@ def main(only: list[str]):
                 print(f"FAIL {name}: value mismatch, first diffs: {diff}")
         if ok:
             dt = (datetime.datetime.now() - t0).total_seconds()
+            records[name] = {"status": "pass", "rows": len(srows),
+                             "sec": round(dt, 1)}
             print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
         else:
             failures.append(name)
+            records[name] = {"status": "fail"}
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        n_pass = sum(1 for r in records.values() if r["status"] == "pass")
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "gates": len(records),
+                    "pass": n_pass,
+                    "fail": len(failures),
+                    "results": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"mirror record -> {json_out}")
     return 1 if failures else 0
 
 
