@@ -14,6 +14,7 @@ Public surface:
 from crux_spark.session import get_spark
 from crux_spark.catalog import Catalog
 from crux_spark.datalog import q
+import crux_spark.functions  # noqa: F401 — registers lucene-text-search
 
 __all__ = ["get_spark", "Catalog", "q"]
 __version__ = "0.1.0"

@@ -1,0 +1,161 @@
+"""Port of the reference's Lucene multi-field corpus
+(crux-lucene/test/crux/lucene/multi_field_test.clj) onto the
+``lucene-text-search`` pred constraint: QueryParser-style
+``field:term`` booleans over every string attribute.
+
+Covered: single-field match, OR across fields, no-match, %s format
+args from :in-bound vars (test-bindings / test-use-in-argument),
+namespaced field names with escapes (test-namespaced-keywords),
+eviction dropping docs from the searchable snapshot (test-evict),
+malformed queries raising the ParseException analogue
+(test-malformed-query), the must-be-String error, and dynamically
+constructed OR-of-fields wildcard strings
+(test-construct-or-fields-dynamically).
+"""
+
+import pytest
+
+from crux_spark.node import Node
+
+SCHEMA = (
+    "id string, firstname string, surname string, name string"
+)
+
+
+def mknode(spark, docs):
+    n = Node(spark, schema=SCHEMA)
+    if docs:
+        n.submit_tx([("put", d) for d in docs])
+        n.await_tx()
+    return n
+
+
+def eids(db, query, *args, in_vars=()):
+    # format args are the :in vars EXCEPT when the query itself is the
+    # (single) :in-bound var, e.g. (lucene-text-search ?s)
+    fmt = [v for v in in_vars if v != query]
+    q = {"find": ["?e"],
+         "where": [[["lucene-text-search", query, *fmt], [["?e"]]]]}
+    if in_vars:
+        q["in"] = list(in_vars)
+    return sorted(r.e for r in db.q(q, *args).collect())
+
+
+def test_multi_field_lucene_queries(spark):
+    node = mknode(
+        spark, [{"id": "ivan", "firstname": "Fred", "surname": "Smith"}]
+    )
+    db = node.db()
+    assert eids(db, "firstname: Fred") == ["ivan"]
+    assert eids(db, "firstname:James OR surname:smith") == ["ivan"]
+    assert eids(db, "firstname:James OR surname:preston") == []
+
+
+def test_bindings(spark):
+    node = mknode(
+        spark, [{"id": "ivan", "firstname": "Fred", "surname": "Smith"}]
+    )
+    db = node.db()
+    assert eids(db, "surname: %s", "Smith", in_vars=["?surname"]) == ["ivan"]
+    assert eids(
+        db,
+        "surname: %s AND firstname: %s",
+        "Smith",
+        "Fred",
+        in_vars=["?surname", "?firstname"],
+    ) == ["ivan"]
+
+
+def test_namespaced_keywords(spark):
+    n = Node(spark, schema="id string, `person/surname` string")
+    n.submit_tx([("put", {"id": "ivan", "person/surname": "Smith"})])
+    n.await_tx()
+    assert eids(n.db(), r"person\/surname: Smith") == ["ivan"]
+
+
+def test_evict(spark):
+    node = mknode(spark, [{"id": "ivan", "name": "Smith"}])
+    assert eids(node.db(), "name: Smith") == ["ivan"]
+    node.submit_tx([("evict", "ivan")])
+    node.await_tx()
+    assert eids(node.db(), "name: Smith") == []
+
+
+def test_malformed_query(spark):
+    node = mknode(spark, [{"id": "ivan", "name": "Smith"}])
+    with pytest.raises(ValueError, match="Cannot parse"):
+        eids(node.db(), "+12!")
+    with pytest.raises(ValueError, match="Cannot parse"):
+        eids(node.db(), "name:")
+    with pytest.raises(ValueError, match="Cannot parse"):
+        eids(node.db(), "AND name:Smith")
+    with pytest.raises(ValueError, match="Cannot parse"):
+        eids(node.db(), "(name:Smith")
+
+
+def test_use_in_argument(spark):
+    node = mknode(
+        spark, [{"id": "ivan", "firstname": "Fred", "surname": "Smith"}]
+    )
+    db = node.db()
+    assert eids(db, "?s", "firstname: Fred", in_vars=["?s"]) == ["ivan"]
+    # field-less terms search the (empty) default field — no matches
+    assert eids(db, "?s", "firstname Fred", in_vars=["?s"]) == []
+    assert eids(db, "?s", "firstname:James OR surname:smith",
+                in_vars=["?s"]) == ["ivan"]
+    with pytest.raises(ValueError,
+                       match="lucene-text-search query must be String"):
+        db.q(
+            {"find": ["?e"], "in": ["?input"],
+             "where": [[["lucene-text-search", "?input"], [["?e"]]]]},
+            1,
+        ).collect()
+
+
+def test_construct_or_fields_dynamically(spark):
+    node = mknode(
+        spark, [{"id": "ivan", "firstname": "Fred", "surname": "Smith"}]
+    )
+    s = " OR ".join(f"{f}:Fre*" for f in ["firstname", "surname"])
+    assert eids(node.db(), "?s", s, in_vars=["?s"]) == ["ivan"]
+
+
+def test_scored_binding_and_case_insensitive_terms(spark):
+    """[[?e ?score]] binds the relation's score column; terms are
+    lowercased by the tokenizer on both sides, so surname:smith matches
+    'Smith' (the analyzer-normalization the reference gets from
+    Lucene's StandardAnalyzer)."""
+    node = mknode(
+        spark,
+        [
+            {"id": "a", "firstname": "Fred", "surname": "Smith"},
+            {"id": "b", "firstname": "Maria", "surname": "Smith"},
+        ],
+    )
+    res = node.db().q(
+        {"find": ["?e", "?score"],
+         "where": [[["lucene-text-search", "surname:smith"],
+                    [["?e", "?score"]]]]}
+    )
+    got = {r.e: r.score for r in res.collect()}
+    assert set(got) == {"a", "b"} and all(s > 0 for s in got.values())
+
+
+def test_parser_precedence_and_parens(spark):
+    """a OR b AND c parses as a OR (b AND c); parens override."""
+    node = mknode(
+        spark,
+        [
+            {"id": "x", "firstname": "Fred", "surname": "Jones"},
+            {"id": "y", "firstname": "Anna", "surname": "Smith"},
+            {"id": "z", "firstname": "Fred", "surname": "Smith"},
+        ],
+    )
+    db = node.db()
+    assert eids(db, "firstname:Anna OR firstname:Fred AND surname:Smith") == [
+        "y", "z",
+    ]
+    assert eids(
+        db, "(firstname:Anna OR firstname:Fred) AND surname:Smith"
+    ) == ["y", "z"]
+    assert eids(db, "surname:Smith NOT firstname:Anna") == ["z"]
