@@ -893,6 +893,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant: int = 6,
+    max_cluster_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus — k-means clusters the space,
@@ -909,7 +911,21 @@ def semantic_dedup(
     distributed, quantized kmeans_assign above (engine-independent
     trajectory), so the WHOLE operator is a pure function of the data.
     The within-cluster join shuffles on cluster id — one shuffle, skew
-    bounded by the largest cluster."""
+    bounded by the largest cluster.
+
+    ``max_cluster_size`` (r9 skew guard): clusters larger than this are
+    RE-CLUSTERED with a second k-means level (the paper's own remedy
+    for hot clusters), then any (cluster, subcluster) group STILL above
+    the cap is rank-chunked — rows ordered by (first component, id) and
+    cut every max_cluster_size rows — so the cap is a hard guarantee,
+    not a hope that the second clustering balances (it doesn't when the
+    hot cluster is one tight blob, and NO geometric method separates
+    exactly identical vectors). The quadratic step runs within
+    (cluster, sub, chunk) groups. Tradeoff (as in the paper): near-dups
+    split across subclusters/chunks of the same hot cluster are no
+    longer compared; the sort keeps near-identical vectors adjacent so
+    chunk boundaries cut few of them. ``stats`` (optional dict) records
+    n_oversized_clusters / subclusters / max_group for observability."""
     assign = kmeans_assign(
         corpus, k=k, iterations=iterations, vec_col=vec_col,
         id_col=id_col, quant=quant,
@@ -917,6 +933,51 @@ def semantic_dedup(
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).join(assign, id_col)
+
+    group_cols = ["cluster"]
+    if max_cluster_size is not None:
+        import math as _math
+
+        sizes = vecs.groupBy("cluster").count()
+        big = sorted(
+            r["cluster"]
+            for r in sizes.filter(F.col("count") > max_cluster_size).collect()
+        )
+        if stats is not None:
+            stats["n_oversized_clusters"] = len(big)
+        if big:
+            over = corpus.join(
+                vecs.filter(F.col("cluster").isin(big)).select(id_col), id_col
+            )
+            n_over = over.count()
+            # target ~half the cap per subcluster so the INTERSECTION
+            # (cluster, sub) stays under it even with imbalance
+            k2 = max(2, _math.ceil(2 * n_over / max_cluster_size))
+            sub = kmeans_assign(
+                over, k=k2, iterations=iterations, vec_col=vec_col,
+                id_col=id_col, quant=quant,
+            ).select(id_col, F.col("cluster").alias("__sub"))
+            vecs = vecs.join(sub, id_col, "left").withColumn(
+                "__sub", F.coalesce(F.col("__sub"), F.lit(-1))
+            )
+            # hard cap: rank-chunk inside each (cluster, sub) group —
+            # non-oversized groups (<= cap by construction) always land
+            # in chunk 0, so only hot groups pay the extra exchange
+            wch = Window.partitionBy("cluster", "__sub").orderBy(
+                F.col("__v")[0].asc(), F.col(id_col).asc()
+            )
+            vecs = vecs.withColumn(
+                "__chunk",
+                ((F.row_number().over(wch) - 1) / max_cluster_size).cast("int"),
+            )
+            group_cols = ["cluster", "__sub", "__chunk"]
+            if stats is not None:
+                stats["n_subclusters"] = k2
+                stats["max_group"] = (
+                    vecs.groupBy(*group_cols).count().agg(F.max("count")).first()[0]
+                )
+        elif stats is not None:
+            stats["max_group"] = sizes.agg(F.max("count")).first()[0]
 
     # per-cluster pairwise cosine as ONE numpy matmul per group (the
     # quadratic step, confined to a cluster): vastly cheaper than a
@@ -951,4 +1012,4 @@ def semantic_dedup(
             }
         )
 
-    return vecs.groupBy("cluster").applyInPandas(cluster_dedup, out_schema)
+    return vecs.groupBy(*group_cols).applyInPandas(cluster_dedup, out_schema)

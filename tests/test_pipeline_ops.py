@@ -1166,3 +1166,36 @@ def test_canonical_by_quality_distributed_path(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     assert got == expect
+
+
+def test_semantic_dedup_skew_guard(spark):
+    """r9 skew guard: a deliberately hot cluster (60% of the corpus in
+    one tight blob) is re-clustered at a second k-means level so no
+    (cluster, subcluster) group exceeds the cap; results still cover
+    every vector, exact duplicates still drop, and with the guard OFF
+    the behavior is unchanged (default None)."""
+    import random
+
+    from crux_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(5)
+    hot = [
+        (i, [0.9 + rng.uniform(-0.02, 0.02) for _ in range(8)])
+        for i in range(300)
+    ]
+    rest = [
+        (1000 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        hot + rest, "vec_id long, embedding array<double>"
+    )
+    stats = {}
+    out = semantic_dedup(
+        emb, k=4, iterations=2, threshold=0.999999,
+        max_cluster_size=100, stats=stats,
+    ).collect()
+    assert len(out) == 500
+    assert stats["n_oversized_clusters"] >= 1
+    assert stats["max_group"] <= 100, stats
+    # guard off: single-level grouping, same row coverage
+    assert semantic_dedup(emb, k=4, iterations=2, threshold=0.999999).count() == 500

@@ -264,6 +264,44 @@ def run_semantic_dedup(spark, n_vecs: int, _length: int):
     return dt, 2
 
 
+def run_semdedup_skewed(spark, n_vecs: int, _length: int):
+    """SemDeDup skew guard (r9): 60% of the corpus sits in ONE tight
+    blob, so the level-1 clustering produces a hot cluster ~0.6*n
+    regardless of k — the exact shape that OOMs a task at 100 TB. With
+    max_cluster_size set, the second k-means level must keep every
+    (cluster, sub) group under the cap at BOTH scales while covering
+    all vectors. 'rounds' = k-means iterations (constant)."""
+    import random
+
+    from crux_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(23)
+    dim = 16
+    hot = [
+        (i, [0.9 + rng.uniform(-0.02, 0.02) for _ in range(dim)])
+        for i in range(int(n_vecs * 0.6))
+    ]
+    rest = [
+        (10_000_000 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(n_vecs - len(hot))
+    ]
+    emb = spark.createDataFrame(
+        hot + rest, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    cap = max(250, n_vecs // 20)
+    stats: dict = {}
+    t0 = time.monotonic()
+    n = semantic_dedup(
+        emb, k=8, iterations=2, threshold=0.999999,
+        max_cluster_size=cap, stats=stats,
+    ).count()
+    dt = time.monotonic() - t0
+    assert n == n_vecs
+    assert stats.get("n_oversized_clusters", 0) >= 1, stats
+    assert stats["max_group"] <= cap, (stats, cap)
+    return dt, 2
+
+
 def run_kmeans_highdim(spark, n_vecs: int, _length: int):
     """Paper-scale k-means shape (r9 kernel fix): k=1024, dim=256. The
     old assignment kernel allocated a [batch, k, dim] 3-D temp —
@@ -327,6 +365,7 @@ def main() -> int:
         ("watdiv_5_slowest", run_watdiv, 300),
         ("semantic_dedup", run_semantic_dedup, 2_000),
         ("kmeans_k1024_d256", run_kmeans_highdim, 2_000),
+        ("semdedup_skew_guard", run_semdedup_skewed, 2_000),
     ):
         length = 16  # constant diameter across scales (graph ops)
         t1, r1 = fn(spark, base, length)
