@@ -3775,3 +3775,58 @@ _r9_order = _r9_order[:38] + _R9_IN + _r9_order[38:] + _R9_OUT
 _r9_reordered = {n: QUERIES[n] for n in _r9_order}
 QUERIES.clear()
 QUERIES.update(_r9_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r9 additions — registered AFTER the r9 window reorder, so they land in
+# the overflow tail (mirror-checked per round via MIRROR_r{N}.json;
+# driver rows via rotation — r10 queue: lucene_multi_field).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lucene_multi_field",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+')) AS term
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    tscore AS (
+      SELECT doc_id, round(sum(p.tf * ln(1 + n.n_docs * 1.0 / d.df)), 6) AS s
+      FROM postings p JOIN dfreq d USING (term), n
+      WHERE p.term = 'merge' GROUP BY doc_id
+    ), sdf AS (
+      SELECT count(*) AS df FROM documents WHERE lower(source) = 'src1'
+    ), sscore AS (
+      SELECT doc_id, round(ln(1 + n.n_docs * 1.0 / sdf.df), 6) AS s
+      FROM documents, n, sdf WHERE lower(source) = 'src1'
+    )
+    SELECT CAST(t.doc_id AS VARCHAR) AS e, round(t.s + s.s, 2) AS score
+    FROM tscore t JOIN sscore s USING (doc_id)
+    """,
+)
+def lucene_multi_field(spark, sf_dir):
+    """Multi-field QueryParser search (multi_field.clj:40-76 —
+    `lucene-text-search` with `field:term` booleans) through the full
+    Datalog path: the query string parses to an AST, each field term
+    becomes a scored relation over that attribute's inverted index, and
+    AND combines them as an eid-keyed inner join + score sum. The
+    DuckDB oracle rebuilds both field scores (tf-idf body term + the
+    single-token source field) cell-for-cell."""
+    cat = catalog_for(spark, sf_dir)
+    out = q(
+        cat,
+        {
+            "find": ["?e", "?score"],
+            "where": [
+                [["lucene-text-search", "source:src1 AND text:merge"],
+                 [["?e", "?score"]]],
+            ],
+        },
+    )
+    return out.select("e", F.round("score", 2).alias("score"))
