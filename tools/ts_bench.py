@@ -147,6 +147,17 @@ def _rows(df):
     return [tuple(r) for r in df.collect()]
 
 
+def _timed_rows(df):
+    """(rows, seconds): min-of-2 wall, same policy as bench.py's gate
+    loop — one contended sample shouldn't misprice a sub-second query."""
+    t0 = time.perf_counter()
+    rows = _rows(df)
+    dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    df.collect()
+    return rows, min(dt, time.perf_counter() - t1)
+
+
 _DEVICES_SCHEMA = T.StructType(
     [T.StructField("device-info/api-version", T.StringType()),
      T.StructField("device-info/manufacturer", T.StringType()),
@@ -245,22 +256,21 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
         ),
     ).filter("_rn = 1").drop("_rn")
 
-    t0 = time.perf_counter()
-    got = dq(
-        cat,
-        {
-            "find": ["?time", "?d", "?bt"],
-            "where": [
-                ["?r", ":reading/time", "?time"],
-                ["?r", ":reading/device-id", "?d"],
-                ["?r", ":reading/battery-temperature", "?bt"],
-            ],
-            "order-by": [["?time", "desc"], ["?d", "desc"]],
-            "limit": 10,
-        },
+    got_rows, timings["ts_devices_recent_battery"] = _timed_rows(
+        dq(
+            cat,
+            {
+                "find": ["?time", "?d", "?bt"],
+                "where": [
+                    ["?r", ":reading/time", "?time"],
+                    ["?r", ":reading/device-id", "?d"],
+                    ["?r", ":reading/battery-temperature", "?bt"],
+                ],
+                "order-by": [["?time", "desc"], ["?d", "desc"]],
+                "limit": 10,
+            },
+        )
     )
-    got_rows = _rows(got)
-    timings["ts_devices_recent_battery"] = time.perf_counter() - t0
     exp = _rows(
         latest.select(
             "time",
@@ -272,8 +282,7 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
     )
     assert got_rows == exp, (got_rows[:3], exp[:3])
 
-    t0 = time.perf_counter()
-    got_rows = _rows(
+    got_rows, _t_busiest = _timed_rows(
         dq(
             cat,
             {
@@ -293,7 +302,7 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
             },
         )
     )
-    timings["ts_devices_busiest"] = time.perf_counter() - t0
+    timings["ts_devices_busiest"] = _t_busiest
     exp = _rows(
         latest.filter(
             (F.col("battery_level") < 33.0)
@@ -317,12 +326,11 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
     # over EVERY version — one history_scan + one group-by shuffle (the
     # reference merge-sorts per-entity history cursors on the driver,
     # ts_devices.clj:216-255)
-    t0 = time.perf_counter()
     doc = F.from_json("doc_json", "map<string,string>")
     eligible = info_raw.filter(F.col("model").isin("pinto", "focus")).select(
         F.concat(F.lit("reading/"), F.col("device_id")).alias("eid")
     )
-    got_rows = _rows(
+    got_rows, _t_minmax = _timed_rows(
         store.history_scan()
         .join(F.broadcast(eligible), "eid")
         .select(
@@ -334,7 +342,7 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
         .orderBy("hour")
         .limit(12)
     )
-    timings["ts_devices_minmax_hour"] = time.perf_counter() - t0
+    timings["ts_devices_minmax_hour"] = _t_minmax
     exp = _rows(
         readings_raw.join(
             F.broadcast(
@@ -352,6 +360,9 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
         .limit(12)
     )
     assert got_rows == exp, (got_rows[:3], exp[:3])
+    # release the store's pinned localCheckpoint blocks — they are dead
+    # after the suite and would squeeze later bench sections
+    store.versions.unpersist(blocking=False)
     return timings
 
 
@@ -406,8 +417,7 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
         ),
     ).filter("_rn = 1").drop("_rn")
 
-    t0 = time.perf_counter()
-    got_rows = _rows(
+    got_rows, _t_last10 = _timed_rows(
         dq(
             cat,
             {
@@ -423,7 +433,7 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
             },
         )
     )
-    timings["ts_weather_last10"] = time.perf_counter() - t0
+    timings["ts_weather_last10"] = _t_last10
     exp = _rows(
         latest.select(
             "time",
@@ -436,8 +446,7 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
     )
     assert got_rows == exp, (got_rows[:3], exp[:3])
 
-    t0 = time.perf_counter()
-    got_rows = _rows(
+    got_rows, _t_outside = _timed_rows(
         dq(
             cat,
             {
@@ -455,7 +464,7 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
             },
         )
     )
-    timings["ts_weather_last10_outside"] = time.perf_counter() - t0
+    timings["ts_weather_last10_outside"] = _t_outside
     exp = _rows(
         latest.join(
             F.broadcast(
@@ -478,12 +487,11 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
     assert got_rows == exp, (got_rows[:3], exp[:3])
 
     # hourly avg/min/max temperature for field-% locations over history
-    t0 = time.perf_counter()
     doc = F.from_json("doc_json", "map<string,string>")
     field_devs = locs_raw.filter(F.col("location").startswith("field-")).select(
         F.concat(F.lit("condition/"), F.col("device_id")).alias("eid")
     )
-    got_rows = _rows(
+    got_rows, _t_hourly = _timed_rows(
         store.history_scan()
         .join(F.broadcast(field_devs), "eid")
         .select(
@@ -499,7 +507,7 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
         .orderBy("hour")
         .limit(24)
     )
-    timings["ts_weather_hourly_temp"] = time.perf_counter() - t0
+    timings["ts_weather_hourly_temp"] = _t_hourly
     exp = _rows(
         conditions_raw.join(
             F.broadcast(
@@ -523,6 +531,7 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
         .limit(24)
     )
     assert got_rows == exp, (got_rows[:3], exp[:3])
+    store.versions.unpersist(blocking=False)
     return timings
 
 
