@@ -159,3 +159,64 @@ def test_parser_precedence_and_parens(spark):
         db, "(firstname:Anna OR firstname:Fred) AND surname:Smith"
     ) == ["y", "z"]
     assert eids(db, "surname:Smith NOT firstname:Anna") == ["z"]
+
+
+# ---------------------------------------------------------------- parser
+# property tests (no Spark): round-trip and total-failure behavior
+
+
+def test_parser_roundtrip_property():
+    """Random ASTs rendered fully parenthesized parse back to the same
+    AST; random junk either parses or raises LuceneParseError — never
+    any other exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crux_spark.functions.multi_field import (
+        LuceneParseError,
+        parse_query,
+    )
+
+    words = st.from_regex(r"[a-z][a-z0-9]{0,5}(\*|\?)?", fullmatch=True).filter(
+        lambda w: w.rstrip("*?").upper() not in ("AND", "OR", "NOT") and w.rstrip("*?")
+    )
+    fields = st.one_of(st.none(), st.sampled_from(["a", "b", "person/surname"]))
+    terms = st.tuples(st.just("term"), fields, words)
+
+    def compose(children):
+        return st.tuples(
+            st.sampled_from(["and", "or", "not"]), children, children
+        )
+
+    asts = st.recursive(terms, compose, max_leaves=8)
+
+    def render(node):
+        kind = node[0]
+        if kind == "term":
+            _, f, w = node
+            if f is None:
+                return w
+            return f.replace("/", "\\/") + ":" + w
+        op = {"and": "AND", "or": "OR", "not": "NOT"}[kind]
+        return f"({render(node[1])} {op} {render(node[2])})"
+
+    @settings(max_examples=200, deadline=None)
+    @given(asts)
+    def roundtrip(ast):
+        assert parse_query(render(ast)) == ast
+
+    roundtrip()
+
+    junk = st.text(
+        alphabet="ab:()\\ *?!+ANDORT/", min_size=0, max_size=12
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(junk)
+    def total(s):
+        try:
+            parse_query(s)
+        except LuceneParseError:
+            pass  # the only permitted failure mode
+
+    total()
