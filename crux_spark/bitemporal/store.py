@@ -156,6 +156,70 @@ def _bucketed_cogroup(
     )
 
 
+def _bulk_put_versions(ops: DataFrame) -> DataFrame:
+    """Closed-form version rows for a fresh-entity, strictly-ordered,
+    unranged put stream (bulk_ingest's fast path). Per entity with puts
+    at v_1 < ... < v_n (tx t_1 < ... < t_n), the per-op splice yields
+    exactly:
+
+      i < n:  ([v_i, inf)  tx [t_i, t_{i+1})  asserted)     — closed
+              ([v_i, v_{i+1})  tx [t_{i+1}, inf)  unasserted) — remainder
+      i = n:  ([v_n, inf)  tx [t_n, inf)  asserted)          — active
+
+    with tx_time/origin_tx/doc/content-hash all from op i. Two lead()
+    windows + a vectorized doc-normalization UDF (stored doc_json is the
+    sorted-keys Python re-dump and content_hash its sha1, byte-identical
+    to splice.py's) — no per-op Python splice, which is O(n^2) in an
+    entity's version count."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<doc_json:string, content_hash:string>")
+    def norm(doc: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        outs, hs = [], []
+        for s in doc:
+            d = json.dumps(json.loads(s), sort_keys=True, default=str)
+            outs.append(d)
+            hs.append(hashlib.sha1(d.encode()).hexdigest())
+        return pd.DataFrame({"doc_json": outs, "content_hash": hs})
+
+    w = Window.partitionBy("eid").orderBy("tx_id", "seq")
+    base = ops.select(
+        "eid", "tx_id", "tx_time", "valid_from",
+        norm(F.col("doc_json")).alias("__n"),
+        F.lead("tx_id").over(w).alias("__nt"),
+        F.lead("valid_from").over(w).alias("__nv"),
+    )
+    asserted = base.select(
+        "eid",
+        F.col("valid_from").alias("valid_from"),
+        F.lit(END_OF_TIME).alias("valid_to"),
+        F.col("tx_id").alias("tx_from"),
+        F.coalesce("__nt", F.lit(END_OF_TX)).alias("tx_to"),
+        "tx_time",
+        F.col("__n.doc_json").alias("doc_json"),
+        F.lit(False).alias("deleted"),
+        F.col("__n.content_hash").alias("content_hash"),
+        F.lit(True).alias("asserted"),
+        F.col("tx_id").alias("origin_tx"),
+    )
+    remainder = base.filter(F.col("__nt").isNotNull()).select(
+        "eid",
+        F.col("valid_from").alias("valid_from"),
+        F.col("__nv").alias("valid_to"),
+        F.col("__nt").alias("tx_from"),
+        F.lit(END_OF_TX).alias("tx_to"),
+        "tx_time",
+        F.col("__n.doc_json").alias("doc_json"),
+        F.lit(False).alias("deleted"),
+        F.col("__n.content_hash").alias("content_hash"),
+        F.lit(False).alias("asserted"),
+        F.col("tx_id").alias("origin_tx"),
+    )
+    return asserted.unionByName(remainder)
+
+
 def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
     """Apply op rows (pre-sorted by tx_id, seq) to one entity's history;
     returns (new_history, [(tx_id, match_ok)])."""
@@ -630,13 +694,62 @@ class TxStore:
             F.lit(None).cast("long").alias("valid_to"),
         )
 
-        def apply_fn(eid, hist, op_rows):
-            hist, _ = _apply_ops(list(hist), op_rows, set())
-            return _history_cols(eid, hist)
+        # FAST PATH — the actual 100 TB initial-load shape. For an
+        # entity with NO existing history receiving unranged puts whose
+        # tx order equals a strictly increasing valid_from order, the
+        # splice result has a CLOSED FORM (each put i closes the open
+        # assertion at tx_{i+1} and re-asserts its [v_i, v_{i+1})
+        # remainder unasserted): two window functions produce the exact
+        # rows the per-op Python splice would — which is O(n^2) per
+        # entity (every put rebuilds the history list), measured as the
+        # dominant cost of dense-history ingest. Entities with existing
+        # history, and any out-of-order/duplicate valid times, fall back
+        # to the splice cogroup; the two paths are row-identical
+        # (test_bulk_ingest_fast_path_equivalence).
+        existing = self.versions.select("eid").distinct()
+        fresh = ops_df.join(existing, "eid", "left_anti")
+        slow = ops_df.join(existing, "eid", "left_semi")
+        w = Window.partitionBy("eid").orderBy("tx_id", "seq")
+        probe = fresh.select(
+            "eid", "tx_id", "valid_from",
+            F.lag("tx_id").over(w).alias("__pt"),
+            F.lag("valid_from").over(w).alias("__pv"),
+        )
+        bad = probe.filter(
+            F.col("__pt").isNotNull()
+            & (
+                (F.col("tx_id") <= F.col("__pt"))
+                | (F.col("valid_from") <= F.col("__pv"))
+            )
+        ).limit(1).count()
+        if bad:
+            slow, fresh = ops_df, None
 
-        self.versions = _bucketed_cogroup(
-            self.versions, ops_df, apply_fn, VERSIONS_SCHEMA, self._nbuckets()
-        ).localCheckpoint()
+        parts = []
+        if fresh is not None:
+            parts.append(_bulk_put_versions(fresh))
+            slow_has_rows = slow.limit(1).count() > 0
+        else:
+            slow_has_rows = True
+        if slow_has_rows:
+
+            def apply_fn(eid, hist, op_rows):
+                hist, _ = _apply_ops(list(hist), op_rows, set())
+                return _history_cols(eid, hist)
+
+            parts.append(
+                _bucketed_cogroup(
+                    self.versions, slow, apply_fn, VERSIONS_SCHEMA,
+                    self._nbuckets(),
+                )
+            )
+        elif fresh is not None:
+            # no slow ops: existing entities pass through untouched
+            parts.append(self.versions)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self.versions = out.localCheckpoint()
         row = self.versions.agg(F.max("tx_from").alias("m")).first()
         self._tx_id = max(self._tx_id, int(row.m or 0))
 

@@ -1210,3 +1210,76 @@ def test_match_finalization_cap_boundary(spark, caplog, monkeypatch,
     assert store.entity("b", valid_time=t(4))["v"] == 2
     warned = any("serial per-round abort" in r.message for r in caplog.records)
     assert warned is expect_warn
+
+
+def test_bulk_ingest_fast_path_equivalence(spark):
+    """r9 bulk-load fast path: for fresh entities with strictly
+    increasing (tx, valid-from) put streams, the closed-form window
+    construction must produce EXACTLY the rows of the per-op Python
+    splice — compared row-for-row — and mixed ingests (existing
+    entities + out-of-order streams) must route through the splice and
+    agree with per-op submit_tx on the store API."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crux_spark.bitemporal.store import (
+        VERSIONS_SCHEMA,
+        TxStore,
+        _apply_ops,
+        _bucketed_cogroup,
+        _bulk_put_versions,
+        _history_cols,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for e in range(12):
+        times = sorted(rng.sample(range(1, 2_000), rng.randint(1, 40)))
+        for t in times:
+            rows.append((f"e{e}", t * 1_000_000, 0, "put", t * 1_000_000,
+                         '{"v": %d, "w": "x%d"}' % (t, e), None,
+                         t * 1_000_000, None))
+    ops = spark.createDataFrame(
+        rows,
+        "eid string, tx_id long, seq long, op string, tx_time long, "
+        "doc_json string, expected_json string, valid_from long, "
+        "valid_to long",
+    )
+    fast = _bulk_put_versions(ops)
+
+    def apply_fn(eid, hist, op_rows):
+        hist, _ = _apply_ops(list(hist), op_rows, set())
+        return _history_cols(eid, hist)
+
+    empty = spark.createDataFrame([], VERSIONS_SCHEMA)
+    slow = _bucketed_cogroup(empty, ops, apply_fn, VERSIONS_SCHEMA, 4)
+    cols = [f.name for f in VERSIONS_SCHEMA.fields]
+    a = sorted(tuple(r) for r in fast.select(*cols).collect())
+    b = sorted(tuple(r) for r in slow.select(*cols).collect())
+    assert a == b
+
+    # API-level: a bulk-ingested store answers as-of / history / latest
+    # like the per-op path
+    df = spark.createDataFrame(
+        [("d1", 10, 1.0), ("d1", 20, 2.0), ("d1", 30, 3.0), ("d2", 15, 9.0)],
+        "dev string, t long, v double",
+    ).withColumn("ts", F.timestamp_micros(F.col("t") * 1_000_000))
+    st = TxStore(spark)
+    st.bulk_ingest(df, id_expr="dev", doc_cols=["v"], valid_from_col="ts")
+    import datetime as dt
+
+    def at(sec):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=sec)
+
+    assert st.entity("d1")["v"] == 3.0
+    assert st.entity("d1", valid_time=at(25))["v"] == 2.0
+    assert st.entity("d1", valid_time=at(5)) is None
+    assert [h["doc"]["v"] for h in st.entity_history("d1")] == [1.0, 2.0, 3.0]
+    # second bulk into the SAME entities routes through the splice path
+    df2 = spark.createDataFrame(
+        [("d1", 40, 4.0)], "dev string, t long, v double"
+    ).withColumn("ts", F.timestamp_micros(F.col("t") * 1_000_000))
+    st.bulk_ingest(df2, id_expr="dev", doc_cols=["v"], valid_from_col="ts")
+    assert st.entity("d1")["v"] == 4.0
+    assert [h["doc"]["v"] for h in st.entity_history("d1")] == [1.0, 2.0, 3.0, 4.0]
