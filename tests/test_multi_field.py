@@ -220,3 +220,95 @@ def test_parser_roundtrip_property():
             pass  # the only permitted failure mode
 
     total()
+
+
+def test_evaluator_matches_python_model(spark):
+    """Randomized evaluator check: random ASTs over a small corpus must
+    score exactly like a pure-Python model of the same semantics
+    (per-field tf-idf with per-(eid,value) 1e-6 rounding, wildcard
+    clauses constant 1.0, OR=sum, AND=join+sum, NOT=anti)."""
+    import math
+    import random
+    import re
+
+    from crux_spark.functions.multi_field import evaluate
+    from crux_spark.functions.text_search import build_av_text_index
+
+    docs = [
+        {"id": "d1", "a": "red fox fox", "b": "lazy dog"},
+        {"id": "d2", "a": "red red wolf", "b": "red fox"},
+        {"id": "d3", "a": "fort night", "b": None},
+        {"id": "d4", "a": None, "b": "foxtrot red"},
+        {"id": "d5", "a": "dog dog dog", "b": "night fox"},
+    ]
+    df = spark.createDataFrame(
+        [(d["id"], d["a"], d["b"]) for d in docs],
+        "eid string, a string, b string",
+    )
+    indexes = {
+        f: build_av_text_index(df.select("eid", f), "eid", f)
+        for f in ("a", "b")
+    }
+
+    def toks(s):
+        return [t for t in re.sub(r"[^a-z0-9\s]", " ", (s or "").lower()).split() if t]
+
+    n_docs = len(docs)
+
+    def py_term(field, word):
+        """-> {eid: score} per the engine's search_av + eid-sum."""
+        vals = {d["id"]: d.get(field) for d in docs}
+        out = {}
+        if "*" in word or "?" in word:
+            rx = re.compile(
+                "^" + re.escape(word.lower()).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+            )
+            for e, v in vals.items():
+                if v is not None and any(rx.match(t) for t in toks(v)):
+                    out[e] = 1.0
+            return out
+        w = word.lower()
+        dfreq = sum(1 for v in vals.values() if v is not None and w in toks(v))
+        for e, v in vals.items():
+            if v is None:
+                continue
+            tf = toks(v).count(w)
+            if tf:
+                out[e] = round(tf * math.log(1 + n_docs / dfreq), 6)
+        return out
+
+    def py_eval(ast):
+        k = ast[0]
+        if k == "term":
+            _, f, w = ast
+            return py_term(f, w) if f in ("a", "b") else {}
+        A, B = py_eval(ast[1]), py_eval(ast[2])
+        if k == "or":
+            return {e: A.get(e, 0) + B.get(e, 0) for e in set(A) | set(B)}
+        if k == "and":
+            return {e: A[e] + B[e] for e in set(A) & set(B)}
+        return {e: s for e, s in A.items() if e not in B}
+
+    rng = random.Random(29)
+    words = ["red", "fox", "dog", "night", "wolf", "fo*", "f?x", "cat"]
+
+    def rand_ast(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return ("term", rng.choice(["a", "b"]), rng.choice(words))
+        return (
+            rng.choice(["and", "or", "not"]),
+            rand_ast(depth - 1),
+            rand_ast(depth - 1),
+        )
+
+    def index_for(field):
+        return indexes.get(field)
+
+    for _ in range(25):
+        ast = rand_ast(3)
+        got = {
+            r.eid: r.score
+            for r in evaluate(spark, ast, index_for).collect()
+        }
+        exp = {e: round(s, 6) for e, s in py_eval(ast).items()}
+        assert got == exp, (ast, got, exp)
