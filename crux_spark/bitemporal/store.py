@@ -672,7 +672,15 @@ class TxStore:
         100 TB path). ``tx_id_expr`` must be monotone with event order per
         entity (defaults to the valid-from micros, which is exactly the
         'valid-time = tx-time' ingestion of the reference's ts-weather
-        bench, ts_weather.clj:23)."""
+        bench, ts_weather.clj:23).
+
+        Routing: ops for entities with no existing history and strictly
+        increasing (tx, valid-from) take the closed-form fast path
+        (_bulk_put_versions, no per-op splice); the rest run the splice
+        cogroup. The routing probe is a distinct+anti/semi join against
+        the current versions' eids — O(store) per call, irrelevant for
+        the initial-load case it accelerates (versions empty) and minor
+        against the cogroup it replaces otherwise."""
         vf_type = df.schema[valid_from_col].dataType.typeName()
         if vf_type.startswith("timestamp"):
             # ANSI (Spark 4 default) forbids timestamp→numeric casts, and a
