@@ -5,6 +5,7 @@ Pure Python — no Spark session needed.
 """
 
 import datetime as dt
+import json
 
 from crux_spark.bitemporal.splice import (
     END_OF_TIME,
@@ -242,3 +243,88 @@ def test_unranged_run_stops_at_different_origin_tx():
     # the put covered ONLY tx2's [0,1) run; tx1's tombstone resumes at 1
     assert sp.as_of(hist, 1000) is None
     assert sp.as_of(hist, 5000) is None
+
+
+def test_bitemporal_invariants_random_streams():
+    """Property test over random put/delete streams (ranged + unranged):
+
+    1. TX IMMUTABILITY — once tx T applies, every (valid-time, T)
+       answer is frozen: later txs never change a past tx slice.
+    2. UNIQUE COVERAGE — at every (vt, tx) point at most ONE version
+       rectangle is current (no double-belief).
+    3. REDUNDANCY-FREE VISIBILITY — as_of returns exactly the covering
+       rectangle's doc (cross-checked via raw rectangle scan).
+
+    These are semantic invariants of any correct bitemporal splice —
+    independent of the overwrite-run rule's internals, so they
+    complement the example-based canonical table above."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from crux_spark.bitemporal import splice
+    from crux_spark.bitemporal.splice import END_OF_TX
+
+    VTS = list(range(0, 14)) + [1000]  # probe grid incl. far future
+
+    ops_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["put", "delete"]),
+            st.integers(min_value=0, max_value=12),            # vf
+            st.one_of(st.none(), st.integers(min_value=1, max_value=13)),  # vt_end
+            st.integers(min_value=0, max_value=3),             # doc value
+        ),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=300,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ops_strategy)
+    def check(ops):
+        history = []
+        slices = {}  # tx -> {vt: visible value or None}
+        for i, (kind, vf, vt_end, val) in enumerate(ops):
+            tx = i + 1
+            if vt_end is not None and vt_end <= vf:
+                vt_end = vf + 1
+            if kind == "put":
+                history = splice.put(
+                    history, {"v": val}, tx, tx, vf, vt_end
+                )
+            else:
+                history = splice.delete(history, tx, tx, vf, vt_end)
+            slices[tx] = {
+                vt: (lambda r: None if r is None else json.loads(r.doc_json)["v"])(
+                    splice.as_of(history, vt, tx=tx)
+                )
+                for vt in VTS
+            }
+        # 1. tx immutability against the FINAL history
+        for tx, snap in slices.items():
+            for vt, want in snap.items():
+                r = splice.as_of(history, vt, tx=tx)
+                got = None if r is None else json.loads(r.doc_json)["v"]
+                assert got == want, (tx, vt, got, want, ops)
+        # 2. unique coverage at every probed point
+        for tx in slices:
+            for vt in VTS:
+                covering = [
+                    r
+                    for r in history
+                    if r.valid_from <= vt < r.valid_to
+                    and r.tx_from <= tx < r.tx_to
+                ]
+                assert len(covering) <= 1, (tx, vt, covering, ops)
+                # 3. as_of agrees with the raw rectangle scan
+                r = splice.as_of(history, vt, tx=tx)
+                if covering and not covering[0].deleted:
+                    assert r is covering[0]
+                else:
+                    assert r is None
+        # current rectangles never extend past END_OF_TX bookkeeping
+        assert all(r.tx_to <= END_OF_TX for r in history)
+
+    check()
