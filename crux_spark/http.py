@@ -138,6 +138,21 @@ class HttpNode:
                 ascending=qs.get("sort-order", "asc") == "asc",
                 with_corrections=qs.get("with-corrections") == "true",
             )
+        if path == "/_crux/query":
+            # GET query form (the reference's queryEdn/inArgsEdn params,
+            # http_server/json_test.clj — JSON is this facade's shared
+            # subset): the query dict and :in args arrive URL-encoded as
+            # queryJson / inArgsJson; same monitored + paged execution
+            # as the POST route
+            query = json.loads(qs["queryJson"])
+            in_args = json.loads(qs["inArgsJson"]) if qs.get("inArgsJson") else []
+            rows = self._db(qs).q_stream(
+                query,
+                *in_args,
+                limit=_page_limit(qs.get("limit")),
+                offset=int(qs.get("offset", "0")),
+            )
+            return [list(r) for r in rows]
         if path == "/_crux/await-tx":
             return {"aborted": sorted(node.await_tx())}
         if path == "/_crux/tx-log":

@@ -248,3 +248,41 @@ def test_http_page_limit_caps_unlimited_requests():
     assert _page_limit(7) == 7
     assert _page_limit("25") == 25
     assert _page_limit(10**9) == MAX_PAGE_LIMIT
+
+
+def test_http_get_query_route(http_node):
+    """GET /_crux/query with queryJson / inArgsJson params — the
+    reference's queryEdn/inArgsEdn GET form
+    (crux-http-server/test/crux/http_server/json_test.clj test-query),
+    JSON being this facade's shared subset. Monitored + server-paged
+    like the POST route."""
+    import json as _json
+    from urllib.parse import quote
+
+    base = http_node.url
+    post(base + "/_crux/submit-tx", {"tx-ops": [
+        ["put", {"id": "sal", "name": "Sally", "score": 1}],
+        ["put", {"id": "jed", "name": "Jed", "score": 2}],
+    ]})
+    get(base + "/_crux/await-tx")
+    q = quote(_json.dumps({
+        "find": ["?e"],
+        "where": [["?e", ":name", "?n"]],
+    }))
+    rows = get(base + f"/_crux/query?queryJson={q}")
+    assert {r[0] for r in rows} >= {"sal", "jed"}
+    # :in args via inArgsJson
+    q2 = quote(_json.dumps({
+        "find": ["?e"], "in": ["?n"],
+        "where": [["?e", ":name", "?n"]],
+    }))
+    args = quote(_json.dumps(["Jed"]))
+    assert get(base + f"/_crux/query?queryJson={q2}&inArgsJson={args}") == [["jed"]]
+    # limit/offset paging applies on the GET form too
+    q3 = quote(_json.dumps({
+        "find": ["?e"],
+        "where": [["?e", ":name", "?n"]],
+        "order-by": [["?e", "asc"]],
+    }))
+    page = get(base + f"/_crux/query?queryJson={q3}&limit=1&offset=0")
+    assert len(page) == 1
