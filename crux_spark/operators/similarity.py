@@ -47,7 +47,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast the (small) query set
     against the corpus, window top-k. Returns (query_id, vec_id, sim, rank).
-    """
+
+    Contract: this is the EXACT BASELINE for a bounded query set — the
+    scoring stays JVM-side (codegen'd zip/aggregate dot product, which
+    is also what keeps its rounding bit-aligned with the DuckDB
+    oracles), and the top-k window consequently shuffles the Q x N
+    scored rows. For corpus-scale query sets use ivf_topk (probes
+    nprobe/nlist of the corpus) or pq_topk/sq8_topk (streaming partial
+    top-k inside the scan; exchange bounded by Q x shortlist x
+    partitions)."""
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
