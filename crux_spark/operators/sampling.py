@@ -474,6 +474,53 @@ def mix_corpora(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    budget_ratio: float = 1.0,
+    key_col: str = "doc_id",
+    method: str = "md5",
+) -> DataFrame:
+    """Temperature (alpha) sampling mixture — the multilingual/
+    pretraining data-mixture rule of Conneau et al. 2020
+    (arXiv:1911.02116 §3.1; also mC4/PaLM): source i holding n_i docs
+    is drawn with probability p_i ∝ n_i^alpha, which at a total budget
+    of budget_ratio * Σn means a per-source replication rate
+    r_i = p_i * budget / n_i — small sources upsample (multiple
+    epochs), big sources downsample. alpha=1 reproduces natural
+    proportions; alpha=0 gives uniform-by-source.
+
+    Scale shape: ONE tiny per-source count aggregate (rows = #sources)
+    reaches the driver; rates feed mix_corpora's union of narrow
+    filters (no shuffle). Under method='md5' rates are quantized to
+    sixteenths so an external SQL engine reproduces the exact member
+    set; the rate arithmetic is ordered to match a SQL mirror
+    ((n^a / Σn^a) * (budget_ratio * Σn) / n) — the Σn^a float sum is
+    the one order-sensitive term (documented residual ~1e-12 boundary
+    risk, same class as kmeans_assign's quantized trajectory).
+    Source tags in the output are the dense rank of the sorted source
+    values."""
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    if not counts:
+        raise ValueError("temperature_mix: empty input")
+    order = sorted(counts)
+    tot = sum(counts[s] for s in order)
+    denom = sum(counts[s] ** alpha for s in order)
+    sources = []
+    for s in order:
+        n = counts[s]
+        rate = (n ** alpha / denom) * (budget_ratio * tot) / n
+        if method == "md5":
+            rate = math.floor(rate * 16 + 0.5) / 16.0
+        sources.append((df.filter(F.col(source_col) == s), rate))
+    return mix_corpora(sources, key_col=key_col, method=method)
+
+
 def epoch_shard_shuffle(
     df: DataFrame,
     seed: str = "s",

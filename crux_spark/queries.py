@@ -3830,3 +3830,56 @@ def lucene_multi_field(spark, sf_dir):
         },
     )
     return out.select("e", F.round("score", 2).alias("score"))
+
+
+@register(
+    "mix_temperature",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 < 1 THEN 'a'
+                  WHEN doc_id % 7 < 3 THEN 'b'
+                  ELSE 'c' END AS src
+      FROM documents),
+    c AS (SELECT src, count(*) AS n FROM d GROUP BY src),
+    t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS denom FROM c),
+    r AS (
+      SELECT src, n,
+             floor((pow(n, 0.5) / denom) * (1.0 * tot) / n * 16 + 0.5) / 16.0 AS rate,
+             row_number() OVER (ORDER BY src) - 1 AS sidx
+      FROM c, t),
+    fe AS (
+      SELECT d.doc_id, r.sidx, CAST(t.e AS INT) AS epoch
+      FROM d JOIN r USING (src),
+           UNNEST(range(0, CAST(floor(r.rate) AS BIGINT))) AS t(e)),
+    fr AS (
+      SELECT d.doc_id, r.sidx, CAST(floor(r.rate) AS INT) AS epoch
+      FROM d JOIN r USING (src)
+      WHERE strpos('0123456789abcdef',
+                   substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1
+            < CAST(round((r.rate - floor(r.rate)) * 16, 0) AS INT))
+    SELECT doc_id, CAST(sidx AS INT) AS source, epoch FROM fe
+    UNION ALL
+    SELECT doc_id, CAST(sidx AS INT) AS source, epoch FROM fr
+    """,
+)
+def mix_temperature(spark, sf_dir):
+    """Temperature/alpha-sampling mixture (sampling.temperature_mix,
+    Conneau et al. 2020 §3.1): three deliberately uneven pseudo-sources
+    (~1:2:4 by doc_id mod 7) mixed at alpha=0.5 — the small source
+    upsamples past 1.0 (full-epoch replication), the big one
+    downsamples, and the md5-sixteenth quantization makes the exact
+    member set reproducible in DuckDB. One tiny per-source count agg;
+    the mixture itself is a union of narrow filters, zero shuffle."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 < 1, "a")
+        .when(F.col("doc_id") % 7 < 3, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    out = _samp.temperature_mix(
+        docs, source_col="src", alpha=0.5, budget_ratio=1.0, method="md5"
+    )
+    return out.select("doc_id", F.col("source").cast("int").alias("source"), "epoch")

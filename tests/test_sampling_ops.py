@@ -309,3 +309,41 @@ def test_bloom_decontaminate_equals_exact(spark):
         }
         assert got == exact, f"bits_log2={bits}"
     assert exact  # the fixture genuinely shares 5-gram shingles
+
+
+def test_temperature_mix_rates(spark):
+    """Alpha-sampling semantics (Conneau et al. 2020): alpha=1 keeps
+    natural proportions (rate 1.0 per source at budget 1.0); alpha=0
+    equalizes source draws (small source upsamples, big downsamples);
+    output tags sources by sorted dense rank and the member set is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 160 else "small") for i in range(200)],
+        "doc_id long, source string",
+    )
+    # alpha=1: natural sampling -> exactly one epoch of everything
+    nat = temperature_mix(df, alpha=1.0, budget_ratio=1.0)
+    assert nat.count() == 200
+    assert nat.select("epoch").distinct().collect() == [(0,)]
+
+    # alpha=0: uniform over sources -> each source targets budget/2 docs
+    # (rate 100/160 for big, 100/40 = 2.5 for small, sixteenth-quantized)
+    uni = temperature_mix(df, alpha=0.0, budget_ratio=1.0)
+    per_src = {
+        r["source"]: r["cnt"]
+        for r in uni.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # source 0 = 'big' (sorted order), source 1 = 'small'
+    assert per_src[1] >= 2 * 40  # small source fully replicated 2x+
+    assert per_src[0] < 160      # big source downsampled
+    # deterministic: same member multiset on re-run
+    a = sorted(tuple(r) for r in uni.collect())
+    b = sorted(
+        tuple(r)
+        for r in temperature_mix(df, alpha=0.0, budget_ratio=1.0).collect()
+    )
+    assert a == b
