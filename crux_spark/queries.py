@@ -3780,7 +3780,9 @@ QUERIES.update(_r9_reordered)
 # ---------------------------------------------------------------------------
 # r9 additions — registered AFTER the r9 window reorder, so they land in
 # the overflow tail (mirror-checked per round via MIRROR_r{N}.json;
-# driver rows via rotation — r10 queue: lucene_multi_field).
+# driver rows via rotation — r10 queue: lucene_multi_field,
+# mix_temperature, plus the r5-stale tpch_q2/q5/q12/q13/q18/q22,
+# datalog_subquery, window_topk).
 # ---------------------------------------------------------------------------
 
 
