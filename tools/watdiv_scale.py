@@ -61,33 +61,71 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # bench.py's plan fingerprinter, so a future round can decide
+    # plan-change vs environment-noise for WatDiv from the artifact
+    # alone — the r9 lesson: a 3x in-suite wall swing on C1-0's hand
+    # twin was only attributable to driver-collect variance after
+    # ad-hoc isolated reruns, because no fingerprint was on record
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+    _bench = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+
     results = {}
     disagreements = []
     over_bar = []
+    def run_side(df):
+        """(count, canonical-set-digest, seconds): collect is inside the
+        timed window (engine + fetch), the digest is computed after the
+        timer stops and the raw rows are FREED before returning — so
+        comparing two 1M-row sides never holds both row sets on the
+        driver at once (the r9 lesson: two live 1.17M-tuple sets put
+        C1-0's second-measured twin 3x over its real wall via GC, with
+        IDENTICAL plan fingerprints)."""
+        import hashlib
+
+        t = time.perf_counter()
+        rows = df.collect()
+        dt = time.perf_counter() - t
+        uniq = {tuple(r) for r in rows}
+        del rows
+        h = hashlib.sha256()
+        for rep in sorted(map(repr, uniq)):
+            h.update(rep.encode())
+        n = len(uniq)
+        del uniq
+        return n, h.hexdigest(), dt
+
     for (fam, builder, args), qid in zip(TEMPLATES, _IDS):
         sparql, datalog = builder(*args)
-        t1 = time.perf_counter()
         sdf = q(cat, sparql_to_datalog(PREFIXES + sparql))
-        if mode == "counts":
-            got = sdf.count()
-        else:
-            got = {tuple(r) for r in sdf.collect()}
-        dt_sparql = time.perf_counter() - t1
-        t2 = time.perf_counter()
         hdf = q(cat, datalog)
-        exp = hdf.count() if mode == "counts" else {tuple(r) for r in hdf.collect()}
-        dt_hand = time.perf_counter() - t2
-        agree = got == exp
+        if mode == "counts":
+            t1 = time.perf_counter()
+            got = sdf.count()
+            dt_sparql = time.perf_counter() - t1
+            t2 = time.perf_counter()
+            exp = hdf.count()
+            dt_hand = time.perf_counter() - t2
+            agree = got == exp
+        else:
+            n_s, dig_s, dt_sparql = run_side(sdf)
+            n_h, dig_h, dt_hand = run_side(hdf)
+            got = n_s
+            agree = (n_s == n_h) and dig_s == dig_h
         if not agree:
             disagreements.append(qid)
         if max(dt_sparql, dt_hand) > TIMEOUT_BAR:
             over_bar.append(qid)
-        n_rows = got if mode == "counts" else len(got)
+        n_rows = got
         results[qid] = {
             "rows": n_rows,
             "agree": agree,
             "sparql_s": round(dt_sparql, 2),
             "hand_s": round(dt_hand, 2),
+            "sparql_plan": _bench._fingerprint(sdf),
+            "hand_plan": _bench._fingerprint(hdf),
         }
         print(
             f"# {qid}: rows={n_rows} agree={agree} "
