@@ -3885,3 +3885,54 @@ def mix_temperature(spark, sf_dir):
         docs, source_col="src", alpha=0.5, budget_ratio=1.0, method="md5"
     )
     return out.select("doc_id", F.col("source").cast("int").alias("source"), "epoch")
+
+
+@register(
+    "streaming_rollup_oracle",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(round(sum(value * 100), 0) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_oracle(spark, sf_dir):
+    """Structured Streaming daily rollup with a FULL DuckDB oracle —
+    the first §2.9 gate whose result is value-checked, not just
+    rows-counted: events replay through a file-source stream one file
+    per micro-batch (maxFilesPerTrigger=1 over a 4-file rewrite, so
+    the aggregation state genuinely accumulates across triggers),
+    complete-mode memory sink, availableNow trigger. The finished
+    table must equal the batch GROUP BY — which is exactly the
+    replay-determinism contract streaming ingest is built on
+    (streaming/ingest.py). Sums compare as integer cents so
+    arrival-order float accumulation cannot flip a rounding."""
+    import tempfile
+    import uuid
+
+    cat = catalog_for(spark, sf_dir)
+    ev = cat.table("events").select("ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="crux_stream_ev_")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    name = "strm_" + uuid.uuid4().hex[:8]
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * 100), 0)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select("day", "event_type", "n", "total_cents")
