@@ -3781,8 +3781,9 @@ QUERIES.update(_r9_reordered)
 # r9 additions — registered AFTER the r9 window reorder, so they land in
 # the overflow tail (mirror-checked per round via MIRROR_r{N}.json;
 # driver rows via rotation — r10 queue: lucene_multi_field,
-# mix_temperature, plus the r5-stale tpch_q2/q5/q12/q13/q18/q22,
-# datalog_subquery, window_topk).
+# mix_temperature, streaming_rollup_oracle, streaming_dedup_oracle,
+# plus the r5-stale tpch_q2/q5/q12/q13/q18/q22, datalog_subquery,
+# window_topk).
 # ---------------------------------------------------------------------------
 
 
@@ -3936,3 +3937,54 @@ def streaming_rollup_oracle(spark, sf_dir):
     )
     sq.awaitTermination()
     return spark.table(name).select("day", "event_type", "n", "total_cents")
+
+
+@register(
+    "streaming_dedup_oracle",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(value * 100), 0) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_dedup_oracle(spark, sf_dir):
+    """Streaming exact-dedup with a FULL DuckDB oracle (§2.9): the
+    events table replays TWICE (an at-least-once redelivery, split
+    across 8 files at one file per micro-batch so duplicates arrive in
+    different triggers), dropDuplicates on the event key holds state
+    across triggers, and the deduped per-type totals must equal the
+    batch aggregate over the ORIGINAL table — the exactly-once-effect
+    contract of the streaming ingest path (streaming/ingest.py's
+    at-least-once tx_id dedup is this same shape)."""
+    import tempfile
+    import uuid
+
+    cat = catalog_for(spark, sf_dir)
+    ev = cat.table("events").select("event_id", "ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="crux_stream_dd_")
+    ev.unionByName(ev).repartitionByRange(8, "event_id").write.mode(
+        "overwrite"
+    ).parquet(d)
+    name = "strm_" + uuid.uuid4().hex[:8]
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * 100), 0)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select("event_type", "n", "total_cents")
