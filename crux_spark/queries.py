@@ -3962,9 +3962,17 @@ def streaming_dedup_oracle(spark, sf_dir):
     cat = catalog_for(spark, sf_dir)
     ev = cat.table("events").select("event_id", "ts", "event_type", "value")
     d = tempfile.mkdtemp(prefix="crux_stream_dd_")
-    ev.unionByName(ev).repartitionByRange(8, "event_id").write.mode(
-        "overwrite"
-    ).parquet(d)
+    # range-partition on (copy, event_id): the first replay fills the
+    # low files, the redelivery the high files, so EVERY duplicate pair
+    # crosses a trigger boundary (ranging on event_id alone would put
+    # both copies in the same file and dedup them inside one trigger,
+    # never touching the cross-trigger state)
+    doubled = ev.withColumn("__copy", F.lit(0)).unionByName(
+        ev.withColumn("__copy", F.lit(1))
+    )
+    doubled.repartitionByRange(8, "__copy", "event_id").drop(
+        "__copy"
+    ).write.mode("overwrite").parquet(d)
     name = "strm_" + uuid.uuid4().hex[:8]
     agg = (
         spark.readStream.schema(ev.schema)
