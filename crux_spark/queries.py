@@ -3950,7 +3950,7 @@ def streaming_rollup_oracle(spark, sf_dir):
 def streaming_dedup_oracle(spark, sf_dir):
     """Streaming exact-dedup with a FULL DuckDB oracle (§2.9): the
     events table replays TWICE (an at-least-once redelivery, split
-    across 8 files at one file per micro-batch so duplicates arrive in
+    across 4 files at one file per micro-batch so duplicates arrive in
     different triggers), dropDuplicates on the event key holds state
     across triggers, and the deduped per-type totals must equal the
     batch aggregate over the ORIGINAL table — the exactly-once-effect
@@ -3970,7 +3970,7 @@ def streaming_dedup_oracle(spark, sf_dir):
     doubled = ev.withColumn("__copy", F.lit(0)).unionByName(
         ev.withColumn("__copy", F.lit(1))
     )
-    doubled.repartitionByRange(8, "__copy", "event_id").drop(
+    doubled.repartitionByRange(4, "__copy", "event_id").drop(
         "__copy"
     ).write.mode("overwrite").parquet(d)
     name = "strm_" + uuid.uuid4().hex[:8]
