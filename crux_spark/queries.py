@@ -3996,3 +3996,75 @@ def streaming_dedup_oracle(spark, sf_dir):
     )
     sq.awaitTermination()
     return spark.table(name).select("event_type", "n", "total_cents")
+
+
+# ---------------------------------------------------------------------------
+# r10 WINDOW ROTATION (policy block above, queries.py ~2650): the driver
+# records correctness for the FIRST 50 entries only.
+#   r10: IN (a) the 4 r9 additions that have never held a driver row —
+#           lucene_multi_field, mix_temperature, streaming_rollup_oracle,
+#           streaming_dedup_oracle — and (b) the 8 gates whose newest
+#           driver row is the stalest in the registry (all r5):
+#           tpch_q2/q5/q12/q13/q18/q22, datalog_subquery, window_topk.
+#       OUT 12 gates, each holding a fresh r9 driver-green row AND whose
+#           operator surface stays covered by an in-window gate:
+#           bloom_decontaminate (Bloom prefilter proven bit-identical to
+#           the exact join -> decontaminate_ngram stays), ann_sq8
+#           (partial-top-k ANN shortlist -> ann_pq stays, same exchange
+#           shape), semantic_dedup (within-cluster pruning ->
+#           kmeans_embeddings stays for the clustering surface +
+#           embedding_near_dup_lsh stays for near-dup), text_c4_filter
+#           (per-row text heuristics -> text_gopher_filter +
+#           text_repetition stay), dsir_weights (hashed-ngram freq +
+#           join-back -> unigram_lm_quality stays), bitemporal_history_
+#           bounded (bounded history scan -> bitemporal_store_history
+#           stays), events_rollup (time-bucket grouping ->
+#           events_sessionize + sql_rollup stay), window_lag_delta
+#           (lag/lead -> window_topk rotating in + events_sessionize
+#           stays), dedup_chunks (exact-hash grouping -> dedup_canonical
+#           + dedup_clusters stay), sample_hash_deterministic
+#           (hash-bucket selection -> stratified_sample stays, same
+#           bucket space), tpch_q19 (disjunctive join -> tpch_q7 stays +
+#           datalog-side or covered in the 208-case battery),
+#           dedup_line_trim (span machinery -> dedup_substring_spans
+#           stays, same window_hashes/gaps-and-islands core).
+#   All 12 rotated-out gates keep running in bench and in the per-round
+#   90-gate mirror (tools/check_oracles.py -> MIRROR_r{N}.json).
+# ---------------------------------------------------------------------------
+
+_R10_IN = [
+    "lucene_multi_field", "mix_temperature", "streaming_rollup_oracle",
+    "streaming_dedup_oracle", "tpch_q2", "tpch_q5", "tpch_q12",
+    "tpch_q13", "tpch_q18", "tpch_q22", "datalog_subquery", "window_topk",
+]
+_R10_OUT = [
+    "bloom_decontaminate", "ann_sq8", "semantic_dedup", "text_c4_filter",
+    "dsir_weights", "bitemporal_history_bounded", "events_rollup",
+    "window_lag_delta", "dedup_chunks", "sample_hash_deterministic",
+    "tpch_q19", "dedup_line_trim",
+]
+_WINDOW = 50
+# Preconditions (r9 advice): the splice below is only correct when every
+# rotated name exists, every OUT name sits inside the current first-50
+# window, every IN name sits outside it, and the retained prefix is
+# exactly WINDOW - len(OUT). Fail loudly at import if the registry drifts.
+_r10_names = list(QUERIES)
+for _n in _R10_IN + _R10_OUT:
+    assert _n in QUERIES, f"r10 rotation references unknown gate {_n!r}"
+for _n in _R10_OUT:
+    assert _r10_names.index(_n) < _WINDOW, (
+        f"r10 OUT gate {_n!r} is not inside the first-{_WINDOW} window")
+for _n in _R10_IN:
+    assert _r10_names.index(_n) >= _WINDOW, (
+        f"r10 IN gate {_n!r} already sits inside the first-{_WINDOW} window")
+_r10_keep = _WINDOW - len(_R10_OUT)
+_r10_order = [n for n in QUERIES if n not in _R10_IN and n not in _R10_OUT]
+assert sum(1 for n in _r10_order[:_r10_keep]
+           if _r10_names.index(n) < _WINDOW) == _r10_keep, (
+    "r10 retained prefix does not equal the surviving window gates")
+_r10_order = (_r10_order[:_r10_keep] + _R10_IN
+              + _r10_order[_r10_keep:] + _R10_OUT)
+assert sorted(_r10_order) == sorted(_r10_names), "r10 rotation lost gates"
+_r10_reordered = {n: QUERIES[n] for n in _r10_order}
+QUERIES.clear()
+QUERIES.update(_r10_reordered)
