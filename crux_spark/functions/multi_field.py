@@ -63,6 +63,12 @@ def _tokenize(q: str) -> list:
             pending_field = raw
             return
         if field_sep is not None:
+            if pending_field is not None:
+                # "firstname: foo:bar" — the detached field never got a
+                # term; dropping it silently would change the query
+                raise LuceneParseError(
+                    f"Cannot parse '{q}': field with no term"
+                )
             field, word = raw[:field_sep], raw[field_sep + 1 :]
         else:
             field, word = pending_field, raw

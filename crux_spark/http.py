@@ -49,7 +49,13 @@ MAX_PAGE_LIMIT = 100_000
 def _page_limit(requested) -> int:
     if requested is None:
         return DEFAULT_PAGE_LIMIT
-    return min(int(requested), MAX_PAGE_LIMIT)
+    limit = int(requested)
+    if limit < 1:
+        # surfaces as a 400 via the handlers' Exception catch — a
+        # non-positive limit is a client error, not an empty page or
+        # an opaque DataFrame.limit failure
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    return min(limit, MAX_PAGE_LIMIT)
 
 
 def _parse_time(s: str | None) -> dt.datetime | None:
@@ -359,11 +365,27 @@ class RemoteDb:
             out["tx-id"] = self.tx
         return out
 
-    def q(self, query: dict, *args) -> list[list]:
-        return self.client._post(
-            "/_crux/query",
-            {"query": query, "in-args": list(args), **self._basis()},
-        )
+    def q(self, query: dict, *args,
+          page_size: int = DEFAULT_PAGE_LIMIT) -> list[list]:
+        """Complete result set, like the reference client (RemoteApiClient
+        q reads the cursor to exhaustion): pages through the server's
+        limit/offset window until a short page, so results beyond the
+        server's DEFAULT_PAGE_LIMIT are no longer silently truncated.
+        Each page re-executes the query server-side against the same
+        pinned (valid-time, tx) basis, so the paged union is consistent;
+        pass a query with its own :limit for a single bounded request."""
+        out: list[list] = []
+        offset = 0
+        while True:
+            page = self.client._post(
+                "/_crux/query",
+                {"query": query, "in-args": list(args),
+                 "limit": page_size, "offset": offset, **self._basis()},
+            )
+            out.extend(page)
+            if len(page) < page_size:
+                return out
+            offset += page_size
 
     def entity(self, eid: str):
         try:

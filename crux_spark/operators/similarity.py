@@ -132,11 +132,13 @@ def kmeans_assign(
     order-sensitive, so centroid means are QUANTIZED to 10^-quant after
     every update and distances to 10^-quant before the argmin (ties ->
     lowest cluster id); the iteration trajectory is then a pure
-    function of the data. Residual risk (documented, not eliminated): a
-    mean whose exact value sits within ~1e-10 of a 10^-quant rounding
+    function of the data. The candidate margin self-scales with a
+    per-row fp-error bound (r10), so fine quant / large-magnitude
+    vectors can no longer push the true rounded argmin outside the
+    candidate set. Residual risk (documented, not eliminated): a mean
+    whose exact value sits within ~1e-10 of a 10^-quant rounding
     boundary can round differently across engines/partitionings and
-    shift the trajectory — keep quant coarse relative to the data
-    magnitude. Init = the first k vectors by id."""
+    shift the trajectory. Init = the first k vectors by id."""
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = np.array([list(r[0]) for r in init], dtype=np.float64)
     dim = cents.shape[1]
@@ -169,9 +171,22 @@ def kmeans_assign(
             da = np.sqrt(np.maximum(d2, 0.0))
             dmin = da.min(axis=1)
             # margin: one rounding step (1e-quant) covers any cluster
-            # whose ROUNDED distance could tie or beat the winner; the
-            # expansion's own fp error (~1e-10) rides inside it
-            cand_r, cand_c = np.nonzero(da <= (dmin[:, None] + 2 * 10.0**-quant))
+            # whose ROUNDED distance could tie or beat the winner, PLUS
+            # a per-row bound on the expansion's own fp error — r9
+            # advice: a fixed 2e-quant silently under-covers when quant
+            # is fine (>=~10) or vectors are large-magnitude. The d2
+            # error is ~gamma*(||x||^2+||c||^2) with gamma ~ dim*eps;
+            # on da it is <= min(sqrt(E), E/(2*dmin)) (the sqrt form
+            # covers dmin -> 0). Widening only adds exact recomputes —
+            # the margin selects CANDIDATES, the difference-form
+            # recompute below still decides.
+            eps = np.finfo(np.float64).eps
+            E = 2.0 * dim * eps * ((M**2).sum(axis=1) + c_sq.max())
+            fp_err = np.minimum(
+                np.sqrt(E), E / (2.0 * np.maximum(dmin, 1e-300))
+            )
+            margin = 2 * 10.0**-quant + 2.0 * fp_err
+            cand_r, cand_c = np.nonzero(da <= (dmin[:, None] + margin[:, None]))
             exact = np.round(
                 np.sqrt(((M[cand_r] - Cq[cand_c]) ** 2).sum(axis=1)), quant
             )

@@ -248,6 +248,49 @@ def test_http_page_limit_caps_unlimited_requests():
     assert _page_limit(7) == 7
     assert _page_limit("25") == 25
     assert _page_limit(10**9) == MAX_PAGE_LIMIT
+    # r10 (advisor): non-positive limits are client errors, not empty
+    # results or opaque 500s
+    for bad in (0, -1, "-5"):
+        with pytest.raises(ValueError):
+            _page_limit(bad)
+
+
+def test_http_nonpositive_limit_is_400(http_node):
+    """limit=0 over the wire returns a 400 with an error body."""
+    import json as _json
+    from urllib.parse import quote
+
+    q = quote(_json.dumps({"find": ["?e"], "where": [["?e", ":name", "?n"]]}))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get(http_node.url + f"/_crux/query?queryJson={q}&limit=0")
+    assert ei.value.code == 400
+
+
+def test_remote_db_q_pages_to_completion(spark):
+    """r10 (advisor): RemoteDb.q must return the COMPLETE result set like
+    the reference client, paging limit/offset until a short page — not
+    return one server-capped page verbatim."""
+    from crux_spark.http import RemoteNode
+
+    node = Node(spark, schema="id string, n long")
+    h = HttpNode(node)
+    try:
+        remote = RemoteNode(h.url)
+        remote.submit_tx([("put", {"id": f"d{i:02d}", "n": i})
+                          for i in range(10)])
+        remote.await_tx()
+        q = {"find": ["?e", "?n"],
+             "where": [["?e", ":n", "?n"]],
+             "order-by": [["?n", "asc"]]}
+        # page_size=3 forces 4 round trips (3+3+3+1); the union must be
+        # the full ordered result
+        rows = remote.db().q(q, page_size=3)
+        assert [r[1] for r in rows] == list(range(10))
+        # a query whose own :limit ends inside a page stops early too
+        rows = remote.db().q({**q, "limit": 5}, page_size=3)
+        assert [r[1] for r in rows] == list(range(5))
+    finally:
+        h.close()
 
 
 def test_http_get_query_route(http_node):

@@ -91,6 +91,10 @@ def test_malformed_query(spark):
         eids(node.db(), "AND name:Smith")
     with pytest.raises(ValueError, match="Cannot parse"):
         eids(node.db(), "(name:Smith")
+    # r10 (advisor): a detached field followed by a fielded word must
+    # raise, not silently drop the detached field
+    with pytest.raises(ValueError, match="field with no term"):
+        eids(node.db(), "firstname: foo:bar")
 
 
 def test_use_in_argument(spark):

@@ -936,6 +936,41 @@ def test_kmeans_assign_separable(spark):
     assert len(out4) == 30 and {r.cluster for r in out4} <= {0, 1, 2, 3}
 
 
+def test_kmeans_fine_quant_large_magnitude_matches_oracle(spark):
+    """r10 (advisor): with fine quant (12) and large-magnitude vectors
+    the matmul-expansion's fp error exceeds a fixed 2e-quant margin —
+    the self-scaling margin must still put the true rounded argmin in
+    the candidate set, so the assignment matches a pure-numpy exact
+    difference-form oracle bit-for-bit."""
+    import random
+
+    import numpy as np
+
+    from crux_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(7)
+    dim, k, quant = 16, 4, 12
+    # magnitudes ~1e4 => ||x||^2 ~ 1e9; eps*1e9 ~ 2e-7 >> 2e-12
+    rows = [
+        (i, [rng.uniform(-1e4, 1e4) for _ in range(dim)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.dist)
+           for r in kmeans_assign(emb, k=k, iterations=1, quant=quant).collect()}
+
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    C = np.round(np.array([rows[i][1] for i in range(k)]), quant)
+    # exact difference-form oracle with the same rounding + tie rule
+    d = np.round(
+        np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)), quant
+    )
+    want_c = d.argmin(axis=1)  # argmin takes the lowest index on ties
+    for i in range(200):
+        assert out[i][0] == want_c[i], f"vec {i}: {out[i][0]} != {want_c[i]}"
+        assert out[i][1] == d[i, want_c[i]]
+
+
 def test_sq8_topk_recall(spark):
     """SQ8 shortlist+re-rank vs brute force: with a generous shortlist
     the top-5 sets coincide and the sims are EXACT (re-rank contract);
