@@ -74,8 +74,13 @@ class HttpNode:
     """Serve a Node over HTTP on a daemon thread. port=0 picks a free
     port (exposed as .port). close() shuts the server down."""
 
-    def __init__(self, node, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, node, host: str = "127.0.0.1", port: int = 0,
+                 metrics_registry=None):
         self.node = node
+        # a MetricsRegistry turns on GET /metrics — the Prometheus text
+        # scrape endpoint on the facade (crux-metrics prometheus.clj
+        # ->http-exporter, served off the node's HTTP port here)
+        self.metrics_registry = metrics_registry
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -97,6 +102,19 @@ class HttpNode:
             def do_GET(self):
                 u = urlparse(self.path)
                 qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+                if u.path == "/metrics" and outer.metrics_registry is not None:
+                    from crux_spark.metrics import (
+                        PROMETHEUS_CONTENT_TYPE,
+                        prometheus_text,
+                    )
+
+                    body = prometheus_text(outer.metrics_registry).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", PROMETHEUS_CONTENT_TYPE)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 try:
                     out = outer._get(u.path, qs)
                 except KeyError as e:

@@ -9,9 +9,14 @@ csv}.clj). The Spark recast keeps the same metric NAMES and semantics —
 counters (driver-side observability; executor-side metrics belong to
 Spark's own MetricsSystem, which a cluster deployment scrapes directly).
 
-JMX / Prometheus / CloudWatch reporters are deliberately out of scope
-(no such endpoints in this environment); the Reporter protocol below is
-the seam where they'd plug in.
+The Prometheus surface (crux-metrics/src/crux/metrics/prometheus.clj) is
+ported natively: prometheus_text renders the registry in the text
+exposition format (the DropwizardExports mapping — meters -> counters,
+timers -> summaries), PrometheusHttpExporter is the ->http-exporter
+standalone scrape server, and PrometheusPushReporter is the ->reporter
+push-gateway loop. JMX and CloudWatch stay out of scope (no JVM MBean
+server / AWS endpoint in this environment); CallbackReporter is the seam
+where they'd plug in.
 """
 
 from __future__ import annotations
@@ -326,3 +331,133 @@ class CallbackReporter(_ScheduledReporter):
 
     def emit(self, snap: dict[str, Any]) -> None:
         self.fn(snap)
+
+# ------------------------------------------------------------- prometheus
+#
+# Port of crux-metrics/src/crux/metrics/prometheus.clj. The reference
+# bridges its dropwizard registry through DropwizardExports into either
+# a standalone scrape server (->http-exporter, iapetos/standalone) or a
+# push-gateway reporter (->reporter, PrometheusReporter + Pushgateway).
+# Here the registry renders straight to the text exposition format
+# (version 0.0.4) with the same type mapping DropwizardExports uses:
+# meters -> counters (_total), timers -> summaries (_count/_sum, plus
+# min/max gauges), gauges -> gauges; dotted dropwizard names become
+# underscore-separated prometheus names under the crux_ prefix.
+
+
+def _prom_name(name: str, prefix: str = "crux") -> str:
+    import re
+
+    n = re.sub(r"[^a-zA-Z0-9_:]", "_", f"{prefix}_{name}" if prefix else name)
+    return "_" + n if n[:1].isdigit() else n
+
+
+def _prom_value(v) -> str | None:
+    """Prometheus sample value, or None when the reading is unrepresentable
+    (a broken gauge, a string) — the exporter skips it rather than emit an
+    invalid line."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(float(v)) if isinstance(v, float) else str(v)
+    return None
+
+
+def prometheus_text(registry: MetricsRegistry, prefix: str = "crux") -> str:
+    """Text exposition format (0.0.4) of the whole registry, the payload
+    a Prometheus server scrapes. Gauges evaluate now; a gauge that raises
+    is skipped (a broken gauge must not kill a scrape, same contract as
+    snapshot())."""
+    lines: list[str] = []
+    for n, fn in sorted(registry.gauges.items()):
+        try:
+            raw = fn()
+        except Exception:
+            continue
+        val = _prom_value(raw)
+        if val is None:
+            continue
+        pn = _prom_name(n, prefix)
+        lines.append(f"# TYPE {pn} gauge")
+        lines.append(f"{pn} {val}")
+    for n, m in sorted(registry.meters.items()):
+        pn = _prom_name(n, prefix) + "_total"
+        lines.append(f"# TYPE {pn} counter")
+        lines.append(f"{pn} {m.count}")
+    for n, t in sorted(registry.timers.items()):
+        pn = _prom_name(n, prefix) + "_seconds"
+        lines.append(f"# TYPE {pn} summary")
+        lines.append(f"{pn}_count {t.count}")
+        lines.append(f"{pn}_sum {repr(round(t.total, 9))}")
+        for suffix, v in (("min", t.min), ("max", t.max)):
+            val = _prom_value(v)
+            if val is not None:
+                lines.append(f"# TYPE {pn}_{suffix} gauge")
+                lines.append(f"{pn}_{suffix} {val}")
+    return "\n".join(lines) + "\n"
+
+
+PROMETHEUS_CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
+
+
+class PrometheusHttpExporter:
+    """->http-exporter: a standalone GET /metrics scrape server over the
+    registry (any path serves the metrics, like iapetos' standalone
+    server). port=0 picks a free port (exposed as .port)."""
+
+    def __init__(self, registry: MetricsRegistry, host: str = "127.0.0.1",
+                 port: int = 0, prefix: str = "crux"):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer_registry, outer_prefix = registry, prefix
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                body = prometheus_text(outer_registry, outer_prefix).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", PROMETHEUS_CONTENT_TYPE)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.server.server_address[1]
+        self.url = f"http://{host}:{self.port}/metrics"
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+
+class PrometheusPushReporter(_ScheduledReporter):
+    """->reporter: push the exposition text to a Prometheus push gateway
+    on the report schedule (PUT /metrics/job/<job>, the pushgateway
+    protocol — replace-on-push, which matches a whole-registry render)."""
+
+    def __init__(self, registry: MetricsRegistry, push_gateway: str,
+                 job: str = "crux", prefix: str = "crux",
+                 report_frequency: float = 1.0):
+        super().__init__(registry, report_frequency)
+        self.push_url = push_gateway.rstrip("/") + f"/metrics/job/{job}"
+        self.prefix = prefix
+
+    def emit(self, snap) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.push_url,
+            data=prometheus_text(self.registry, self.prefix).encode(),
+            headers={"Content-Type": PROMETHEUS_CONTENT_TYPE},
+            method="PUT",
+        )
+        with urllib.request.urlopen(req, timeout=30):
+            pass

@@ -126,7 +126,9 @@ def sql_tables_q(
     return store.spark.sql(bare)
 
 
-SQL_TABLE_ATTR = "crux.sql.table/name"
+# single source of truth lives in the store (it tracks registry docs at
+# write time); keep the historical name as an alias here
+from crux_spark.bitemporal.store import SCHEMA_DOC_ATTR as SQL_TABLE_ATTR
 
 # the reference's Calcite column-type keywords (calcite.clj table docs,
 # e.g. {:crux.sql.table/columns {?id :keyword ?name :varchar ?age :bigint}})
@@ -173,10 +175,15 @@ def register_sql_tables(
     path with its attribute-presence semantics.
 
     Scale note: only the table-REGISTRY docs are collected to the driver
-    (a handful of rows, pre-filtered by a pushed contains() on doc_json);
-    the table data itself stays distributed — each view is a lazy
-    compiled plan over the snapshot, not a materialization. ``schema``
-    forwards to Catalog.from_store to skip the inference pass at scale.
+    (a handful of rows). The registry read goes through the store's
+    write-time schema-doc side-set (TxStore.schema_doc_eids — r9
+    verdict: the previous contains() over doc_json was a full snapshot
+    scan that prunes nothing at 100 TB): a pushed-down eid IN-filter
+    prunes the snapshot to the registry entities, with the contains()
+    retained only as a residual check on those rows. The table data
+    itself stays distributed — each view is a lazy compiled plan over
+    the snapshot, not a materialization. ``schema`` forwards to
+    Catalog.from_store to skip the inference pass at scale.
 
     Returns the registered view names.
     """
@@ -185,16 +192,8 @@ def register_sql_tables(
     from crux_spark import q
     from crux_spark.catalog import Catalog
 
-    # the table REGISTRY is read at the current snapshot (the reference's
-    # Calcite schema factory follows the tx-log, so a VALIDTIME query
-    # still sees schema docs transacted later); only the table DATA
-    # below time-travels to (valid_time, tx)
-    regs = (
-        store.db()
-        .filter(F.col("doc_json").contains(f'"{SQL_TABLE_ATTR}"'))
-        .select("doc_json")
-        .collect()
-    )
+    regs_df = _registry_docs_df(store)
+    regs = regs_df.collect() if regs_df is not None else []
     if not regs:
         return []
     cat = Catalog.from_store(store, valid_time, tx, schema=schema)
@@ -221,6 +220,27 @@ def register_sql_tables(
         df.createOrReplaceTempView(tname)
         names.append(tname)
     return names
+
+
+def _registry_docs_df(store):
+    """The table-registry read: None when the side-set proves there are
+    no registry docs (zero Spark jobs), else a doc_json frame pruned by
+    the eid IN-filter. Read at the CURRENT snapshot (the reference's
+    Calcite schema factory follows the tx-log, so a VALIDTIME query
+    still sees schema docs transacted later); only the table DATA
+    time-travels. Stores without the side-set accessor (duck-typed
+    stand-ins) fall back to the full contains() scan."""
+    needle = f'"{SQL_TABLE_ATTR}"'
+    snap = store.db()
+    if hasattr(store, "schema_doc_eids"):
+        eids = store.schema_doc_eids()
+        if not eids:
+            return None
+        snap = snap.filter(F.col("eid").isin(eids))
+    return (
+        snap.filter(F.col("doc_json").contains(needle))
+        .select("doc_json")
+    )
 
 
 def _compile_table_spec(cat, spec: dict, q, nullable: set = frozenset()):

@@ -540,3 +540,64 @@ def test_built_in_fns(spark):
     assert one("SELECT current_date FROM person") is not None
     assert one("SELECT current_timestamp FROM person") is not None
     assert one("SELECT last_day(current_timestamp) FROM person") is not None
+
+
+def test_registry_side_set_prunes_discovery(spark):
+    """r10 (verdict): register_sql_tables must read the registry through
+    the write-time schema-doc side-set (pushed eid IN-filter), never a
+    full doc_json contains() scan per registration."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.sql import _registry_docs_df
+
+    store = mkstore(spark, [IVAN, MALCOLM])
+    # incremental tracking: the put stream already seeded the set —
+    # no discovery scan pending
+    assert store._schema_eids == {"crux.sql.schema/person"}
+    assert store.schema_doc_eids() == ["crux.sql.schema/person"]
+    # the registry read plans an eid IN-filter over the snapshot: the
+    # registry eid appears in the plan, and with the side-set empty the
+    # read short-circuits to None (zero Spark jobs)
+    plan = _registry_docs_df(store)._jdf.queryExecution().toString()
+    assert "crux.sql.schema/person" in plan
+    empty = TxStore(spark)
+    empty.submit_tx([("put", IVAN)])
+    empty.commit()
+    assert _registry_docs_df(empty) is None
+    assert register_sql_tables(empty) == []
+
+    # delete/evict of the registry doc: the eid stays in the side-set
+    # (superset), but the snapshot read finds no live doc -> no tables
+    store.submit_tx([("evict", "crux.sql.schema/person")])
+    store.commit()
+    assert register_sql_tables(store) == []
+
+    # bulk/apply writes bypass the driver: the set invalidates, then ONE
+    # discovery scan re-seeds it (including registry docs that arrived
+    # distributed) and registration works
+    store2 = mkstore(spark, [IVAN, MALCOLM])
+    import json as _json
+
+    from crux_spark.bitemporal.store import OPS_SCHEMA
+
+    other_doc = {**PERSON_TABLE_DOC, "id": "crux.sql.schema/person2",
+                 "crux.sql.table/name": "person2"}
+    ops = spark.createDataFrame(
+        [("crux.sql.schema/person2", store2._tx_id + 1, 0, "put",
+          1_000_000, _json.dumps(other_doc, sort_keys=True), None,
+          None, None, None, None)],
+        OPS_SCHEMA,
+    )
+    store2.apply_ops_df(ops)
+    store2._tx_id += 1
+    assert store2._schema_eids is None  # invalidated
+    assert store2.schema_doc_eids() == [
+        "crux.sql.schema/person", "crux.sql.schema/person2",
+    ]
+    assert store2._schema_eids is not None  # re-seeded, incremental again
+    names = register_sql_tables(store2)
+    assert sorted(names) == ["person", "person2"]
+
+    # forks inherit a copy
+    fork = store2.with_tx([("put", IVAN)])
+    assert fork._schema_eids == store2._schema_eids
