@@ -685,3 +685,68 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return with_ts.mapInPandas(run, FRAME_SCHEMA)
+
+
+def encode_wav(samples_i16: "np.ndarray", rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit PCM mono — the encode twin of
+    decode_wav, used by the synthetic verification harness and tests."""
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")     # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def synthetic_verification_media(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Deterministic PPM + WAV blobs derived from doc_id, whose DECODED
+    features have exact closed forms — the driver-oracle harness for the
+    real codecs (r9 verdict: the multimodal gate oracled byte_len only;
+    this one lets DuckDB value-check decoded pixels and samples).
+
+    Per doc d:
+    - P6 image, width w = 3 + d%13, height h = 2 + d%7; pixel (x,y) is
+      (r,g,b) = ((x+y)%256, (2x+y)%256, 255-(x+y)%256). With w<=15,
+      h<=8 no modulus wraps, so the channel means are exactly
+      ((w-1)+(h-1))/2, (2(w-1)+(h-1))/2 and 255-((w-1)+(h-1))/2.
+    - 16-bit mono PCM WAV at 8000 Hz, n = 9*(1+d%5) samples,
+      s_i = ((i%9)-4) * (1000+500*(d%4)). n is a whole number of the
+      period-9 pattern, so mean(s^2) = 60*amp^2/9 exactly (the per-term
+      squares and their sum are exact dyadic doubles), giving
+      rms = sqrt(60/9)*amp/32768 and peak = 4*amp/32768.
+
+    Returns (images, wavs) media frames; blobs build in one Arrow pass
+    each (map-only, partition-preserving)."""
+
+    def build(batches, make):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "blob": [make(int(d)) for d in ids]}
+            )
+
+    def make_ppm(d: int) -> bytes:
+        w, h = 3 + d % 13, 2 + d % 7
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        arr = np.stack(
+            [(x + y) % 256, (2 * x + y) % 256, 255 - (x + y) % 256], axis=2
+        )
+        return encode_ppm(np.broadcast_to(arr, (h, w, 3)))
+
+    def make_wav(d: int) -> bytes:
+        amp, n = 1000 + 500 * (d % 4), 9 * (1 + d % 5)
+        i = np.arange(n)
+        return encode_wav((i % 9 - 4) * amp, rate=8000)
+
+    base = docs.select("doc_id")
+    schema = "media_id long, blob binary"
+    images = base.mapInPandas(lambda it: build(it, make_ppm), schema)
+    wavs = base.mapInPandas(lambda it: build(it, make_wav), schema)
+    return images, wavs

@@ -4068,3 +4068,74 @@ assert sorted(_r10_order) == sorted(_r10_names), "r10 rotation lost gates"
 _r10_reordered = {n: QUERIES[n] for n in _r10_order}
 QUERIES.clear()
 QUERIES.update(_r10_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r10 additions — registered AFTER the r10 window reorder, so they land in
+# the overflow tail (mirror-checked per round; driver rows via rotation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    r"""
+    SELECT doc_id,
+           CAST(3 + doc_id % 13 AS BIGINT) AS width,
+           CAST(2 + doc_id % 7 AS BIGINT) AS height,
+           CAST((2 + doc_id % 13) + (1 + doc_id % 7) AS BIGINT) AS mean2_r,
+           CAST(2 * (2 + doc_id % 13) + (1 + doc_id % 7) AS BIGINT) AS mean2_g,
+           CAST(510 - (2 + doc_id % 13) - (1 + doc_id % 7) AS BIGINT) AS mean2_b,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           round(sqrt((60.0 * (1 + doc_id % 5)
+                       * (1000 + 500 * (doc_id % 4))
+                       * (1000 + 500 * (doc_id % 4)) / 1073741824.0)
+                      / (9.0 * (1 + doc_id % 5))), 6) AS rms,
+           round(4 * (1000 + 500 * (doc_id % 4)) / 32768.0, 6) AS peak
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """VALUE-CHECKED multimodal decode (r9 verdict #3: the
+    multimodal_features gate oracles byte_len only): deterministic PPM +
+    PCM-WAV blobs synthesized per doc_id, pushed through the REAL codec
+    paths — media_metadata (P6 header parse -> width/height; RIFF chunk
+    walk -> sample_rate) and extract_features (pixel decode -> channel
+    means; 16-bit PCM decode -> rms/peak) — while DuckDB computes every
+    decoded value closed-form from doc_id alone. Channel means compare
+    as exact integers (mean*510 is integral by construction); rms/peak
+    compare at the codecs' round-6 (both engines evaluate the identical
+    exact-dyadic expression — see synthetic_verification_media). Four
+    map-only Arrow passes + doc_id equi-joins; verification-harness
+    shape, not a hot path."""
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents")
+    images, wavs = _mm.synthetic_verification_media(docs)
+    img_meta = _mm.media_metadata(images).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+    img_feat = _mm.extract_features(images).select(
+        "media_id",
+        F.round(F.col("features")[0] * 510, 0).cast("long").alias("mean2_r"),
+        F.round(F.col("features")[1] * 510, 0).cast("long").alias("mean2_g"),
+        F.round(F.col("features")[2] * 510, 0).cast("long").alias("mean2_b"),
+    )
+    wav_meta = _mm.media_metadata(wavs).select(
+        "media_id", F.col("sample_rate").cast("long").alias("sample_rate")
+    )
+    wav_feat = _mm.extract_features(wavs).select(
+        "media_id",
+        F.col("features")[1].alias("rms"),
+        F.col("features")[3].alias("peak"),
+    )
+    return (
+        img_meta.join(img_feat, "media_id")
+        .join(wav_meta, "media_id")
+        .join(wav_feat, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "width", "height", "mean2_r", "mean2_g", "mean2_b",
+            "sample_rate", "rms", "peak",
+        )
+    )

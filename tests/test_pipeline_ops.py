@@ -1234,3 +1234,44 @@ def test_semantic_dedup_skew_guard(spark):
     assert stats["max_group"] <= 100, stats
     # guard off: single-level grouping, same row coverage
     assert semantic_dedup(emb, k=4, iterations=2, threshold=0.999999).count() == 500
+
+
+def test_synthetic_verification_media_closed_forms(spark):
+    """r10 (verdict): the multimodal_decode harness — real PPM/WAV codecs
+    over synthesized blobs must reproduce the closed-form expectations
+    the DuckDB oracle computes from doc_id alone."""
+    import math
+
+    from crux_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 1, 5, 12, 38, 99)], "doc_id long"
+    )
+    images, wavs = mm.synthetic_verification_media(docs)
+    meta = {r.media_id: r for r in mm.media_metadata(images).collect()}
+    feat = {r.media_id: r.features for r in mm.extract_features(images).collect()}
+    ameta = {r.media_id: r for r in mm.media_metadata(wavs).collect()}
+    afeat = {r.media_id: r.features for r in mm.extract_features(wavs).collect()}
+    for d in (0, 1, 5, 12, 38, 99):
+        w, h = 3 + d % 13, 2 + d % 7
+        assert (meta[d].kind, meta[d].width, meta[d].height) == ("ppm", w, h)
+        assert [round(v * 510) for v in feat[d][:3]] == [
+            (w - 1) + (h - 1), 2 * (w - 1) + (h - 1), 510 - (w - 1) - (h - 1),
+        ]
+        amp, k = 1000 + 500 * (d % 4), 1 + d % 5
+        assert (ameta[d].kind, ameta[d].sample_rate) == ("wav", 8000)
+        assert afeat[d][1] == round(
+            math.sqrt((60.0 * k * amp * amp / 1073741824.0) / (9.0 * k)), 6
+        )
+        assert afeat[d][3] == round(4 * amp / 32768.0, 6)
+
+
+def test_encode_wav_round_trip():
+    import numpy as np
+
+    from crux_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = ((np.arange(123) % 9 - 4) * 2000).astype("<i2")
+    rate, out = decode_wav(encode_wav(s, rate=44100))
+    assert rate == 44100
+    np.testing.assert_array_equal((out * 32768).astype("<i2"), s)
