@@ -89,6 +89,45 @@ def unregister_query_fn(name: str) -> None:
         epoch.bump()
 
 
+def _callable_predicate_udf(f):
+    """Arrow-batched compile of an opaque user callable in predicate
+    position (the DataScript 'passing predicate as source' shape,
+    query_test.clj:2543). Each batch first attempts ONE vectorized call —
+    valid iff the callable is numpy/pandas-broadcastable, detected by it
+    returning an array-like of the batch length (scalar returns, length
+    mismatches, and any exception — ambiguous-truth-value, unhashable
+    Series, missing attribute — mean the callable isn't elementwise over
+    Series and the batch re-runs row-by-row in Python). Strictly
+    dominates the old F.udf escape hatch: same semantics, Arrow transfer
+    instead of per-row pickling, and zero per-row Python for
+    broadcastable callables."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _pred(*cols):
+        n = len(cols[0]) if cols else 0
+        try:
+            out = f(*cols)
+            if isinstance(out, (pd.Series, np.ndarray, list)) and len(out) == n:
+                return pd.Series(
+                    [None if v is None else bool(v) for v in out]
+                )
+        except Exception:
+            pass
+        return pd.Series(
+            [bool(f(*vals)) for vals in zip(*cols)] if cols else []
+        )
+
+    with warnings.catch_warnings():
+        # explicit SCALAR eval type: varargs carry no inferable type
+        # hints; silence only Spark's prefer-type-hints deprecation nudge
+        warnings.simplefilter("ignore", UserWarning)
+        return pandas_udf(_pred, "boolean", PandasUDFType.SCALAR)
+
+
 _BINARY_OPS: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
@@ -168,17 +207,17 @@ class ExprBuilder:
         if callable(fn) or (is_var(fn) and callable(self.env.get(fn))):
             # a bare callable appears when rule expansion substitutes a
             # callable :in arg into a rule-body predicate head
-            # (query_test.clj:2393 calling-rule-twice-44)
-            import warnings
-
-            warnings.warn(
-                f"callable :in predicate {fn} compiles to a row-at-a-time "
-                f"Python UDF — fine for small relations, a hot-path "
-                f"scale hazard; prefer a builtin or a pandas_udf",
-                stacklevel=2,
-            )
-            udf = F.udf(fn if callable(fn) else self.env[fn], "boolean")
-            return udf(*[self.build(a) for a in args])
+            # (query_test.clj:2393 calling-rule-twice-44). Compiled as
+            # an Arrow-batched pandas_udf that tries the callable
+            # VECTORIZED (numpy/pandas-broadcastable fns — the common
+            # `lambda a: a > 25` shape — run one call per batch) and
+            # only degrades to per-row application WITHIN the batch when
+            # the callable rejects Series inputs; either way there is no
+            # per-row pickling (r9 verdict #6 retired the row-UDF
+            # escape hatch + its compile-time warning).
+            return _callable_predicate_udf(
+                fn if callable(fn) else self.env[fn]
+            )(*[self.build(a) for a in args])
         if fn in _BINARY_OPS:
             if fn in ("=", "==", "!=", "not="):
                 # clojure equality across types is False (not=: True) —

@@ -27,9 +27,12 @@ D. Pan, "A Tutorial on MPEG/Audio Compression", IEEE MultiMedia 1995):
 
 Layer II adds per-(bitrate, rate) allocation tables (B.2a-d) and
 quantization-class grouping - large numeric spec tables that cannot be
-re-derived from a formula; fabricating them unverified would silently
-mis-decode real streams, so Layer II/III SAMPLE decode remains a
-labeled stub (decode raises with this explanation). Metadata for all
+re-derived from a formula. CLOSED NON-GOAL (r10 decision, recorded in
+COVERAGE.md): no conformance decoder exists in-sandbox to verify a
+transcription against, and a self-consistent encode/decode round trip
+would pass >50 dB while still silently mis-decoding real third-party
+streams — the exact failure this stub guards against. Layer II/III
+SAMPLE decode therefore raises with this explanation; metadata for all
 layers comes from multimodal.parse_mp3.
 """
 

@@ -369,7 +369,31 @@ def test_datascript_query_fns(reg_catalog, spark):
     )
     assert rows(r) == [("a", 1), ("abc", 3)]
 
-    # callable :in arg as predicate (row-at-a-time UDF escape hatch)
+    # callable :in arg as predicate — a numpy-broadcastable callable
+    # compiles to a vectorized pandas_udf WITHOUT the old row-UDF
+    # warning (r10, verdict #6)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        r = q(
+            reg_catalog,
+            {
+                "find": ["?e"],
+                "in": ["?adult"],
+                "where": [["?e", ":age", "?a"], [["?adult", "?a"]]],
+            },
+            lambda a: a > 25,
+        )
+        assert rows(r) == [("ivan",), ("oleg",), ("petr",)]
+
+    # a callable that REJECTS Series inputs (branching) still evaluates
+    # correctly through the per-row fallback inside the Arrow batch
+    def picky(a):
+        if a > 25:  # ambiguous truth value on a Series -> fallback
+            return True
+        return False
+
     r = q(
         reg_catalog,
         {
@@ -377,9 +401,23 @@ def test_datascript_query_fns(reg_catalog, spark):
             "in": ["?adult"],
             "where": [["?e", ":age", "?a"], [["?adult", "?a"]]],
         },
-        lambda a: a > 25,
+        picky,
     )
     assert rows(r) == [("ivan",), ("oleg",), ("petr",)]
+
+    # a scalar-returning callable (len over the whole Series would be a
+    # length-mismatch) must not be mistaken for broadcastable
+    r = q(
+        reg_catalog,
+        {
+            "find": ["?x"],
+            "in": [["?x", "..."], "?p"],
+            "where": [[["?p", "?x"]]],
+        },
+        ["a", "abc", "ab"],
+        lambda s: len(s) > 2,
+    )
+    assert rows(r) == [("abc",)]
 
     # two conflicting function values for one binding -> empty
     r = q(
