@@ -491,11 +491,12 @@ def lsh_bucket_pairs(
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.8,
-    bands: int = 8,
-    planes_per_band: int = 8,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    miss_prob: float = 1e-9,
 ) -> DataFrame:
     """Banded hyperplane-LSH near-duplicate pairs: candidates from b
     independent bands of r sign bits each (a pair collides if ANY band's
@@ -503,12 +504,37 @@ def lsh_near_dup_pairs(
     high cosine is driven toward 1 by adding bands), then EXACT cosine
     verify >= threshold inside the candidate set.
 
+    PARAMETERS SCALE WITH N (r10 — the sf1.0 bench caught the fixed
+    (8 bands x 8 planes) default going quadratic: 256 buckets per band
+    means within-bucket pair counts grow as (N/256)^2, 2.1s -> 82s at
+    10x on clustered embeddings). When unset, r = max(8, ceil(log2 N))
+    keeps expected bucket occupancy roughly flat as the corpus grows,
+    and b = ceil(ln(miss_prob)/ln(1 - p^r)) with p = 1 - arccos(τ)/π
+    restores per-pair recall ≥ 1-miss_prob AT the threshold (tighter
+    pairs are found with even higher probability) — the standard
+    (r, b) trade of the LSH literature. Sizing costs one count().
+
+    The candidate pairs are deduped as BARE ID PAIRS before the vectors
+    are fetched back by id — a pair colliding in k bands shuffles k
+    16-byte rows, not k copies of two dim-double payloads (the other
+    half of the sf1.0 regression).
+
     This is the 100 TB default for near-dup detection: the self-join is
     on (band, bucket) keys — shuffle volume is b copies of (id, sig),
     candidate verify touches only colliding pairs, and nothing ever
     collects or broadcasts the corpus (contrast cosine_threshold_pairs,
     whose exact all-pairs cost this op avoids). Deterministic seeded
     planes, so results are reproducible run to run."""
+    if planes_per_band is None:
+        n = corpus.count()
+        planes_per_band = max(8, int(np.ceil(np.log2(max(n, 2)))))
+    if bands is None:
+        p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+        p_band = p**planes_per_band
+        bands = int(np.clip(
+            np.ceil(np.log(miss_prob) / np.log(1.0 - min(p_band, 1 - 1e-15))),
+            1, 512,
+        ))
     rng = np.random.RandomState(7)
     # all b*r hyperplanes as ONE (dim, b*r) matrix: signatures for an
     # Arrow batch are a single numpy matmul + sign + per-band bit-pack,
@@ -532,23 +558,28 @@ def lsh_near_dup_pairs(
         )
 
     vec = F.col(vec_col).cast("array<double>")
+    vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
     base = corpus.select(
         F.col(id_col).alias("id"),
-        vec.alias("v"),
         F.explode(band_buckets(vec)).alias("bucket"),
     )
     a, b = base.alias("a"), base.alias("b")
-    cands = (
+    pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
-        # a pair colliding in k bands appears k times; dedup BEFORE the
-        # cosine verify so each candidate is scored once
+        # a pair colliding in k bands appears k times; dedup the BARE id
+        # pairs (16 bytes each) before fetching vectors, so the exchange
+        # never carries duplicated dim-double payloads
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(F.col("id").alias("__ia"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("__ib"), F.col("v").alias("vb"))
+    cands = (
+        pairs.join(va, F.col("id_a") == F.col("__ia")).drop("__ia")
+        .join(vb, F.col("id_b") == F.col("__ib")).drop("__ib")
     )
     return (
         cands.withColumn("sim", cosine(F.col("va"), F.col("vb")))

@@ -2264,8 +2264,10 @@ def embedding_near_dup_lsh(spark, sf_dir):
     The corpus is augmented with deterministic perturbed copies (one
     component nudged) so true near-dups exist to find; the oracle is the
     exact all-pairs answer over the same augmented corpus, so this gate
-    also PROVES the LSH recall is 1.0 at the 0.98 threshold (16 bands x
-    8 planes -> per-pair candidate probability > 0.99999 at cos 0.98)."""
+    also PROVES the LSH recall is 1.0 at the 0.98 threshold. Band count
+    and signature width auto-scale with N at a 1e-9 per-pair miss bound
+    (r10 — the sf1.0 bench caught the fixed 16x8 config going quadratic
+    on clustered embeddings; see lsh_near_dup_pairs)."""
     cat = catalog_for(spark, sf_dir)
     emb = cat.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -2278,9 +2280,7 @@ def embedding_near_dup_lsh(spark, sf_dir):
         ).alias("embedding"),
     )
     aug = emb.unionByName(perturbed)
-    return _sim.lsh_near_dup_pairs(
-        aug, threshold=0.98, bands=16, planes_per_band=8
-    )
+    return _sim.lsh_near_dup_pairs(aug, threshold=0.98)
 
 
 # ---------------------------------------------------------------------------
