@@ -488,6 +488,31 @@ def lsh_bucket_pairs(
     )
 
 
+def _lsh_params(
+    n: int | None,
+    threshold: float,
+    miss_prob: float = 1e-9,
+    planes_per_band: int | None = None,
+) -> tuple[int, int]:
+    """(r, b) for banded hyperplane LSH: r = max(8, ceil(log2 n)) keeps
+    expected per-band bucket occupancy ~flat as the corpus grows (the
+    fix for the sf1.0 quadratic — fixed r means bucket count is fixed
+    and within-bucket pairs grow as (n/2^r)^2); b then restores the
+    per-pair candidate probability at the THRESHOLD to >= 1-miss_prob
+    via b = ceil(ln(miss_prob)/ln(1-p^r)), p = 1 - arccos(t)/pi.
+    Tighter-than-threshold pairs collide with even higher probability,
+    so this bounds the whole recall curve above the threshold."""
+    if planes_per_band is None:
+        planes_per_band = max(8, int(np.ceil(np.log2(max(n, 2)))))
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    p_band = p**planes_per_band
+    bands = int(np.clip(
+        np.ceil(np.log(miss_prob) / np.log(1.0 - min(p_band, 1 - 1e-15))),
+        1, 512,
+    ))
+    return planes_per_band, bands
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.8,
@@ -526,15 +551,15 @@ def lsh_near_dup_pairs(
     whose exact all-pairs cost this op avoids). Deterministic seeded
     planes, so results are reproducible run to run."""
     if planes_per_band is None:
-        n = corpus.count()
-        planes_per_band = max(8, int(np.ceil(np.log2(max(n, 2)))))
-    if bands is None:
-        p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
-        p_band = p**planes_per_band
-        bands = int(np.clip(
-            np.ceil(np.log(miss_prob) / np.log(1.0 - min(p_band, 1 - 1e-15))),
-            1, 512,
-        ))
+        planes_per_band, auto_bands = _lsh_params(
+            corpus.count(), threshold, miss_prob
+        )
+        if bands is None:
+            bands = auto_bands
+    elif bands is None:
+        bands = _lsh_params(
+            None, threshold, miss_prob, planes_per_band=planes_per_band
+        )[1]
     rng = np.random.RandomState(7)
     # all b*r hyperplanes as ONE (dim, b*r) matrix: signatures for an
     # Arrow batch are a single numpy matmul + sign + per-band bit-pack,

@@ -1275,3 +1275,56 @@ def test_encode_wav_round_trip():
     rate, out = decode_wav(encode_wav(s, rate=44100))
     assert rate == 44100
     np.testing.assert_array_equal((out * 32768).astype("<i2"), s)
+
+
+def test_lsh_params_scale_with_corpus():
+    """r10 (sf1.0 bench finding): LSH signature width must grow with N
+    so bucket occupancy stays flat, and the band count must keep the
+    per-pair candidate probability at the threshold >= 1 - miss_prob."""
+    from crux_spark.operators.similarity import _lsh_params
+
+    r1, b1 = _lsh_params(2_200, 0.98)
+    r2, b2 = _lsh_params(22_000, 0.98)
+    r3, b3 = _lsh_params(1_000_000_000, 0.98)
+    assert r1 < r2 < r3  # signature width grows with N
+    assert r3 == 30
+    for n, (r, b) in [(2_200, (r1, b1)), (22_000, (r2, b2)),
+                      (1_000_000_000, (r3, b3))]:
+        p = 1.0 - np.arccos(0.98) / np.pi
+        miss = (1.0 - p**r) ** b
+        assert miss <= 1e-9, (n, r, b, miss)
+    # explicit planes pin: bands still auto-sized to the bound
+    r, b = _lsh_params(None, 0.9, planes_per_band=16)
+    p = 1.0 - np.arccos(0.9) / np.pi
+    assert (1.0 - p**16) ** b <= 1e-9
+
+
+def test_lsh_near_dup_recall_after_rescale(spark):
+    """Planted near-dups are still all recalled with auto-sized (r, b):
+    LSH output == exact cosine threshold over the same corpus."""
+    import random
+
+    from crux_spark.operators.similarity import lsh_near_dup_pairs
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(300)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant 30 near-dups: tiny nudge on one component
+    for i in range(30):
+        v = list(base[i * 7])
+        v[0] += 0.02
+        rows.append((10_000 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           lsh_near_dup_pairs(df, threshold=0.95, dim=16).collect()}
+    vecs = dict(rows)
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        va = np.array(vecs[a])
+        for b_ in ids[i + 1:]:
+            vb = np.array(vecs[b_])
+            c = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if c >= 0.95:
+                want.add((a, b_))
+    assert got == want and len(want) >= 30
