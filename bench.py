@@ -213,6 +213,25 @@ def main() -> None:
             timings["ts_suites"] = -1.0
         _cleanup(spark)
 
+    # sorted-maps ingest microbench (crux-bench
+    # sorted_maps_microbench.clj): 25k nested-map docs in 1000-doc
+    # batches, initial + subsequent rounds, submit/await timed
+    # separately and oracle-asserted. Disable with
+    # CRUX_SPARK_BENCH_SORTED_MAPS=0.
+    if os.environ.get("CRUX_SPARK_BENCH_SORTED_MAPS", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        try:
+            from sorted_maps_bench import run_sorted_maps
+
+            for k, v in run_sorted_maps(spark).items():
+                timings[k] = round(v, 2)
+                total += v
+                print(f"# {k}: {v:.2f}s", file=sys.stderr)
+        except Exception as e:
+            print(f"# sorted-maps microbench failed: {e}", file=sys.stderr)
+            timings["sorted_maps"] = -1.0
+        _cleanup(spark)
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     tpch_total = round(
         sum(v for k, v in timings.items() if k.startswith("tpch_") and v > 0), 3
@@ -252,9 +271,10 @@ def main() -> None:
     # mis-read the dedup gates as nearly free (r8 verdict nit)
     if "dedup_pairgen_shared" in timings:
         window["dedup_pairgen_shared"] = timings["dedup_pairgen_shared"]
-    # ts suite steps are likewise real suite cost outside the window
+    # ts suite + sorted-maps steps are likewise real suite cost outside
+    # the window
     for k, v in timings.items():
-        if k.startswith("ts_"):
+        if k.startswith(("ts_", "sorted_maps_")):
             window[k] = v
     compact = json.dumps(
         {
