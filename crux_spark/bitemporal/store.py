@@ -28,6 +28,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import logging
+import os
 from typing import Any, Callable, Iterable
 
 import pandas as pd
@@ -1250,6 +1251,18 @@ class TxStore:
             .partitionBy("bucket")
             .parquet(path)
         )
+        # sidecar: the SQL registry side-set survives the checkpoint, so
+        # a load()ed store never pays even the one discovery scan (a
+        # _SUCCESS-style marker key; an object-store deployment writes
+        # it through the same FS client as the parquet)
+        if self._schema_eids is not None:
+            try:
+                with open(
+                    os.path.join(path, "_schema_doc_eids.json"), "w"
+                ) as f:
+                    json.dump(sorted(self._schema_eids), f)
+            except OSError:
+                pass  # non-local path: load() falls back to discovery
 
     @classmethod
     def recover(cls, spark: SparkSession, wal_path, doc_store=None) -> "TxStore":
@@ -1287,4 +1300,9 @@ class TxStore:
         store = cls(spark, df.localCheckpoint())
         row = df.agg(F.max("tx_from").alias("m")).first()
         store._tx_id = int(row.m or 0)
+        try:
+            with open(os.path.join(path, "_schema_doc_eids.json")) as f:
+                store._schema_eids = set(json.load(f))
+        except OSError:
+            pass  # pre-sidecar checkpoint: discovery scan on first use
         return store

@@ -82,7 +82,21 @@ def start_node(opts: dict):
         shuffle_partitions=int(opts.get("shuffle_partitions", 8)),
     )
     node = Node(spark, schema=opts.get("schema"))
-    http = HttpNode(node, port=int(opts.get("http", {}).get("port", 3000)))
+    registry = None
+    if opts.get("metrics", {}).get("enabled", True):
+        # the reference's node topology wires crux-metrics by default
+        # (index-store + query listeners); the facade then serves the
+        # Prometheus scrape at GET /metrics (prometheus.clj
+        # ->http-exporter, same port as the HTTP API here)
+        from crux_spark.metrics import MetricsRegistry, assign_node_metrics
+
+        registry = MetricsRegistry()
+        assign_node_metrics(registry, node)
+    http = HttpNode(
+        node,
+        port=int(opts.get("http", {}).get("port", 3000)),
+        metrics_registry=registry,
+    )
     return spark, node, http
 
 

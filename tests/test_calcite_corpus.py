@@ -601,3 +601,14 @@ def test_registry_side_set_prunes_discovery(spark):
     # forks inherit a copy
     fork = store2.with_tx([("put", IVAN)])
     assert fork._schema_eids == store2._schema_eids
+
+
+def test_registry_side_set_survives_save_load(spark, tmp_path):
+    """r10: save() persists the side-set as a sidecar, so a load()ed
+    store registers tables with zero discovery scans."""
+    store = mkstore(spark, [IVAN, MALCOLM])
+    d = str(tmp_path / "ckpt")
+    store.save(d)
+    loaded = TxStore.load(spark, d)
+    assert loaded._schema_eids == {"crux.sql.schema/person"}
+    assert register_sql_tables(loaded) == ["person"]

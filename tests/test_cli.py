@@ -56,5 +56,26 @@ def test_start_node_serves_http(spark, tmp_path, monkeypatch):
         with urllib.request.urlopen(http.url + "/_crux/status") as r:
             status = json.loads(r.read())
         assert "crux.version/version" in json.dumps(status) or status
+        # r10: the CLI node wires metrics by default; the facade serves
+        # the Prometheus scrape (prometheus.clj ->http-exporter)
+        node.submit_tx([("put", {"id": "m1", "name": "x"})])
+        node.await_tx()
+        with urllib.request.urlopen(http.url + "/metrics") as r:
+            body = r.read().decode()
+        assert "crux_index_store_indexed_txs_total 1" in body
     finally:
         http.close()
+
+    # metrics can be disabled via config, like omitting the module from
+    # the reference topology
+    _, node2, http2 = start_node({"schema": "id string, name string",
+                                  "http": {"port": 0},
+                                  "metrics": {"enabled": False}})
+    try:
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(http2.url + "/metrics")
+        assert ei.value.code == 404
+    finally:
+        http2.close()
