@@ -1303,6 +1303,7 @@ class TxStore:
         try:
             with open(os.path.join(path, "_schema_doc_eids.json")) as f:
                 store._schema_eids = set(json.load(f))
-        except OSError:
-            pass  # pre-sidecar checkpoint: discovery scan on first use
+        except (OSError, ValueError):
+            # pre-sidecar or corrupt sidecar: discovery scan on first use
+            pass
         return store
