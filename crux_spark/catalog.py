@@ -92,8 +92,18 @@ def _nanos_ts_columns(path: str) -> list[str]:
     temporal operators see real timestamps.
     """
     try:
+        import glob
+        import os as _os
+
         import pyarrow.parquet as pq
 
+        if _os.path.isdir(path):
+            # Spark directory layout: one part file's footer carries the
+            # (uniform) schema
+            parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+            if not parts:
+                return []
+            path = parts[0]
         schema = pq.read_schema(path)
         return [
             f.name
