@@ -1302,8 +1302,16 @@ class TxStore:
         store._tx_id = int(row.m or 0)
         try:
             with open(os.path.join(path, "_schema_doc_eids.json")) as f:
-                store._schema_eids = set(json.load(f))
-        except (OSError, ValueError):
+                loaded = json.load(f)
+            # Shape-validate before adopting: a JSON string would become a
+            # set of characters (silently hiding registry docs), a number
+            # would TypeError on iteration. Anything but a list of strings
+            # falls back to the discovery scan like a corrupt sidecar.
+            if not (isinstance(loaded, list)
+                    and all(isinstance(e, str) for e in loaded)):
+                raise ValueError("sidecar is not a list of strings")
+            store._schema_eids = set(loaded)
+        except (OSError, ValueError, TypeError):
             # pre-sidecar or corrupt sidecar: discovery scan on first use
             pass
         return store

@@ -102,6 +102,14 @@ def _nanos_ts_columns(path: str) -> list[str]:
             # (uniform) schema
             parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
             if not parts:
+                # Hive-partitioned layout (e.g. bucket=*/part-*.parquet, as
+                # TxStore.save writes): part files sit under key=value dirs,
+                # so the top-level glob matches nothing. Recurse before
+                # giving up, else TIMESTAMP(NANOS) columns silently stay
+                # bigint for partitioned datasets.
+                parts = sorted(glob.glob(
+                    _os.path.join(path, "**", "*.parquet"), recursive=True))
+            if not parts:
                 return []
             path = parts[0]
         schema = pq.read_schema(path)

@@ -170,11 +170,16 @@ class HttpNode:
             # as the POST route
             query = json.loads(qs["queryJson"])
             in_args = json.loads(qs["inArgsJson"]) if qs.get("inArgsJson") else []
+            offset = int(qs.get("offset", "0"))
             rows = self._db(qs).q_stream(
                 query,
                 *in_args,
                 limit=_page_limit(qs.get("limit")),
-                offset=int(qs.get("offset", "0")),
+                offset=offset,
+                # paged=true (our client) or a non-zero offset (any
+                # offset-paging client) -> canonical order, so windows
+                # from separate executions tile (see Db.q_stream)
+                stable=qs.get("paged") == "true" or offset > 0,
             )
             return [list(r) for r in rows]
         if path == "/_crux/await-tx":
@@ -229,10 +234,12 @@ class HttpNode:
             # SPARQLRepository) — compiled through sources/sparql.py
             from crux_spark.sources.sparql import sparql_to_datalog
 
+            offset = int(qs.get("offset", "0"))
             rows = self._db(qs).q_stream(
                 sparql_to_datalog(qs["query"]),
                 limit=_page_limit(qs.get("limit")),
-                offset=int(qs.get("offset", "0")),
+                offset=offset,
+                stable=qs.get("paged") == "true" or offset > 0,
             )
             return [list(r) for r in rows]
         raise KeyError(f"no route {path}")
@@ -250,11 +257,13 @@ class HttpNode:
             # partition in flight driver-side AND a bounded row list per
             # response, never a full-result collect() per request (the
             # reference streams from a cursor; clients page here)
+            offset = body.get("offset", 0)
             rows = db.q_stream(
                 body["query"],
                 *body.get("in-args", []),
                 limit=_page_limit(body.get("limit")),
-                offset=body.get("offset", 0),
+                offset=offset,
+                stable=bool(body.get("paged")) or offset > 0,
             )
             return [list(r) for r in rows]
         if path == "/_crux/submit-tx":
@@ -389,16 +398,31 @@ class RemoteDb:
         q reads the cursor to exhaustion): pages through the server's
         limit/offset window until a short page, so results beyond the
         server's DEFAULT_PAGE_LIMIT are no longer silently truncated.
-        Each page re-executes the query server-side against the same
-        pinned (valid-time, tx) basis, so the paged union is consistent;
-        pass a query with its own :limit for a single bounded request."""
+        Pass a query with its own :limit for a single bounded request.
+
+        Paged consistency (r10 advice — pages re-execute server-side, so
+        anything unpinned drifts between pages):
+        - an unpinned basis is RESOLVED ONCE before the loop — tx to the
+          server's latest-completed-tx, valid-time to the client clock —
+          so concurrent writes between pages cannot duplicate/drop rows
+          (the reference client streams one server-side cursor instead);
+        - every page sends paged=true, which makes the server impose a
+          canonical total order on queries without :order-by before
+          windowing — Spark re-executions do not otherwise guarantee a
+          stable row order across jobs after shuffles/AQE, so offset
+          windows would not tile."""
+        basis = self._basis()
+        if "tx-id" not in basis:
+            basis["tx-id"] = self.client.latest_completed_tx()
+        if "valid-time" not in basis:
+            basis["valid-time"] = dt.datetime.utcnow().isoformat()
         out: list[list] = []
         offset = 0
         while True:
             page = self.client._post(
                 "/_crux/query",
-                {"query": query, "in-args": list(args),
-                 "limit": page_size, "offset": offset, **self._basis()},
+                {"query": query, "in-args": list(args), "paged": True,
+                 "limit": page_size, "offset": offset, **basis},
             )
             out.extend(page)
             if len(page) < page_size:

@@ -22,6 +22,7 @@ where they'd plug in.
 from __future__ import annotations
 
 import csv
+import logging
 import os
 import threading
 import time
@@ -268,7 +269,13 @@ class _ScheduledReporter:
     def start(self) -> "_ScheduledReporter":
         def loop():
             while not self._stop.wait(self.report_frequency):
-                self.report()
+                # dropwizard ScheduledReporter logs and continues: a
+                # transient emit failure must not kill the schedule thread.
+                try:
+                    self.report()
+                except Exception:
+                    logging.getLogger(__name__).warning(
+                        "scheduled metrics report failed", exc_info=True)
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
@@ -449,8 +456,10 @@ class PrometheusPushReporter(_ScheduledReporter):
         super().__init__(registry, report_frequency)
         self.push_url = push_gateway.rstrip("/") + f"/metrics/job/{job}"
         self.prefix = prefix
+        self.last_error: Exception | None = None
 
     def emit(self, snap) -> None:
+        import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
@@ -459,5 +468,14 @@ class PrometheusPushReporter(_ScheduledReporter):
             headers={"Content-Type": PROMETHEUS_CONTENT_TYPE},
             method="PUT",
         )
-        with urllib.request.urlopen(req, timeout=30):
-            pass
+        # Log-and-continue on transport errors (dropwizard
+        # ScheduledReporter contract): one transient gateway failure must
+        # not kill the schedule thread or raise out of close()'s flush.
+        try:
+            with urllib.request.urlopen(req, timeout=30):
+                pass
+            self.last_error = None
+        except (urllib.error.URLError, OSError) as exc:
+            self.last_error = exc
+            logging.getLogger(__name__).warning(
+                "prometheus push to %s failed: %s", self.push_url, exc)

@@ -57,6 +57,29 @@ def _clean_slowest(queries: list, max_age: float, max_count: int) -> list:
     return live[:max_count]
 
 
+def _canonical_order(df: DataFrame) -> DataFrame:
+    """Deterministic total order over a result relation (for resumable
+    offset pagination of unordered queries — see Db.q_stream): sort by
+    every output column, serializing non-orderable types (maps, and
+    arrays nesting them) to their JSON text so the sort key is total."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def orderable(t) -> bool:
+        if isinstance(t, MapType):
+            return False
+        if isinstance(t, ArrayType):
+            return orderable(t.elementType)
+        if isinstance(t, StructType):
+            return all(orderable(f.dataType) for f in t.fields)
+        return True
+
+    keys = [
+        F.col(f.name) if orderable(f.dataType) else F.to_json(F.col(f.name))
+        for f in df.schema.fields
+    ]
+    return df.orderBy(*keys) if keys else df
+
+
 class NodeOutOfSyncError(ValueError):
     """Requested tx-time is ahead of the latest indexed tx (the
     reference's NodeOutOfSyncException, api_test.clj bug 546)."""
@@ -222,7 +245,8 @@ class Db:
             self.node._record_finished_query(state)
 
     def q_stream(
-        self, query: dict, *args: Any, limit: int | None = None, offset: int = 0
+        self, query: dict, *args: Any, limit: int | None = None,
+        offset: int = 0, stable: bool = False,
     ) -> list:
         """Monitored query execution that never collect()s the full
         frame driver-side: rows come through toLocalIterator (one
@@ -230,7 +254,18 @@ class Db:
         open-q, http_server.clj:330-424), bounded by offset/limit, and
         interrupted on ``:timeout`` (ms, same default as q_collect) by
         cancelling the query's job group. The HTTP facade's query path;
-        q_collect stays the eager full-collect surface."""
+        q_collect stays the eager full-collect surface.
+
+        ``stable=True`` (set by the HTTP facade for paged requests):
+        when the query has no :order-by, impose a canonical total order
+        over the output columns before windowing, so offset windows from
+        SEPARATE executions tile without drops or duplicates — Spark
+        does not guarantee a stable row order across re-executions after
+        shuffles/AQE. Unordered Datalog results are set-semantics
+        (SURVEY §2.7), so a canonical order is semantics-preserving; it
+        costs a sort of the result relation, which is exactly the price
+        of resumable pagination over re-execution (the reference avoids
+        it by streaming ONE execution through a server-held cursor)."""
         import itertools
         import threading
         import time
@@ -265,7 +300,12 @@ class Db:
             # so the cancel targets exactly this query's lazy jobs
             sc.setJobGroup(group, "crux_spark streamed query", interruptOnCancel=True)
             try:
+                from crux_spark.datalog.compile import normalize_query
+
                 df = self.q(query, *args)
+                nq = normalize_query(query)
+                if stable and not (nq.get("order-by") or nq.get("order_by")):
+                    df = _canonical_order(df)
                 it = df.toLocalIterator()
                 stop = None if limit is None else offset + limit
                 out["rows"] = list(itertools.islice(it, offset, stop))

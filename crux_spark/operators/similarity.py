@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -501,15 +503,40 @@ def _lsh_params(
     per-pair candidate probability at the THRESHOLD to >= 1-miss_prob
     via b = ceil(ln(miss_prob)/ln(1-p^r)), p = 1 - arccos(t)/pi.
     Tighter-than-threshold pairs collide with even higher probability,
-    so this bounds the whole recall curve above the threshold."""
+    so this bounds the whole recall curve above the threshold.
+
+    The band count is capped at 512 (shuffle volume is b copies of
+    (id, sig); an uncapped b would let low thresholds or huge corpora
+    demand tens of thousands of bands). When the cap binds, the
+    requested miss_prob is NOT achievable at this (r, cap) and the
+    function WARNS with the achieved per-pair miss probability at the
+    threshold instead of silently degrading. It deliberately does NOT
+    auto-shrink r to restore the bound: each plane removed doubles
+    expected within-bucket candidate pairs (buckets halve), so closing
+    a sub-percent miss gap can cost ~2^Δ more candidate-verify work —
+    a trade the caller must opt into (pass a smaller planes_per_band,
+    a larger miss_prob, or explicit bands)."""
     if planes_per_band is None:
         planes_per_band = max(8, int(np.ceil(np.log2(max(n, 2)))))
     p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
     p_band = p**planes_per_band
-    bands = int(np.clip(
-        np.ceil(np.log(miss_prob) / np.log(1.0 - min(p_band, 1 - 1e-15))),
-        1, 512,
-    ))
+    required = int(max(1, np.ceil(
+        np.log(miss_prob) / np.log(1.0 - min(p_band, 1 - 1e-15)))))
+    bands = min(required, 512)
+    if required > bands:
+        achieved = float((1.0 - p_band) ** bands)
+        warnings.warn(
+            f"banded-LSH recall bound not achievable within the 512-band "
+            f"cap: threshold={threshold} with r={planes_per_band} planes "
+            f"per band needs {required} bands for per-pair miss "
+            f"<= {miss_prob:g}, capped at {bands} -> achieved per-pair "
+            f"miss at the threshold ~= {achieved:.3g} (tighter pairs "
+            f"miss less). To restore the bound pass a smaller "
+            f"planes_per_band (each plane removed halves the bucket "
+            f"count, ~doubling candidate-verify work), a larger "
+            f"miss_prob, or explicit bands.",
+            stacklevel=2,
+        )
     return planes_per_band, bands
 
 

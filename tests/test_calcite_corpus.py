@@ -612,3 +612,21 @@ def test_registry_side_set_survives_save_load(spark, tmp_path):
     loaded = TxStore.load(spark, d)
     assert loaded._schema_eids == {"crux.sql.schema/person"}
     assert register_sql_tables(loaded) == ["person"]
+
+
+@pytest.mark.parametrize("bad", ['"abc"', "7", '["ok", 3]', "{}"])
+def test_registry_sidecar_shape_validated(spark, tmp_path, bad):
+    """r10 advice: a sidecar that parses as JSON but is not a list of
+    strings (a string would become a set of CHARACTERS and silently hide
+    registry docs; a number would TypeError) must be rejected like a
+    corrupt sidecar — fall back to the discovery scan, tables intact."""
+    import os
+
+    store = mkstore(spark, [IVAN, MALCOLM])
+    d = str(tmp_path / "ckpt")
+    store.save(d)
+    with open(os.path.join(d, "_schema_doc_eids.json"), "w") as f:
+        f.write(bad)
+    loaded = TxStore.load(spark, d)
+    assert loaded._schema_eids is None  # discovery scan on first use
+    assert register_sql_tables(loaded) == ["person"]

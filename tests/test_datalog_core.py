@@ -831,3 +831,29 @@ def test_scan_order_prefers_literal_constraints(spark):
     )
     scores = [comp._scan_scores.get(id(s), 0) for s in scans]
     assert scores == [0, 1]
+
+
+def test_nanos_detection_recurses_partitioned_layout(tmp_path):
+    """r10 advice: Hive-partitioned layouts (bucket=*/part-*.parquet, as
+    TxStore.save writes) have no top-level *.parquet, so the nanos
+    footer probe must recurse instead of silently returning []."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crux_spark.catalog import _nanos_ts_columns
+
+    sub = tmp_path / "events.parquet" / "bucket=0"
+    sub.mkdir(parents=True)
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_000,
+                        1_700_000_000_000_000_001],
+                       pa.timestamp("ns")),
+    })
+    pq.write_table(tbl, sub / "part-00000.parquet")
+    assert _nanos_ts_columns(str(tmp_path / "events.parquet")) == ["ts"]
+    # flat layout still detected via the top-level glob
+    flat = tmp_path / "flat.parquet"
+    flat.mkdir()
+    pq.write_table(tbl, flat / "part-00000.parquet")
+    assert _nanos_ts_columns(str(flat)) == ["ts"]

@@ -329,3 +329,69 @@ def test_http_get_query_route(http_node):
     }))
     page = get(base + f"/_crux/query?queryJson={q3}&limit=1&offset=0")
     assert len(page) == 1
+
+
+def test_remote_db_q_unordered_pages_tile(spark):
+    """r10 advice: multi-page results WITHOUT :order-by must tile — Spark
+    gives no stable row order across re-executions, so the server imposes
+    a canonical total order for paged requests (paged=true / offset>0).
+    The union must be exactly the result set: no drops, no duplicates."""
+    from crux_spark.http import RemoteNode
+
+    node = Node(spark, schema="id string, n long")
+    h = HttpNode(node)
+    try:
+        remote = RemoteNode(h.url)
+        remote.submit_tx([("put", {"id": f"u{i:02d}", "n": i})
+                          for i in range(10)])
+        remote.await_tx()
+        q = {"find": ["?e", "?n"], "where": [["?e", ":n", "?n"]]}
+        rows = remote.db().q(q, page_size=3)  # 4 windows over 4 executions
+        assert len(rows) == 10  # no page-boundary drops or duplicates
+        assert sorted(r[1] for r in rows) == list(range(10))
+    finally:
+        h.close()
+
+
+def test_remote_db_q_pins_unpinned_basis_across_pages(spark):
+    """r10 advice: with an unpinned basis (client.db() default), the
+    client must resolve latest-completed-tx ONCE before the page loop —
+    a write landing between pages must not leak into later pages."""
+    from crux_spark.http import RemoteNode
+
+    node = Node(spark, schema="id string, n long")
+    h = HttpNode(node)
+    try:
+        remote = RemoteNode(h.url)
+        remote.submit_tx([("put", {"id": f"v{i:02d}", "n": i})
+                          for i in range(10)])
+        remote.await_tx()
+
+        real_post = remote._post
+        payloads = []
+
+        def post_and_interleave_write(path, body):
+            payloads.append(body)
+            out = real_post(path, body)
+            if len(payloads) == 1:
+                # a concurrent writer lands between page 1 and page 2
+                node.submit_tx([("put", {"id": f"w{i:02d}", "n": 100 + i})
+                                for i in range(5)])
+                node.await_tx()
+            return out
+
+        remote._post = post_and_interleave_write
+        q = {"find": ["?e", "?n"], "where": [["?e", ":n", "?n"]]}
+        rows = remote.db().q(q, page_size=3)
+        assert sorted(r[1] for r in rows) == list(range(10))  # not 15
+        # every page carried the same pinned basis + the paged flag
+        assert len(payloads) == 4
+        assert len({p["tx-id"] for p in payloads}) == 1
+        assert payloads[0]["tx-id"] is not None
+        assert len({p["valid-time"] for p in payloads}) == 1
+        assert all(p["paged"] for p in payloads)
+        # the mid-paging write IS visible to a fresh unpinned db
+        rows2 = remote.db().q(q, page_size=100)
+        assert len(rows2) == 15
+    finally:
+        h.close()

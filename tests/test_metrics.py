@@ -220,3 +220,59 @@ def test_prometheus_push_reporter(node):
     finally:
         gw.shutdown()
         gw.server_close()
+
+
+def test_push_reporter_survives_gateway_failure():
+    """r10 advice: a transient push failure must not kill the schedule
+    thread (dropwizard's log-and-continue contract) and close()'s final
+    flush must not raise; pushes resume once the gateway is back."""
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from crux_spark.metrics import PrometheusPushReporter
+
+    pushes = []
+    fail = threading.Event()
+    fail.set()
+
+    class FlakyGateway(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode()
+            if fail.is_set():
+                self.send_response(502)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            pushes.append(body)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    gw = ThreadingHTTPServer(("127.0.0.1", 0), FlakyGateway)
+    threading.Thread(target=gw.serve_forever, daemon=True).start()
+    try:
+        reg = MetricsRegistry()
+        reg.meter("flaky").mark(3)
+        rep = PrometheusPushReporter(
+            reg, f"http://127.0.0.1:{gw.server_address[1]}",
+            job="flakyjob", report_frequency=0.05,
+        ).start()
+        time.sleep(0.2)  # several failing pushes — thread must survive
+        assert rep.last_error is not None
+        fail.clear()  # gateway recovers
+        deadline = time.time() + 5
+        while not pushes and time.time() < deadline:
+            time.sleep(0.05)
+        assert pushes, "reporter thread died during the outage"
+        assert "crux_flaky_total 3" in pushes[-1]
+        fail.set()
+        rep.close()  # final flush fails -> must not raise
+        assert rep.last_error is not None
+    finally:
+        gw.shutdown()
+        gw.server_close()

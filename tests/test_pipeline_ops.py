@@ -1299,6 +1299,37 @@ def test_lsh_params_scale_with_corpus():
     assert (1.0 - p**16) ** b <= 1e-9
 
 
+def test_lsh_params_band_cap_warns_with_achieved_miss():
+    """r10 advice: when the 512-band cap makes the documented miss_prob
+    unachievable (e.g. threshold=0.8 at N~1e6 -> r=20 -> ~2000 bands
+    required), _lsh_params must WARN with the achieved per-pair miss
+    probability instead of silently clipping; bounded configs stay
+    silent."""
+    import warnings as _w
+
+    from crux_spark.operators.similarity import _lsh_params
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        r, b = _lsh_params(1_000_000, 0.8)
+    assert b == 512
+    msgs = [str(c.message) for c in caught
+            if "recall bound not achievable" in str(c.message)]
+    assert len(msgs) == 1
+    # the warning quantifies the degradation: achieved miss matches the
+    # closed form at the capped band count
+    p = 1.0 - np.arccos(0.8) / np.pi
+    achieved = (1.0 - p**r) ** b
+    assert f"{achieved:.3g}" in msgs[0]
+    assert "512" in msgs[0]
+    # a config whose bound IS achievable emits no warning
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        _lsh_params(22_000, 0.98)
+    assert not [c for c in caught
+                if "recall bound not achievable" in str(c.message)]
+
+
 def test_lsh_near_dup_recall_after_rescale(spark):
     """Planted near-dups are still all recalled with auto-sized (r, b):
     LSH output == exact cosine threshold over the same corpus."""
