@@ -19,6 +19,7 @@ Expression forms (Python analogue of the EDN clause):
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from typing import Any, Callable
 
 from pyspark.sql import Column
@@ -230,6 +231,16 @@ class ExprBuilder:
                 }
                 if len(fams) > 1:
                     return F.lit(fn in ("!=", "not="))
+            if fn in ("<", "<=", ">", ">=") and len(args) == 2:
+                # range constraint over an EAV-bound var vs a literal:
+                # confined to the LITERAL'S type class, like the
+                # reference's prefix-equal wrapper on the 1-byte type tag
+                # (query.clj:870-884 new-range-constraint-wrapper-fn) —
+                # [(< ?v 5)] with a long literal matches longs only,
+                # never doubles/decimals/dates
+                confined = self._confined_range(fn, args)
+                if confined is not None:
+                    return confined
             ctx = (
                 "num"
                 if fn in ("+", "-", "*", "/", "quot", "rem", "mod")
@@ -290,6 +301,63 @@ class ExprBuilder:
                 if isinstance(lit, (int, float)) and not isinstance(lit, bool):
                     ctx = "num"
         return ctx
+
+    # literal python type -> field of the __typed_ord struct (one field
+    # per codec.clj value-type class; see compile.scan_var_attr)
+    _ORD_FIELD_ORDER = (
+        (bool, "b"),            # before int: bool is an int subclass
+        (_dt.datetime, "t"),    # before date: datetime is a date subclass
+        (_dt.date, "dt"),
+        (_dt.timedelta, "du"),
+        (_decimal.Decimal, "dec"),
+        (int, "l"),
+        (float, "d"),
+        (str, "s"),
+    )
+
+    def _confined_range(self, fn: str, args: list[Any]):
+        """Range constraint [(< ?v lit)] over an EAV-bound var: compare
+        the LITERAL'S type-class field of the var's __typed_ord struct —
+        that field is non-null only for values of the same type class,
+        so rows of every other class drop out of the filter, exactly the
+        reference's prefix-equal-on-type-tag wrapper
+        (query.clj:870-884). Returns None when the clause is not the
+        var-vs-literal shape (var-var ranges stay numeric — they are
+        in-memory predicates in the reference, not index ranges)."""
+        def eav_ord(x):
+            if is_var(x) and x not in self.env and x in self.typed:
+                oc = self.typed[x].get("ord")
+                if oc is not None and oc in self.columns:
+                    return oc
+            return None
+
+        def literal(x):
+            lit = self.env.get(x, x) if isinstance(x, str) else x
+            if is_var(x) and x not in self.env:
+                return None
+            if isinstance(lit, (list, tuple, set, dict)) or callable(lit):
+                return None
+            return lit
+
+        ords = [eav_ord(a) for a in args]
+        lits = [literal(a) for a in args]
+        for vi, li in ((0, 1), (1, 0)):
+            if ords[vi] is None or lits[li] is None:
+                continue
+            lit = lits[li]
+            field = next(
+                (f for t, f in self._ORD_FIELD_ORDER if isinstance(lit, t)),
+                None,
+            )
+            if field is None:
+                return None
+            if isinstance(lit, bool):
+                lit = int(lit)  # the ord struct stores booleans as int
+            sides = [None, None]
+            sides[vi] = F.col(f"{ords[vi]}.{field}")
+            sides[li] = F.lit(lit)
+            return _BINARY_OPS[fn](sides[0], sides[1])
+        return None
 
     def _build_ctx(self, form: Any, ctx: str | None) -> Column:
         """Build an operand under a comparison type context: an EAV-bound

@@ -416,22 +416,36 @@ class Compiler:
                 F.col("v_string"),
                 F.col("v_long").cast("string"),
                 F.col("v_double").cast("string"),
+                F.col("v_dec").cast("string"),
                 F.col("v_bool").cast("string"),
                 F.col("v_ts").cast("string"),
+                F.col("v_date").cast("string"),
+                F.col("v_dur").cast("string"),
             ).alias(vc))
             sel.append(
-                F.coalesce(F.col("v_double"), F.col("v_long").cast("double"))
-                .alias(f"{vc}__typed_num")
+                F.coalesce(
+                    F.col("v_double"),
+                    F.col("v_long").cast("double"),
+                    # numeric PREDICATES treat decimals as numbers
+                    # (clojure < over BigDecimal/long compares
+                    # numerically); only the ORDER tag separates them
+                    F.col("v_dec").cast("double"),
+                ).alias(f"{vc}__typed_num")
             )
-            sel.append(F.col("v_ts").alias(f"{vc}__typed_ts"))
-            # cross-type TOTAL order (codec.clj:81-99): values sort by
-            # type tag first — boolean(4) < long(5) < double(6) <
-            # date(7) < string(8), nil lowest — then by the typed value
-            # within the tag. Spark struct comparison is field-wise, and
-            # two rows with equal tags have the same single non-null
-            # value field, so one struct column gives order-by the
-            # reference's heterogeneous ordering instead of the
-            # stringified sort.
+            sel.append(
+                F.coalesce(F.col("v_ts"), F.col("v_date").cast("timestamp"))
+                .alias(f"{vc}__typed_ts")
+            )
+            # cross-type TOTAL order (codec.clj:81-99 + 270-354): values
+            # sort by type tag first — boolean(4) < long(5) < double(6)
+            # < date/timestamp(7) < string(8) < bigdec(11) <
+            # localdate(14) < duration(18), nil lowest — then by the
+            # typed value within the tag. Spark struct comparison is
+            # field-wise, and two rows with equal tags have the same
+            # single non-null value field (the other fields are null on
+            # both sides, which tie), so one struct column gives
+            # order-by the reference's heterogeneous ordering instead of
+            # the stringified sort.
             sel.append(
                 F.struct(
                     F.when(F.col("v_bool").isNotNull(), F.lit(4))
@@ -439,6 +453,9 @@ class Compiler:
                     .when(F.col("v_double").isNotNull(), F.lit(6))
                     .when(F.col("v_ts").isNotNull(), F.lit(7))
                     .when(F.col("v_string").isNotNull(), F.lit(8))
+                    .when(F.col("v_dec").isNotNull(), F.lit(11))
+                    .when(F.col("v_date").isNotNull(), F.lit(14))
+                    .when(F.col("v_dur").isNotNull(), F.lit(18))
                     .otherwise(F.lit(3))
                     .alias("tag"),
                     F.col("v_bool").cast("int").alias("b"),
@@ -446,6 +463,9 @@ class Compiler:
                     F.col("v_double").alias("d"),
                     F.col("v_ts").alias("t"),
                     F.col("v_string").alias("s"),
+                    F.col("v_dec").alias("dec"),
+                    F.col("v_date").alias("dt"),
+                    F.col("v_dur").alias("du"),
                 ).alias(f"{vc}__typed_ord")
             )
             self.typed_vars[v] = {
@@ -454,12 +474,31 @@ class Compiler:
                 "ord": f"{vc}__typed_ord",
             }
         elif not is_blank(v):
+            import datetime as _dtmod
+            import decimal as _decmod
+
             lit = self.env.get(v, v)
-            eav = eav.filter(
-                (F.col("v_string") == F.lit(str(lit)))
-                | (F.col("v_long") == F.lit(lit) if isinstance(lit, int) else F.lit(False))
-                | (F.col("v_double") == F.lit(lit) if isinstance(lit, (int, float)) else F.lit(False))
-            )
+            # literal v: match within the literal's type class only
+            # (codec value equality includes the type tag)
+            if isinstance(lit, bool):
+                cond = F.col("v_bool") == F.lit(lit)
+            elif isinstance(lit, _dtmod.datetime):
+                cond = F.col("v_ts") == F.lit(lit)
+            elif isinstance(lit, _dtmod.date):
+                cond = F.col("v_date") == F.lit(lit)
+            elif isinstance(lit, _dtmod.timedelta):
+                cond = F.col("v_dur") == F.lit(lit)
+            elif isinstance(lit, _decmod.Decimal):
+                cond = F.col("v_dec") == F.lit(lit)
+            elif isinstance(lit, int):
+                cond = (F.col("v_string") == F.lit(str(lit))) | (
+                    F.col("v_long") == F.lit(lit))
+            elif isinstance(lit, float):
+                cond = (F.col("v_string") == F.lit(str(lit))) | (
+                    F.col("v_double") == F.lit(lit))
+            else:
+                cond = F.col("v_string") == F.lit(str(lit))
+            eav = eav.filter(cond)
         return eav.select(*sel).distinct()
 
     # ------------------------------------------------------------------ scans

@@ -4139,3 +4139,204 @@ def multimodal_decode(spark, sf_dir):
             "sample_rate", "rms", "peak",
         )
     )
+
+
+@register(
+    "datalog_mixed_type_order",
+    r"""
+    WITH ks AS (SELECT r_regionkey AS k FROM region),
+    rows_all AS (
+      SELECT 5 AS tag, CAST(v AS VARCHAR) AS val,
+             CAST(v AS DOUBLE) AS onum, NULL::TIMESTAMP AS ots,
+             NULL::VARCHAR AS ostr, NULL::DECIMAL(38,12) AS odec,
+             NULL::DATE AS odt
+      FROM (SELECT ([100,2,512,10,33])[k+1] AS v FROM ks)
+      UNION ALL
+      SELECT 6, CAST(v AS VARCHAR), v, NULL, NULL, NULL, NULL
+      FROM (SELECT CAST(([4.25,0.5,5.5,1.75,3.0])[k+1] AS DOUBLE) AS v
+            FROM ks)
+      UNION ALL
+      SELECT 7, CAST(v AS VARCHAR), NULL, v, NULL, NULL, NULL
+      FROM (SELECT TIMESTAMP '2024-01-01 00:00:00'
+                   + to_days(CAST(k AS INTEGER)) AS v FROM ks)
+      UNION ALL
+      SELECT 8, v, NULL, NULL, v, NULL, NULL
+      FROM (SELECT (['Zeta','B10','m','B2','alpha'])[k+1] AS v FROM ks)
+      UNION ALL
+      SELECT 11, CAST(v AS VARCHAR), NULL, NULL, NULL, v, NULL
+      FROM (SELECT CAST((['33.40','1.10','512.99','2.25','100.05'])[k+1]
+                        AS DECIMAL(38,12)) AS v FROM ks)
+      UNION ALL
+      SELECT 14, CAST(v AS VARCHAR), NULL, NULL, NULL, NULL, v
+      FROM (SELECT CAST(DATE '2024-02-01'
+                        + to_days(CAST(3 * k AS INTEGER)) AS DATE) AS v
+            FROM ks)
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (
+        ORDER BY tag, onum, ots, ostr, odec, odt) AS rn
+      FROM rows_all
+    )
+    SELECT 'w0' AS win, val FROM ordered WHERE rn <= 3
+    UNION ALL SELECT 'w1', val FROM ordered WHERE rn <= 13
+    UNION ALL SELECT 'w2', val FROM ordered WHERE rn BETWEEN 18 AND 26
+    UNION ALL SELECT 'w3', val FROM ordered WHERE tag = 5 AND onum < 50
+    UNION ALL SELECT 'w4', val FROM ordered WHERE tag = 11 AND odec < 100
+    """,
+)
+def datalog_mixed_type_order(spark, sf_dir):
+    """Cross-type total order + range-constraint type confinement over
+    the var-attr EAV path (r10 verdict #2): one attribute (:val) carries
+    six value-type classes across six collections — long, double,
+    timestamp, string, decimal, date — and order-by ?v must sort them by
+    the reference codec's type-tag-then-value order (codec.clj:81-99 tag
+    ids; decimal=11 codec.clj:282-302, localdate=14 codec.clj:312-326
+    sort AFTER strings, which a stringified or double-collapsed encoding
+    gets wrong). The driver's value-hash compare is order-insensitive,
+    so the ORDER is verified through window MEMBERSHIP: limit/offset
+    cuts land inside type groups (w0 inside longs, w1 inside
+    timestamps, w2 spans string→decimal→date), where any tag or
+    within-tag misorder changes the selected SET. w3/w4 pin range
+    confinement: [(< ?v 50)] with a long literal matches longs ONLY
+    (never 0.5 or 2.25 — query.clj:870-884's prefix-equal-on-type-tag
+    wrapper), [(< ?v 100.00M)] decimals only. Values derive from the
+    5-row region table so both engines see identical data at every SF.
+    Scale: the EAV union is 6 five-row scans; order-by rides the
+    __typed_ord struct column — a columnar sort key, no UDFs."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    cat = Catalog(spark)
+    ks = catalog_for(spark, sf_dir).table("region").select(
+        F.col("r_regionkey").cast("int").alias("k"))
+    def arr(xs):
+        return F.element_at(F.array(*[F.lit(x) for x in xs]), F.col("k") + 1)
+    cat.add_documents("m_long", ks.select(
+        F.concat(F.lit("L"), F.col("k")).alias("id"),
+        arr([100, 2, 512, 10, 33]).cast("long").alias("val")), id_col="id")
+    cat.add_documents("m_double", ks.select(
+        F.concat(F.lit("D"), F.col("k")).alias("id"),
+        arr([4.25, 0.5, 5.5, 1.75, 3.0]).alias("val")), id_col="id")
+    cat.add_documents("m_ts", ks.select(
+        F.concat(F.lit("I"), F.col("k")).alias("id"),
+        (F.lit(_dt.datetime(2024, 1, 1))
+         + F.make_interval(days=F.col("k"))).alias("val")), id_col="id")
+    cat.add_documents("m_str", ks.select(
+        F.concat(F.lit("S"), F.col("k")).alias("id"),
+        arr(["Zeta", "B10", "m", "B2", "alpha"]).alias("val")), id_col="id")
+    cat.add_documents("m_dec", ks.select(
+        F.concat(F.lit("C"), F.col("k")).alias("id"),
+        arr(["33.40", "1.10", "512.99", "2.25", "100.05"])
+        .cast("decimal(18,2)").alias("val")), id_col="id")
+    cat.add_documents("m_date", ks.select(
+        F.concat(F.lit("T"), F.col("k")).alias("id"),
+        F.date_add(F.lit(_dt.date(2024, 2, 1)), F.col("k") * 3)
+        .alias("val")), id_col="id")
+
+    base = [["?e", "?a", "?v"], [["=", "?a", ":val"]]]
+    order = {"order-by": [["?v", "asc"]]}
+    def window(win, spec):
+        return q(cat, {"find": ["?v"], "keys": ["val"], **spec}).select(
+            F.lit(win).alias("win"), "val")
+    return (
+        window("w0", {"where": base, **order, "limit": 3})
+        .unionByName(window("w1", {"where": base, **order, "limit": 13}))
+        .unionByName(window("w2", {"where": base, **order,
+                                   "offset": 17, "limit": 9}))
+        .unionByName(window("w3", {"where": base + [[["<", "?v", 50]]]}))
+        .unionByName(window("w4", {"where": base
+                                   + [[["<", "?v", _Dec("100.00")]]]}))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11 WINDOW ROTATION (policy block above, queries.py ~2650): the driver
+# records correctness for the FIRST 50 entries only.
+#   r11: IN (a) multimodal_decode — the registry's only gate that has
+#           NEVER held a driver row (r10 verdict #1 names it first) —
+#           plus datalog_mixed_type_order, this round's new gate, spliced
+#           straight into the window so it earns its driver row the round
+#           it ships; and (b) the 16 gates whose newest driver row is the
+#           stalest in the registry (all r7): tpch_q3/q6/q9/q16,
+#           events_asof, events_json, text_analysis, dedup_exact,
+#           ann_brute_force, ann_ivf, embedding_threshold_pairs,
+#           contamination_scores, mix_corpora_weighted, datalog_or_join,
+#           text_pii_scrub, sparql_star_filter.
+#       OUT 18 gates, each holding a fresh r10 driver-green row AND whose
+#           operator surface stays covered by an in-window gate:
+#           tpch_q2 (min-cost scalar-agg subquery -> tpch_q11 stays +
+#           datalog-side q-pred in tpch_q22... covered by q11), tpch_q5
+#           (multi-way join+agg -> tpch_q9 rotating in, 9-way), tpch_q7
+#           (or-join pairs -> datalog_or_join rotating in + the 208-case
+#           battery), tpch_q12 (conditional agg -> tpch_q1 stays,
+#           sql_surface stays), tpch_q13 (outer-join count -> datalog_pull
+#           stays for the left-join surface), tpch_q15 (view + max
+#           subquery -> tpch_q11 stays), tpch_q18 (semi-join havingK ->
+#           tpch_q4 stays), tpch_q22 (anti + scalar subquery -> tpch_q21
+#           + tpch_q11 stay; tpch_q16 rotating in carries not+count-
+#           distinct), datalog_subquery (q-pred -> tpch_q11 stays, same
+#           compile path), window_topk (rank windows -> events_sessionize
+#           stays), lucene_multi_field (scored text relations ->
+#           text_search_docs stays), mix_temperature (corpus mixing ->
+#           mix_corpora_weighted rotating in, same op family),
+#           streaming_dedup_oracle (cross-trigger dedup ->
+#           streaming_rollup_oracle stays for the streaming-replay
+#           surface + dedup_exact rotating in for the dedup surface),
+#           stratified_sample (hash-bucket selection ->
+#           mix_corpora_weighted rotating in, same bucket space),
+#           text_repetition (per-row text heuristics -> text_gopher_filter
+#           stays), dedup_canonical (CC canonical pick -> dedup_clusters
+#           stays, same pointer-jumping core), decontaminate_ngram
+#           (ngram-join decontamination -> contamination_scores rotating
+#           in, same shuffle shape), sparql_snowflake_union (SPARQL
+#           union/filter -> sparql_star_filter rotating in +
+#           sparql_path_closure stays).
+#   All 18 rotated-out gates keep running in bench and in the per-round
+#   mirror (tools/check_oracles.py -> MIRROR_r{N}.json). After this
+#   splice no gate's newest driver row is older than r8 (3 rounds).
+#   r12 queue: the 12 r8-stale gates (tpch_q8/q10/q14/q17/q20/q21_anti,
+#   dedup_span_trim, select_token_budget, epoch_shard_shuffle,
+#   source_cap_topn, text_clf_score, bigram_lm_quality).
+# ---------------------------------------------------------------------------
+
+_R11_IN = [
+    "multimodal_decode", "datalog_mixed_type_order",
+    "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q16", "events_asof",
+    "events_json", "text_analysis", "dedup_exact", "ann_brute_force",
+    "ann_ivf", "embedding_threshold_pairs", "contamination_scores",
+    "mix_corpora_weighted", "datalog_or_join", "text_pii_scrub",
+    "sparql_star_filter",
+]
+_R11_OUT = [
+    "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q18", "tpch_q22", "datalog_subquery", "window_topk",
+    "lucene_multi_field", "mix_temperature", "streaming_dedup_oracle",
+    "stratified_sample", "text_repetition", "dedup_canonical",
+    "decontaminate_ngram", "sparql_snowflake_union",
+]
+_r11_names = list(QUERIES)
+for _n in _R11_IN + _R11_OUT:
+    assert _n in QUERIES, f"r11 rotation references unknown gate {_n!r}"
+for _n in _R11_OUT:
+    assert _r11_names.index(_n) < _WINDOW, (
+        f"r11 OUT gate {_n!r} is not inside the first-{_WINDOW} window")
+for _n in _R11_IN:
+    assert _r11_names.index(_n) >= _WINDOW, (
+        f"r11 IN gate {_n!r} already sits inside the first-{_WINDOW} window")
+_r11_keep = _WINDOW - len(_R11_OUT)
+_r11_order = [n for n in QUERIES if n not in _R11_IN and n not in _R11_OUT]
+assert sum(1 for n in _r11_order[:_r11_keep]
+           if _r11_names.index(n) < _WINDOW) == _r11_keep, (
+    "r11 retained prefix does not equal the surviving window gates")
+_r11_order = (_r11_order[:_r11_keep] + _R11_IN
+              + _r11_order[_r11_keep:] + _R11_OUT)
+assert sorted(_r11_order) == sorted(_r11_names), "r11 rotation lost gates"
+_r11_reordered = {n: QUERIES[n] for n in _r11_order}
+QUERIES.clear()
+QUERIES.update(_r11_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r11 additions — registered AFTER the r11 window reorder, so they land in
+# the overflow tail (mirror-checked per round; driver rows via rotation).
+# ---------------------------------------------------------------------------

@@ -188,11 +188,20 @@ def read_csv_documents(
 
 def triples_view(df: DataFrame, id_col: str = "_id") -> DataFrame:
     """Explode a wide document table into the typed EAV view of
-    SURVEY.md §1.5: (e, a, v_type, v_long, v_double, v_string, v_bool,
-    v_ts, pos). One row per (entity, attribute, value); array attributes
-    emit one row per element with its position (the reference stores
-    vector positions in ECAV, index_store.clj:912-926, so documents
-    round-trip with order preserved)."""
+    SURVEY.md §1.5: (e, a, v_type, v_long, v_double, v_dec, v_string,
+    v_bool, v_ts, v_date, v_dur, pos). One row per (entity, attribute,
+    value); array attributes emit one row per element with its position
+    (the reference stores vector positions in ECAV,
+    index_store.clj:912-926, so documents round-trip with order
+    preserved).
+
+    One typed column per codec.clj value-type class the engine supports
+    (r10 verdict #2 extended decimal/date/duration): long(5), double(6),
+    timestamp(7 — java.util.Date), string(8), bigdec(11 —
+    codec.clj:282-302, Spark decimal(38,12)), localdate(14 —
+    codec.clj:312-326), duration(18 — codec.clj:348-354, Spark day-time
+    interval). Exactly one is non-null per row; scan_var_attr composes
+    them into the codec's cross-type total order."""
     import pyspark.sql.types as T
 
     pieces = []
@@ -218,34 +227,61 @@ def triples_view(df: DataFrame, id_col: str = "_id") -> DataFrame:
     return out
 
 
+DECIMAL_EAV_TYPE = "decimal(38,12)"
+
+
 def _typed_row(df: DataFrame, a, dtype, pos):
     import pyspark.sql.types as T
 
     val = F.col("val")
-    null_l = F.lit(None).cast("long")
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
-    null_b = F.lit(None).cast("boolean")
-    null_t = F.lit(None).cast("timestamp")
+    # exactly one typed slot is populated per value-type class
+    # (codec.clj's 1-byte type tag); the rest stay typed nulls so the
+    # union across attributes/tables keeps one schema
+    slots = {
+        "long": F.lit(None).cast("long"),
+        "double": F.lit(None).cast("double"),
+        "dec": F.lit(None).cast(DECIMAL_EAV_TYPE),
+        "string": F.lit(None).cast("string"),
+        "boolean": F.lit(None).cast("boolean"),
+        "timestamp": F.lit(None).cast("timestamp"),
+        "date": F.lit(None).cast("date"),
+        "duration": F.lit(None).cast("interval day to second"),
+    }
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        cols = ("long", val.cast("long"), null_d, null_s, null_b, null_t)
-    elif isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        cols = ("double", null_l, val.cast("double"), null_s, null_b, null_t)
+        v_type, slot, expr = "long", "long", val.cast("long")
+    elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+        v_type, slot, expr = "double", "double", val.cast("double")
+    elif isinstance(dtype, T.DecimalType):
+        # BigDecimal is its OWN type class in the codec (tag 11,
+        # codec.clj:282-302) — it must NOT collapse into double, both
+        # for precision and because it sorts after strings in the
+        # cross-type total order
+        v_type, slot, expr = "decimal", "dec", val.cast(DECIMAL_EAV_TYPE)
     elif isinstance(dtype, T.BooleanType):
-        cols = ("boolean", null_l, null_d, null_s, val.cast("boolean"), null_t)
-    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        cols = ("timestamp", null_l, null_d, null_s, null_b, val.cast("timestamp"))
+        v_type, slot, expr = "boolean", "boolean", val.cast("boolean")
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        v_type, slot, expr = "timestamp", "timestamp", val.cast("timestamp")
+    elif isinstance(dtype, T.DateType):
+        # LocalDate tag 14 (codec.clj:312-326) — distinct from
+        # java.util.Date/timestamp (tag 7)
+        v_type, slot, expr = "date", "date", val.cast("date")
+    elif isinstance(dtype, T.DayTimeIntervalType):
+        v_type, slot, expr = "duration", "duration", val.cast(
+            "interval day to second")
     else:
-        cols = ("string", null_l, null_d, val.cast("string"), null_b, null_t)
-    v_type, v_long, v_double, v_string, v_bool, v_ts = cols
+        v_type, slot, expr = "string", "string", val.cast("string")
+    slots[slot] = expr
     return df.select(
         F.col("e"),
         a.alias("a"),
-        F.lit(v_type).alias("v_type") if isinstance(v_type, str) else v_type,
-        v_long.alias("v_long"),
-        v_double.alias("v_double"),
-        v_string.alias("v_string"),
-        v_bool.alias("v_bool"),
-        v_ts.alias("v_ts"),
+        F.lit(v_type).alias("v_type"),
+        slots["long"].alias("v_long"),
+        slots["double"].alias("v_double"),
+        slots["dec"].alias("v_dec"),
+        slots["string"].alias("v_string"),
+        slots["boolean"].alias("v_bool"),
+        slots["timestamp"].alias("v_ts"),
+        slots["date"].alias("v_date"),
+        slots["duration"].alias("v_dur"),
         pos.alias("pos"),
     )

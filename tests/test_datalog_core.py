@@ -857,3 +857,110 @@ def test_nanos_detection_recurses_partitioned_layout(tmp_path):
     flat.mkdir()
     pq.write_table(tbl, flat / "part-00000.parquet")
     assert _nanos_ts_columns(str(flat)) == ["ts"]
+
+
+def _mixed_catalog(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from crux_spark import Catalog
+
+    cat = Catalog(spark)
+    mk = lambda rows, ddl, name: cat.add_documents(
+        name, spark.createDataFrame(rows, ddl), id_col="id")
+    mk([(f"L{i}", v) for i, v in enumerate([100, 2, 512, 10, 33])],
+       "id string, val long", "m_long")
+    mk([(f"D{i}", v) for i, v in enumerate([4.25, 0.5, 5.5, 1.75, 3.0])],
+       "id string, val double", "m_double")
+    mk([(f"I{i}", dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(5)], "id string, val timestamp", "m_ts")
+    mk([(f"S{i}", v) for i, v in enumerate(["Zeta", "B10", "m", "B2",
+                                            "alpha"])],
+       "id string, val string", "m_str")
+    mk([(f"C{i}", Decimal(v)) for i, v in enumerate(
+        ["33.40", "1.10", "512.99", "2.25", "100.05"])],
+       "id string, val decimal(18,2)", "m_dec")
+    mk([(f"T{i}", dt.date(2024, 2, 1) + dt.timedelta(days=3 * i))
+        for i in range(5)], "id string, val date", "m_date")
+    mk([(f"U{i}", dt.timedelta(seconds=s)) for i, s in enumerate(
+        [90, 5, 86400 * 2, 3600, 20])],
+       "id string, val interval day to second", "m_dur")
+    return cat
+
+
+def test_eav_cross_type_total_order_extended(spark):
+    """r10 verdict #2: the codec's cross-type total order must cover
+    decimal (tag 11), localdate (tag 14), and duration (tag 18) —
+    codec.clj:282-354. They sort AFTER strings (a stringified or
+    double-collapsed encoding puts '1.10' before 'B10' or mixes decimals
+    into doubles); within each tag the order is the typed value's."""
+    from crux_spark.datalog import q
+
+    cat = _mixed_catalog(spark)
+    base = [["?e", "?a", "?v"], [["=", "?a", ":val"]]]
+    vals = [r[0] for r in q(cat, {
+        "find": ["?v"], "where": base, "order-by": [["?v", "asc"]],
+    }).collect()]
+    assert vals == [
+        # long (5), numeric order — '100' < '2' lexically, so a
+        # string sort fails here
+        "2", "10", "33", "100", "512",
+        # double (6)
+        "0.5", "1.75", "3.0", "4.25", "5.5",
+        # timestamp (7)
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        "2024-01-03 00:00:00", "2024-01-04 00:00:00",
+        "2024-01-05 00:00:00",
+        # string (8), binary order: uppercase < lowercase, '10' < '2'
+        "B10", "B2", "Zeta", "alpha", "m",
+        # decimal (11) — after strings, numeric within
+        "1.100000000000", "2.250000000000", "33.400000000000",
+        "100.050000000000", "512.990000000000",
+        # localdate (14)
+        "2024-02-01", "2024-02-04", "2024-02-07", "2024-02-10",
+        "2024-02-13",
+        # duration (18), by length not by string
+        "INTERVAL '0 00:00:05' DAY TO SECOND",
+        "INTERVAL '0 00:00:20' DAY TO SECOND",
+        "INTERVAL '0 00:01:30' DAY TO SECOND",
+        "INTERVAL '0 01:00:00' DAY TO SECOND",
+        "INTERVAL '2 00:00:00' DAY TO SECOND",
+    ]
+
+
+def test_eav_range_constraint_type_confinement(spark):
+    """query.clj:870-884: a range constraint over an EAV-bound var wraps
+    in prefix-equal on the 1-byte type tag — [(< ?v 5)] with a long
+    literal matches LONGS below 5 only, never doubles/decimals/dates
+    that would compare below it numerically or lexically."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from crux_spark.datalog import q
+
+    cat = _mixed_catalog(spark)
+    base = [["?e", "?a", "?v"], [["=", "?a", ":val"]]]
+
+    def vals(pred):
+        return sorted(r[0] for r in q(cat, {
+            "find": ["?v"], "where": base + [[pred]]}).collect())
+
+    assert vals(["<", "?v", 50]) == ["10", "2", "33"]
+    assert vals([">=", "?v", 3.0]) == ["3.0", "4.25", "5.5"]
+    assert vals(["<", "?v", Decimal("100.00")]) == [
+        "1.100000000000", "2.250000000000", "33.400000000000"]
+    assert vals(["<", "?v", dt.date(2024, 2, 6)]) == [
+        "2024-02-01", "2024-02-04"]
+    assert vals(["<", "?v", dt.datetime(2024, 1, 3)]) == [
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00"]
+    assert vals(["<", "?v", "alpha"]) == ["B10", "B2", "Zeta"]
+    assert vals(["<", "?v", dt.timedelta(minutes=30)]) == [
+        "INTERVAL '0 00:00:05' DAY TO SECOND",
+        "INTERVAL '0 00:00:20' DAY TO SECOND",
+        "INTERVAL '0 00:01:30' DAY TO SECOND"]
+    # literal-in-value-position equality is confined the same way
+    # (var-attr scan: an int literal matches v_long, never an interval
+    # or decimal row)
+    res = q(cat, {"find": ["?e"],
+                  "where": [["?e", "?a", 33], [["=", "?a", ":val"]]]})
+    assert [r[0] for r in res.collect()] == ["L4"]
