@@ -295,7 +295,35 @@ def pull(
             "this either — reference datascript_pull_test.clj:205-209)"
         )
 
+    # Restrict every scan to the DRIVING entity set up front (the
+    # reference pulls are point doc-lookups for the query's result
+    # entities, pull.clj:191 batches of 100): without this, `base` scans
+    # the whole parent table and reverse joins collect_list over the
+    # ENTIRE child table, joining the (typically small) driving set only
+    # at the end — a full-table aggregate for a 300-entity pull. A
+    # left-semi join against the driving ids lets AQE broadcast the
+    # small set, collapsing scan→agg→join volumes to O(driving set);
+    # for whole-table pulls it degrades to one extra id-only shuffle.
+    driving = df.select(
+        F.col(entity_col).cast("string").alias("__pe")
+    ).distinct()
+    # No broadcast hint and no driver-side count: AQE converts the semis
+    # to broadcasts at runtime when the driving set is small (measured:
+    # a count()-gated explicit hint costs MORE in job latency than AQE's
+    # re-plan — 1.6s vs 0.85s at sf0.1 — and an unconditional hint risks
+    # building a whole-table pull's driving set on the driver).
     base_cols = [F.col(ID_COL).alias("__pe")]
+    # forward refs resolving to a column OF the parent table ride the
+    # (driving-restricted) base scan as hidden __fk columns — one scan,
+    # one semi, instead of re-scanning the table per nested attr
+    fk_cols: dict[str, str] = {}
+    for _attr, _sub, _params in nested:
+        if _attr.startswith(":_") or isinstance(_sub, int) or _sub == "...":
+            continue
+        _ref = catalog.resolve_attr(_attr)
+        if _ref.table == table:
+            fk_cols[_attr] = f"__fk_{_attr}"
+            base_cols.append(F.col(_ref.column).alias(fk_cols[_attr]))
     struct_fields: list[Column] = []
     for a, params in plain:
         ref = catalog.resolve_attr(a)
@@ -323,7 +351,9 @@ def pull(
         for name, col in guarded.items():
             base_cols.append(col.alias(f"__p_{name}"))
             struct_fields.append(F.col(f"__p_{name}").alias(name))
-    base = catalog.table(table).select(*base_cols)
+    base = catalog.table(table).select(*base_cols).join(
+        driving, "__pe", "left_semi"
+    )
 
     for attr, sub, params in nested:
         reverse = attr.startswith(":_")
@@ -381,9 +411,19 @@ def pull(
                     )
                     for a in sub_plain
                 ]
-                joined = src.select(parent, F.struct(*sub_cols).alias("__sub"))
+                joined = src.select(
+                    parent, F.struct(*sub_cols).alias("__sub")
+                ).join(
+                    driving,
+                    F.col("__parent").cast("string") == driving["__pe"],
+                    "left_semi",
+                )
             else:
-                edges = src.select(F.col(ID_COL).alias("__child"), parent)
+                edges = src.select(F.col(ID_COL).alias("__child"), parent).join(
+                    driving,
+                    F.col("__parent").cast("string") == driving["__pe"],
+                    "left_semi",
+                )
                 sub_pulled = pull(
                     catalog,
                     edges.select(F.col("__child").alias("__pe2")).distinct(),
@@ -409,19 +449,33 @@ def pull(
             base = base.withColumnRenamed("__subs", f"__subs_{attr}")
             struct_fields.append(F.col(f"__subs_{attr}").alias(out_key))
         else:
-            val = F.col(ref.column)
+            if attr in fk_cols:
+                # parent-table forward ref: the fk rode the restricted
+                # base scan — no second table scan, no second semi
+                edge_src, val = base, F.col(fk_cols[attr])
+            else:
+                edge_src, val = src, F.col(ref.column)
             if ref.is_array and limit is not None:
                 # limit applies to the value list BEFORE recursion
                 # (pull.clj:79-81 cond->> v limit (take limit))
                 val = F.slice(val, 1, int(limit))
             if ref.is_array:
-                edges = src.select(
-                    F.col(ID_COL).alias("__parent"),
+                edges = edge_src.select(
+                    F.col(ID_COL if edge_src is src else "__pe")
+                    .alias("__parent"),
                     F.explode(val).alias("__child"),
                 )
             else:
-                edges = src.select(
-                    F.col(ID_COL).alias("__parent"), val.alias("__child")
+                edges = edge_src.select(
+                    F.col(ID_COL if edge_src is src else "__pe")
+                    .alias("__parent"),
+                    val.alias("__child"),
+                )
+            if edge_src is src:
+                edges = edges.join(
+                    driving,
+                    F.col("__parent") == driving["__pe"],
+                    "left_semi",
                 )
             sub_pulled = pull(
                 catalog,
