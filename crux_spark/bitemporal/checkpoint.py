@@ -51,10 +51,18 @@ class CheckpointStore:
         return sorted(out, key=lambda m: m["checkpoint_at"], reverse=True)
 
     # -- writing ----------------------------------------------------------
-    def checkpoint(self, store: TxStore, force: bool = False) -> dict | None:
+    def checkpoint(
+        self, store: TxStore, force: bool = False, indexes: dict | None = None
+    ) -> dict | None:
         """Save a checkpoint unless the newest one is fresher than
         approx_frequency (returns None when gated) or the store has no
-        new txs since it."""
+        new txs since it.
+
+        `indexes` maps name -> secondary index object with a
+        ``save(path)`` method (e.g. IncrementalTextIndex) — saved under
+        the checkpoint dir alongside the versions table, the way the
+        reference checkpoints its Lucene dir beside the KV index
+        (crux-lucene via crux-core/src/crux/checkpoint.clj)."""
         now = dt.datetime.now(dt.timezone.utc)
         cps = self.available_checkpoints()
         if cps and not force:
@@ -77,30 +85,44 @@ class CheckpointStore:
         # either (aborted txs index nothing), and a restored node must (a)
         # never re-issue a pre-checkpoint id and (b) answer
         # tx_committed(aborted_id) == False exactly like the live node.
+        for name, idx in (indexes or {}).items():
+            idx.save(os.path.join(cp_dir, "indexes", name))
         meta = {
             "tx_id": tx_id,
             "checkpoint_at": now.isoformat(),
             "aborted_txs": sorted(
                 int(a) for a in store.aborted_txs if a <= tx_id
             ),
+            "indexes": sorted((indexes or {}).keys()),
         }
         with open(os.path.join(cp_dir, _META), "w") as f:
             json.dump(meta, f)
         return {**meta, "dir": cp_dir}
 
     # -- restore ----------------------------------------------------------
-    def restore_latest(self, spark, wal_path=None, doc_store=None) -> TxStore | None:
+    def restore_latest(
+        self, spark, wal_path=None, doc_store=None, index_loaders=None
+    ):
         """Build a TxStore from the newest checkpoint; with a WAL, replay
         only the txs PAST the checkpoint's tx id (the reference replays
         the tx-log tail after restoring, checkpoint.clj try-restore).
         Accepts any WAL spec (JSONL path, 'sqlite:<path>', backend); a
         doc-store spec re-attaches unchanged (it persists independently
-        of checkpoints, like the reference's doc store)."""
+        of checkpoints, like the reference's doc store).
+
+        `index_loaders` maps name -> ``load(spark, path)`` (e.g.
+        ``IncrementalTextIndex.load``); each secondary index saved in the
+        checkpoint is restored and the WAL tail past its own indexed-tx
+        watermark is replayed through its listener, so restored indexes
+        answer identically to the live node's. With `index_loaders` the
+        return value is ``(store, {name: index})``; without, just the
+        store (backward compatible)."""
+        from crux_spark.bitemporal.store import OPS_SCHEMA
         from crux_spark.bitemporal.txlog import open_tx_log
 
         cps = self.available_checkpoints()
         if not cps:
-            return None
+            return None if index_loaders is None else (None, {})
         newest = cps[0]
         store = TxStore.load(spark, os.path.join(newest["dir"], "versions"))
         # TxStore.load derives _tx_id from max(tx_from), which excludes
@@ -121,6 +143,12 @@ class CheckpointStore:
         # crash between submit and commit). evict_eid is idempotent, so
         # re-applying on the happy path is harmless.
         store.doc_store = doc_store
+        indexes = {}
+        for name, loader in (index_loaders or {}).items():
+            idx_dir = os.path.join(newest["dir"], "indexes", name)
+            if os.path.isdir(idx_dir):
+                indexes[name] = loader(spark, idx_dir)
+        tail_rows: list[dict] = []
         backend = open_tx_log(wal_path)
         if backend is not None:
             for entry in backend.entries():
@@ -129,9 +157,31 @@ class CheckpointStore:
                         store.aborted_txs.add(int(entry["tx_id"]))
                     else:
                         store._pending.extend(entry["rows"])
+                        if indexes:
+                            tail_rows.extend(entry["rows"])
                     store._tx_id = max(store._tx_id, int(entry["tx_id"]))
             store.commit()
             store.wal_path = backend
+        # replay the WAL tail through each restored index's listener,
+        # scoped to txs past ITS watermark (which can trail the
+        # checkpoint's if the index was saved earlier)
+        # txs that aborted during the tail commit (failed match) index
+        # nothing (reference semantics: aborted txs are invisible to
+        # secondary indexes)
+        for idx in indexes.values():
+            rows = [
+                r for r in tail_rows
+                if int(r["tx_id"]) > getattr(idx, "last_tx_id", -1)
+                and int(r["tx_id"]) not in store.aborted_txs
+            ]
+            if rows:
+                batch = spark.createDataFrame(
+                    [tuple(r.get(f.name) for f in OPS_SCHEMA.fields) for r in rows],
+                    OPS_SCHEMA,
+                )
+                idx.listener(0, batch)
+        if index_loaders is not None:
+            return store, indexes
         return store
 
     # -- retention --------------------------------------------------------

@@ -111,20 +111,84 @@ class IncrementalTextIndex:
         self.spark = spark
         self.text_field = text_field
         self.postings: DataFrame | None = None
+        # highest tx id folded into the postings — the index's own
+        # watermark, so a checkpoint-restored index replays only the WAL
+        # tail past it (the reference checkpoints its Lucene dir beside
+        # the KV index and tails the log from the indexed-tx watermark,
+        # crux-lucene + crux-core/src/crux/checkpoint.clj)
+        self.last_tx_id: int = -1
 
     def listener(self, epoch_id: int, ops_batch: DataFrame) -> None:
-        puts = ops_batch.filter(F.col("op") == "put").select(
-            "eid", F.get_json_object("doc_json", f"$.{self.text_field}").alias("body")
-        ).filter(F.col("body").isNotNull())
-        deletes = ops_batch.filter(F.col("op").isin("delete", "evict")).select("eid")
+        # a micro-batch can carry several txs touching the SAME entity
+        # (availableNow batches everything pending): only each entity's
+        # FINAL effective op (by tx order) may index, or a put+put batch
+        # double-counts tf and a put-then-delete batch resurrects the put
+        eff = ops_batch.filter(F.col("op").isin("put", "delete", "evict"))
+        last = eff.groupBy("eid").agg(
+            F.max_by(
+                F.struct("op", "doc_json"), F.struct("tx_id", "seq")
+            ).alias("last")
+        )
+        puts = (
+            last.filter(F.col("last.op") == "put")
+            .select(
+                "eid",
+                F.get_json_object(
+                    "last.doc_json", f"$.{self.text_field}"
+                ).alias("body"),
+            )
+            .filter(F.col("body").isNotNull())
+        )
         new_postings, _, _ = build_text_index(puts, "eid", "body")
-        touched = puts.select("eid").unionByName(deletes).distinct()
+        # every touched eid drops its old postings — including a put whose
+        # new doc version no longer carries the text field
+        touched = last.select("eid")
         if self.postings is None:
             merged = new_postings
         else:
             kept = self.postings.join(touched, "eid", "left_anti")
             merged = kept.unionByName(new_postings)
         self.postings = merged.localCheckpoint()
+        mx = ops_batch.agg(F.max("tx_id")).first()[0]
+        if mx is not None:
+            self.last_tx_id = max(self.last_tx_id, int(mx))
+
+    # -- checkpoint persistence (crux-lucene checkpoints its index dir
+    # through crux.checkpoint alongside the KV index; here the postings
+    # table IS the index, so a checkpoint = postings parquet + watermark) --
+    def save(self, path: str) -> None:
+        """Persist the index under `path`: postings as parquet plus a
+        meta sidecar carrying the text field and indexed-tx watermark."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        if self.postings is not None:
+            self.postings.write.mode("overwrite").parquet(
+                os.path.join(path, "postings")
+            )
+        with open(os.path.join(path, "index.json"), "w") as f:
+            json.dump(
+                {"text_field": self.text_field, "last_tx_id": self.last_tx_id},
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IncrementalTextIndex":
+        """Restore an index saved with :meth:`save`; the caller (usually
+        CheckpointStore.restore_latest) replays the WAL tail past
+        `last_tx_id` through :meth:`listener`."""
+        import json
+        import os
+
+        with open(os.path.join(path, "index.json")) as f:
+            meta = json.load(f)
+        idx = cls(spark, text_field=meta.get("text_field", "text"))
+        idx.last_tx_id = int(meta.get("last_tx_id", -1))
+        postings_dir = os.path.join(path, "postings")
+        if os.path.isdir(postings_dir):
+            idx.postings = spark.read.parquet(postings_dir)
+        return idx
 
     def search(self, query: str, limit: int | None = None) -> DataFrame:
         if self.postings is None:

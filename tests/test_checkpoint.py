@@ -140,6 +140,104 @@ def test_restore_preserves_pre_checkpoint_aborts(spark, tmp_path):
     assert restored.tx_committed(3) is True
 
 
+def _wal_ops_df(spark, wal):
+    """All committed WAL ops as an OPS_SCHEMA batch (test helper that
+    stands in for the live TxLogStream foreachBatch feed)."""
+    from crux_spark.bitemporal.store import OPS_SCHEMA
+    from crux_spark.bitemporal.txlog import open_tx_log
+
+    rows = [
+        r
+        for e in open_tx_log(wal).entries()
+        if not e.get("aborted")
+        for r in e["rows"]
+    ]
+    return spark.createDataFrame(
+        [tuple(r.get(f.name) for f in OPS_SCHEMA.fields) for r in rows],
+        OPS_SCHEMA,
+    )
+
+
+def test_text_index_checkpoint_restore_with_tail_replay(spark, tmp_path):
+    """The reference checkpoints its Lucene dir alongside the KV index
+    (crux-lucene via crux-core/src/crux/checkpoint.clj): a restored node
+    restores BOTH and replays the tx-log tail through both. Restart test:
+    build index, checkpoint it with the store, write more txs (update +
+    delete + new doc) into the WAL only, restore, and require the restored
+    index's search results to be identical to a live index that consumed
+    every tx."""
+    from crux_spark.functions.text_search import IncrementalTextIndex
+
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "d1", "text": "alpha beta"})], tx_time=t(1))
+    store.submit_tx([("put", {"id": "d2", "text": "beta gamma"})], tx_time=t(1))
+    store.commit()
+
+    idx = IncrementalTextIndex(spark)
+    idx.listener(0, _wal_ops_df(spark, wal))
+    assert idx.last_tx_id == 2
+    meta = cp.checkpoint(store, indexes={"text": idx})
+    assert meta["indexes"] == ["text"]
+
+    # tail past the checkpoint: d1 rewritten (alpha gone), d2 deleted,
+    # d3 new — lands only in the WAL
+    store.submit_tx([("put", {"id": "d1", "text": "delta beta"})], tx_time=t(2))
+    store.submit_tx([("delete", "d2")], tx_time=t(2))
+    store.submit_tx([("put", {"id": "d3", "text": "gamma epsilon"})], tx_time=t(2))
+    store.commit()
+
+    restored, idxs = cp.restore_latest(
+        spark, wal_path=wal, index_loaders={"text": IncrementalTextIndex.load}
+    )
+    ridx = idxs["text"]
+    assert ridx.last_tx_id == 5
+    assert restored.latest_completed_tx() == 5
+
+    # live index that consumed every tx = ground truth
+    live = IncrementalTextIndex(spark)
+    live.listener(0, _wal_ops_df(spark, wal))
+    for q in ("alpha", "beta", "gamma", "delta", "epsilon"):
+        got = sorted((r.eid, r.score) for r in ridx.search(q).collect())
+        want = sorted((r.eid, r.score) for r in live.search(q).collect())
+        assert got == want, q
+    assert ridx.search("alpha").count() == 0          # pre-update content gone
+    assert {r.eid for r in ridx.search("beta").collect()} == {"d1"}
+    assert {r.eid for r in ridx.search("gamma").collect()} == {"d3"}
+
+
+def test_text_index_restore_skips_aborted_tail_tx(spark, tmp_path):
+    """A match-aborted tx in the replayed tail indexes nothing (aborted
+    txs are invisible to secondary indexes)."""
+    from crux_spark.functions.text_search import IncrementalTextIndex
+
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "d1", "text": "alpha"})], tx_time=t(1))
+    store.commit()
+    idx = IncrementalTextIndex(spark)
+    idx.listener(0, _wal_ops_df(spark, wal))
+    cp.checkpoint(store, indexes={"text": idx})
+
+    # tail: tx 2 fails its match -> aborted; its put must not index
+    store.submit_tx(
+        [
+            ("match", "d1", {"id": "d1", "text": "WRONG"}),
+            ("put", {"id": "d1", "text": "poison"}),
+        ],
+        tx_time=t(2),
+    )
+    assert store.commit() == {2}
+
+    _, idxs = cp.restore_latest(
+        spark, wal_path=wal, index_loaders={"text": IncrementalTextIndex.load}
+    )
+    assert idxs["text"].search("poison").count() == 0
+    assert {r.eid for r in idxs["text"].search("alpha").collect()} == {"d1"}
+
+
 def test_restore_replays_evict_through_doc_store(spark, tmp_path):
     """An evict in the replayed WAL tail must run the doc-store
     tombstone pass, exactly like TxStore.recover: the doc store must be
