@@ -287,15 +287,41 @@ class Catalog:
                 f"unknown attribute {attr!r}; known: {sorted(self._attrs)[:20]}..."
             ) from None
 
+    # above this many registered tables, eav_view() materializes itself
+    # to one attribute-partitioned parquet table instead of handing every
+    # var-attr clause an N-way union (a silent N-fold scan); set to None
+    # on an instance to opt out, or call materialize_eav() explicitly for
+    # full control of the path
+    EAV_AUTO_MATERIALIZE_TABLES = 8
+
     def eav_view(self) -> DataFrame:
         """Union of the typed EAV triples views of every registered table
         (SURVEY.md §1.5's `triples` view) — the fallback scan for
         variable-attribute Datalog patterns ``[?e ?a ?v]``. Values bind in
-        stringified form; typed comparisons should use fixed attributes."""
+        stringified form; typed comparisons should use fixed attributes.
+
+        Catalogs with more than EAV_AUTO_MATERIALIZE_TABLES tables
+        auto-materialize (see :meth:`materialize_eav`): the per-clause
+        N-table union is fine for a handful of tables but is N full scans
+        per clause on a wide catalog."""
         if getattr(self, "_eav", None) is None:
             from crux_spark.sources.loaders import triples_view
 
             self._materialize_all()
+            thresh = getattr(self, "EAV_AUTO_MATERIALIZE_TABLES", None)
+            if (
+                thresh is not None
+                and len(self._dfs) > thresh
+                and getattr(self, "_eav_path", None) is None
+            ):
+                import tempfile
+
+                # unique per catalog: two catalogs sharing the default
+                # path would clobber each other's materialization
+                self.materialize_eav(
+                    tempfile.mkdtemp(prefix="crux_eav_auto_")
+                )
+                return self._eav
             views = [triples_view(self._dfs[t]) for t in self._dfs]
             out = views[0]
             for v in views[1:]:

@@ -520,6 +520,59 @@ def test_materialize_eav_single_scan(catalog, tmp_path):
     ).count()
 
 
+def test_eav_auto_materializes_past_table_threshold(spark):
+    """A catalog past EAV_AUTO_MATERIALIZE_TABLES tables materializes its
+    EAV view on first use WITHOUT an explicit materialize_eav() call —
+    the default N-way union is a silent N-fold scan per var-attr clause
+    on a wide catalog (r10 verdict #5). Opt-out per instance keeps the
+    lazy union."""
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog import q
+
+    def build(n):
+        cat = Catalog(spark)
+        for i in range(n):
+            cat.add_documents(
+                f"t{i}",
+                spark.range(3).select(
+                    F.concat(F.lit(f"e{i}_"), F.col("id")).alias("id"),
+                    (F.col("id") + i * 10).alias("score"),
+                ),
+                id_col="id",
+            )
+        return cat
+
+    query = {
+        "find": ["?e", "?v"],
+        "keys": ["e", "v"],
+        "where": [["?e", "?a", "?v"], [["=", "?a", ":score"]]],
+    }
+
+    cat = build(10)
+    df = q(cat, query)
+    assert cat._eav_path is not None  # auto-materialized, no explicit call
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1, final
+    assert df.count() == 30
+
+    # opt-out: the union path stays and answers identically
+    cat2 = build(10)
+    cat2.EAV_AUTO_MATERIALIZE_TABLES = None
+    df2 = q(cat2, query)
+    assert cat2._eav_path is None
+    assert {tuple(r) for r in df2.collect()} == {
+        tuple(r) for r in df.collect()
+    }
+
+    # at-or-under the threshold: no materialization write happens
+    small = build(8)
+    q(small, query).count()
+    assert small._eav_path is None
+
+
 def test_or_branch_literal_merge(catalog):
     """Or-branches identical except one literal collapse into a single
     set-literal (one-of) branch: SAME answers as the general union
