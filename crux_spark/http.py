@@ -88,16 +88,35 @@ class HttpNode:
                 pass
 
             def _send(self, code: int, payload):
-                body = json.dumps(payload, default=_json_default).encode()
+                # content negotiation (http_server.clj ->content-type):
+                # Accept: application/edn -> EDN with keywords/#inst
+                # intact; JSON stays the default
+                if "application/edn" in (self.headers.get("Accept") or ""):
+                    from crux_spark import edn
+
+                    body = edn.dumps(payload).encode()
+                    ctype = "application/edn"
+                else:
+                    body = json.dumps(payload, default=_json_default).encode()
+                    ctype = "application/json"
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
-                return json.loads(self.rfile.read(n) or b"{}")
+                raw = self.rfile.read(n)
+                if "application/edn" in (
+                    self.headers.get("Content-Type") or ""
+                ):
+                    from crux_spark import edn
+
+                    # request envelopes use keyword keys ({:query ...});
+                    # the engine's specs use plain-string keys
+                    return edn.unkeyword_keys(edn.loads(raw.decode() or "{}"))
+                return json.loads(raw or b"{}")
 
             def do_GET(self):
                 u = urlparse(self.path)

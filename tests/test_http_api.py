@@ -395,3 +395,90 @@ def test_remote_db_q_pins_unpinned_basis_across_pages(spark):
         assert len(rows2) == 15
     finally:
         h.close()
+
+
+# ---------------------------------------------------------------------------
+# EDN content negotiation (http_server.clj ->content-type): Accept:
+# application/edn answers EDN with keywords and #inst intact; an EDN
+# request body (keyword keys, #inst literals) is accepted symmetrically.
+
+
+def _edn_req(url, body=None):
+    from crux_spark import edn
+
+    data = edn.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url,
+        data=data,
+        headers={
+            "Accept": "application/edn",
+            **({"Content-Type": "application/edn"} if data else {}),
+        },
+        method="POST" if data else "GET",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"] == "application/edn"
+        return edn.loads(r.read().decode())
+
+
+def test_http_edn_round_trip(spark):
+    """Keyword and #inst values survive submit -> query through the EDN
+    path: the doc goes in as EDN (keyword keys, keyword value, #inst
+    value) and the query result comes back as EDN tuples carrying the
+    same keyword and the same instant (r10 verdict #9)."""
+    import datetime as dt
+
+    node = Node(spark, schema="id string, kind string, at timestamp")
+    h = HttpNode(node)
+    try:
+        base = h.url
+        at = dt.datetime(2023, 5, 1, 12, 30)
+        tx = _edn_req(
+            base + "/_crux/submit-tx",
+            {":tx-ops": [["put", {":id": "e1", ":kind": ":type/widget",
+                                  ":at": at}]]},
+        )
+        assert tx["tx-id"] >= 1
+        assert get(base + "/_crux/await-tx") == {"aborted": []}
+
+        res = _edn_req(
+            base + "/_crux/query",
+            {":query": {":find": ["?k", "?at"],
+                        ":where": [["?e", ":kind", "?k"],
+                                   ["?e", ":at", "?at"]]}},
+        )
+        assert res == [[":type/widget", at]]
+
+        # JSON stays the default on the same server
+        res_json = post(base + "/_crux/query", {"query": {
+            "find": ["?k"], "where": [["?e", ":kind", "?k"]]}})
+        assert res_json == [[":type/widget"]]
+    finally:
+        h.close()
+
+
+def test_edn_codec_round_trip():
+    """The EDN printer/reader cover the spec subset the HTTP surface
+    exchanges, including nesting, sets, decimals, and #_ discard."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from crux_spark import edn
+
+    vals = [
+        None, True, False, 42, -7, 3.5, "plain text", "with \"quotes\"\n",
+        ":kw", ":ns/kw", Decimal("10.25"),
+        dt.datetime(2024, 2, 29, 23, 59, 59),
+        [1, [2, {":a": {":b": [None]}}]],
+        {":k": [1, 2], "s": {"nested": True}},
+    ]
+    for v in vals:
+        assert edn.loads(edn.dumps(v)) == v, v
+    assert edn.loads(edn.dumps({1, 2, 3})) == {1, 2, 3}
+    assert edn.loads("#_ {:dropped 1} [:kept]") == [":kept"]
+    assert edn.loads("(1, 2, 3)") == [1, 2, 3]  # commas are whitespace
+    assert edn.loads("7N") == 7
+    assert edn.loads('#inst "2023-05-01T12:30:00+02:00"') == dt.datetime(
+        2023, 5, 1, 10, 30
+    )
+    assert edn.unkeyword_keys({":q": [{":find": 1}]}) == {"q": [{"find": 1}]}
