@@ -305,31 +305,55 @@ class RemoteNode:
     returns a RemoteDb pinned to (valid-time, tx) like a local Db
     value."""
 
-    def __init__(self, url: str):
+    def __init__(self, url: str, edn: bool = False):
+        """``edn=True`` ships requests/responses as application/edn (the
+        reference client's native format): query results keep TYPED
+        values — #inst instants come back as datetimes and keywords as
+        ':kw' strings — where the JSON path degrades both to plain
+        strings."""
         self.url = url.rstrip("/")
+        self.edn = edn
 
     # -- plumbing ---------------------------------------------------------
+    def _decode(self, resp) -> object:
+        raw = resp.read()
+        if "application/edn" in (resp.headers.get("Content-Type") or ""):
+            from crux_spark import edn
+
+            return edn.loads(raw.decode())
+        return json.loads(raw)
+
     def _get(self, path: str, **qs):
         import urllib.parse
         import urllib.request
 
         q = urllib.parse.urlencode({k: v for k, v in qs.items() if v is not None})
-        with urllib.request.urlopen(
-            f"{self.url}{path}" + (f"?{q}" if q else ""), timeout=120
-        ) as r:
-            return json.loads(r.read())
+        req = urllib.request.Request(
+            f"{self.url}{path}" + (f"?{q}" if q else ""),
+            headers={"Accept": "application/edn"} if self.edn else {},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return self._decode(r)
 
     def _post(self, path: str, payload: dict):
         import urllib.request
 
+        if self.edn:
+            from crux_spark import edn
+
+            data = edn.dumps(payload).encode()
+            headers = {
+                "Content-Type": "application/edn",
+                "Accept": "application/edn",
+            }
+        else:
+            data = json.dumps(payload, default=_json_default).encode()
+            headers = {"Content-Type": "application/json"}
         req = urllib.request.Request(
-            f"{self.url}{path}",
-            data=json.dumps(payload, default=_json_default).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
+            f"{self.url}{path}", data=data, headers=headers, method="POST"
         )
         with urllib.request.urlopen(req, timeout=300) as r:
-            return json.loads(r.read())
+            return self._decode(r)
 
     # -- Node surface -----------------------------------------------------
     def submit_tx(self, ops, tx_time=None) -> int:

@@ -482,3 +482,34 @@ def test_edn_codec_round_trip():
         2023, 5, 1, 10, 30
     )
     assert edn.unkeyword_keys({":q": [{":find": 1}]}) == {"q": [{"find": 1}]}
+
+
+def test_remote_client_edn_mode(spark):
+    """RemoteNode(edn=True): the client ships EDN both ways, so query
+    results keep typed values — #inst instants return as datetimes and
+    keyword values as ':kw' strings — and tx ops carry real datetimes
+    (the reference client's native format)."""
+    import datetime as dt
+
+    from crux_spark.http import RemoteNode
+
+    node = Node(spark, schema="id string, kind string, at timestamp")
+    h = HttpNode(node)
+    try:
+        remote = RemoteNode(h.url, edn=True)
+        at = dt.datetime(2024, 7, 4, 9, 15)
+        remote.submit_tx([("put", {"id": "e1", "kind": ":k/alpha", "at": at})])
+        remote.await_tx()
+        rows = remote.db().q({
+            "find": ["?k", "?at"],
+            "where": [["?e", ":kind", "?k"], ["?e", ":at", "?at"]],
+        })
+        assert rows == [[":k/alpha", at]]  # typed, not stringified
+        assert remote.latest_completed_tx() == 1
+        assert remote.entity("e1")["kind"] == ":k/alpha"
+        # same server, JSON client: instant degrades to a string
+        rows_json = RemoteNode(h.url).db().q({
+            "find": ["?at"], "where": [["?e", ":at", "?at"]]})
+        assert isinstance(rows_json[0][0], str)
+    finally:
+        h.close()
