@@ -1119,3 +1119,133 @@ def semantic_dedup(
         )
 
     return vecs.groupBy(*group_cols).applyInPandas(cluster_dedup, out_schema)
+
+
+class IncrementalVectorIndex:
+    """IVF vector index maintained incrementally from tx batches — the
+    similarity-search sibling of IncrementalTextIndex (the reference's
+    secondary-index replay seam, crux-lucene via crux-core/src/crux/tx.clj
+    register-index!; the reference itself has no vector index — this is
+    part of the pipeline-operator extension family).
+
+    State is ONE DataFrame (eid, vec, cell_id): each put's embedding is
+    assigned to its nearest centroid cell map-side (Arrow pandas UDF) and
+    merged by entity like the text index (only each entity's final
+    effective op per batch lands). Search probes the query's `nprobe`
+    nearest cells only — with the index saved partitioned by cell_id,
+    a probe is a partition-pruned scan at any corpus size; probing ALL
+    cells makes results exactly equal to brute force (the test oracle).
+
+    Checkpointable through CheckpointStore's `indexes=` seam: `save()`
+    writes cells parquet (partitioned by cell_id) + centroids + the
+    indexed-tx watermark; a restored index replays only the WAL tail
+    past its watermark.
+    """
+
+    def __init__(self, spark, centroids: np.ndarray, vec_field: str = "embedding"):
+        self.spark = spark
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.vec_field = vec_field
+        self.cells: DataFrame | None = None
+        self.last_tx_id: int = -1
+
+    def listener(self, epoch_id: int, ops_batch: DataFrame) -> None:
+        eff = ops_batch.filter(F.col("op").isin("put", "delete", "evict"))
+        last = eff.groupBy("eid").agg(
+            F.max_by(F.struct("op", "doc_json"), F.struct("tx_id", "seq")).alias("last")
+        )
+        puts = (
+            last.filter(F.col("last.op") == "put")
+            .select(
+                "eid",
+                F.from_json(
+                    F.get_json_object("last.doc_json", f"$.{self.vec_field}"),
+                    "array<double>",
+                ).alias("vec"),
+            )
+            .filter(F.col("vec").isNotNull())
+        )
+        assign1 = _cell_assign_udf(self.centroids, 1)
+        new_cells = puts.select(
+            "eid", "vec", F.element_at(assign1(F.col("vec")), 1).alias("cell_id")
+        )
+        touched = last.select("eid")
+        if self.cells is None:
+            merged = new_cells
+        else:
+            merged = self.cells.join(touched, "eid", "left_anti").unionByName(
+                new_cells
+            )
+        self.cells = merged.localCheckpoint()
+        mx = ops_batch.agg(F.max("tx_id")).first()[0]
+        if mx is not None:
+            self.last_tx_id = max(self.last_tx_id, int(mx))
+
+    def search(self, query_vec, k: int = 5, nprobe: int = 4) -> DataFrame:
+        """Top-k nearest entities by cosine. The single query vector is
+        assigned to its nprobe nearest cells DRIVER-side (the centroid
+        matrix is k_cells x dim, driver-resident by design); the scan
+        then touches only those cells."""
+        if self.cells is None:
+            raise ValueError("index empty: no batches ingested yet")
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        C = self.centroids / np.maximum(
+            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-12
+        )
+        order = np.argsort(-(C @ qn), kind="stable")
+        probes = [int(c) for c in order[: max(1, nprobe)]]
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        return (
+            self.cells.filter(F.col("cell_id").isin(probes))
+            .select(
+                "eid",
+                F.round(
+                    cosine(F.col("vec").cast("array<double>"), qlit), 6
+                ).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), F.col("eid").asc())
+            .limit(k)
+        )
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.centroids.shape[0])
+
+    # -- checkpoint persistence (same contract as IncrementalTextIndex) --
+    def save(self, path: str) -> None:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        if self.cells is not None:
+            self.cells.write.mode("overwrite").partitionBy("cell_id").parquet(
+                _os.path.join(path, "cells")
+            )
+        with open(_os.path.join(path, "index.json"), "w") as f:
+            _json.dump(
+                {
+                    "vec_field": self.vec_field,
+                    "last_tx_id": self.last_tx_id,
+                    "centroids": self.centroids.tolist(),
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IncrementalVectorIndex":
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "index.json")) as f:
+            meta = _json.load(f)
+        idx = cls(
+            spark,
+            np.asarray(meta["centroids"], dtype=np.float64),
+            vec_field=meta.get("vec_field", "embedding"),
+        )
+        idx.last_tx_id = int(meta.get("last_tx_id", -1))
+        cells_dir = _os.path.join(path, "cells")
+        if _os.path.isdir(cells_dir):
+            idx.cells = spark.read.parquet(cells_dir)
+        return idx

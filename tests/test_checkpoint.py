@@ -267,3 +267,71 @@ def test_restore_replays_evict_through_doc_store(spark, tmp_path):
     # the tombstone pass ran during tail replay: content is gone from
     # the store, and documents() answers the redaction sentinel at most
     assert open_doc_store(docs).fetch_docs([h]).get(h, {}).get("v") != "secret"
+
+
+def test_vector_index_checkpoint_restore_and_exactness(spark, tmp_path):
+    """IncrementalVectorIndex: (a) probing ALL cells equals brute-force
+    cosine ranking over the live docs — the exactness oracle; (b) the
+    index checkpoints through the indexes= seam and a restored index
+    replays the WAL tail (update + delete + insert) to answer identically
+    to a live index; (c) nprobe=1 returns a subset of the all-cells
+    ranking (the partition-pruned scale path)."""
+    import numpy as np
+
+    from crux_spark.operators.similarity import IncrementalVectorIndex
+
+    rng = np.random.default_rng(7)
+    centroids = np.eye(3, 4) + 0.01  # 3 cells over 4-dim vectors
+    vecs = {f"v{i}": rng.normal(size=4).round(3).tolist() for i in range(12)}
+
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    for eid, v in vecs.items():
+        store.submit_tx([("put", {"id": eid, "embedding": v})], tx_time=t(1))
+    store.commit()
+
+    idx = IncrementalVectorIndex(spark, centroids)
+    idx.listener(0, _wal_ops_df(spark, wal))
+
+    # (a) all-cells probe == brute force
+    q = [0.5, -0.2, 0.9, 0.1]
+    got = [(r.eid, r.sim) for r in idx.search(q, k=5, nprobe=3).collect()]
+    qn = np.array(q) / np.linalg.norm(q)
+    sims = {
+        e: round(float(np.dot(v, qn) / np.linalg.norm(v)), 6)
+        for e, v in vecs.items()
+    }
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+    # (c) nprobe=1 prunes to one cell: a subset of the full ranking
+    pruned = {r.eid for r in idx.search(q, k=5, nprobe=1).collect()}
+    assert pruned <= {e for e, _ in sorted(sims.items(), key=lambda kv: -kv[1])}
+    assert 0 < len(pruned) <= 5
+
+    cp.checkpoint(store, indexes={"vec": idx})
+
+    # tail: v0 moved, v1 deleted, v12 new
+    vecs["v0"] = [9.0, 0.1, 0.1, 0.1]
+    store.submit_tx([("put", {"id": "v0", "embedding": vecs["v0"]})], tx_time=t(2))
+    store.submit_tx([("delete", "v1")], tx_time=t(2))
+    del vecs["v1"]
+    vecs["v12"] = [0.4, -0.3, 1.0, 0.0]
+    store.submit_tx([("put", {"id": "v12", "embedding": vecs["v12"]})], tx_time=t(2))
+    store.commit()
+
+    _, idxs = cp.restore_latest(
+        spark, wal_path=wal,
+        index_loaders={"vec": IncrementalVectorIndex.load},
+    )
+    ridx = idxs["vec"]
+    assert ridx.last_tx_id == store.latest_completed_tx()
+    got2 = [(r.eid, r.sim) for r in ridx.search(q, k=5, nprobe=3).collect()]
+    sims2 = {
+        e: round(float(np.dot(v, qn) / np.linalg.norm(v)), 6)
+        for e, v in vecs.items()
+    }
+    want2 = sorted(sims2.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got2 == want2
+    assert all(e != "v1" for e, _ in got2)  # deleted doc gone
