@@ -4340,3 +4340,81 @@ QUERIES.update(_r11_reordered)
 # r11 additions — registered AFTER the r11 window reorder, so they land in
 # the overflow tail (mirror-checked per round; driver rows via rotation).
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_vector_index",
+    """
+    WITH final AS (
+      SELECT 'v' || vec_id AS eid,
+             CASE WHEN vec_id % 10 = 1
+                  THEN list_prepend(CAST(embedding[1] AS DOUBLE) + 1.0,
+                                    CAST(embedding[2:] AS DOUBLE[]))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS vec
+      FROM embeddings WHERE vec_id < 400 AND vec_id % 10 != 0
+    )
+    SELECT eid,
+           round(list_cosine_similarity(vec,
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 3)), 6) AS sim
+    FROM final ORDER BY sim DESC, eid ASC LIMIT 10
+    """,
+)
+def incremental_vector_index(spark, sf_dir):
+    """IncrementalVectorIndex maintenance semantics end-to-end
+    (operators/similarity.py — the streaming sibling of ann_ivf, fed
+    from tx batches like crux-lucene's tx-replay seam): batch 1 puts
+    every vec_id < 400; batch 2 DELETES vec_id % 10 == 0 and RE-PUTS
+    vec_id % 10 == 1 with component 0 shifted by +1.0. A top-10 search
+    probing ALL cells must then equal brute-force cosine over the FINAL
+    corpus state — the DuckDB oracle computes that state directly, so a
+    hash-match proves put/delete/re-put merge semantics AND the cosine
+    path, not just the happy ingest. Centroids are 8 sampled corpus
+    vectors (bounded k x dim driver materialization, the documented IVF
+    posture); nprobe = all 8 cells makes the oracle exact.  Scale: the
+    per-batch merge is one left-anti join + union on eid, and search
+    prunes to probed cells (cell-partitioned parquet when saved)."""
+    import numpy as np
+
+    from crux_spark.operators.similarity import IncrementalVectorIndex
+
+    cat = catalog_for(spark, sf_dir)
+    emb = cat.table("embeddings").filter(F.col("vec_id") < 400)
+    ops = lambda df: df  # noqa: E731 — readability alias below
+    b1 = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("eid"),
+        F.col("vec_id").cast("long").alias("tx_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("put").alias("op"),
+        F.to_json(F.struct(F.col("embedding"))).alias("doc_json"),
+    )
+    shifted = F.concat(
+        F.array(F.element_at("embedding", 1).cast("double") + F.lit(1.0)),
+        F.slice(F.col("embedding"), 2, 100000).cast("array<double>"),
+    )
+    b2 = (
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("eid"),
+            (F.col("vec_id") + 10000).cast("long").alias("tx_id"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("string").alias("doc_json"),
+        )
+    ).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 1).select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("eid"),
+            (F.col("vec_id") + 10000).cast("long").alias("tx_id"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("put").alias("op"),
+            F.to_json(F.struct(shifted.alias("embedding"))).alias("doc_json"),
+        )
+    )
+    cents = np.asarray(
+        [r.embedding for r in emb.filter(F.col("vec_id") < 8).collect()],
+        dtype=np.float64,
+    )
+    idx = IncrementalVectorIndex(spark, cents)
+    idx.listener(0, ops(b1))
+    idx.listener(1, ops(b2))
+    qvec = emb.filter(F.col("vec_id") == 3).first().embedding
+    return idx.search(list(qvec), k=10, nprobe=idx.n_cells)
