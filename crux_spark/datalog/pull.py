@@ -307,6 +307,13 @@ def pull(
     driving = df.select(
         F.col(entity_col).cast("string").alias("__pe")
     ).distinct()
+    # materialize the id set ONCE (executor-side blocks, never the
+    # driver): every edge scan semi-joins it, and without this each semi
+    # re-executes the driving query's whole subtree (ReusedExchange only
+    # kicks in for byte-identical exchanges, which AQE re-planning often
+    # breaks). For whole-table pulls this stores O(ids) per executor —
+    # bounded by the same distinct the semis need anyway.
+    driving = driving.localCheckpoint(eager=False)
     # No broadcast hint and no driver-side count: AQE converts the semis
     # to broadcasts at runtime when the driving set is small (measured:
     # a count()-gated explicit hint costs MORE in job latency than AQE's

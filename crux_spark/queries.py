@@ -4380,7 +4380,6 @@ def incremental_vector_index(spark, sf_dir):
 
     cat = catalog_for(spark, sf_dir)
     emb = cat.table("embeddings").filter(F.col("vec_id") < 400)
-    ops = lambda df: df  # noqa: E731 — readability alias below
     b1 = emb.select(
         F.concat(F.lit("v"), F.col("vec_id")).alias("eid"),
         F.col("vec_id").cast("long").alias("tx_id"),
@@ -4414,7 +4413,7 @@ def incremental_vector_index(spark, sf_dir):
         dtype=np.float64,
     )
     idx = IncrementalVectorIndex(spark, cents)
-    idx.listener(0, ops(b1))
-    idx.listener(1, ops(b2))
+    idx.listener(0, b1)
+    idx.listener(1, b2)
     qvec = emb.filter(F.col("vec_id") == 3).first().embedding
     return idx.search(list(qvec), k=10, nprobe=idx.n_cells)
