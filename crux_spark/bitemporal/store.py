@@ -329,6 +329,10 @@ class TxStore:
         self._pending: list[dict] = []
         self._pending_aborted: set[int] = set()  # fn-returned-false txs
         self._tx_fns: dict[str, Callable] = {}
+        # secondary-index listeners fed one committed-rows OPS_SCHEMA
+        # batch per commit() (register-index! analogue; see commit())
+        self.index_listeners: list[Callable] = []
+        self._index_epoch: int = 0
         # eids of SQL table-registry docs (SCHEMA_DOC_ATTR). None =
         # unknown (versions arrived wholesale — load()/fork with
         # pre-existing data); schema_doc_eids() re-seeds with ONE
@@ -569,7 +573,22 @@ class TxStore:
                 for e in evict_pos:
                     self._docs.evict_eid(e, keep_hashes=keep[e])
         self._pending = []
-        return aborted | fn_aborted
+        all_aborted = aborted | fn_aborted
+        # registered secondary indexes (the reference's register-index!
+        # seam, crux-core/src/crux/tx.clj:400-410) get ONE committed-rows
+        # batch per commit — aborted txs index nothing. Same listener
+        # contract as TxLogStream, so IncrementalTextIndex /
+        # IncrementalVectorIndex plug into either path unchanged.
+        if self.index_listeners:
+            committed = ops_df
+            if aborted:
+                committed = ops_df.filter(
+                    ~F.col("tx_id").isin(sorted(int(a) for a in aborted))
+                )
+            self._index_epoch += 1
+            for fn in list(self.index_listeners):
+                fn(self._index_epoch, committed)
+        return all_aborted
 
     def apply_ops_df(self, ops_df: DataFrame, has_match: bool | None = None) -> set[int]:
         """Apply a whole ops DataFrame (OPS_SCHEMA) through the cogrouped

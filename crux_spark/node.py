@@ -358,6 +358,9 @@ class Node:
         self._plan_cache: OrderedDict = OrderedDict()
         self._tx_listeners: list = []
         self._pending_listener_txs: list = []
+        # name -> secondary index registered via register_index(); pass
+        # as checkpoint(store, indexes=node.indexes) to persist them
+        self.indexes: dict = {}
         # query monitoring (node.clj:71-86, :240-260; defaults mirror the
         # reference's 5-minute / 20-entry queues and 100ms slow threshold)
         self.recent_queries_max_age = recent_queries_max_age
@@ -473,6 +476,26 @@ class Node:
         (the reference returns an AutoCloseable)."""
         self._tx_listeners.append(fn)
         return lambda: self._tx_listeners.remove(fn)
+
+    def register_index(self, name: str, index) -> "callable":
+        """Attach a secondary index (IncrementalTextIndex /
+        IncrementalVectorIndex / anything with the ``listener(epoch,
+        ops_batch)`` contract) to this node's commit path — the
+        reference's register-index! (crux-core/src/crux/tx.clj:400-410:
+        external indexes replay the log and stay current per indexed
+        tx). The index receives ONE committed-rows batch per await_tx;
+        aborted txs index nothing. Registered indexes are tracked by
+        name so ``checkpoint(store, indexes=node.indexes)`` persists
+        them beside the versions table. Returns a zero-arg
+        unsubscribe."""
+        self.indexes[name] = index
+        self.store.index_listeners.append(index.listener)
+
+        def _unsub():
+            self.store.index_listeners.remove(index.listener)
+            self.indexes.pop(name, None)
+
+        return _unsub
 
     def register_tx_fn(self, name: str, fn) -> None:
         self.store.register_tx_fn(name, fn)

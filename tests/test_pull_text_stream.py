@@ -598,3 +598,48 @@ def test_stream_sessionize(spark, tmp_path):
     rows = spark.sql("SELECT user_id, n_events, started_at FROM sess_out").collect()
     sessions = sorted((r.user_id, r.n_events, r.started_at) for r in rows)
     assert sessions == [(1, 2, at(120)), (1, 3, at(0)), (2, 1, at(5))]
+
+
+def test_node_register_index(spark):
+    """Node.register_index (the reference's register-index! seam): a
+    registered incremental index receives one committed-rows batch per
+    await_tx — staying current through put/update/delete — aborted txs
+    index nothing, and unsubscribe detaches it."""
+    from crux_spark.functions.text_search import IncrementalTextIndex
+    from crux_spark.node import Node
+
+    node = Node(spark)
+    idx = IncrementalTextIndex(spark)
+    unsub = node.register_index("text", idx)
+    assert node.indexes == {"text": idx}
+
+    node.submit_tx([("put", {"id": "d1", "text": "alpha beta"})])
+    node.submit_tx([("put", {"id": "d2", "text": "beta gamma"})])
+    node.await_tx()
+    assert {r.eid for r in idx.search("beta").collect()} == {"d1", "d2"}
+    assert idx.last_tx_id == 2
+
+    # update d1 (alpha gone), delete d2 — one commit, one batch
+    node.submit_tx([("put", {"id": "d1", "text": "delta only"})])
+    node.submit_tx([("delete", "d2")])
+    node.await_tx()
+    assert idx.search("alpha").count() == 0
+    assert idx.search("beta").count() == 0
+    assert {r.eid for r in idx.search("delta").collect()} == {"d1"}
+
+    # a match-aborted tx indexes nothing
+    node.submit_tx([
+        ("match", "d1", {"id": "d1", "text": "WRONG"}),
+        ("put", {"id": "d1", "text": "poison"}),
+    ])
+    aborted = node.await_tx()
+    assert aborted == {5}
+    assert idx.search("poison").count() == 0
+    assert {r.eid for r in idx.search("delta").collect()} == {"d1"}
+
+    # unsubscribe detaches: later commits no longer reach the index
+    unsub()
+    assert node.indexes == {}
+    node.submit_tx([("put", {"id": "d9", "text": "omega"})])
+    node.await_tx()
+    assert idx.search("omega").count() == 0
