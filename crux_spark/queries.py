@@ -4380,12 +4380,18 @@ def incremental_vector_index(spark, sf_dir):
 
     cat = catalog_for(spark, sf_dir)
     emb = cat.table("embeddings").filter(F.col("vec_id") < 400)
+    # doc_json carries the embedding as array<double>: JSON round-trips
+    # doubles exactly (shortest-round-trip repr), while float32 printed
+    # to JSON re-parses to a *different* double than CAST(float AS
+    # DOUBLE) — a 6th-decimal cosine straddle vs the oracle at sf0.1
     b1 = emb.select(
         F.concat(F.lit("v"), F.col("vec_id")).alias("eid"),
         F.col("vec_id").cast("long").alias("tx_id"),
         F.lit(0).cast("long").alias("seq"),
         F.lit("put").alias("op"),
-        F.to_json(F.struct(F.col("embedding"))).alias("doc_json"),
+        F.to_json(
+            F.struct(F.col("embedding").cast("array<double>").alias("embedding"))
+        ).alias("doc_json"),
     )
     shifted = F.concat(
         F.array(F.element_at("embedding", 1).cast("double") + F.lit(1.0)),
