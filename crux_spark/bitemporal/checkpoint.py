@@ -193,3 +193,67 @@ class CheckpointStore:
             shutil.rmtree(meta["dir"])
             removed.append(meta["dir"])
         return removed
+
+
+class Checkpointer:
+    """Scheduled checkpointing — the reference's ->checkpointer `start`
+    loop (crux-core/src/crux/checkpoint.clj:66-99: a single-thread
+    scheduled executor fires roughly every approx-frequency; a failed
+    checkpoint is logged and the schedule continues; close() stops it).
+
+    Here: a daemon thread calls ``tick()`` every `interval` seconds
+    (default: the CheckpointStore's approx_frequency, which ALSO gates
+    inside checkpoint(), so an early tick is a harmless no-op).
+    ``indexes`` (e.g. ``node.indexes`` after register_index) persist
+    beside the versions table on every checkpoint. ``tick()`` is public
+    so tests and cron-style callers can drive the schedule
+    deterministically."""
+
+    def __init__(self, cp_store: CheckpointStore, store: TxStore,
+                 indexes: dict | None = None, interval: float | None = None):
+        import threading
+
+        self.cp_store = cp_store
+        self.store = store
+        self.indexes = indexes
+        self.interval = (
+            interval if interval is not None else cp_store.approx_frequency
+        )
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+
+    def tick(self) -> dict | None:
+        """One checkpoint attempt. Exceptions are logged and swallowed —
+        one failed upload must not stop future checkpoints
+        (checkpoint.clj catches Exception inside the scheduled run)."""
+        try:
+            return self.cp_store.checkpoint(self.store, indexes=self.indexes)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpointing failed", exc_info=True
+            )
+            return None
+
+    def start(self) -> "Checkpointer":
+        import threading
+
+        if self._thread is not None:
+            return self
+
+        def run():
+            while not self._stop.wait(self.interval):
+                self.tick()
+
+        self._thread = threading.Thread(
+            target=run, name="crux-checkpoint", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

@@ -335,3 +335,63 @@ def test_vector_index_checkpoint_restore_and_exactness(spark, tmp_path):
     want2 = sorted(sims2.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got2 == want2
     assert all(e != "v1" for e, _ in got2)  # deleted doc gone
+
+
+def test_scheduled_checkpointer(spark, tmp_path):
+    """Checkpointer (checkpoint.clj ->checkpointer start loop): ticks
+    checkpoint on a schedule, failures log-and-continue, close() stops
+    the thread; indexes persist on every scheduled save."""
+    from crux_spark.bitemporal.checkpoint import Checkpointer
+    from crux_spark.functions.text_search import IncrementalTextIndex
+
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "d1", "text": "alpha"})], tx_time=t(1))
+    store.commit()
+    idx = IncrementalTextIndex(spark)
+    store.index_listeners.append(idx.listener)  # not fed yet: empty index
+
+    ckpt = Checkpointer(cp, store, indexes={"text": idx}, interval=0.05)
+    # deterministic drive: tick() == one scheduled firing
+    meta = ckpt.tick()
+    assert meta is not None and meta["indexes"] == ["text"]
+    # second tick: no new txs -> gated no-op, not an error
+    assert ckpt.tick() is None
+
+    store.submit_tx([("put", {"id": "d2", "text": "beta"})], tx_time=t(2))
+    store.commit()  # index_listeners fed d2 through the commit seam
+    assert ckpt.tick()["tx_id"] == 2
+
+    # a failing save must not raise out of the schedule
+    class Boom:
+        def save(self, path):
+            raise RuntimeError("upload failed")
+
+    store.submit_tx([("put", {"id": "d3", "text": "gamma"})], tx_time=t(3))
+    store.commit()
+    bad = Checkpointer(cp, store, indexes={"boom": Boom()})
+    assert bad.tick() is None  # logged, swallowed
+    # ...and the good checkpointer still works afterwards
+    assert ckpt.tick()["tx_id"] == 3
+
+    # thread smoke: the loop fires on its own, close() stops it
+    import time as _time
+
+    store.submit_tx([("put", {"id": "d4", "text": "delta"})], tx_time=t(4))
+    store.commit()
+    ckpt.start()
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        if cp.available_checkpoints()[0]["tx_id"] == 4:
+            break
+        _time.sleep(0.05)
+    ckpt.close()
+    assert ckpt._thread is None
+    assert cp.available_checkpoints()[0]["tx_id"] == 4
+
+    # the latest scheduled checkpoint restores with a live index
+    restored, idxs = cp.restore_latest(
+        spark, index_loaders={"text": IncrementalTextIndex.load}
+    )
+    assert restored.latest_completed_tx() == 4
+    assert {r.eid for r in idxs["text"].search("beta").collect()} == {"d2"}
