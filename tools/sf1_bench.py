@@ -64,12 +64,24 @@ def main() -> None:
     if prev.get("gate_set"):
         names = [n for n in prev["gate_set"] if n in queries]
     else:
-        with open(os.path.join(REPO, "BENCH_PLANS.json")) as f:
-            sf01 = json.load(f)["queries"]
+        try:
+            with open(os.path.join(REPO, "BENCH_PLANS.json")) as f:
+                sf01 = json.load(f).get("queries") or {}
+        except (OSError, ValueError):
+            sf01 = {}
         names = sorted(
             (n for n in sf01 if n in queries and sf01[n] > 0),
             key=lambda n: -sf01[n],
         )[:N_GATES]
+        if not names:
+            # fresh clone with no sf0.1 record yet: run bench.py first,
+            # or fall back to the full registry head as a seed
+            print(
+                "# no prior gate timings — seeding from the first "
+                f"{N_GATES} registry gates (run bench.py for a real seed)",
+                file=sys.stderr,
+            )
+            names = list(queries)[:N_GATES]
     # pairgen sharing: same bench-only memoization as the sf0.1 suite
     os.environ.setdefault("CRUX_SPARK_BENCH_SHARE", "1")
 
