@@ -99,6 +99,71 @@ def _timed_run(fn, spark, sf_dir):
     return time.perf_counter() - t0, df, n
 
 
+def _current_round(repo_dir: str) -> int:
+    """Best-available current round number, for 'compare vs a STRICTLY
+    prior round' checks. Priority: CRUX_SPARK_ROUND env (explicit) >
+    VERDICT.md header (the judge writes '# VERDICT — Round N' at the END
+    of round N, so current = N+1) > newest BENCH_r record + 1."""
+    env = os.environ.get("CRUX_SPARK_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    try:
+        with open(os.path.join(repo_dir, "VERDICT.md")) as f:
+            m = re.search(r"Round\s+(\d+)", f.readline())
+            if m:
+                return int(m.group(1)) + 1
+    except OSError:
+        pass
+    import glob as _glob
+
+    rounds = [
+        int(m.group(1))
+        for fp in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.fullmatch(r".*BENCH_r(\d+)\.json", fp))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _box_probe() -> dict:
+    """~5s IO/CPU fingerprint recorded in every bench artifact so
+    round-over-round deltas can be environment-normalized (the r11 box
+    degraded 1.7-2.4x mid-round and cost a manual A/B to prove it).
+    Three numbers: sequential write MB/s, sequential read MB/s (fresh
+    file, so the page cache can't serve it back), single-core hash-loop
+    Mops/s."""
+    import hashlib
+    import tempfile
+
+    probe: dict[str, float] = {}
+    try:
+        buf = os.urandom(1 << 20) * 64  # 64 MiB
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            path = f.name
+            t0 = time.perf_counter()
+            for _ in range(4):  # 256 MiB total
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            probe["write_mb_s"] = round(256 / (time.perf_counter() - t0), 1)
+        t0 = time.perf_counter()
+        with open(path, "rb") as f:
+            while f.read(1 << 22):
+                pass
+        probe["read_mb_s"] = round(256 / (time.perf_counter() - t0), 1)
+        os.unlink(path)
+    except OSError:
+        pass
+    t0 = time.perf_counter()
+    h = b"x" * 64
+    n = 0
+    while time.perf_counter() - t0 < 1.0:
+        for _ in range(1000):
+            h = hashlib.sha256(h).digest()
+        n += 1000
+    probe["sha256_kops_s"] = round(n / (time.perf_counter() - t0) / 1000, 1)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -108,6 +173,9 @@ def main() -> None:
     os.environ.setdefault("CRUX_SPARK_BENCH_SHARE", "1")
     import __spark_entry__ as entrymod
     from crux_spark import get_spark
+
+    box_probe = _box_probe()
+    print(f"# box probe: {box_probe}", file=sys.stderr)
 
     spark = get_spark("crux-spark-bench")
     queries = entrymod.queries()
@@ -144,12 +212,18 @@ def main() -> None:
     # pseudo-entry (after the gate loop, so it can never enter the
     # driver's first-50 window).
     shared_pairgen = 0.0
+    pairgen_plan = None
     if os.environ.get("CRUX_SPARK_BENCH_SHARE") == "1":
         from crux_spark.queries import _ngram_pairs_for
 
         t0 = time.perf_counter()
-        _ngram_pairs_for(cat, sf_dir, threshold=0.5).count()
+        pair_df = _ngram_pairs_for(cat, sf_dir, threshold=0.5)
+        pair_df.collect()  # collect, not count: fingerprint the timed plan
         shared_pairgen = time.perf_counter() - t0
+        # fingerprint it like any gate so a plan regression (lost reuse,
+        # SMJ flip, broadcast loss) in the pair generation is visible in
+        # BENCH_PLANS.json rather than only as a wall-time mystery
+        pairgen_plan = _fingerprint(pair_df)
         print(f"# shared pair-gen materialized: {shared_pairgen:.2f}s", file=sys.stderr)
     from crux_spark import metrics as _metrics
 
@@ -192,6 +266,7 @@ def main() -> None:
 
     if shared_pairgen:
         timings["dedup_pairgen_shared"] = round(shared_pairgen, 2)
+        plans["dedup_pairgen_shared"] = pairgen_plan
         total += shared_pairgen
 
     # Variance bars (r10 verdict #7): every gate already ran 2-3 times;
@@ -230,30 +305,47 @@ def main() -> None:
 
     bars = {n: _bar(samples[n]) for n in variable if len(samples[n]) >= 2}
 
-    # regression check vs the newest prior-round record: a gate whose
-    # best-of-N exceeds its prior-round number by >2*sd (and >0.1s
+    # regression check vs the newest STRICTLY-PRIOR-round record: a gate
+    # whose best-of-N exceeds its prior-round number by >2*sd (and >0.1s
     # absolutely — sub-noise-floor moves don't flag) is named in the
-    # artifact instead of leaving the comparison to intuition
+    # artifact instead of leaving the comparison to intuition.
+    # Prior rounds' FULL per-query maps live in BENCH_HISTORY.jsonl (one
+    # line per bench run, appended below) — the driver's BENCH_r*.json
+    # only carries the tail-truncated 50-gate window, and its newest file
+    # can be the CURRENT round's record (a re-run would then flag against
+    # itself). Round inference: CRUX_SPARK_ROUND env > VERDICT.md header
+    # (written at the END of round N, so current = N+1) > max BENCH_r+1.
     regr_flags: list[str] = []
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    cur_round = _current_round(repo_dir)
     try:
-        import glob as _glob
+        prev_q: dict = {}
+        hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                for line in f:
+                    try:
+                        h = json.loads(line)
+                    except ValueError:
+                        continue
+                    if h.get("sf") == sf and h.get("round", 0) < cur_round:
+                        prev_q = h.get("queries") or prev_q  # newest wins
+        if not prev_q:
+            # first run since the history file shipped: fall back to the
+            # newest driver record from a round strictly below this one
+            import glob as _glob
 
-        prior_files = sorted(
-            f
-            for f in _glob.glob(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
-            )
-            if re.fullmatch(r".*BENCH_r\d+\.json", f)  # driver records only
-        )
-        prev_q = {}
-        if prior_files:
-            with open(prior_files[-1]) as f:
-                rec = json.load(f)
-                # driver records nest the line under "parsed"; accept a
-                # bare record too — and only compare same-SF runs
-                parsed = rec.get("parsed") or rec
-                if parsed.get("sf") == sf:
-                    prev_q = parsed.get("queries") or {}
+            cands = []
+            for fp in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+                m = re.fullmatch(r".*BENCH_r(\d+)\.json", fp)
+                if m and int(m.group(1)) < cur_round:
+                    cands.append((int(m.group(1)), fp))
+            if cands:
+                with open(max(cands)[1]) as f:
+                    rec = json.load(f)
+                    parsed = rec.get("parsed") or rec
+                    if parsed.get("sf") == sf:
+                        prev_q = parsed.get("queries") or {}
         for n, cur in timings.items():
             prev = prev_q.get(n)
             if prev is None or cur <= 0 or prev <= 0:
@@ -333,6 +425,7 @@ def main() -> None:
                     },
                     "bars": bars,  # mean±sd for the 10 most variable gates
                     "regr_flags": regr_flags,
+                    "box_probe": box_probe,
                     "plans": plans,
                     "pinned_storage_mb": storage,
                 },
@@ -342,6 +435,30 @@ def main() -> None:
         print(f"# plan fingerprints -> {side}", file=sys.stderr)
     except Exception as e:
         print(f"# could not write BENCH_PLANS.json: {e}", file=sys.stderr)
+    # cumulative full-map history: BENCH_PLANS.json is overwritten per
+    # run, and the driver's BENCH_r*.json truncates to the 50-gate
+    # window — this line is what next round's regression check reads
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_HISTORY.jsonl",
+            ),
+            "a",
+        ) as f:
+            f.write(
+                json.dumps(
+                    {
+                        "round": cur_round,
+                        "sf": sf,
+                        "queries": timings,
+                        "box_probe": box_probe,
+                    }
+                )
+                + "\n"
+            )
+    except OSError as e:
+        print(f"# could not append BENCH_HISTORY.jsonl: {e}", file=sys.stderr)
     # The compact line carries per-query detail for the driver's 50-gate
     # correctness window (registry order — the same names CORRECTNESS_r{N}
     # records); overflow-tail gate timings live in BENCH_PLANS.json. This
@@ -374,6 +491,9 @@ def main() -> None:
         # samples in BENCH_PLANS.json)
         "bars": bars,
         "regr": regr_flags,
+        # IO/CPU fingerprint of the box this run measured on — normalize
+        # round-over-round deltas against it before calling a regression
+        "box_probe": box_probe,
     }
     compact = json.dumps(rec)
     # size guard: never let the record outgrow the driver's ~2KB tail

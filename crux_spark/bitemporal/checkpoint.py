@@ -64,6 +64,13 @@ class CheckpointStore:
         reference checkpoints its Lucene dir beside the KV index
         (crux-lucene via crux-core/src/crux/checkpoint.clj)."""
         now = dt.datetime.now(dt.timezone.utc)
+        # atomic snapshot under the store mutex (shared with
+        # submit_tx/commit): a commit landing between reading the
+        # watermark and saving would persist version rows newer than the
+        # recorded tx_id, which restore_latest's WAL-tail replay
+        # (entries > tx_id) would then apply a second time. The parquet
+        # write itself runs lock-free on the immutable snapshot frame.
+        versions_df, tx_id, aborted, schema_eids = store.snapshot()
         cps = self.available_checkpoints()
         if cps and not force:
             newest = cps[0]
@@ -73,26 +80,33 @@ class CheckpointStore:
             ).total_seconds()
             if age < self.approx_frequency:
                 return None
-            if newest["tx_id"] >= store.completed_watermark():
+            if newest["tx_id"] >= tx_id:
                 return None
-        tx_id = store.completed_watermark()
-        name = f"checkpoint-{tx_id}-{now.strftime('%Y%m%dT%H%M%S%f')}"
-        cp_dir = os.path.join(self.path, name)
-        store.save(os.path.join(cp_dir, "versions"))
+        cp_name = f"checkpoint-{tx_id}-{now.strftime('%Y%m%dT%H%M%S%f')}"
+        cp_dir = os.path.join(self.path, cp_name)
         # tx_id is the watermark INCLUDING aborted ids (an aborted tx still
         # occupies its id slot); aborted_txs up to the watermark must travel
         # with the checkpoint — the versions table alone can't reproduce
         # either (aborted txs index nothing), and a restored node must (a)
         # never re-issue a pre-checkpoint id and (b) answer
         # tx_committed(aborted_id) == False exactly like the live node.
-        for name, idx in (indexes or {}).items():
-            idx.save(os.path.join(cp_dir, "indexes", name))
+        try:
+            store.save(
+                os.path.join(cp_dir, "versions"),
+                versions=versions_df,
+                schema_eids=schema_eids,
+            )
+            for idx_name, idx in (indexes or {}).items():
+                idx.save(os.path.join(cp_dir, "indexes", idx_name))
+        except Exception:
+            # a meta-less partial dir would never be listed NOR pruned
+            # by cleanup() — remove it before re-raising
+            shutil.rmtree(cp_dir, ignore_errors=True)
+            raise
         meta = {
             "tx_id": tx_id,
             "checkpoint_at": now.isoformat(),
-            "aborted_txs": sorted(
-                int(a) for a in store.aborted_txs if a <= tx_id
-            ),
+            "aborted_txs": sorted(aborted),
             "indexes": sorted((indexes or {}).keys()),
         }
         with open(os.path.join(cp_dir, _META), "w") as f:

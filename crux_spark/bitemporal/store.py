@@ -26,9 +26,11 @@ serial tx-fn evaluation in the reference's single-threaded ingester.
 from __future__ import annotations
 
 import datetime as dt
+import functools
 import json
 import logging
 import os
+import threading
 from typing import Any, Callable, Iterable
 
 import pandas as pd
@@ -300,6 +302,21 @@ def _is_evict_tombstone(doc_json: str) -> bool:
     )
 
 
+def _locked(fn):
+    """Serialize store mutations against checkpoint snapshots: a
+    Checkpointer tick racing submit_tx/commit could otherwise record a
+    versions table containing txs newer than its tx_id watermark, which
+    restore_latest's WAL-tail replay would then re-apply (duplicate
+    version rows). RLock: commit() may run nested under submit_tx paths."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutex:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 def canon_eid(x) -> str:
     """Canonical string form of an entity id. Map (and collection) ids
     hash by VALUE, independent of key order (tx_test.clj
@@ -325,6 +342,7 @@ class TxStore:
     ):
         self.spark = spark
         self.versions = versions or spark.createDataFrame([], VERSIONS_SCHEMA)
+        self._mutex = threading.RLock()  # see _locked / snapshot()
         self._tx_id = 0
         self._pending: list[dict] = []
         self._pending_aborted: set[int] = set()  # fn-returned-false txs
@@ -386,6 +404,7 @@ class TxStore:
         list of ops, evaluated deterministically at submit time."""
         self._tx_fns[name] = fn
 
+    @_locked
     def submit_tx(self, ops: Iterable[Any], tx_time: dt.datetime | None = None) -> int:
         """Queue one transaction. Ops (python analogue of the EDN tx ops):
             ("put", doc, valid_from?, valid_to?)         doc must carry "id"
@@ -519,6 +538,7 @@ class TxStore:
             self._wal.append({"tx_id": tx_id, "rows": tx_rows})
         return tx_id
 
+    @_locked
     def commit(self) -> set[int]:
         """Apply all pending txs; returns the set of aborted tx_ids
         (match failures and fn-returned-false aborts alike)."""
@@ -958,6 +978,22 @@ class TxStore:
             return min(r["tx_id"] for r in self._pending) - 1
         return self._tx_id
 
+    @_locked
+    def snapshot(self) -> tuple[DataFrame, int, set[int], set | None]:
+        """Atomic (versions, watermark, aborted-ids<=watermark,
+        schema_eids) snapshot under the store mutex. DataFrames are
+        immutable, so once the reference is captured the caller can
+        write it out lock-free while commits continue — the checkpoint
+        then cannot contain txs newer than its recorded tx_id (whose
+        WAL-tail replay on restore would duplicate version rows)."""
+        tx_id = self.completed_watermark()
+        return (
+            self.versions,
+            tx_id,
+            {int(a) for a in self.aborted_txs if a <= tx_id},
+            None if self._schema_eids is None else set(self._schema_eids),
+        )
+
     def latest_completed_tx(self) -> int | None:
         """Highest tx id applied to the versions table (api.clj
         latest-completed-tx)."""
@@ -1261,11 +1297,24 @@ class TxStore:
         self._wal.rewrite(entries)
         return n
 
-    def save(self, path: str, buckets: int = 64) -> None:
+    def save(
+        self,
+        path: str,
+        buckets: int = 64,
+        versions: DataFrame | None = None,
+        schema_eids: set | None = None,
+    ) -> None:
         """Persist partitioned by eid hash bucket (co-locates future
-        cogroups; at scale use .bucketBy on a metastore table)."""
+        cogroups; at scale use .bucketBy on a metastore table).
+
+        ``versions``/``schema_eids`` let CheckpointStore write an
+        atomic snapshot() instead of live (possibly newer) state; when
+        ``versions`` is given, the passed ``schema_eids`` is
+        authoritative (None = unknown, same as the live field)."""
+        df = versions if versions is not None else self.versions
+        eids = schema_eids if versions is not None else self._schema_eids
         (
-            self.versions.withColumn("bucket", F.abs(F.hash("eid")) % buckets)
+            df.withColumn("bucket", F.abs(F.hash("eid")) % buckets)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(path)
@@ -1274,12 +1323,12 @@ class TxStore:
         # a load()ed store never pays even the one discovery scan (a
         # _SUCCESS-style marker key; an object-store deployment writes
         # it through the same FS client as the parquet)
-        if self._schema_eids is not None:
+        if eids is not None:
             try:
                 with open(
                     os.path.join(path, "_schema_doc_eids.json"), "w"
                 ) as f:
-                    json.dump(sorted(self._schema_eids), f)
+                    json.dump(sorted(eids), f)
             except OSError:
                 pass  # non-local path: load() falls back to discovery
 

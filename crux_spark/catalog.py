@@ -192,9 +192,13 @@ class Catalog:
         self._dfs[name] = df
         # a new table invalidates any cached/materialized EAV view — the
         # union no longer covers the catalog (re-materialize to opt back
-        # into the single-scan path) — and the compiled-plan cache
+        # into the single-scan path) — and the compiled-plan cache.
+        # An AUTO-materialized location is ours to reclaim: without this,
+        # every registration past the threshold would leave the previous
+        # full EAV rewrite stranded on disk.
         self._eav = None
         self._eav_path = None
+        self._drop_auto_eav()
         self._plan_cache = {}
         self._table_attrs[name] = []
         for field in df.schema.fields:
@@ -314,13 +318,7 @@ class Catalog:
                 and len(self._dfs) > thresh
                 and getattr(self, "_eav_path", None) is None
             ):
-                import tempfile
-
-                # unique per catalog: two catalogs sharing the default
-                # path would clobber each other's materialization
-                self.materialize_eav(
-                    tempfile.mkdtemp(prefix="crux_eav_auto_")
-                )
+                self.materialize_eav(self._auto_eav_path())
                 return self._eav
             views = [triples_view(self._dfs[t]) for t in self._dfs]
             out = views[0]
@@ -328,6 +326,48 @@ class Catalog:
                 out = out.unionByName(v)
             self._eav = out
         return self._eav
+
+    def _auto_eav_path(self) -> str:
+        """Location for the AUTOMATIC EAV materialization (unique per
+        catalog — two catalogs sharing one path would clobber each
+        other). Local-mode sessions may use a driver-local tempdir; on a
+        cluster, executors writing file:/tmp/... would scatter
+        partitions across their own local disks and the driver-side
+        read-back would be silently partial — there the shared
+        spark.sql.warehouse.dir (HDFS/object store in any real
+        deployment) hosts it instead. The dir is tracked and reclaimed
+        on invalidation (see :meth:`_drop_auto_eav`)."""
+        master = self.spark.conf.get("spark.master", "local")
+        if master.startswith("local"):
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="crux_eav_auto_")
+        else:
+            import uuid
+
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            d = wh.rstrip("/") + f"/crux_eav_auto_{uuid.uuid4().hex}"
+        self._eav_auto_dir = d
+        return d
+
+    def _drop_auto_eav(self) -> None:
+        """Best-effort delete of a superseded auto-materialization via
+        the Hadoop FileSystem API (handles file:, hdfs:, s3a: alike).
+        Only dirs WE created are touched — a user-chosen
+        materialize_eav(path) is never deleted."""
+        d = getattr(self, "_eav_auto_dir", None)
+        if not d:
+            return
+        self._eav_auto_dir = None
+        try:
+            jvm = self.spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        except Exception:  # pragma: no cover - cleanup is best-effort
+            pass
 
     def materialize_eav(self, path: str | None = None) -> str:
         """Write the catalog-wide EAV view ONCE to parquet, partitioned

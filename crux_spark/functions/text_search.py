@@ -187,7 +187,11 @@ class IncrementalTextIndex:
         idx.last_tx_id = int(meta.get("last_tx_id", -1))
         postings_dir = os.path.join(path, "postings")
         if os.path.isdir(postings_dir):
-            idx.postings = spark.read.parquet(postings_dir)
+            # localCheckpoint to decouple from the checkpoint dir (same
+            # as TxStore.load): retention pruning / cleanup() may delete
+            # `path` while this index is live, and a lazily-bound scan
+            # would then fail every search with FileNotFoundException.
+            idx.postings = spark.read.parquet(postings_dir).localCheckpoint()
         return idx
 
     def search(self, query: str, limit: int | None = None) -> DataFrame:

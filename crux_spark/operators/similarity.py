@@ -1247,5 +1247,8 @@ class IncrementalVectorIndex:
         idx.last_tx_id = int(meta.get("last_tx_id", -1))
         cells_dir = _os.path.join(path, "cells")
         if _os.path.isdir(cells_dir):
-            idx.cells = spark.read.parquet(cells_dir)
+            # localCheckpoint (like TxStore.load): checkpoint retention
+            # may delete `path` while the index is live; a lazy scan
+            # would fail later searches with FileNotFoundException.
+            idx.cells = spark.read.parquet(cells_dir).localCheckpoint()
         return idx

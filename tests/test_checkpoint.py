@@ -395,3 +395,108 @@ def test_scheduled_checkpointer(spark, tmp_path):
     )
     assert restored.latest_completed_tx() == 4
     assert {r.eid for r in idxs["text"].search("beta").collect()} == {"d2"}
+
+
+def test_checkpoint_snapshot_atomic_under_concurrent_commits(spark, tmp_path):
+    """ADVICE r11: a commit landing between the watermark read and the
+    versions save must NOT leak into the checkpoint — the restore's
+    WAL-tail replay (entries > tx_id) would re-apply it, duplicating
+    version rows. checkpoint() snapshots (versions, tx_id, aborted)
+    atomically under the store mutex; here a writer thread hammers
+    commits while checkpoints run, and every checkpoint must satisfy
+    max(tx_from in saved versions) <= recorded tx_id."""
+    import threading
+
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "d0", "v": 0})], tx_time=t(1))
+    store.commit()
+
+    stop = threading.Event()
+    errs: list[BaseException] = []
+
+    def writer():
+        i = 0
+        try:
+            while not stop.is_set() and i < 40:
+                i += 1
+                store.submit_tx(
+                    [("put", {"id": f"w{i % 4}", "v": i})], tx_time=t(2)
+                )
+                store.commit()
+        except BaseException as e:  # surfaces in the main thread
+            errs.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    metas = []
+    try:
+        for _ in range(5):
+            m = cp.checkpoint(store, force=True)
+            if m:
+                metas.append(m)
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert not errs, errs
+    assert metas, "no checkpoint completed"
+    import pyspark.sql.functions as F
+
+    for m in metas:
+        saved = spark.read.parquet(str(tmp_path / "cps" / m["dir"].split("/")[-1] / "versions"))
+        hi = saved.agg(F.max("tx_from").alias("m")).first().m
+        assert hi is None or int(hi) <= m["tx_id"], (hi, m["tx_id"])
+    # and the newest checkpoint + WAL tail restores to the writer's end
+    # state with no duplicate version rows
+    restored = cp.restore_latest(spark, wal_path=wal)
+    live_rows = store.versions.count()
+    assert restored.versions.count() == live_rows
+    assert restored.versions.distinct().count() == live_rows
+
+
+def test_failed_index_save_removes_partial_checkpoint_dir(spark, tmp_path):
+    """A failed secondary-index save must not leave a meta-less orphan
+    dir (cleanup() only prunes dirs WITH checkpoint.json)."""
+    import os
+    import pytest
+
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.commit()
+
+    class Boom:
+        def save(self, path):
+            raise RuntimeError("upload failed")
+
+    with pytest.raises(RuntimeError):
+        cp.checkpoint(store, indexes={"boom": Boom()})
+    assert os.listdir(str(tmp_path / "cps")) == []
+    # the store is unharmed: a clean checkpoint still works
+    assert cp.checkpoint(store)["tx_id"] == 1
+
+
+def test_restored_index_survives_checkpoint_pruning(spark, tmp_path):
+    """ADVICE r11: load() must decouple from the checkpoint dir (like
+    TxStore.load) — retention pruning the restored-from checkpoint must
+    not break a live index's searches."""
+    import shutil
+
+    from crux_spark.functions.text_search import IncrementalTextIndex
+
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "d1", "text": "alpha beta"})], tx_time=t(1))
+    store.commit()
+    idx = IncrementalTextIndex(spark)
+    idx.listener(0, _wal_ops_df(spark, wal))
+    meta = cp.checkpoint(store, indexes={"text": idx})
+
+    _, idxs = cp.restore_latest(
+        spark, wal_path=wal, index_loaders={"text": IncrementalTextIndex.load}
+    )
+    # simulate retention deleting the very checkpoint we restored from
+    shutil.rmtree(meta["dir"])
+    assert {r.eid for r in idxs["text"].search("alpha").collect()} == {"d1"}
