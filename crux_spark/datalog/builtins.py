@@ -304,14 +304,24 @@ class ExprBuilder:
 
     # literal python type -> field of the __typed_ord struct (one field
     # per codec.clj value-type class; see compile.scan_var_attr)
+    # wrapper classes (crux_spark.valuetypes) list before their base
+    # classes — isinstance would otherwise swallow them into the base tag
+    from crux_spark import valuetypes as _vtypes
+
     _ORD_FIELD_ORDER = (
         (bool, "b"),            # before int: bool is an int subclass
+        (_vtypes.Instant, "inst"),
+        (_vtypes.LocalDateTime, "ldt"),
         (_dt.datetime, "t"),    # before date: datetime is a date subclass
         (_dt.date, "dt"),
+        (_dt.time, "tm"),
         (_dt.timedelta, "du"),
         (_decimal.Decimal, "dec"),
+        (_vtypes.BigInt, "bi"),
+        (_vtypes.BigInteger, "bi"),
         (int, "l"),
         (float, "d"),
+        (_vtypes.Char, "c"),
         (str, "s"),
     )
 
@@ -351,8 +361,21 @@ class ExprBuilder:
             )
             if field is None:
                 return None
+            from crux_spark import valuetypes as _vtypes
+
             if isinstance(lit, bool):
                 lit = int(lit)  # the ord struct stores booleans as int
+            elif field == "l" and (lit > 2**63 - 1 or lit < -(2**63)):
+                # integers past long range are BigInts (codec tag 12)
+                field, lit = "bi", _decimal.Decimal(lit)
+            elif field == "bi":
+                lit = _decimal.Decimal(int(lit))
+            elif field == "tm":
+                # the ord struct stores LocalTime as nano-of-day
+                lit = _vtypes.time_to_nanos(lit)
+            elif field in ("inst", "ldt"):
+                # plain datetime for Spark lit (drop the wrapper class)
+                lit = _dt.datetime(*lit.timetuple()[:6], lit.microsecond)
             sides = [None, None]
             sides[vi] = F.col(f"{ords[vi]}.{field}")
             sides[li] = F.lit(lit)

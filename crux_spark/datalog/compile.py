@@ -412,14 +412,34 @@ class Compiler:
         sel.append(F.col("a").alias(var_col(a)))
         if is_var(v) and v not in self.env:
             vc = var_col(v)
+            # LocalTime (nano-of-day long) stringifies in the SQL TIME
+            # literal shape: HH:MM:SS, with .micros only when non-zero
+            _secs = F.floor(F.col("v_time") / F.lit(1_000_000_000)).cast("long")
+            _us = F.floor(
+                (F.col("v_time") % F.lit(1_000_000_000)) / F.lit(1000)
+            ).cast("long")
+            _time_base = F.format_string(
+                "%02d:%02d:%02d",
+                F.floor(_secs / 3600).cast("long"),
+                F.floor((_secs % 3600) / 60).cast("long"),
+                (_secs % 60),
+            )
+            _time_str = F.when(
+                _us > 0, F.concat(_time_base, F.format_string(".%06d", _us))
+            ).otherwise(_time_base)
             sel.append(F.coalesce(
                 F.col("v_string"),
+                F.col("v_char"),
                 F.col("v_long").cast("string"),
                 F.col("v_double").cast("string"),
                 F.col("v_dec").cast("string"),
+                F.col("v_bigint").cast("string"),
                 F.col("v_bool").cast("string"),
                 F.col("v_ts").cast("string"),
+                F.col("v_inst").cast("string"),
+                F.col("v_ldt").cast("string"),
                 F.col("v_date").cast("string"),
+                F.when(F.col("v_time").isNotNull(), _time_str),
                 F.col("v_dur").cast("string"),
             ).alias(vc))
             sel.append(
@@ -427,44 +447,57 @@ class Compiler:
                     F.col("v_double"),
                     F.col("v_long").cast("double"),
                     # numeric PREDICATES treat decimals as numbers
-                    # (clojure < over BigDecimal/long compares
+                    # (clojure < over BigDecimal/long/BigInt compares
                     # numerically); only the ORDER tag separates them
                     F.col("v_dec").cast("double"),
+                    F.col("v_bigint").cast("double"),
                 ).alias(f"{vc}__typed_num")
             )
             sel.append(
-                F.coalesce(F.col("v_ts"), F.col("v_date").cast("timestamp"))
-                .alias(f"{vc}__typed_ts")
+                F.coalesce(
+                    F.col("v_ts"),
+                    F.col("v_inst"),
+                    F.col("v_date").cast("timestamp"),
+                    F.col("v_ldt").cast("timestamp"),
+                ).alias(f"{vc}__typed_ts")
             )
             # cross-type TOTAL order (codec.clj:81-99 + 270-354): values
             # sort by type tag first — boolean(4) < long(5) < double(6)
-            # < date/timestamp(7) < string(8) < bigdec(11) <
-            # localdate(14) < duration(18), nil lowest — then by the
-            # typed value within the tag. Spark struct comparison is
-            # field-wise, and two rows with equal tags have the same
+            # < date/timestamp(7) < string(8) < char(9) < bigdec(11) <
+            # bigint(12) < biginteger(13) < localdate(14) <
+            # localtime(15) < localdatetime(16) < instant(17) <
+            # duration(18), nil lowest — then by the typed value within
+            # the tag. The tag keys off v_type (bigint/biginteger share
+            # one slot but are distinct tags). Spark struct comparison
+            # is field-wise, and two rows with equal tags have the same
             # single non-null value field (the other fields are null on
             # both sides, which tie), so one struct column gives
             # order-by the reference's heterogeneous ordering instead of
             # the stringified sort.
+            _tag_ids = {
+                "boolean": 4, "long": 5, "double": 6, "timestamp": 7,
+                "string": 8, "char": 9, "decimal": 11, "bigint": 12,
+                "biginteger": 13, "date": 14, "localtime": 15,
+                "localdatetime": 16, "instant": 17, "duration": 18,
+            }
+            _tag = F.lit(3)  # nil lowest
+            for _vt, _id in _tag_ids.items():
+                _tag = F.when(F.col("v_type") == _vt, F.lit(_id)).otherwise(_tag)
             sel.append(
                 F.struct(
-                    F.when(F.col("v_bool").isNotNull(), F.lit(4))
-                    .when(F.col("v_long").isNotNull(), F.lit(5))
-                    .when(F.col("v_double").isNotNull(), F.lit(6))
-                    .when(F.col("v_ts").isNotNull(), F.lit(7))
-                    .when(F.col("v_string").isNotNull(), F.lit(8))
-                    .when(F.col("v_dec").isNotNull(), F.lit(11))
-                    .when(F.col("v_date").isNotNull(), F.lit(14))
-                    .when(F.col("v_dur").isNotNull(), F.lit(18))
-                    .otherwise(F.lit(3))
-                    .alias("tag"),
+                    _tag.alias("tag"),
                     F.col("v_bool").cast("int").alias("b"),
                     F.col("v_long").alias("l"),
                     F.col("v_double").alias("d"),
                     F.col("v_ts").alias("t"),
                     F.col("v_string").alias("s"),
+                    F.col("v_char").alias("c"),
                     F.col("v_dec").alias("dec"),
+                    F.col("v_bigint").alias("bi"),
                     F.col("v_date").alias("dt"),
+                    F.col("v_time").alias("tm"),
+                    F.col("v_ldt").alias("ldt"),
+                    F.col("v_inst").alias("inst"),
                     F.col("v_dur").alias("du"),
                 ).alias(f"{vc}__typed_ord")
             )
@@ -477,22 +510,42 @@ class Compiler:
             import datetime as _dtmod
             import decimal as _decmod
 
+            from crux_spark import valuetypes as _vt
+
             lit = self.env.get(v, v)
             # literal v: match within the literal's type class only
-            # (codec value equality includes the type tag)
+            # (codec value equality includes the type tag); wrapper
+            # classes (valuetypes.py) check before their base classes
             if isinstance(lit, bool):
                 cond = F.col("v_bool") == F.lit(lit)
+            elif isinstance(lit, _vt.Char):
+                cond = F.col("v_char") == F.lit(str(lit))
+            elif isinstance(lit, (_vt.BigInt, _vt.BigInteger)):
+                cond = F.col("v_bigint") == F.lit(_decmod.Decimal(int(lit)))
+            elif isinstance(lit, _vt.Instant):
+                cond = F.col("v_inst") == F.lit(
+                    _dtmod.datetime(*lit.timetuple()[:6], lit.microsecond))
+            elif isinstance(lit, _vt.LocalDateTime):
+                cond = F.col("v_ldt") == F.lit(
+                    _dtmod.datetime(*lit.timetuple()[:6], lit.microsecond))
             elif isinstance(lit, _dtmod.datetime):
                 cond = F.col("v_ts") == F.lit(lit)
             elif isinstance(lit, _dtmod.date):
                 cond = F.col("v_date") == F.lit(lit)
+            elif isinstance(lit, _dtmod.time):
+                cond = F.col("v_time") == F.lit(_vt.time_to_nanos(lit))
             elif isinstance(lit, _dtmod.timedelta):
                 cond = F.col("v_dur") == F.lit(lit)
             elif isinstance(lit, _decmod.Decimal):
                 cond = F.col("v_dec") == F.lit(lit)
             elif isinstance(lit, int):
-                cond = (F.col("v_string") == F.lit(str(lit))) | (
-                    F.col("v_long") == F.lit(lit))
+                if lit > 2**63 - 1 or lit < -(2**63):
+                    # past long range an integer is a BigInt (the EDN
+                    # reader promotes, codec tags 12/13)
+                    cond = F.col("v_bigint") == F.lit(_decmod.Decimal(lit))
+                else:
+                    cond = (F.col("v_string") == F.lit(str(lit))) | (
+                        F.col("v_long") == F.lit(lit))
             elif isinstance(lit, float):
                 cond = (F.col("v_string") == F.lit(str(lit))) | (
                     F.col("v_double") == F.lit(lit))
@@ -2495,8 +2548,24 @@ def _plan_cache_key(query: dict) -> "str | None":
             raise TypeError("callable")
         return repr(o)
 
+    def norm(o):
+        # str/int subclasses (valuetypes.Char/BigInt/...) serialize
+        # identically to their base under json — but they are DISTINCT
+        # codec classes ([?e ?a Char("m")] != [?e ?a "m"]), so tag the
+        # subclass name into the key
+        if isinstance(o, dict):
+            return {k: norm(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [norm(x) for x in o]
+        if (
+            isinstance(o, (str, int, float))
+            and type(o) not in (str, int, float, bool)
+        ):
+            return f"__{type(o).__name__}__{o!r}"
+        return o
+
     try:
-        body = _json.dumps(query, sort_keys=True, default=enc)
+        body = _json.dumps(norm(query), sort_keys=True, default=enc)
     except TypeError:
         return None
     return f"{epoch.current()}|{body}"

@@ -4149,32 +4149,55 @@ def multimodal_decode(spark, sf_dir):
       SELECT 5 AS tag, CAST(v AS VARCHAR) AS val,
              CAST(v AS DOUBLE) AS onum, NULL::TIMESTAMP AS ots,
              NULL::VARCHAR AS ostr, NULL::DECIMAL(38,12) AS odec,
-             NULL::DATE AS odt
+             NULL::DATE AS odt, NULL::DECIMAL(38,0) AS obig,
+             NULL::TIME AS otime
       FROM (SELECT ([100,2,512,10,33])[k+1] AS v FROM ks)
       UNION ALL
-      SELECT 6, CAST(v AS VARCHAR), v, NULL, NULL, NULL, NULL
+      SELECT 6, CAST(v AS VARCHAR), v, NULL, NULL, NULL, NULL, NULL, NULL
       FROM (SELECT CAST(([4.25,0.5,5.5,1.75,3.0])[k+1] AS DOUBLE) AS v
             FROM ks)
       UNION ALL
-      SELECT 7, CAST(v AS VARCHAR), NULL, v, NULL, NULL, NULL
+      SELECT 7, CAST(v AS VARCHAR), NULL, v, NULL, NULL, NULL, NULL, NULL
       FROM (SELECT TIMESTAMP '2024-01-01 00:00:00'
                    + to_days(CAST(k AS INTEGER)) AS v FROM ks)
       UNION ALL
-      SELECT 8, v, NULL, NULL, v, NULL, NULL
+      SELECT 8, v, NULL, NULL, v, NULL, NULL, NULL, NULL
       FROM (SELECT (['Zeta','B10','m','B2','alpha'])[k+1] AS v FROM ks)
       UNION ALL
-      SELECT 11, CAST(v AS VARCHAR), NULL, NULL, NULL, v, NULL
+      SELECT 9, v, NULL, NULL, v, NULL, NULL, NULL, NULL
+      FROM (SELECT (['q','a','z','C','m'])[k+1] AS v FROM ks)
+      UNION ALL
+      SELECT 11, CAST(v AS VARCHAR), NULL, NULL, NULL, v, NULL, NULL, NULL
       FROM (SELECT CAST((['33.40','1.10','512.99','2.25','100.05'])[k+1]
                         AS DECIMAL(38,12)) AS v FROM ks)
       UNION ALL
-      SELECT 14, CAST(v AS VARCHAR), NULL, NULL, NULL, NULL, v
+      SELECT 12, CAST(v AS VARCHAR), NULL, NULL, NULL, NULL, NULL, v, NULL
+      FROM (SELECT CAST((['98765432109876543210',
+                          '12345678901234567890123', '7',
+                          '31415926535897932384626433',
+                          '1000000000000000000000'])[k+1]
+                        AS DECIMAL(38,0)) AS v FROM ks)
+      UNION ALL
+      SELECT 14, CAST(v AS VARCHAR), NULL, NULL, NULL, NULL, v, NULL, NULL
       FROM (SELECT CAST(DATE '2024-02-01'
                         + to_days(CAST(3 * k AS INTEGER)) AS DATE) AS v
             FROM ks)
+      UNION ALL
+      SELECT 15, CAST(v AS VARCHAR), NULL, NULL, NULL, NULL, NULL, NULL, v
+      FROM (SELECT ([TIME '13:30:59', TIME '00:00:01', TIME '23:59:59',
+                     TIME '07:15:00', TIME '12:00:00'])[k+1] AS v FROM ks)
+      UNION ALL
+      SELECT 16, CAST(v AS VARCHAR), NULL, v, NULL, NULL, NULL, NULL, NULL
+      FROM (SELECT TIMESTAMP '2024-03-01 07:30:00'
+                   + to_days(CAST(k AS INTEGER)) AS v FROM ks)
+      UNION ALL
+      SELECT 17, CAST(v AS VARCHAR), NULL, v, NULL, NULL, NULL, NULL, NULL
+      FROM (SELECT TIMESTAMP '2023-12-31 18:00:00'
+                   + to_hours(CAST(k AS BIGINT)) AS v FROM ks)
     ),
     ordered AS (
       SELECT *, row_number() OVER (
-        ORDER BY tag, onum, ots, ostr, odec, odt) AS rn
+        ORDER BY tag, onum, ots, ostr, odec, odt, obig, otime) AS rn
       FROM rows_all
     )
     SELECT 'w0' AS win, val FROM ordered WHERE rn <= 3
@@ -4182,29 +4205,47 @@ def multimodal_decode(spark, sf_dir):
     UNION ALL SELECT 'w2', val FROM ordered WHERE rn BETWEEN 18 AND 26
     UNION ALL SELECT 'w3', val FROM ordered WHERE tag = 5 AND onum < 50
     UNION ALL SELECT 'w4', val FROM ordered WHERE tag = 11 AND odec < 100
+    UNION ALL SELECT 'w5', val FROM ordered WHERE rn BETWEEN 30 AND 35
+    UNION ALL SELECT 'w6', val FROM ordered WHERE rn BETWEEN 39 AND 44
+    UNION ALL SELECT 'w7', val FROM ordered WHERE rn BETWEEN 45 AND 48
+    UNION ALL SELECT 'w8', val FROM ordered WHERE rn BETWEEN 50 AND 53
+    UNION ALL SELECT 'w9', val FROM ordered
+      WHERE tag = 12 AND obig < CAST('1000000000000000000000'
+                                     AS DECIMAL(38,0))
+    UNION ALL SELECT 'w10', val FROM ordered
+      WHERE tag = 15 AND otime < TIME '12:00:00'
     """,
 )
 def datalog_mixed_type_order(spark, sf_dir):
     """Cross-type total order + range-constraint type confinement over
-    the var-attr EAV path (r10 verdict #2): one attribute (:val) carries
-    six value-type classes across six collections — long, double,
-    timestamp, string, decimal, date — and order-by ?v must sort them by
-    the reference codec's type-tag-then-value order (codec.clj:81-99 tag
-    ids; decimal=11 codec.clj:282-302, localdate=14 codec.clj:312-326
-    sort AFTER strings, which a stringified or double-collapsed encoding
-    gets wrong). The driver's value-hash compare is order-insensitive,
-    so the ORDER is verified through window MEMBERSHIP: limit/offset
-    cuts land inside type groups (w0 inside longs, w1 inside
-    timestamps, w2 spans string→decimal→date), where any tag or
-    within-tag misorder changes the selected SET. w3/w4 pin range
-    confinement: [(< ?v 50)] with a long literal matches longs ONLY
-    (never 0.5 or 2.25 — query.clj:870-884's prefix-equal-on-type-tag
-    wrapper), [(< ?v 100.00M)] decimals only. Values derive from the
-    5-row region table so both engines see identical data at every SF.
-    Scale: the EAV union is 6 five-row scans; order-by rides the
-    __typed_ord struct column — a columnar sort key, no UDFs."""
+    the var-attr EAV path, covering the FULL codec tag spectrum the
+    engine can carry (r11 verdict #4 extended r10's six classes): one
+    attribute (:val) holds eleven value-type classes across eleven
+    collections — long(5), double(6), timestamp(7), string(8), char(9),
+    decimal(11), bigint(12), date(14), localtime(15), localdatetime(16),
+    instant(17) — and order-by ?v must sort them by the reference
+    codec's type-tag-then-value order (codec.clj:81-99 tag ids; value
+    encodings :189-207 BCD bigint, :258-263 char, :312-347 the
+    java.time classes). The driver's value-hash compare is
+    order-insensitive, so the ORDER is verified through window
+    MEMBERSHIP: limit/offset cuts land across tag boundaries (w2 pins
+    string<char<decimal, w5 decimal<bigint + numeric bigint order incl.
+    a bigint 7 that must NOT sort among longs, w6 date<localtime, w7
+    localtime<localdatetime, w8 localdatetime<instant — the instant
+    rows also prove Instant(17) is not conflated with Date(7), where it
+    would sort before strings). w3/w4/w9/w10 pin range confinement to
+    the literal's type class (query.clj:870-884's prefix-equal-on-tag
+    wrapper): [(< ?v 50)] longs only, [(< ?v 100.00M)] decimals only,
+    [(< ?v 1000...0N)] bigints only, [(< ?v #time 12:00)] localtimes
+    only. Values derive from the 5-row region table so both engines see
+    identical data at every SF. Scale: the EAV union is 11 five-row
+    scans (auto-materialized past 8 tables to ONE attribute-partitioned
+    scan); order-by rides the __typed_ord struct column — a columnar
+    sort key, no UDFs."""
     import datetime as _dt
     from decimal import Decimal as _Dec
+
+    from crux_spark.valuetypes import BigInt as _Big
 
     cat = Catalog(spark)
     ks = catalog_for(spark, sf_dir).table("region").select(
@@ -4224,14 +4265,42 @@ def datalog_mixed_type_order(spark, sf_dir):
     cat.add_documents("m_str", ks.select(
         F.concat(F.lit("S"), F.col("k")).alias("id"),
         arr(["Zeta", "B10", "m", "B2", "alpha"]).alias("val")), id_col="id")
+    cat.add_documents("m_char", ks.select(
+        F.concat(F.lit("H"), F.col("k")).alias("id"),
+        arr(["q", "a", "z", "C", "m"]).alias("val"))
+        .withMetadata("val", {"crux_type": "char"}), id_col="id")
     cat.add_documents("m_dec", ks.select(
         F.concat(F.lit("C"), F.col("k")).alias("id"),
         arr(["33.40", "1.10", "512.99", "2.25", "100.05"])
         .cast("decimal(18,2)").alias("val")), id_col="id")
+    cat.add_documents("m_bigint", ks.select(
+        F.concat(F.lit("B"), F.col("k")).alias("id"),
+        arr(["98765432109876543210", "12345678901234567890123", "7",
+             "31415926535897932384626433", "1000000000000000000000"])
+        .cast("decimal(38,0)").alias("val"))
+        .withMetadata("val", {"crux_type": "bigint"}), id_col="id")
     cat.add_documents("m_date", ks.select(
         F.concat(F.lit("T"), F.col("k")).alias("id"),
         F.date_add(F.lit(_dt.date(2024, 2, 1)), F.col("k") * 3)
         .alias("val")), id_col="id")
+    _NS_H, _NS_M, _NS_S = 3600 * 10**9, 60 * 10**9, 10**9
+    cat.add_documents("m_time", ks.select(
+        F.concat(F.lit("M"), F.col("k")).alias("id"),
+        arr([13 * _NS_H + 30 * _NS_M + 59 * _NS_S, 1 * _NS_S,
+             23 * _NS_H + 59 * _NS_M + 59 * _NS_S, 7 * _NS_H + 15 * _NS_M,
+             12 * _NS_H]).cast("long").alias("val"))
+        .withMetadata("val", {"crux_type": "localtime"}), id_col="id")
+    cat.add_documents("m_ldt", ks.select(
+        F.concat(F.lit("N"), F.col("k")).alias("id"),
+        (F.lit(_dt.datetime(2024, 3, 1, 7, 30))
+         + F.make_interval(days=F.col("k")))
+        .cast("timestamp_ntz").alias("val"))
+        .withMetadata("val", {"crux_type": "localdatetime"}), id_col="id")
+    cat.add_documents("m_inst", ks.select(
+        F.concat(F.lit("P"), F.col("k")).alias("id"),
+        (F.lit(_dt.datetime(2023, 12, 31, 18, 0))
+         + F.make_interval(hours=F.col("k"))).alias("val"))
+        .withMetadata("val", {"crux_type": "instant"}), id_col="id")
 
     base = [["?e", "?a", "?v"], [["=", "?a", ":val"]]]
     order = {"order-by": [["?v", "asc"]]}
@@ -4246,6 +4315,18 @@ def datalog_mixed_type_order(spark, sf_dir):
         .unionByName(window("w3", {"where": base + [[["<", "?v", 50]]]}))
         .unionByName(window("w4", {"where": base
                                    + [[["<", "?v", _Dec("100.00")]]]}))
+        .unionByName(window("w5", {"where": base, **order,
+                                   "offset": 29, "limit": 6}))
+        .unionByName(window("w6", {"where": base, **order,
+                                   "offset": 38, "limit": 6}))
+        .unionByName(window("w7", {"where": base, **order,
+                                   "offset": 44, "limit": 4}))
+        .unionByName(window("w8", {"where": base, **order,
+                                   "offset": 49, "limit": 4}))
+        .unionByName(window("w9", {"where": base
+                                   + [[["<", "?v", _Big(10**21)]]]}))
+        .unionByName(window("w10", {"where": base
+                                    + [[["<", "?v", _dt.time(12, 0)]]]}))
     )
 
 

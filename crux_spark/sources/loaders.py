@@ -195,13 +195,27 @@ def triples_view(df: DataFrame, id_col: str = "_id") -> DataFrame:
     index_store.clj:912-926, so documents round-trip with order
     preserved).
 
-    One typed column per codec.clj value-type class the engine supports
-    (r10 verdict #2 extended decimal/date/duration): long(5), double(6),
-    timestamp(7 — java.util.Date), string(8), bigdec(11 —
-    codec.clj:282-302, Spark decimal(38,12)), localdate(14 —
-    codec.clj:312-326), duration(18 — codec.clj:348-354, Spark day-time
-    interval). Exactly one is non-null per row; scan_var_attr composes
-    them into the codec's cross-type total order."""
+    One typed column per codec.clj value-type class (the full tag
+    spectrum as of r12): boolean(4), long(5), double(6), timestamp(7 —
+    java.util.Date), string(8), char(9 — codec.clj:258-263), bigdec(11
+    — codec.clj:282-302, Spark decimal(38,12)), bigint(12)/
+    biginteger(13) (codec.clj:189-207 BCD — Spark decimal(38,0), the
+    tags split via v_type), localdate(14 — codec.clj:312-326),
+    localtime(15 — codec.clj:322-327, nano-of-day long),
+    localdatetime(16 — codec.clj:329-341, Spark TIMESTAMP_NTZ with the
+    metadata marker; a bare NTZ column stays in the Date class because
+    parquet surfaces plain timestamps as NTZ), instant(17 —
+    codec.clj:343-347, distinct from Date), duration(18 —
+    codec.clj:348-354, Spark day-time interval). Exactly one is
+    non-null per row; scan_var_attr composes them into the codec's
+    cross-type total order.
+
+    Classes Spark has no column type for (char / bigint / biginteger /
+    localtime / instant) opt in via StructField metadata
+    ``{"crux_type": "<class>"}`` (``df.withMetadata``) — see
+    crux_spark.valuetypes. A localtime column carries nano-of-day as a
+    long; an instant column is a TimestampType with the metadata
+    marker."""
     import pyspark.sql.types as T
 
     pieces = []
@@ -210,17 +224,22 @@ def triples_view(df: DataFrame, id_col: str = "_id") -> DataFrame:
             continue
         a = F.lit(":" + f.name)
         e = F.col(id_col).cast("string")
+        meta = f.metadata or {}
         if isinstance(f.dataType, T.ArrayType):
             ex = df.select(
                 e.alias("e"), F.posexplode(F.col(f.name)).alias("pos", "val")
             )
             elem = ex.schema["val"].dataType
-            pieces.append(_typed_row(ex, a, elem, pos=F.col("pos")))
+            pieces.append(_typed_row(ex, a, elem, pos=F.col("pos"), meta=meta))
         else:
             base = df.select(e.alias("e"), F.col(f.name).alias("val")).filter(
                 F.col("val").isNotNull()
             )
-            pieces.append(_typed_row(base, a, f.dataType, pos=F.lit(None).cast("int")))
+            pieces.append(
+                _typed_row(
+                    base, a, f.dataType, pos=F.lit(None).cast("int"), meta=meta
+                )
+            )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -230,7 +249,10 @@ def triples_view(df: DataFrame, id_col: str = "_id") -> DataFrame:
 DECIMAL_EAV_TYPE = "decimal(38,12)"
 
 
-def _typed_row(df: DataFrame, a, dtype, pos):
+BIGINT_EAV_TYPE = "decimal(38,0)"
+
+
+def _typed_row(df: DataFrame, a, dtype, pos, meta=None):
     import pyspark.sql.types as T
 
     val = F.col("val")
@@ -244,10 +266,39 @@ def _typed_row(df: DataFrame, a, dtype, pos):
         "string": F.lit(None).cast("string"),
         "boolean": F.lit(None).cast("boolean"),
         "timestamp": F.lit(None).cast("timestamp"),
+        "char": F.lit(None).cast("string"),
+        "bigint": F.lit(None).cast(BIGINT_EAV_TYPE),
         "date": F.lit(None).cast("date"),
+        "localtime": F.lit(None).cast("long"),
+        "localdatetime": F.lit(None).cast("timestamp_ntz"),
+        "instant": F.lit(None).cast("timestamp"),
         "duration": F.lit(None).cast("interval day to second"),
     }
-    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+    crux_type = (meta or {}).get("crux_type")
+    if crux_type == "char":
+        # tag 9 (codec.clj:258-263): sorts after strings
+        v_type, slot, expr = "char", "char", val.cast("string")
+    elif crux_type in ("bigint", "biginteger"):
+        # tags 12/13 (codec.clj:189-207 BCD): numeric order within the
+        # tag — decimal(38,0) preserves it; the two tags stay distinct
+        # through v_type
+        v_type, slot, expr = crux_type, "bigint", val.cast(BIGINT_EAV_TYPE)
+    elif crux_type == "localtime":
+        # tag 15 (codec.clj:322-327): nano-of-day long, order-preserving
+        v_type, slot, expr = "localtime", "localtime", val.cast("long")
+    elif crux_type == "instant":
+        # tag 17 (codec.clj:343-347): an instant sorts after strings —
+        # distinct from the Date class (tag 7) plain timestamps map to
+        v_type, slot, expr = "instant", "instant", val.cast("timestamp")
+    elif crux_type == "localdatetime":
+        # tag 16 (codec.clj:329-341): wall-clock datetime, no instant
+        # semantics. OPT-IN like the other non-native classes: parquet
+        # timestamps frequently surface as TIMESTAMP_NTZ, and the
+        # common case (EDN #inst) is the Date class (tag 7) — only a
+        # column that declares itself LocalDateTime sorts at tag 16
+        v_type, slot, expr = (
+            "localdatetime", "localdatetime", val.cast("timestamp_ntz"))
+    elif isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         v_type, slot, expr = "long", "long", val.cast("long")
     elif isinstance(dtype, (T.DoubleType, T.FloatType)):
         v_type, slot, expr = "double", "double", val.cast("double")
@@ -281,7 +332,12 @@ def _typed_row(df: DataFrame, a, dtype, pos):
         slots["string"].alias("v_string"),
         slots["boolean"].alias("v_bool"),
         slots["timestamp"].alias("v_ts"),
+        slots["char"].alias("v_char"),
+        slots["bigint"].alias("v_bigint"),
         slots["date"].alias("v_date"),
+        slots["localtime"].alias("v_time"),
+        slots["localdatetime"].alias("v_ldt"),
+        slots["instant"].alias("v_inst"),
         slots["duration"].alias("v_dur"),
         pos.alias("pos"),
     )

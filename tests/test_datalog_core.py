@@ -1017,3 +1017,108 @@ def test_eav_range_constraint_type_confinement(spark):
     res = q(cat, {"find": ["?e"],
                   "where": [["?e", "?a", 33], [["=", "?a", ":val"]]]})
     assert [r[0] for r in res.collect()] == ["L4"]
+
+
+def _full_spectrum_catalog(spark):
+    """_mixed_catalog + the r12 classes: char(9), bigint(12),
+    localtime(15), localdatetime(16), instant(17) — the non-native
+    Spark carriers opt in via StructField metadata (valuetypes.py)."""
+    import datetime as dt
+
+    from crux_spark.valuetypes import time_to_nanos
+
+    cat = _mixed_catalog(spark)
+    meta = lambda df, m: df.withMetadata("val", m)
+    cat.add_documents("m_char", meta(spark.createDataFrame(
+        [(f"H{i}", v) for i, v in enumerate(["q", "a", "z", "C", "m"])],
+        "id string, val string"), {"crux_type": "char"}), id_col="id")
+    cat.add_documents("m_bigint", meta(spark.createDataFrame(
+        [(f"B{i}", v) for i, v in enumerate(
+            ["98765432109876543210", "12345678901234567890123", "7",
+             "31415926535897932384626433", "1000000000000000000000"])],
+        "id string, val string").selectExpr(
+            "id", "CAST(val AS DECIMAL(38,0)) AS val"),
+        {"crux_type": "bigint"}), id_col="id")
+    cat.add_documents("m_time", meta(spark.createDataFrame(
+        [(f"M{i}", time_to_nanos(v)) for i, v in enumerate(
+            [dt.time(13, 30, 59), dt.time(0, 0, 1), dt.time(23, 59, 59),
+             dt.time(7, 15), dt.time(12, 0)])],
+        "id string, val long"), {"crux_type": "localtime"}), id_col="id")
+    cat.add_documents("m_ldt", meta(spark.createDataFrame(
+        [(f"N{i}", dt.datetime(2024, 3, 1, 7, 30) + dt.timedelta(days=i))
+         for i in range(5)], "id string, val timestamp_ntz"),
+        {"crux_type": "localdatetime"}), id_col="id")
+    cat.add_documents("m_inst", meta(spark.createDataFrame(
+        [(f"P{i}", dt.datetime(2023, 12, 31, 18) + dt.timedelta(hours=i))
+         for i in range(5)], "id string, val timestamp"),
+        {"crux_type": "instant"}), id_col="id")
+    return cat
+
+
+def test_eav_full_codec_tag_spectrum_order(spark):
+    """r11 verdict #4: the cross-type total order spans the FULL codec
+    tag spectrum — char(9, codec.clj:258-263) after strings, bigint(12,
+    :189-207) after bigdec and numeric within (a bigint 7 does NOT sort
+    among longs), localtime(15)/localdatetime(16)/instant(17,
+    :312-347) between localdate and duration, with Instant DISTINCT
+    from the Date class (tag 7) — an instant sorts after strings, a
+    plain timestamp before them."""
+    from crux_spark.datalog import q
+
+    cat = _full_spectrum_catalog(spark)
+    base = [["?e", "?a", "?v"], [["=", "?a", ":val"]]]
+    es = [r[0] for r in q(cat, {
+        "find": ["?e", "?v"], "where": base, "order-by": [["?v", "asc"]],
+    }).collect()]
+    tags = [e[0] for e in es]
+    # group order = codec tag order (L=long D=double I=ts S=str H=char
+    # C=dec B=bigint T=date M=time N=ldt P=inst U=duration)
+    assert tags == (
+        ["L"] * 5 + ["D"] * 5 + ["I"] * 5 + ["S"] * 5 + ["H"] * 5
+        + ["C"] * 5 + ["B"] * 5 + ["T"] * 5 + ["M"] * 5 + ["N"] * 5
+        + ["P"] * 5 + ["U"] * 5
+    )
+    # within-tag orders for the new classes
+    assert es[20:25] == ["H3", "H1", "H4", "H0", "H2"]  # C a m q z
+    assert es[30:35] == ["B2", "B0", "B4", "B1", "B3"]  # numeric bigint
+    assert es[40:45] == ["M1", "M3", "M4", "M0", "M2"]  # time of day
+    assert es[50:55] == [f"P{i}" for i in range(5)]     # instant
+
+
+def test_eav_full_spectrum_range_confinement_and_literals(spark):
+    """Range constraints confine to the LITERAL's codec class for the
+    r12 classes too (query.clj:870-884), and literal-in-value-position
+    matches within the class: Char never matches a string row, BigInt
+    never a long row, a time literal only localtime rows."""
+    import datetime as dt
+
+    from crux_spark.datalog import q
+    from crux_spark.valuetypes import BigInt, Char
+
+    cat = _full_spectrum_catalog(spark)
+    base = [["?e", "?a", "?v"], [["=", "?a", ":val"]]]
+
+    def es(pred):
+        return sorted(r[0] for r in q(cat, {
+            "find": ["?e"], "where": base + [[pred]]}).collect())
+
+    # bigint literal -> bigint rows only (long 2/10/33 excluded even
+    # though numerically below; bigint 7 and 9.87e19 match)
+    assert es(["<", "?v", BigInt(10**21)]) == ["B0", "B2"]
+    # huge PLAIN int literal promotes to the bigint class (EDN reader)
+    assert es(["<", "?v", 10**21]) == ["B0", "B2"]
+    # localtime literal -> localtime rows only
+    assert es(["<", "?v", dt.time(12, 0)]) == ["M1", "M3"]
+    # char literal equality -> the char row, NOT the string row "m"
+    res = q(cat, {"find": ["?e"],
+                  "where": [["?e", "?a", Char("m")], [["=", "?a", ":val"]]]})
+    assert [r[0] for r in res.collect()] == ["H4"]
+    # plain string "m" still finds only the string row
+    res = q(cat, {"find": ["?e"],
+                  "where": [["?e", "?a", "m"], [["=", "?a", ":val"]]]})
+    assert [r[0] for r in res.collect()] == ["S2"]
+    # a time literal in value position matches the localtime row only
+    res = q(cat, {"find": ["?e"],
+                  "where": [["?e", "?a", dt.time(12, 0)],
+                            [["=", "?a", ":val"]]]})
+    assert [r[0] for r in res.collect()] == ["M4"]
