@@ -10,11 +10,18 @@ EDN spec (github.com/edn-format/edn).
 Python mapping (matches the repo's internal conventions):
 
 - keyword  <-> str starting with ":" (the engine already spells
-  attributes ":n_name")
+  attributes ":n_name"; non-ASCII keyword chars print bare, like the
+  reference's printer)
 - symbol   <-> plain str (variables are "?e" strings internally)
 - #inst    <-> datetime.datetime / datetime.date
 - nil      <-> None, vector/list <-> list, map <-> dict, set <-> set
 - 42M      <-> decimal.Decimal
+- 42N      <-> crux_spark.valuetypes.BigInt (codec tag 12)
+- \\c       <-> crux_spark.valuetypes.Char (codec tag 9; named chars
+  newline/space/tab/return/backspace/formfeed and \\uXXXX supported)
+- 1/3      -> float (ratios read as doubles — the JSON surface has no
+  ratio type either; the reference's EDN reader returns a Ratio, which
+  this engine's query layer would coerce numerically anyway)
 
 Printing disambiguates: a str starting with ":" prints as a keyword,
 anything else as a quoted string.
@@ -26,7 +33,15 @@ import datetime as dt
 import re
 from decimal import Decimal
 
+from crux_spark.valuetypes import BigInt, BigInteger, Char
+
 __all__ = ["dumps", "loads"]
+
+_CHAR_NAMES = {
+    "\n": "newline", " ": "space", "\t": "tab",
+    "\r": "return", "\b": "backspace", "\f": "formfeed",
+}
+_NAMED_CHARS = {v: k for k, v in _CHAR_NAMES.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -39,6 +54,8 @@ def dumps(x) -> str:
         return "true"
     if x is False:
         return "false"
+    if isinstance(x, Char):
+        return "\\" + _CHAR_NAMES.get(str(x), str(x))
     if isinstance(x, str):
         if x.startswith(":") and len(x) > 1 and not _needs_quoting(x[1:]):
             return x  # keyword
@@ -47,6 +64,8 @@ def dumps(x) -> str:
         ).replace("\t", "\\t").replace("\r", "\\r") + '"'
     if isinstance(x, bool):  # pragma: no cover — caught above
         return "true" if x else "false"
+    if isinstance(x, (BigInt, BigInteger)):
+        return f"{int(x)}N"
     if isinstance(x, int):
         return str(x)
     if isinstance(x, float):
@@ -71,7 +90,9 @@ def dumps(x) -> str:
     return dumps(str(x))  # last resort, mirrors the JSON path's default=str
 
 
-_KW_OK = re.compile(r"^[A-Za-z0-9*+!\-_?$%&=<>./#:]+$")
+# \w (unicode) admits the reference printer's non-ASCII keyword chars
+# (:héllo prints bare); whitespace/braces/quotes stay excluded by \w
+_KW_OK = re.compile(r"^[\w*+!\-?$%&=<>./#:]+$")
 
 
 def _needs_quoting(name: str) -> bool:
@@ -90,9 +111,12 @@ _TOKEN = re.compile(
   | (?P<open>[\[\(\{])
   | (?P<close>[\]\)\}])
   | (?P<string>"(?:\\.|[^"\\])*")
-  | (?P<number>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?
+  | (?P<char>\\(?:newline|space|tab|return|formfeed|backspace
+                 |u[0-9a-fA-F]{4}|\S))
+  | (?P<number>[+-]?(?:\d+/\d+
+                    |\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?
                     |\d+(?:[eE][+-]?\d+)?)[MN]?)
-  | (?P<kw_sym>[^\s,\[\]\(\)\{\}"]+)
+  | (?P<kw_sym>[^\s,\[\]\(\)\{\}"\\]+)
     """,
     re.VERBOSE,
 )
@@ -130,6 +154,8 @@ def _read(toks, i):
         return _read(toks, j)
     if kind == "string":
         return _unescape(text[1:-1]), i + 1
+    if kind == "char":
+        return _char(text[1:]), i + 1
     if kind == "number":
         return _number(text), i + 1
     if kind == "kw_sym":
@@ -178,11 +204,24 @@ def _unescape(body: str) -> str:
     return "".join(out)
 
 
+def _char(body: str) -> Char:
+    if body in _NAMED_CHARS:
+        return Char(_NAMED_CHARS[body])
+    if len(body) == 5 and body[0] == "u":
+        return Char(chr(int(body[1:], 16)))
+    return Char(body)
+
+
 def _number(text: str):
+    if "/" in text:
+        # ratio read as double (the engine's numeric layer coerces
+        # anyway; the JSON surface has no ratio type either)
+        num, den = text.split("/")
+        return float(num) / float(den)
     if text.endswith("M"):
         return Decimal(text[:-1])
     if text.endswith("N"):
-        return int(text[:-1])
+        return BigInt(text[:-1])
     if any(c in text for c in ".eE"):
         return float(text)
     return int(text)

@@ -331,6 +331,125 @@ def run_kmeans_highdim(spark, n_vecs: int, _length: int):
     return dt, 2
 
 
+
+
+def _bitemp_store(spark, n_entities: int):
+    """TxStore with 3 versions per entity (distributed bulk_ingest —
+    spark.range synthesis, no driver-side doc loop): versions at day
+    1/5/9 so an as-of at day 6 selects version 2 of every entity."""
+    from crux_spark.bitemporal.store import TxStore
+
+    rows = (
+        spark.range(n_entities)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k", F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("d")
+        )
+        .select(
+            F.concat(F.lit("e"), F.col("k")).alias("eid"),
+            (F.col("k") * 10 + F.col("d")).alias("v"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-0"), F.col("d"))
+            ).alias("vf"),
+        )
+        .localCheckpoint()
+    )
+    store = TxStore(spark)
+    store.bulk_ingest(rows, "eid", ["eid", "v"], "vf")
+    return store
+
+
+def run_bitemp_asof(spark, n_entities: int, _length: int):
+    """As-of snapshot over the bitemporal versions table (store.db):
+    pure partition-prunable interval filters, no window — wall must
+    scale with the table, never super-linearly, and the plan never
+    collects. 'rounds' = 1 (single filter scan by construction)."""
+    import datetime as dt
+
+    store = _bitemp_store(spark, n_entities)
+    t0 = time.monotonic()
+    snap = store.db(valid_time=dt.datetime(2024, 1, 6, tzinfo=dt.timezone.utc))
+    n = snap.count()
+    dt_s = time.monotonic() - t0
+    assert n == n_entities, (n, n_entities)
+    return dt_s, 1
+
+
+def run_entity_history(spark, n_entities: int, _length: int):
+    """Bounded entity-history scans against a growing store
+    (store.py entity_history): the eid + vt-bound predicates push into
+    the versions scan, so per-entity history cost must stay flat as the
+    STORE grows 10x — the O(entity) property the verdict asked to
+    smoke-test rather than hand-argue. Timed: 5 point-history scans."""
+    store = _bitemp_store(spark, n_entities)
+    t0 = time.monotonic()
+    total = 0
+    for k in range(5):
+        total += len(store.entity_history(f"e{k}"))
+    dt_s = time.monotonic() - t0
+    assert total == 15, total  # 5 entities x 3 versions
+    return dt_s, 1
+
+
+def run_pull_driving_set(spark, n_base: int, _length: int):
+    """EQL pull with a FIXED 50-entity driving set against a base
+    catalog growing 10x (pull.py:302-324 restricts every scan to the
+    driving ids): child-agg volume must stay O(driving set), so wall
+    should be near-flat — the r10-tail rewrite's contract. Catalog:
+    n_base parents, 4 children each; pull projects a forward ref and
+    the reverse child set."""
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog.pull import pull
+
+    parents = (
+        spark.range(n_base)
+        .select(
+            F.concat(F.lit("p"), F.col("id")).alias("_id"),
+            F.col("id").alias("pk"),
+            (F.col("id") % 50).alias("grp"),
+        )
+        .localCheckpoint()
+    )
+    kids = (
+        spark.range(n_base)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("k"), F.lit("_"), F.col("j")).alias("_id"),
+            (F.col("k") * 4 + F.col("j")).alias("ck"),
+            F.col("k").alias("parent_pk"),
+        )
+        .localCheckpoint()
+    )
+    groups = spark.range(50).select(
+        F.concat(F.lit("g"), F.col("id")).alias("_id"),
+        F.col("id").alias("grp"),
+        F.concat(F.lit("name"), F.col("id")).alias("gname"),
+    )
+    cat = Catalog(spark)
+    cat.add_documents("parents", parents)
+    cat.add_documents("kids", kids)
+    cat.add_documents("groups", groups)
+    driving = parents.filter(F.col("pk") < 50).select(
+        F.col("_id").alias("pe"), "pk"
+    )
+    t0 = time.monotonic()
+    out = pull(
+        cat,
+        driving,
+        "pe",
+        "parents",
+        [":pk", {":grp": [":gname"]}, {":_parent_pk": [":ck"]}],
+        joins={":grp": "groups", ":parent_pk": "kids"},
+    )
+    n = out.count()
+    dt_s = time.monotonic() - t0
+    assert n == 50, n
+    return dt_s, 1
+
+
 def _cleanup(spark) -> None:
     """Unpin dead section-local localCheckpoint blocks (chain graphs,
     closures, the pivoted watdiv table): without this, pinned storage
@@ -366,6 +485,13 @@ def main() -> int:
         ("semantic_dedup", run_semantic_dedup, 2_000),
         ("kmeans_k1024_d256", run_kmeans_highdim, 2_000),
         ("semdedup_skew_guard", run_semdedup_skewed, 2_000),
+        # r11 verdict #5: the store/pull scale posture was hand-
+        # argued, not smoke-tested — as-of filter, bounded history,
+        # and the pull driving-set restriction now ride the same
+        # 1x/10x harness
+        ("bitemporal_store_asof", run_bitemp_asof, 20_000),
+        ("entity_history_bounded", run_entity_history, 20_000),
+        ("datalog_pull_driving", run_pull_driving_set, 20_000),
     ):
         length = 16  # constant diameter across scales (graph ops)
         t1, r1 = fn(spark, base, length)
