@@ -23,7 +23,12 @@ Content columns are made replica-distinct where identity matters:
 Everything is a pure column expression — one Spark pass per table, no
 driver loops; replicas come from explode(sequence(0,9)).
 
-Usage: python tools/make_sf1.py [out_dir]   (default /root/repo/testdata_sf1)
+Usage: python tools/make_sf1.py [out_dir] [replicas]
+  (defaults /root/repo/testdata_sf1, 10 — replicas=100 builds sf10, the
+  100x-the-reference-scale input for tools/sf10_bench.py. Duplicate-
+  cluster sizes grow with replicas: replicas sharing a salt residue are
+  mutual near-dups, so near-dup OUTPUT volume grows faster than input —
+  record output counts next to wall time when comparing scales.)
 """
 
 from __future__ import annotations
@@ -52,9 +57,9 @@ STRIDE = {
 }
 
 
-def _replicate(df):
+def _replicate(df, replicas):
     return df.withColumn(
-        "__r", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
     )
 
 
@@ -70,9 +75,10 @@ def _suffix_name(col: str):
     ).alias(col)
 
 
-def build(spark, out: str) -> None:
+def build(spark, out: str, replicas: int = REPLICAS) -> None:
     os.makedirs(out, exist_ok=True)
     rd = lambda t: spark.read.parquet(f"{SRC}/{t}.parquet")
+    _rep = lambda df: _replicate(df, replicas)
 
     def write(df, t, parts):
         df.repartition(parts).write.mode("overwrite").parquet(
@@ -84,24 +90,24 @@ def build(spark, out: str) -> None:
     for t in ("region", "nation"):
         write(rd(t), t, 1)
 
-    c = _replicate(rd("customer")).select(
+    c = _rep(rd("customer")).select(
         _shift("c_custkey"), _suffix_name("c_name"),
         "c_nationkey", "c_acctbal", "c_mktsegment",
     )
     write(c, "customer", 4)
 
-    s = _replicate(rd("supplier")).select(
+    s = _rep(rd("supplier")).select(
         _shift("s_suppkey"), _suffix_name("s_name"), "s_nationkey", "s_acctbal",
     )
     write(s, "supplier", 2)
 
-    p = _replicate(rd("part")).select(
+    p = _rep(rd("part")).select(
         _shift("p_partkey"), "p_name", "p_brand", "p_type", "p_size",
         "p_retailprice",
     )
     write(p, "part", 4)
 
-    o = _replicate(rd("orders")).select(
+    o = _rep(rd("orders")).select(
         _shift("o_orderkey"),
         (F.col("o_custkey") + F.col("__r") * STRIDE["c_custkey"])
         .alias("o_custkey"),
@@ -109,7 +115,7 @@ def build(spark, out: str) -> None:
     )
     write(o, "orders", 8)
 
-    li = _replicate(rd("lineitem")).select(
+    li = _rep(rd("lineitem")).select(
         (F.col("l_orderkey") + F.col("__r") * STRIDE["o_orderkey"])
         .alias("l_orderkey"),
         (F.col("l_partkey") + F.col("__r") * STRIDE["p_partkey"])
@@ -121,7 +127,7 @@ def build(spark, out: str) -> None:
     )
     write(li, "lineitem", 16)
 
-    ev = _replicate(rd("events")).select(
+    ev = _rep(rd("events")).select(
         _shift("event_id"), "ts",
         (F.col("user_id") + F.col("__r") * STRIDE["user_id"])
         .alias("user_id"),
@@ -131,7 +137,7 @@ def build(spark, out: str) -> None:
 
     # documents: salt every 5th word (offset r) so replicas are distinct
     # docs with realistic ~0.3 trigram jaccard to their base
-    docs = _replicate(rd("documents"))
+    docs = _rep(rd("documents"))
     salted = F.when(F.col("__r") == 0, F.col("text")).otherwise(
         F.array_join(
             F.transform(
@@ -151,12 +157,13 @@ def build(spark, out: str) -> None:
     write(d, "documents", 4)
 
     # embeddings: rotate components by r (norm-preserving, ~orthogonal)
-    emb = _replicate(rd("embeddings"))
+    emb = _rep(rd("embeddings"))
     dim = len(emb.select("embedding").first()[0])
-    rotated = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+    rot = F.col("__r") % dim  # r >= dim would slice past the array
+    rotated = F.when(rot == 0, F.col("embedding")).otherwise(
         F.concat(
-            F.slice(F.col("embedding"), F.col("__r") + 1, F.lit(dim)),
-            F.slice(F.col("embedding"), F.lit(1), F.col("__r")),
+            F.slice(F.col("embedding"), rot + 1, F.lit(dim)),
+            F.slice(F.col("embedding"), F.lit(1), rot),
         )
     )
     e = emb.select(_shift("vec_id"), rotated.alias("embedding"), "label")
@@ -165,7 +172,8 @@ def build(spark, out: str) -> None:
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
     from crux_spark import get_spark
 
     spark = get_spark("make-sf1", cpus=32, shuffle_partitions=32)
-    build(spark, out)
+    build(spark, out, replicas=n_rep)
