@@ -1122,3 +1122,80 @@ def test_eav_full_spectrum_range_confinement_and_literals(spark):
                   "where": [["?e", "?a", dt.time(12, 0)],
                             [["=", "?a", ":val"]]]})
     assert [r[0] for r in res.collect()] == ["M4"]
+
+
+def test_eav_full_spectrum_order_property(spark):
+    """Randomized full-spectrum ordering property: engine order over a
+    mixed attribute carrying ALL thirteen codec classes == python sort
+    by (type tag, typed value) — three seeds, values drawn fresh each
+    time (the deterministic spectrum test above pins the boundaries;
+    this pins the within-tag orders against an independent comparator)."""
+    import datetime as dt
+    import random
+    from decimal import Decimal
+
+    from crux_spark import Catalog
+    from crux_spark.datalog import q
+    from crux_spark.valuetypes import time_to_nanos
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        expected = []  # (tag, sortable, eid)
+        cat = Catalog(spark)
+
+        def add(name, rows, ddl, tag, key=lambda v: v, meta=None):
+            df = spark.createDataFrame(rows, ddl)
+            if meta:
+                df = df.withMetadata("val", meta)
+            cat.add_documents(name, df, id_col="id")
+            for eid, v in rows:
+                expected.append((tag, key(v), eid))
+
+        # distinct draws per class: equal values tie in the engine's
+        # order (nondeterministic between rows) but a python stable sort
+        # would fix an arbitrary winner
+        d4 = lambda pop: rng.sample(pop, 4)
+        add("p_long", [(f"L{i}", v) for i, v in enumerate(
+            d4(range(-9999, 9999)))], "id string, val long", 5)
+        add("p_dbl", [(f"D{i}", v / 7.0) for i, v in enumerate(
+            d4(range(-10**6, 10**6)))], "id string, val double", 6)
+        add("p_ts", [(f"I{i}", dt.datetime(2020, 1, 1)
+                      + dt.timedelta(hours=h)) for i, h in enumerate(
+            d4(range(10**4)))], "id string, val timestamp", 7)
+        add("p_str", [(f"S{i}", f"s{v}") for i, v in enumerate(
+            d4(range(10**6)))], "id string, val string", 8)
+        add("p_char", [(f"H{i}", c) for i, c in enumerate(
+            d4("azAZ09bcDE"))],
+            "id string, val string", 9, meta={"crux_type": "char"})
+        add("p_dec", [(f"C{i}", Decimal(v) / 100) for i, v in enumerate(
+            d4(range(-10**6, 10**6)))], "id string, val decimal(18,2)", 11)
+        add("p_big", [(f"B{i}", Decimal(v)) for i, v in enumerate(
+            d4(range(-10**9, 10**9)))],
+            "id string, val decimal(38,0)", 12, meta={"crux_type": "bigint"})
+        add("p_date", [(f"T{i}", dt.date(2024, 1, 1)
+                        + dt.timedelta(days=d)) for i, d in enumerate(
+            d4(range(3000)))], "id string, val date", 14)
+        add("p_time", [(f"M{i}", time_to_nanos(
+                dt.time(s // 3600, (s % 3600) // 60, s % 60)))
+                       for i, s in enumerate(d4(range(86400)))],
+            "id string, val long", 15, meta={"crux_type": "localtime"})
+        add("p_ldt", [(f"N{i}", dt.datetime(2024, 1, 1)
+                       + dt.timedelta(minutes=m)) for i, m in enumerate(
+            d4(range(10**5)))], "id string, val timestamp_ntz",
+            16, meta={"crux_type": "localdatetime"})
+        add("p_inst", [(f"P{i}", dt.datetime(2024, 1, 1)
+                        + dt.timedelta(seconds=s)) for i, s in enumerate(
+            d4(range(10**7)))], "id string, val timestamp", 17,
+            meta={"crux_type": "instant"})
+        add("p_dur", [(f"U{i}", dt.timedelta(seconds=s)) for i, s in
+                      enumerate(d4(range(10**6)))],
+            "id string, val interval day to second", 18)
+
+        got = [r[0] for r in q(cat, {
+            "find": ["?e", "?v"],
+            "where": [["?e", "?a", "?v"], [["=", "?a", ":val"]]],
+            "order-by": [["?v", "asc"]],
+        }).collect()]
+        want = [e for _, _, e in sorted(
+            expected, key=lambda t: (t[0], t[1]))]
+        assert got == want, f"seed {seed}"
