@@ -57,11 +57,16 @@ def from_us(us: int) -> dt.datetime:
 
 
 def content_hash(doc: dict | None) -> str | None:
+    """sha1 of the canonical doc serialization (docjson.doc_dumps —
+    typed-encode then sorted-keys dump). encode_doc is idempotent, so
+    hashing the original typed doc and hashing json.loads(doc_json)
+    give the same bytes — the invariant the bulk-path norm UDF
+    (store.py _bulk_put_versions) relies on."""
     if doc is None:
         return None
-    return hashlib.sha1(
-        json.dumps(doc, sort_keys=True, default=str).encode()
-    ).hexdigest()
+    from crux_spark.bitemporal.docjson import doc_dumps
+
+    return hashlib.sha1(doc_dumps(doc).encode()).hexdigest()
 
 
 @dataclass(frozen=True)
@@ -179,7 +184,12 @@ def _splice(
     # inside the range (tx.clj:59-95), so those boundaries persist for
     # later unranged ops and for history listing
     splits = [p for p in _boundaries(current) if vf < p < end]
-    doc_json = None if doc is None else json.dumps(doc, sort_keys=True, default=str)
+    if doc is None:
+        doc_json = None
+    else:
+        from crux_spark.bitemporal.docjson import doc_dumps
+
+        doc_json = doc_dumps(doc)  # typed-encode + canonical dump
     # an explicitly-passed hash (the WAL's submit-time hash) wins over
     # recomputation: the log's hashes are immutable even after eviction
     # redacts the doc content (the reference's content-addressed log)

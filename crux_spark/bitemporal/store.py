@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crux_spark.bitemporal import docjson as _docjson
 from crux_spark.bitemporal import splice
 from crux_spark.bitemporal.splice import END_OF_TIME, END_OF_TX, Version, to_us
 
@@ -494,7 +495,11 @@ class TxStore:
                 if "id" not in doc:
                     raise ValueError("put doc must carry an 'id' (:crux.db/id)")
                 row["eid"] = canon_eid(doc["id"])
-                row["doc_json"] = json.dumps(doc, sort_keys=True, default=str)
+                # typed-encode (docjson sidecar): datetimes/Decimals/
+                # codec wrapper classes survive the entity() round trip
+                # like the reference's EDN docs; value bytes stay the
+                # legacy stringified forms for from_json DDL consumers
+                row["doc_json"] = _docjson.doc_dumps(doc)
                 row["content_hash"] = splice.content_hash(doc)
                 if len(op) > 2 and op[2] is not None:
                     row["valid_from"] = to_us(op[2])
@@ -510,7 +515,7 @@ class TxStore:
             elif kind == "match":
                 row["eid"] = canon_eid(op[1])
                 if op[2] is not None:
-                    row["expected_json"] = json.dumps(op[2], sort_keys=True, default=str)
+                    row["expected_json"] = _docjson.doc_dumps(op[2])
                     row["expected_hash"] = splice.content_hash(op[2])
                 if len(op) > 3 and op[3] is not None:
                     row["valid_from"] = to_us(op[3])
@@ -885,7 +890,7 @@ class TxStore:
         rows = self.db(valid_time, tx).filter(F.col("eid") == canon_eid(eid)).collect()
         if not rows:
             return None
-        return json.loads(rows[0].doc_json)
+        return _docjson.doc_loads(rows[0].doc_json)
 
     def entity_tx(
         self, eid: str, valid_time: dt.datetime | None = None, tx: int | None = None
@@ -964,9 +969,9 @@ class TxStore:
                 .collect()
             )
             out.update(
-                {r.content_hash: json.loads(r.doc_json) for r in rows}
+                {r.content_hash: _docjson.doc_loads(r.doc_json) for r in rows}
             )
-        return out
+        return {h: _docjson.decode_doc(d) for h, d in out.items()}
 
     def completed_watermark(self) -> int:
         """Highest tx id already applied to the versions table, computed
@@ -1131,7 +1136,7 @@ class TxStore:
                 "valid_from": splice.from_us(v.valid_from),
                 "valid_to": None if v.valid_to == END_OF_TIME else splice.from_us(v.valid_to),
                 "tx_from": v.tx_from,
-                "doc": None if v.doc_json is None else json.loads(v.doc_json),
+                "doc": None if v.doc_json is None else _docjson.doc_loads(v.doc_json),
                 "deleted": v.deleted,
             }
             for v in out

@@ -243,6 +243,11 @@ class Catalog:
             _F.col("eid").alias(ID_COL),
             _F.from_json("doc_json", schema).alias("doc"),
         ).select(ID_COL, "doc.*")
+        from crux_spark.bitemporal.docjson import TYPES_KEY
+
+        if TYPES_KEY in docs.columns:
+            # the typed-doc sidecar is wire metadata, not an attribute
+            docs = docs.drop(TYPES_KEY)
         cat = cls(spark)
         cat.add_documents(name, docs)
         return cat

@@ -1,0 +1,204 @@
+"""Typed document round trips (bitemporal/docjson.py) — the reference
+stores EDN docs, so entity() returns exactly what put() submitted
+(api_test.clj round-trips #inst values); here a reserved sidecar key
+carries the type tags while every VALUE keeps its legacy stringified
+bytes, so from_json-with-DDL consumers are unaffected."""
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crux_spark.bitemporal.docjson import (
+    TYPES_KEY,
+    decode_doc,
+    doc_dumps,
+    doc_loads,
+    encode_doc,
+)
+from crux_spark.valuetypes import BigInt, BigInteger, Char, Instant, LocalDateTime
+
+
+def test_roundtrip_every_class():
+    doc = {
+        "id": "e1",
+        "when": dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+        "day": dt.date(2024, 6, 1),
+        "tod": dt.time(13, 30, 59),
+        "dur": dt.timedelta(days=1, hours=2, microseconds=7),
+        "amt": Decimal("12.50"),
+        "c": Char("m"),
+        "big": BigInt(10**30),
+        "bigz": BigInteger(-(10**25)),
+        "at": Instant(2024, 4, 1, 12, 0),
+        "ldt": LocalDateTime(2024, 3, 1, 7, 30),
+        "n": 42,
+        "f": 1.5,
+        "s": "plain",
+        "none": None,
+        "flag": True,
+    }
+    out = doc_loads(doc_dumps(doc))
+    assert out == doc
+    for k in doc:
+        assert type(out[k]) is type(doc[k]), k
+
+
+def test_value_bytes_are_legacy_stringified():
+    """Every value in the encoded JSON must be byte-identical to the
+    legacy json.dumps(..., default=str) form — SQL-over-docs consumers
+    parse doc_json with user DDL and only bare strings parse."""
+    doc = {"id": "e", "ts": dt.datetime(2024, 1, 2, 3, 4, 5),
+           "d": dt.date(2024, 6, 1), "amt": Decimal("9.75")}
+    enc = json.loads(doc_dumps(doc))
+    legacy = json.loads(json.dumps(doc, sort_keys=True, default=str))
+    for k in doc:
+        assert enc[k] == legacy[k], k
+    assert TYPES_KEY in enc
+
+
+def test_untagged_doc_passes_through():
+    # bulk_ingest to_json docs / legacy data carry no sidecar
+    assert doc_loads('{"id": "e", "v": "2024-01-01 00:00:00"}') == {
+        "id": "e", "v": "2024-01-01 00:00:00"}
+
+
+def test_encode_idempotent_and_hash_invariant():
+    """content_hash(original) == content_hash(json.loads(doc_json)) —
+    the norm-UDF invariant (store.py _bulk_put_versions)."""
+    from crux_spark.bitemporal.splice import content_hash
+
+    doc = {"id": "e", "when": dt.datetime(2024, 1, 1),
+           "xs": [Decimal("1.5"), {"deep": dt.date(2020, 1, 1)}]}
+    enc = json.loads(doc_dumps(doc))
+    assert encode_doc(enc) is enc  # idempotent
+    assert content_hash(doc) == content_hash(enc)
+    # and re-dumping the loaded form is byte-identical
+    assert json.dumps(enc, sort_keys=True, default=str) == doc_dumps(doc)
+
+
+def test_nested_paths_and_sets():
+    doc = {
+        "id": "e",
+        "nested": {"deep": [dt.date(2020, 1, 1), {"x": Decimal("2")}]},
+        "tags": {"b", "a"},
+        "typed_set": {dt.date(2024, 1, 1), dt.date(2024, 1, 2)},
+        "tuple_set": {(1, 2), (3, 4)},
+    }
+    out = doc_loads(doc_dumps(doc))
+    assert out["nested"]["deep"][0] == dt.date(2020, 1, 1)
+    assert out["nested"]["deep"][1]["x"] == Decimal("2")
+    assert out["tags"] == {"a", "b"}
+    assert out["typed_set"] == {dt.date(2024, 1, 1), dt.date(2024, 1, 2)}
+    assert out["tuple_set"] == {(1, 2), (3, 4)}
+
+
+_typed_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(), st.text(max_size=20),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.decimals(allow_nan=False, allow_infinity=False),
+    st.dates(),
+    st.datetimes(min_value=dt.datetime(1, 1, 1),
+                 max_value=dt.datetime(9999, 12, 28)),
+    st.times(),
+    st.timedeltas(min_value=dt.timedelta(days=-10**5),
+                  max_value=dt.timedelta(days=10**5)),
+    st.builds(Char, st.characters(blacklist_categories=("Cs",))),
+    st.builds(BigInt, st.integers()),
+)
+
+_typed_values = st.recursive(
+    _typed_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(
+            st.text(max_size=8).filter(lambda s: s != TYPES_KEY),
+            kids, max_size=3),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.dictionaries(
+    st.text(min_size=1, max_size=8).filter(lambda s: s != TYPES_KEY),
+    _typed_values, max_size=5))
+def test_docjson_property_roundtrip(doc):
+    out = doc_loads(doc_dumps(doc))
+    assert out == doc
+    _same_types(out, doc)
+
+
+def _same_types(a, b):
+    assert type(a) is type(b), (a, b)
+    if isinstance(b, dict):
+        for k in b:
+            _same_types(a[k], b[k])
+    elif isinstance(b, list):
+        for x, y in zip(a, b):
+            _same_types(x, y)
+
+
+def test_store_round_trip_and_ddl_compat(spark):
+    """End-to-end: put typed doc -> entity() typed; the SAME doc_json
+    parses with user DDL through register_snapshot (the stringified
+    value bytes are what 'ts timestamp' needs)."""
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.sql import temporal_view
+
+    store = TxStore(spark)
+    doc = {"id": "e1", "ts": dt.datetime(2024, 1, 2, 3, 4, 5),
+           "bal": Decimal("10.25"), "n": 7}
+    store.submit_tx([("put", doc)], tx_time=dt.datetime(2024, 1, 2))
+    store.commit()
+
+    out = store.entity("e1")
+    assert out == doc and isinstance(out["ts"], dt.datetime)
+    assert isinstance(out["bal"], Decimal)
+
+    temporal_view(store, "docs_ddl",
+                  schema="id string, ts timestamp, bal decimal(10,2), n long")
+    row = spark.sql("SELECT ts, bal, n FROM docs_ddl").first()
+    assert row.ts == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert row.bal == Decimal("10.25") and row.n == 7
+
+    # history docs decode too
+    hist = store.entity_history("e1")
+    assert hist[0]["doc"]["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_inferred_catalog_drops_sidecar(spark):
+    """Catalog.from_store with inferred schema must not surface the
+    reserved sidecar key as an attribute."""
+    from crux_spark.bitemporal.store import TxStore
+    from crux_spark.catalog import Catalog
+
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "e1", "ts": dt.datetime(2024, 1, 1),
+                              "v": 1})])
+    store.commit()
+    cat = Catalog.from_store(store, name="docs_inf")
+    cols = cat.table("docs_inf").columns
+    assert TYPES_KEY not in cols
+    assert "v" in cols
+
+
+def test_match_with_typed_expected_doc(spark):
+    """match compares the canonicalized encoded forms — a typed
+    expected doc matches the stored typed doc (and a differing one
+    aborts)."""
+    from crux_spark.bitemporal.store import TxStore
+
+    store = TxStore(spark)
+    doc = {"id": "e1", "when": dt.datetime(2024, 1, 1), "v": 1}
+    store.submit_tx([("put", doc)])
+    store.commit()
+    store.submit_tx([("match", "e1", doc), ("put", {"id": "e1", "v": 2})])
+    assert store.commit() == set()
+    assert store.entity("e1") == {"id": "e1", "v": 2}
+    bad = {"id": "e1", "when": dt.datetime(2024, 1, 2), "v": 1}
+    tid = store.submit_tx([("match", "e1", bad), ("put", {"id": "e1", "v": 3})])
+    assert store.commit() == {tid}
+    assert store.entity("e1") == {"id": "e1", "v": 2}
