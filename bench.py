@@ -214,16 +214,19 @@ def main() -> None:
     shared_pairgen = 0.0
     pairgen_plan = None
     if os.environ.get("CRUX_SPARK_BENCH_SHARE") == "1":
-        from crux_spark.queries import _ngram_pairs_for
+        from crux_spark.queries import _SHARED_PAIRS_RAW, _ngram_pairs_for
 
         t0 = time.perf_counter()
         pair_df = _ngram_pairs_for(cat, sf_dir, threshold=0.5)
-        pair_df.collect()  # collect, not count: fingerprint the timed plan
+        pair_df.collect()
         shared_pairgen = time.perf_counter() - t0
-        # fingerprint it like any gate so a plan regression (lost reuse,
-        # SMJ flip, broadcast loss) in the pair generation is visible in
-        # BENCH_PLANS.json rather than only as a wall-time mystery
-        pairgen_plan = _fingerprint(pair_df)
+        # fingerprint the PRE-checkpoint lineage (the memoized frame's
+        # executed plan is just the checkpoint scan): a static-plan
+        # regression (lost reuse, SMJ flip, broadcast loss) in the pair
+        # generation shows up in BENCH_PLANS.json rather than only as a
+        # wall-time mystery. Static = pre-AQE (aqe_final stays false).
+        raw = next(iter(_SHARED_PAIRS_RAW.values()), None)
+        pairgen_plan = _fingerprint(raw) if raw is not None else None
         print(f"# shared pair-gen materialized: {shared_pairgen:.2f}s", file=sys.stderr)
     from crux_spark import metrics as _metrics
 

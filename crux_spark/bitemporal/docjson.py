@@ -177,13 +177,24 @@ def _apply(root, path, tag, extra):
     node[path[-1]] = val
 
 
+def _naive_utc(d):
+    """The store's convention is naive-as-UTC; bulk_ingest doc_json
+    comes from Spark to_json (ISO 'T'/'Z' forms under the session's
+    enforced UTC tz), which fromisoformat parses tz-aware."""
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
 def _decode_leaf(leaf, tag, extra):
     if tag == "inst":
-        return _dt.datetime.fromisoformat(leaf)
+        return _naive_utc(_dt.datetime.fromisoformat(leaf))
     if tag == "instant":
-        return Instant.fromisoformat(leaf)
+        d = _naive_utc(_dt.datetime.fromisoformat(leaf))
+        return Instant(*d.timetuple()[:6], d.microsecond)
     if tag == "ldt":
-        return LocalDateTime.fromisoformat(leaf)
+        d = _naive_utc(_dt.datetime.fromisoformat(leaf))
+        return LocalDateTime(*d.timetuple()[:6], d.microsecond)
     if tag == "date":
         return _dt.date.fromisoformat(leaf)
     if tag == "time":

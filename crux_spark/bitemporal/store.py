@@ -769,13 +769,43 @@ class TxStore:
         else:
             vf_us = (F.col(valid_from_col).cast("double") * 1_000_000).cast("long")
         tx_id = F.expr(tx_id_expr) if tx_id_expr else vf_us
-        ops_df = df.select(
+        # typed-doc sidecar (docjson.py): the tag set is a pure function
+        # of the SCHEMA, so it is one constant JSON fragment appended to
+        # every row's to_json output — bulk-ingested entities round-trip
+        # datetimes/dates/decimals from entity() exactly like op-path
+        # puts, with zero per-row Python. Value bytes are to_json's (ISO
+        # 'T'/'Z' timestamps — decode normalizes to the store's naive-
+        # UTC convention); the canonical sorted re-dump happens in the
+        # splice/norm paths as before. Durations are skipped (their
+        # sidecar entry carries per-row microseconds).
+        type_tags = []
+        for c in doc_cols:
+            cdt = df.schema[c].dataType
+            if isinstance(cdt, (T.TimestampType, T.TimestampNTZType)):
+                type_tags.append([[c], "inst"])
+            elif isinstance(cdt, T.DateType):
+                type_tags.append([[c], "date"])
+            elif isinstance(cdt, T.DecimalType):
+                type_tags.append([[c], "dec"])
+        base = df.withColumn(
+            "__dj", F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+        )
+        if type_tags:
+            type_tags.sort(key=lambda e: json.dumps(e[0]))
+            sidecar = f',"{_docjson.TYPES_KEY}": ' + json.dumps(type_tags) + "}"
+            doc_json_col = F.concat(
+                F.expr("substring(__dj, 1, length(__dj) - 1)"),
+                F.lit(sidecar),
+            )
+        else:
+            doc_json_col = F.col("__dj")
+        ops_df = base.select(
             F.expr(id_expr).cast("string").alias("eid"),
             tx_id.alias("tx_id"),
             F.lit(0).alias("seq").cast("long"),
             F.lit("put").alias("op"),
             vf_us.alias("tx_time"),
-            F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias("doc_json"),
+            doc_json_col.alias("doc_json"),
             F.lit(None).cast("string").alias("expected_json"),
             vf_us.alias("valid_from"),
             F.lit(None).cast("long").alias("valid_to"),

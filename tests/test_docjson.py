@@ -202,3 +202,33 @@ def test_match_with_typed_expected_doc(spark):
     tid = store.submit_tx([("match", "e1", bad), ("put", {"id": "e1", "v": 3})])
     assert store.commit() == {tid}
     assert store.entity("e1") == {"id": "e1", "v": 2}
+
+
+def test_bulk_ingest_typed_round_trip(spark):
+    """bulk_ingest docs round-trip typed too: the sidecar is a
+    schema-constant literal appended Spark-side (no per-row Python).
+    to_json emits ISO 'T'/'Z' timestamps; decode normalizes to the
+    store's naive-UTC convention, so entity() output matches the
+    op-path shape."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.bitemporal.store import TxStore
+
+    rows = spark.range(3).select(
+        F.concat(F.lit("b"), F.col("id")).alias("eid"),
+        (F.col("id") * 10).alias("v"),
+        F.to_timestamp(F.lit("2024-01-02 03:04:05")).alias("ts"),
+        F.to_date(F.lit("2024-06-01")).alias("day"),
+        F.lit("9.75").cast("decimal(10,2)").alias("amt"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("vf"),
+    )
+    store = TxStore(spark)
+    store.bulk_ingest(rows, "eid", ["eid", "v", "ts", "day", "amt"], "vf")
+    out = store.entity("b1")
+    import datetime as dt
+    from decimal import Decimal
+
+    assert out["v"] == 10
+    assert out["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert out["day"] == dt.date(2024, 6, 1)
+    assert out["amt"] == Decimal("9.75")
