@@ -425,7 +425,15 @@ class Compiler:
                 (_secs % 60),
             )
             _time_str = F.when(
-                _us > 0, F.concat(_time_base, F.format_string(".%06d", _us))
+                _us > 0,
+                F.concat(
+                    _time_base,
+                    # trailing fractional zeros trimmed, matching the SQL
+                    # TIME varchar form ('13:30:59.5', not '.500000')
+                    F.regexp_replace(
+                        F.format_string(".%06d", _us), "0+$", ""
+                    ),
+                ),
             ).otherwise(_time_base)
             sel.append(F.coalesce(
                 F.col("v_string"),
