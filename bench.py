@@ -363,6 +363,46 @@ def main() -> None:
     if regr_flags:
         print(f"# regression flags (>2-sigma vs prior round): {regr_flags}", file=sys.stderr)
 
+    # plan-drift check vs the prior round's fingerprints (persisted in
+    # BENCH_HISTORY.jsonl alongside timings): a CartesianProduct
+    # appearing, a broadcast join flipping to sort-merge, or shuffle
+    # count doubling is a plan regression even when wall time hides it
+    # on small data — exactly the class of drift a 100x scale-up turns
+    # into a wall. Flags are advisory (named in the artifact).
+    plan_drift: list[str] = []
+    try:
+        prev_plans: dict = {}
+        hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                for line in f:
+                    try:
+                        h = json.loads(line)
+                    except ValueError:
+                        continue
+                    if h.get("sf") == sf and h.get("round", 0) < cur_round:
+                        prev_plans = h.get("plans") or prev_plans
+        for n, p in plans.items():
+            if not p:
+                continue
+            if p.get("joins", {}).get("CartesianProduct"):
+                plan_drift.append(f"{n}:cartesian")
+                continue
+            q0 = prev_plans.get(n)
+            if not q0:
+                continue
+            j0, j1 = q0.get("joins", {}), p.get("joins", {})
+            if j1.get("SortMergeJoin", 0) > j0.get("SortMergeJoin", 0) and (
+                j1.get("BroadcastHashJoin", 0) < j0.get("BroadcastHashJoin", 0)
+            ):
+                plan_drift.append(f"{n}:bhj->smj")
+            elif p.get("shuffles", 0) > 2 * max(q0.get("shuffles", 0), 1):
+                plan_drift.append(f"{n}:shuffles x{p.get('shuffles')}/{q0.get('shuffles')}")
+    except Exception as e:
+        print(f"# plan-drift check failed: {e}", file=sys.stderr)
+    if plan_drift:
+        print(f"# plan drift vs prior round: {plan_drift}", file=sys.stderr)
+
     # TimescaleDB device/weather suites (the reference's own bench set,
     # crux-bench ts_devices.clj / ts_weather.clj): CSV gen + distributed
     # bulk_ingest + the named query set, every step oracle-asserted.
@@ -428,6 +468,7 @@ def main() -> None:
                     },
                     "bars": bars,  # mean±sd for the 10 most variable gates
                     "regr_flags": regr_flags,
+                    "plan_drift": plan_drift,
                     "box_probe": box_probe,
                     "plans": plans,
                     "pinned_storage_mb": storage,
@@ -456,6 +497,8 @@ def main() -> None:
                         "sf": sf,
                         "queries": timings,
                         "box_probe": box_probe,
+                        # next round's plan-drift baseline
+                        "plans": plans,
                     }
                 )
                 + "\n"
@@ -494,6 +537,10 @@ def main() -> None:
         # samples in BENCH_PLANS.json)
         "bars": bars,
         "regr": regr_flags,
+        # gates whose executed plan drifted structurally vs the prior
+        # round (cartesian appeared / broadcast->SMJ flip / shuffle
+        # doubling) — the wall-time-invisible regressions
+        "plan_drift": plan_drift,
         # IO/CPU fingerprint of the box this run measured on — normalize
         # round-over-round deltas against it before calling a regression
         "box_probe": box_probe,
