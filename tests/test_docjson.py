@@ -232,3 +232,31 @@ def test_bulk_ingest_typed_round_trip(spark):
     assert out["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
     assert out["day"] == dt.date(2024, 6, 1)
     assert out["amt"] == Decimal("9.75")
+
+
+def test_tx_fn_sees_typed_docs(spark):
+    """A transaction function reads the CURRENT doc via the db value and
+    emits ops computed from it (tx.clj:178-227); with typed docs the fn
+    must receive real datetimes/Decimals, and its emitted doc's typed
+    values must round-trip again."""
+    from crux_spark.bitemporal.store import TxStore
+
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "acct", "bal": Decimal("100.00"),
+                              "opened": dt.datetime(2024, 1, 1)})])
+    store.commit()
+
+    def add_interest(db, rate):
+        doc = db.entity("acct")
+        assert isinstance(doc["bal"], Decimal), doc["bal"]
+        assert isinstance(doc["opened"], dt.datetime)
+        return [("put", {**doc, "bal": doc["bal"] * Decimal(rate),
+                         "adjusted": dt.datetime(2024, 6, 1)})]
+
+    store.register_tx_fn("add-interest", add_interest)
+    store.submit_tx([("fn", "add-interest", "1.05")])
+    store.commit()
+    out = store.entity("acct")
+    assert out["bal"] == Decimal("105.0000")
+    assert out["adjusted"] == dt.datetime(2024, 6, 1)
+    assert out["opened"] == dt.datetime(2024, 1, 1)

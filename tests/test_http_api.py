@@ -513,3 +513,39 @@ def test_remote_client_edn_mode(spark):
         assert isinstance(rows_json[0][0], str)
     finally:
         h.close()
+
+
+def test_http_edn_entity_returns_typed_doc(spark):
+    """r12 typed docs over the EDN wire: a doc submitted with datetime /
+    Decimal / Char / BigInt values comes back from GET /_crux/entity
+    with Accept: application/edn as the SAME typed values — the store's
+    docjson sidecar decodes server-side and the EDN printer carries
+    #inst / M / \\c / N literals across (the reference returns EDN docs
+    verbatim, api_test.clj)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from crux_spark.valuetypes import BigInt, Char
+
+    node = Node(spark)
+    h = HttpNode(node)
+    try:
+        base = h.url
+        at = dt.datetime(2024, 5, 1, 12, 30)
+        _edn_req(
+            base + "/_crux/submit-tx",
+            {":tx-ops": [["put", {":id": "t1", ":at": at,
+                                  ":amt": Decimal("12.50"),
+                                  ":c": Char("m"),
+                                  ":big": BigInt(10**25)}]]},
+        )
+        assert get(base + "/_crux/await-tx") == {"aborted": []}
+        doc = _edn_req(base + "/_crux/entity?eid=t1")
+        vals = {k.lstrip(":"): v for k, v in doc.items()}
+        assert vals["at"] == at and isinstance(vals["at"], dt.datetime)
+        assert vals["amt"] == Decimal("12.50")
+        assert isinstance(vals["amt"], Decimal)
+        assert vals["c"] == "m" and isinstance(vals["c"], Char)
+        assert vals["big"] == 10**25 and isinstance(vals["big"], BigInt)
+    finally:
+        h.close()
