@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # 16MB, not the old 64MB: a mid-size fact table (sf1 orders,
+        # ~45MB estimated) statically broadcast pre-empts AQE's smarter
+        # runtime decision — post-shuffle intermediates are measured
+        # with REAL sizes and AQE still converts SMJ->BHJ when they are
+        # small, so the r12 A/B showed 16MB strictly faster at both
+        # sf0.1 (tpch 13.0s -> 9.3s) and sf1.0 (q5 26.7s -> 6.5s, q4
+        # halved). At cluster scale a >16MB single-threaded broadcast
+        # build is the wrong side anyway.
+        .config("spark.sql.autoBroadcastJoinThreshold", "16MB")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # parquet TIMESTAMP(NANOS) (e.g. events.ts) reads as long; the
         # Catalog converts it back to a microsecond timestamp column
