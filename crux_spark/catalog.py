@@ -389,6 +389,11 @@ class Catalog:
         natively in its index (index_store.clj AVE/AEV), so var-attr is
         free there; this is the opt-in Spark equivalent.
 
+        Schema note: the EAV view gained typed slots in r12 (v_char /
+        v_bigint / v_time / v_ldt / v_inst); a parquet table written by
+        an older build lacks them — delete it and re-materialize rather
+        than pointing a new catalog at the stale path.
+
         Idempotent per catalog: returns the existing path on a second
         call. Pass ``path`` to control the location (default:
         spark-warehouse/crux_eav)."""
