@@ -172,3 +172,41 @@ def test_failed_tx_fn(spark, wal):
     assert node2.entity("collateral") is None
     assert node2.entity("foo") == {"id": "foo"}
     assert node2.tx_committed(bad) is False
+
+
+def test_tx_time_survives_process_timezone(spark, tmp_path):
+    """Port of crux-test jdbc/tx_time_tz_test.clj (regression #1071):
+    a recovered node must report the same tx-time regardless of the
+    process default timezone. Here the WAL stores tx_time as epoch
+    micros and naive datetimes are UTC by convention (splice.to_us), so
+    recovery under Tokyo/London must reproduce the original instant
+    bit-for-bit."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from crux_spark.bitemporal.store import TxStore
+
+    wal = str(tmp_path / "wal.jsonl")
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([("put", {"id": "foo"})])
+    store.commit()
+    want_us = store.versions.agg(F.max("tx_time")).first()[0]
+    want_tx = store.latest_completed_tx()
+
+    orig = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "Europe/London"):
+            os.environ["TZ"] = tz
+            _time.tzset()
+            rec = TxStore.recover(spark, wal)
+            assert rec.latest_completed_tx() == want_tx, tz
+            got_us = rec.versions.agg(F.max("tx_time")).first()[0]
+            assert got_us == want_us, (tz, got_us, want_us)
+    finally:
+        if orig is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = orig
+        _time.tzset()
