@@ -29,6 +29,23 @@ from crux_spark.bitemporal.store import TxStore
 
 _META = "checkpoint.json"
 
+# Index-format version stamped into every checkpoint (the reference's
+# crux.codec/index-version, persisted beside the KV index): a node must
+# not silently serve queries from an index laid out by an incompatible
+# build (index_version_override_test.clj). Version history:
+#   1 — pre-r12 layout
+#   2 — r12: typed-doc sidecar in doc_json (bitemporal/docjson.py) and
+#       the full codec tag spectrum in the EAV order. Old checkpoints
+#       still DECODE (untagged docs pass through), but hashes written
+#       by a v1 build for docs containing sets differ from v2's — an
+#       explicit skip flag acknowledges the compatibility judgment.
+INDEX_VERSION = 2
+
+
+class IndexVersionOutOfSyncError(RuntimeError):
+    """The checkpoint's index version differs from this build's
+    (IndexVersionOutOfSyncException analogue)."""
+
 
 class CheckpointStore:
     def __init__(self, path: str, approx_frequency: float = 3600.0):
@@ -108,6 +125,7 @@ class CheckpointStore:
             "checkpoint_at": now.isoformat(),
             "aborted_txs": sorted(aborted),
             "indexes": sorted((indexes or {}).keys()),
+            "index_version": INDEX_VERSION,
         }
         with open(os.path.join(cp_dir, _META), "w") as f:
             json.dump(meta, f)
@@ -115,7 +133,8 @@ class CheckpointStore:
 
     # -- restore ----------------------------------------------------------
     def restore_latest(
-        self, spark, wal_path=None, doc_store=None, index_loaders=None
+        self, spark, wal_path=None, doc_store=None, index_loaders=None,
+        skip_index_version_bump=None,
     ):
         """Build a TxStore from the newest checkpoint; with a WAL, replay
         only the txs PAST the checkpoint's tx id (the reference replays
@@ -138,6 +157,21 @@ class CheckpointStore:
         if not cps:
             return None if index_loaders is None else (None, {})
         newest = cps[0]
+        # index-version gate (index_version_override_test.clj): versions
+        # must match EXACTLY; `skip_index_version_bump=(from, to)`
+        # permits exactly that one bump — and only needs supplying once,
+        # because the next checkpoint written by this build stamps the
+        # new version.
+        stored = int(newest.get("index_version", 1))
+        if stored != INDEX_VERSION and tuple(
+            skip_index_version_bump or ()
+        ) != (stored, INDEX_VERSION):
+            raise IndexVersionOutOfSyncError(
+                f"checkpoint {newest['dir']} has index version {stored}, "
+                f"this build expects {INDEX_VERSION}; pass "
+                f"skip_index_version_bump=({stored}, {INDEX_VERSION}) to "
+                f"accept the layout difference"
+            )
         store = TxStore.load(spark, os.path.join(newest["dir"], "versions"))
         # TxStore.load derives _tx_id from max(tx_from), which excludes
         # aborted txs (they index nothing). If the newest pre-checkpoint tx

@@ -500,3 +500,42 @@ def test_restored_index_survives_checkpoint_pruning(spark, tmp_path):
     # simulate retention deleting the very checkpoint we restored from
     shutil.rmtree(meta["dir"])
     assert {r.eid for r in idxs["text"].search("alpha").collect()} == {"d1"}
+
+
+def test_index_version_override(spark, tmp_path, monkeypatch):
+    """Port of index_version_override_test.clj: a checkpoint stamped
+    with a different index version refuses to restore (exact match
+    required — neither endpoint of the skip flag may be wrong), the
+    (from, to) skip flag permits exactly that bump, and the flag only
+    needs supplying once because the next checkpoint carries the new
+    version."""
+    import pytest
+
+    from crux_spark.bitemporal import checkpoint as cp_mod
+    from crux_spark.bitemporal.checkpoint import IndexVersionOutOfSyncError
+
+    cp = CheckpointStore(str(tmp_path / "cps"), approx_frequency=0.0)
+    store = TxStore(spark)
+    store.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t(1))
+    store.commit()
+    v = cp_mod.INDEX_VERSION
+    assert cp.checkpoint(store)["index_version"] == v
+
+    # a build with a bumped index version refuses the old checkpoint
+    monkeypatch.setattr(cp_mod, "INDEX_VERSION", v + 1)
+    with pytest.raises(IndexVersionOutOfSyncError):
+        cp.restore_latest(spark)
+    # version numbers have to match exactly on BOTH ends of the flag
+    with pytest.raises(IndexVersionOutOfSyncError):
+        cp.restore_latest(spark, skip_index_version_bump=(v - 1, v + 1))
+    with pytest.raises(IndexVersionOutOfSyncError):
+        cp.restore_latest(spark, skip_index_version_bump=(v, v + 2))
+    # the correct skip flag permits the bump
+    restored = cp.restore_latest(spark, skip_index_version_bump=(v, v + 1))
+    assert restored.entity("a")["v"] == 1
+    # only needed once: a new checkpoint from this build stamps v+1
+    restored.submit_tx([("put", {"id": "b", "v": 2})], tx_time=t(2))
+    restored.commit()
+    assert cp.checkpoint(restored, force=True)["index_version"] == v + 1
+    again = cp.restore_latest(spark)  # no flag needed anymore
+    assert again.entity("b")["v"] == 2
