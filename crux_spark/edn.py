@@ -55,7 +55,16 @@ def dumps(x) -> str:
     if x is False:
         return "false"
     if isinstance(x, Char):
-        return "\\" + _CHAR_NAMES.get(str(x), str(x))
+        c = str(x)
+        if c in _CHAR_NAMES:
+            return "\\" + _CHAR_NAMES[c]
+        # whitespace-class chars (incl. \x1c-\x1f, which Python's re
+        # counts as \s and the tokenizer would split) and unprintable
+        # BMP chars print as \uXXXX; everything else prints raw — the
+        # reader's \S branch takes any single non-whitespace codepoint
+        if c.isspace() or (not c.isprintable() and ord(c) <= 0xFFFF):
+            return f"\\u{ord(c):04x}"
+        return "\\" + c
     if isinstance(x, str):
         if x.startswith(":") and len(x) > 1 and not _needs_quoting(x[1:]):
             return x  # keyword
