@@ -110,7 +110,15 @@ def _enc(v):
         return str(v), [[[], "dec"]]
     if isinstance(v, (set, frozenset)):
         items = [_enc(e) for e in v]
-        items.sort(key=lambda p: json.dumps(p[0], sort_keys=True, default=str))
+        # sort by (encoded value, tag list): two distinct elements can
+        # share an encoding (datetime(2024,1,1) vs the string
+        # "2024-01-01 00:00:00"); without the tag tiebreak such ties
+        # fall back to set iteration order, which varies per process and
+        # made content_hash nondeterministic across sessions.
+        items.sort(key=lambda p: (
+            json.dumps(p[0], sort_keys=True, default=str),
+            json.dumps(p[1], default=str),
+        ))
         tags = [[[], "set"]]
         enc_items = []
         for i, (enc, sub) in enumerate(items):
@@ -202,7 +210,12 @@ def _decode_leaf(leaf, tag, extra):
     if tag == "dur":
         return _dt.timedelta(microseconds=int(extra[0]))
     if tag == "dec":
-        return Decimal(leaf)
+        # bulk-ingest doc_json (Spark to_json) carries decimals as JSON
+        # numbers, so json.loads hands us a float here; Decimal(float)
+        # would expose the binary approximation (33.40 ->
+        # 33.39999999...). str(float) round-trips the shortest decimal
+        # form, which is the stored literal for to_json-emitted values.
+        return Decimal(str(leaf)) if isinstance(leaf, float) else Decimal(leaf)
     if tag == "char":
         return Char(leaf)
     if tag == "bigint":

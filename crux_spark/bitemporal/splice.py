@@ -278,9 +278,22 @@ def matches(
         return cur is None
     if cur is None:
         return False
-    return cur.content_hash == (
+    if cur.content_hash == (
         expected_hash if expected_hash is not None else content_hash(expected)
-    )
+    ):
+        return True
+    # Pre-typed-docs compatibility (WAL-only restores carry no index
+    # version stamp): a doc stored before the typed-sidecar upgrade
+    # holds the legacy untagged hash, so a typed expected doc would
+    # spuriously mismatch. Fall back to the legacy (no-sidecar) dump —
+    # identical bytes for untyped docs, so this fires only on the
+    # typed/legacy boundary.
+    if expected is not None and expected_hash is None:
+        legacy = hashlib.sha1(
+            json.dumps(expected, sort_keys=True, default=str).encode()
+        ).hexdigest()
+        return cur.content_hash == legacy
+    return False
 
 
 def entity_history(

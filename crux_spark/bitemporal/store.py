@@ -792,11 +792,18 @@ class TxStore:
         )
         if type_tags:
             type_tags.sort(key=lambda e: json.dumps(e[0]))
-            sidecar = f',"{_docjson.TYPES_KEY}": ' + json.dumps(type_tags) + "}"
-            doc_json_col = F.concat(
-                F.expr("substring(__dj, 1, length(__dj) - 1)"),
-                F.lit(sidecar),
-            )
+            sidecar = f'"{_docjson.TYPES_KEY}": ' + json.dumps(type_tags) + "}"
+            # A row whose doc_cols are ALL null serializes as '{}'
+            # (to_json ignoreNullFields default) — the comma form would
+            # produce malformed '{,"crux.json/types": ...}', crashing
+            # the norm UDF / entity() on json.loads. Guard on length.
+            doc_json_col = F.when(
+                F.length("__dj") > 2,
+                F.concat(
+                    F.expr("substring(__dj, 1, length(__dj) - 1)"),
+                    F.lit("," + sidecar),
+                ),
+            ).otherwise(F.concat(F.lit("{"), F.lit(sidecar)))
         else:
             doc_json_col = F.col("__dj")
         ops_df = base.select(

@@ -323,6 +323,14 @@ class Catalog:
                 and len(self._dfs) > thresh
                 and getattr(self, "_eav_path", None) is None
             ):
+                # two-phase deferral: dirs already queued at the PREVIOUS
+                # materialization are reclaimed now; dirs retired since
+                # then graduate to the reclaim queue and survive until
+                # the next materialization (frames returned to callers
+                # get a full invalidation cycle to be consumed).
+                self.reclaim_stale_eav(getattr(self, "_reclaimable", []))
+                self._reclaimable = getattr(self, "_stale_eav_dirs", [])
+                self._stale_eav_dirs = []
                 self.materialize_eav(self._auto_eav_path())
                 return self._eav
             views = [triples_view(self._dfs[t]) for t in self._dfs]
@@ -358,21 +366,41 @@ class Catalog:
         return d
 
     def _drop_auto_eav(self) -> None:
-        """Best-effort delete of a superseded auto-materialization via
-        the Hadoop FileSystem API (handles file:, hdfs:, s3a: alike).
-        Only dirs WE created are touched — a user-chosen
+        """Retire a superseded auto-materialization. The dir is NOT
+        deleted immediately: lazy DataFrames already returned to callers
+        may still hold the path in their lineage, and deleting under
+        them turns a late .collect() into FileNotFoundException. Instead
+        it joins a deferred list reclaimed one generation later — when
+        the NEXT auto-materialization is written (by which point frames
+        built against the previous-previous dir are a full invalidation
+        cycle old) or explicitly via :meth:`reclaim_stale_eav`. Only
+        dirs WE created are tracked — a user-chosen
         materialize_eav(path) is never deleted."""
         d = getattr(self, "_eav_auto_dir", None)
         if not d:
             return
         self._eav_auto_dir = None
-        try:
-            jvm = self.spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(d)
-            fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-            fs.delete(p, True)
-        except Exception:  # pragma: no cover - cleanup is best-effort
-            pass
+        self._stale_eav_dirs = getattr(self, "_stale_eav_dirs", [])
+        self._stale_eav_dirs.append(d)
+
+    def reclaim_stale_eav(self, dirs: list | None = None) -> None:
+        """Best-effort delete of retired auto-EAV dirs via the Hadoop
+        FileSystem API (handles file:, hdfs:, s3a: alike). With no
+        argument, reclaims EVERYTHING retired so far — call it when all
+        previously returned query results have been consumed."""
+        if dirs is None:
+            dirs = (getattr(self, "_stale_eav_dirs", [])
+                    + getattr(self, "_reclaimable", []))
+            self._stale_eav_dirs = []
+            self._reclaimable = []
+        for d in dirs:
+            try:
+                jvm = self.spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(d)
+                fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+                fs.delete(p, True)
+            except Exception:  # pragma: no cover - cleanup is best-effort
+                pass
 
     def materialize_eav(self, path: str | None = None) -> str:
         """Write the catalog-wide EAV view ONCE to parquet, partitioned

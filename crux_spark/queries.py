@@ -584,19 +584,26 @@ def tpch_q14(spark, sf_dir):
     """,
 )
 def tpch_q18(spark, sf_dir):
+    # The having-aggregate runs FIRST and its semi-join is applied to
+    # orders AND lineitem BEFORE the 3-way join (r12 verdict #6 A/B at
+    # sf1: keeps 10% of orders / 18.5% of lineitem, turning the big
+    # SortMergeJoin into all-broadcast with a reused exchange for the
+    # `big` relation — the post-join semi variant fed the fat join all
+    # 6M lineitems first).
     cat = catalog_for(spark, sf_dir)
     l = cat.table("lineitem")
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 180)
-        .select("l_orderkey")
+        .select(F.col("l_orderkey").alias("bok"))
     )
     c, o = cat.table("customer"), cat.table("orders")
+    o2 = o.join(big, o.o_orderkey == F.col("bok"), "left_semi")
+    l2 = l.join(big, l.l_orderkey == F.col("bok"), "left_semi")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .join(big.withColumnRenamed("l_orderkey", "bok"), F.col("o_orderkey") == F.col("bok"), "left_semi")
+        c.join(o2, c.c_custkey == o2.o_custkey)
+        .join(l2, o2.o_orderkey == l2.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )

@@ -1199,3 +1199,50 @@ def test_eav_full_spectrum_order_property(spark):
         want = [e for _, _, e in sorted(
             expected, key=lambda t: (t[0], t[1]))]
         assert got == want, f"seed {seed}"
+
+
+def test_auto_eav_deletion_is_deferred(spark):
+    """r12 advice: lazy DataFrames returned to callers may still
+    reference a superseded auto-EAV dir — registering a new table must
+    NOT delete it out from under them. The dir is retired to a deferred
+    queue (reclaimed one materialization cycle later, or explicitly via
+    reclaim_stale_eav)."""
+    import os
+
+    from crux_spark.catalog import Catalog
+    from crux_spark.datalog import q
+
+    cat = Catalog(spark)
+    for i in range(10):
+        cat.add_documents(
+            f"t{i}",
+            spark.range(3).select(
+                F.concat(F.lit(f"e{i}_"), F.col("id")).alias("id"),
+                (F.col("id") + i * 10).alias("score"),
+            ),
+            id_col="id",
+        )
+    query = {
+        "find": ["?e", "?v"],
+        "keys": ["e", "v"],
+        "where": [["?e", "?a", "?v"], [["=", "?a", ":score"]]],
+    }
+    df_old = q(cat, query)  # triggers auto-materialization
+    old_dir = cat._eav_auto_dir
+    assert old_dir and os.path.exists(old_dir)
+
+    # registering a new table retires the dir but must not delete it
+    cat.add_documents(
+        "t_extra",
+        spark.range(2).select(
+            F.concat(F.lit("x"), F.col("id")).alias("id"),
+            F.col("id").alias("score"),
+        ),
+        id_col="id",
+    )
+    assert os.path.exists(old_dir)
+    assert df_old.count() == 30  # the lazy frame still collects
+
+    # explicit reclaim removes it
+    cat.reclaim_stale_eav()
+    assert not os.path.exists(old_dir)

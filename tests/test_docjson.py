@@ -260,3 +260,105 @@ def test_tx_fn_sees_typed_docs(spark):
     assert out["bal"] == Decimal("105.0000")
     assert out["adjusted"] == dt.datetime(2024, 6, 1)
     assert out["opened"] == dt.datetime(2024, 1, 1)
+
+
+def test_bulk_ingest_non_binary_exact_decimal(spark):
+    """r12 advice: bulk-ingest doc_json carries decimals as JSON numbers
+    (Spark to_json), so json.loads yields a FLOAT; Decimal(float) would
+    expose the binary approximation (33.40 -> 33.3999...). The decoder
+    must go through str(float) — the shortest round-trip form — so a
+    non-binary-exact value survives the typed round trip."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.bitemporal.store import TxStore
+
+    rows = spark.range(1).select(
+        F.lit("dx").alias("eid"),
+        F.lit("33.40").cast("decimal(10,2)").alias("amt"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("vf"),
+    )
+    store = TxStore(spark)
+    store.bulk_ingest(rows, "eid", ["eid", "amt"], "vf")
+    out = store.entity("dx")
+    assert isinstance(out["amt"], Decimal)
+    assert out["amt"] == Decimal("33.40")
+    # the corruption signature: more than a handful of fractional digits
+    assert len(str(out["amt"])) <= len("33.40")
+
+
+def test_bulk_ingest_all_null_doc_cols(spark):
+    """r12 advice: a row whose doc_cols are ALL null serializes as '{}'
+    (to_json ignoreNullFields default); the sidecar concat must produce
+    well-formed JSON ('{' + sidecar, no leading comma) rather than the
+    malformed '{,"crux.json/types": ...}' that crashed entity()."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.bitemporal.store import TxStore
+
+    rows = spark.range(2).select(
+        F.concat(F.lit("n"), F.col("id")).alias("key"),
+        F.when(F.col("id") == 0, F.to_timestamp(F.lit("2024-01-02 03:04:05")))
+        .otherwise(F.lit(None).cast("timestamp")).alias("ts"),
+        F.lit(None).cast("decimal(10,2)").alias("amt"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("vf"),
+    )
+    store = TxStore(spark)
+    # doc_cols exclude the id, so the id=1 row's doc is all-null -> '{}'
+    store.bulk_ingest(rows, "key", ["ts", "amt"], "vf")
+    full = store.entity("n0")
+    assert full["ts"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    empty = store.entity("n1")  # must not raise on json.loads
+    assert empty is not None
+    assert empty.get("ts") is None and empty.get("amt") is None
+
+
+def test_set_tie_sort_is_deterministic():
+    """r12 advice: two distinct set elements with identical ENCODINGS
+    (datetime(2024,1,1) vs the string '2024-01-01 00:00:00') must order
+    deterministically — the sort key includes the tag list, so the
+    canonical dump (and content_hash) no longer depends on set
+    iteration order."""
+    from crux_spark.bitemporal.splice import content_hash
+
+    a = dt.datetime(2024, 1, 1)
+    b = "2024-01-01 00:00:00"
+    assert str(a) == b  # the tie this guards against
+    d1 = {"id": "e", "s": {a, b}}
+    s2 = set()
+    s2.add(b)
+    s2.add(a)
+    d2 = {"id": "e", "s": s2}
+    assert doc_dumps(d1) == doc_dumps(d2)
+    assert content_hash(d1) == content_hash(d2)
+    # the tagged (datetime) element sorts BEFORE the bare string with an
+    # equal encoding ('[[' < '[]' in the tag-list JSON): sidecar paths
+    # are positional, so pin the canonical order itself
+    enc = encode_doc(d1)
+    tagged_positions = [p[-1] for p, t, *x in enc[TYPES_KEY] if t == "inst"]
+    assert tagged_positions == [0]
+    out = doc_loads(doc_dumps(d1))
+    assert out["s"] == {a, b}
+    assert {type(e) for e in out["s"]} == {dt.datetime, str}
+
+
+def test_match_falls_back_to_legacy_hash():
+    """r12 advice: a doc stored BEFORE the typed-sidecar upgrade holds
+    the legacy (untagged) content hash; a WAL-only restore carries no
+    index-version stamp, so a post-upgrade match op with a typed
+    expected doc must fall back to the legacy hash instead of
+    spuriously aborting."""
+    import hashlib
+
+    from crux_spark.bitemporal.splice import END_OF_TX, Version, matches
+
+    doc = {"id": "e1", "when": dt.datetime(2024, 1, 2, 3, 4, 5),
+           "amt": Decimal("9.75")}
+    legacy_hash = hashlib.sha1(
+        json.dumps(doc, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    v1_doc_json = json.dumps(doc, sort_keys=True, default=str)
+    hist = [Version(valid_from=0, valid_to=2**62, tx_from=1,
+                    tx_to=END_OF_TX, tx_time=1, doc_json=v1_doc_json,
+                    deleted=False, content_hash=legacy_hash)]
+    assert matches(hist, doc, 10, 10)          # typed expected, v1 store
+    assert not matches(hist, {**doc, "amt": Decimal("1.00")}, 10, 10)

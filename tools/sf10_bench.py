@@ -33,7 +33,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GATES = ("dedup_minhash_lsh", "embedding_near_dup_lsh")
+GATES = (
+    "dedup_minhash_lsh",
+    "embedding_near_dup_lsh",
+    # r12 verdict #4: the pairgen family — dedup_pairgen_shared is the
+    # historically twitchiest gate (r10 13.5s record, r11 47s box scare,
+    # r12 adjudication) and dedup_substring_spans consumes its shingle
+    # relation. Timed here one decade further out, rows_out recorded.
+    "dedup_substring_spans",
+)
 
 
 def _load(path, name):
@@ -61,6 +69,25 @@ def main() -> int:
 
     queries = entrymod.queries()
     rec: dict = {"sf": 10.0, "queries": {}, "rows_out": {}, "params": {}}
+    rec["box_probe"] = bench._box_probe()
+
+    # Shared ngram pair generation, timed explicitly like the sf0.1/sf1
+    # suites (CRUX_SPARK_BENCH_SHARE memoization): the substring-span
+    # consumer then reads the checkpointed pairs, so the pairgen wall is
+    # recorded once under its own name instead of hiding in a consumer.
+    os.environ.setdefault("CRUX_SPARK_BENCH_SHARE", "1")
+    if os.environ.get("CRUX_SPARK_BENCH_SHARE") == "1":
+        from crux_spark.queries import _ngram_pairs_for, catalog_for
+
+        cat = catalog_for(spark, data_dir)
+        t0 = time.perf_counter()
+        n_pairs = len(_ngram_pairs_for(cat, data_dir, threshold=0.5).collect())
+        dt = time.perf_counter() - t0
+        rec["queries"]["dedup_pairgen_shared"] = round(dt, 2)
+        rec["rows_out"]["dedup_pairgen_shared"] = n_pairs
+        print(f"# dedup_pairgen_shared: {dt:.2f}s rows_out={n_pairs}",
+              file=sys.stderr)
+        bench._cleanup(spark)
 
     # the parameters each gate will actually use at this corpus size
     from crux_spark.operators.similarity import _lsh_params
@@ -99,7 +126,7 @@ def main() -> int:
     if os.path.exists(sf1_path):
         with open(sf1_path) as f:
             sf1_q = json.load(f).get("queries") or {}
-        for name in GATES:
+        for name in rec["queries"]:
             prev = sf1_q.get(name)
             if prev and prev > 0:
                 ratio = rec["queries"][name] / prev
