@@ -4611,3 +4611,110 @@ assert sorted(_r12_order) == sorted(_r12_names), "r12 rotation lost gates"
 _r12_reordered = {n: QUERIES[n] for n in _r12_order}
 QUERIES.clear()
 QUERIES.update(_r12_reordered)
+
+
+# ---------------------------------------------------------------------------
+# r13 WINDOW ROTATION (policy block at the r11 rotation, ~4290): the
+# driver records correctness for the FIRST 50 entries only.
+#   r13: IN the full stale tail — (a) the 7 gates whose newest driver
+#        row is r9 (the r12 block's promised queue): dsir_weights,
+#        bitemporal_history_bounded, events_rollup, window_lag_delta,
+#        dedup_chunks, sample_hash_deterministic, dedup_line_trim; and
+#        (b) all 18 r10-era gates: datalog_subquery, decontaminate_ngram,
+#        dedup_canonical, lucene_multi_field, mix_temperature,
+#        sparql_snowflake_union, stratified_sample,
+#        streaming_dedup_oracle, text_repetition, tpch_q2/q5/q7/q12/
+#        q13/q15/q18/q22, window_topk. After this splice no gate's
+#        newest driver row is older than r11.
+#   OUT 25 gates, all holding fresh r12 driver-green rows AND whose
+#        operator surface stays covered in-window:
+#        tpch_q8 (8-way join tree -> tpch_q5/q7 rotating in, 6-way +
+#        nation-pair disjunction), tpch_q10 (join+agg+topn -> tpch_q18
+#        rotating in; tpch_q21 stays for top-k order/limit), tpch_q14
+#        (conditional scan agg -> tpch_q12 rotating in, CASE agg +
+#        tpch_q1 stays), tpch_q17 (scalar avg subquery -> tpch_q2
+#        rotating in, correlated min subquery; tpch_q11 stays), tpch_q19
+#        (3-branch or -> tpch_q7 rotating in carries the disjunctive
+#        join; 208-case builtin battery in tests), tpch_q20 (nested
+#        semi -> tpch_q18 in-subquery semi; tpch_q4 stays for exists),
+#        tpch_q21_anti (anti-join -> tpch_q22 rotating in, not-exists
+#        anti; tpch_q21 stays), select_token_budget (budget sampling ->
+#        mix_temperature rotating in, same sampling.py family),
+#        epoch_shard_shuffle (hash-deterministic shuffle ->
+#        sample_hash_deterministic rotating in), source_cap_topn
+#        (per-source cap -> window_topk + stratified_sample rotating
+#        in), text_clf_score (textops fold -> text_repetition rotating
+#        in + text_gopher_filter stays), bigram_lm_quality
+#        (conditional NLL -> unigram_lm_quality stays),
+#        bloom_decontaminate (benchmark bitset -> decontaminate_ngram
+#        rotating in, same shingle equi-join family), ann_sq8
+#        (quantized ANN -> ann_pq stays), semantic_dedup (cell-bucketed
+#        cosine -> embedding_near_dup_lsh + incremental_vector_index
+#        stay), text_c4_filter (heuristic filter -> text_gopher_filter
+#        stays + text_repetition rotating in), dedup_span_trim
+#        (span trim -> dedup_line_trim + dedup_chunks rotating in +
+#        dedup_substring_spans stays), events_sessionize (session
+#        windows -> events_rollup + window_lag_delta rotating in),
+#        agg_min_max_n (min-N/max-N -> window_topk rotating in, same
+#        per-group top-n; agg_stats stays), bitemporal_store_history
+#        (history scan -> bitemporal_history_bounded rotating in;
+#        bitemporal_store_asof stays), sparql_star_filter (SPARQL
+#        FILTER -> sparql_snowflake_union rotating in),
+#        streaming_rollup_oracle (multi-trigger stream vs batch ->
+#        streaming_dedup_oracle rotating in), text_search_docs
+#        (text-search -> lucene_multi_field rotating in, QueryParser
+#        superset of the single-field surface), dedup_ngram_jaccard
+#        (prefix-filtered similarity join -> dedup_minhash_lsh stays +
+#        dedup_canonical rotating in), datalog_relation_in (:in
+#        binding forms -> datalog_subquery rotating in, q-pred env
+#        substitution; datalog_pull stays).
+#   All 25 rotated-out gates keep running in bench and in the per-round
+#   mirror (tools/check_oracles.py -> MIRROR_r{N}.json). r14 queue: the
+#   18 r11-era gates (ann_brute_force, ann_ivf, contamination_scores,
+#   datalog_or_join, dedup_exact, embedding_threshold_pairs,
+#   events_asof, events_json, kmeans_embeddings, mix_corpora_weighted,
+#   multimodal_decode, sparql_path_closure, text_analysis,
+#   text_pii_scrub, tpch_q3/q6/q9/q16) become the stalest.
+# ---------------------------------------------------------------------------
+
+_R13_IN = [
+    "dsir_weights", "bitemporal_history_bounded", "events_rollup",
+    "window_lag_delta", "dedup_chunks", "sample_hash_deterministic",
+    "dedup_line_trim",
+    "datalog_subquery", "decontaminate_ngram", "dedup_canonical",
+    "lucene_multi_field", "mix_temperature", "sparql_snowflake_union",
+    "stratified_sample", "streaming_dedup_oracle", "text_repetition",
+    "tpch_q2", "tpch_q5", "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q18", "tpch_q22", "window_topk",
+]
+_R13_OUT = [
+    "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q17", "tpch_q19",
+    "tpch_q20", "tpch_q21_anti", "select_token_budget",
+    "epoch_shard_shuffle", "source_cap_topn", "text_clf_score",
+    "bigram_lm_quality", "bloom_decontaminate", "ann_sq8",
+    "semantic_dedup", "text_c4_filter", "dedup_span_trim",
+    "events_sessionize", "agg_min_max_n", "bitemporal_store_history",
+    "sparql_star_filter", "streaming_rollup_oracle", "text_search_docs",
+    "dedup_ngram_jaccard", "datalog_relation_in",
+]
+_r13_names = list(QUERIES)
+for _n in _R13_IN + _R13_OUT:
+    assert _n in QUERIES, f"r13 rotation references unknown gate {_n!r}"
+for _n in _R13_OUT:
+    assert _r13_names.index(_n) < _WINDOW, (
+        f"r13 OUT gate {_n!r} is not inside the first-{_WINDOW} window")
+for _n in _R13_IN:
+    assert _r13_names.index(_n) >= _WINDOW, (
+        f"r13 IN gate {_n!r} already sits inside the first-{_WINDOW} window")
+assert len(_R13_IN) == len(_R13_OUT), "r13 rotation must preserve window size"
+_r13_keep = _WINDOW - len(_R13_OUT)
+_r13_order = [n for n in QUERIES if n not in _R13_IN and n not in _R13_OUT]
+assert sum(1 for n in _r13_order[:_r13_keep]
+           if _r13_names.index(n) < _WINDOW) == _r13_keep, (
+    "r13 retained prefix does not equal the surviving window gates")
+_r13_order = (_r13_order[:_r13_keep] + _R13_IN
+              + _r13_order[_r13_keep:] + _R13_OUT)
+assert sorted(_r13_order) == sorted(_r13_names), "r13 rotation lost gates"
+_r13_reordered = {n: QUERIES[n] for n in _r13_order}
+QUERIES.clear()
+QUERIES.update(_r13_reordered)

@@ -38,6 +38,22 @@ def main() -> None:
     n_users = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
     mode = sys.argv[2] if len(sys.argv) > 2 else "rows"
 
+    # environment fingerprint recorded in the artifact (round-process
+    # rule: every standing scale record carries its box_probe)
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "bench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        ),
+    )
+    _bench = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+    global _probe
+    _probe = _bench._box_probe()
+
     from test_watdiv import _IDS, PREFIXES, TEMPLATES  # noqa: E402
 
     from crux_spark import Catalog, get_spark
@@ -156,6 +172,7 @@ def main() -> None:
         "disagreements": disagreements,
         "over_30s": over_bar,
         "total_sparql_s": round(sum(r["sparql_s"] for r in results.values()), 1),
+        "box_probe": _probe,
         "results": results,
     }
     path = os.path.join(
