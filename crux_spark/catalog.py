@@ -235,7 +235,8 @@ class Catalog:
 
         snap = store.db(valid_time, tx)
         spark = store.spark
-        if schema is None:
+        inferred = schema is None
+        if inferred:
             schema = spark.read.json(
                 snap.select("doc_json").rdd.map(lambda r: r[0])
             ).schema
@@ -248,9 +249,60 @@ class Catalog:
         if TYPES_KEY in docs.columns:
             # the typed-doc sidecar is wire metadata, not an attribute
             docs = docs.drop(TYPES_KEY)
+        if inferred:
+            # json inference sees the legacy VALUE bytes (bare
+            # "2024-01-02 03:04:05" strings, decimals-as-doubles), so
+            # query/pull leaves would come back stringified. The typed
+            # sidecar names the real classes — upgrade the columns it
+            # tags consistently. Bounded sample: the tag set is a
+            # function of the writing application's schema, not of row
+            # count (same rationale as the inference pass itself; at
+            # scale pass ``schema``).
+            docs = cls._apply_sidecar_casts(docs, snap, _F)
         cat = cls(spark)
         cat.add_documents(name, docs)
         return cat
+
+    @staticmethod
+    def _apply_sidecar_casts(docs, snap, _F):
+        """Cast inferred string/double columns to the classes the typed
+        sidecar (docjson.py) declares, where every sampled doc agrees:
+        inst/instant -> timestamp, ldt -> timestamp_ntz, date -> date,
+        dec -> decimal(38,12). Nested paths, conflicting tags, and tags
+        with no Spark carrier (char/time/dur/bigint/set) keep the legacy
+        string form — the EAV layer handles those through its own typed
+        union."""
+        import json as _json
+
+        sample = (
+            snap.select("doc_json")
+            .filter(_F.col("doc_json").contains('"crux.json/types"'))
+            .limit(1000)
+            .collect()
+        )
+        col_tags: dict[str, set] = {}
+        from crux_spark.bitemporal.docjson import TYPES_KEY as _TK
+
+        for r in sample:
+            try:
+                d = _json.loads(r[0])
+            except ValueError:
+                continue
+            for entry in d.get(_TK) or []:
+                path, tag = entry[0], entry[1]
+                if len(path) == 1 and isinstance(path[0], str):
+                    col_tags.setdefault(path[0], set()).add(tag)
+        casts = {"inst": "timestamp", "instant": "timestamp",
+                 "ldt": "timestamp_ntz", "date": "date",
+                 "dec": "decimal(38,12)"}
+        for col, tags in col_tags.items():
+            if len(tags) == 1 and col in docs.columns:
+                target = casts.get(next(iter(tags)))
+                if target:
+                    docs = docs.withColumn(
+                        col, _F.col(col).cast(target)
+                    )
+        return docs
 
     def add_documents(
         self, name: str, df: DataFrame, id_col: str | None = None, prefix: str = ""

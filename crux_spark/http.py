@@ -176,11 +176,19 @@ class HttpNode:
                 raise KeyError(f"entity not found: {qs['eid']}")
             return doc
         if path == "/_crux/entity-history":
-            return self._db(qs).entity_history(
+            hist = self._db(qs).entity_history(
                 qs["eid"],
                 ascending=qs.get("sort-order", "asc") == "asc",
                 with_corrections=qs.get("with-corrections") == "true",
             )
+            # with-docs=true ships each version's doc (typed over the
+            # EDN wire — docjson decodes server-side, the EDN printer
+            # carries #inst / M literals); default strips the bodies
+            # like the reference (http_server.clj entity-history)
+            if qs.get("with-docs") != "true":
+                hist = [{k: v for k, v in e.items() if k != "doc"}
+                        for e in hist]
+            return hist
         if path == "/_crux/query":
             # GET query form (the reference's queryEdn/inArgsEdn params,
             # http_server/json_test.clj — JSON is this facade's shared
@@ -483,10 +491,15 @@ class RemoteDb:
             return None
 
     def entity_history(self, eid: str, ascending: bool = True,
-                       with_corrections: bool = False) -> list[dict]:
+                       with_corrections: bool = False,
+                       with_docs: bool = True) -> list[dict]:
         return self.client._get(
             "/_crux/entity-history", eid=eid,
             **{"sort-order": "asc" if ascending else "desc",
                "with-corrections": "true" if with_corrections else None,
+               # the local Db.entity_history returns docs, so the remote
+               # facade requests them by default (the raw wire defaults
+               # to stripped bodies like the reference)
+               "with-docs": "true" if with_docs else None,
                **self._basis()},
         )

@@ -67,8 +67,12 @@ def test_http_round_trip(http_node):
     post(base + "/_crux/submit-tx", {"tx-ops": [
         ["put", {"id": "u1", "name": "ann2", "score": 11}]]})
     get(base + "/_crux/await-tx")
-    hist = get(base + "/_crux/entity-history?eid=u1&sort-order=asc")
+    hist = get(base + "/_crux/entity-history?eid=u1&sort-order=asc"
+               "&with-docs=true")
     assert [h["doc"]["name"] for h in hist] == ["ann", "ann2"]
+    # reference default: bodies stripped without with-docs
+    bare = get(base + "/_crux/entity-history?eid=u1&sort-order=asc")
+    assert bare and all("doc" not in h for h in bare)
 
     log = get(base + "/_crux/tx-log")
     assert [e["tx_id"] for e in log["tx-log"]] == [1, 2]

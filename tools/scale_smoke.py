@@ -54,7 +54,7 @@ def run_cc(spark, n_chains: int, length: int):
     n_comp = out.select("component").distinct().count()
     assert n_comp == n_chains, (n_comp, n_chains)
     assert n == n_chains * (length + 1), n
-    return dt, stats["rounds"]
+    return dt, stats["rounds"], n
 
 
 def run_reach(spark, n_chains: int, length: int):
@@ -98,7 +98,7 @@ def run_reach(spark, n_chains: int, length: int):
         dcompile.FIXPOINT_STATS["tc_rounds"]
         or dcompile.FIXPOINT_STATS["fixpoint_rounds"]
     )
-    return dt, rounds
+    return dt, rounds, n
 
 
 def run_pack(spark, n_chains: int, length: int):
@@ -494,16 +494,33 @@ def main() -> int:
         ("datalog_pull_driving", run_pull_driving_set, 20_000),
     ):
         length = 16  # constant diameter across scales (graph ops)
-        t1, r1 = fn(spark, base, length)
+        t1, r1, *out1 = fn(spark, base, length)
         _cleanup(spark)
-        t10, r10 = fn(spark, base * 10, length)
+        t10, r10, *out10 = fn(spark, base * 10, length)
         _cleanup(spark)
-        print(f"{name:<22}{'1x':>6}{base:>10}{t1:>8.2f}{r1:>8}")
-        print(f"{name:<22}{'10x':>6}{base * 10:>10}{t10:>8.2f}{r10:>8}")
+        # r12 verdict #5: closure-producing ops (CC, transitive reach)
+        # have OUTPUT that grows with input, so wall tracking output is
+        # expected — report sec/1k-output-rows next to wall so the
+        # growth law is judged output-normalized.
+        norm1 = f"  ({t1 * 1000 / out1[0]:.2f} s/1k out)" if out1 else ""
+        norm10 = f"  ({t10 * 1000 / out10[0]:.2f} s/1k out)" if out10 else ""
+        print(f"{name:<22}{'1x':>6}{base:>10}{t1:>8.2f}{r1:>8}{norm1}")
+        print(f"{name:<22}{'10x':>6}{base * 10:>10}{t10:>8.2f}{r10:>8}{norm10}")
         if r10 > r1 + 1:  # rounds must be diameter-bound, not size-bound
             failures.append(f"{name}: rounds grew {r1} -> {r10}")
         if t10 > max(t1, 0.5) * 30:  # sub-quadratic wall guard (noisy box)
             failures.append(f"{name}: time grew {t1:.2f}s -> {t10:.2f}s")
+        if out1 and out10:
+            # output-normalized guard: cost per output row must not
+            # grow more than ~10x at 10x scale (a true quadratic in
+            # OUTPUT would read ~10x; the wall guard alone can't see
+            # this when output itself grows)
+            per1 = t1 / max(out1[0], 1)
+            per10 = t10 / max(out10[0], 1)
+            if per10 > max(per1, 1e-6) * 10 and t10 > 5:
+                failures.append(
+                    f"{name}: sec/output-row grew {per1:.2e} -> {per10:.2e}"
+                )
     if failures:
         print("FAIL:", "; ".join(failures))
         return 1
