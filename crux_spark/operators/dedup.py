@@ -762,3 +762,254 @@ def trim_duplicate_lines(
         F.size("__ls").alias("n_lines"),
         F.size(kept).alias("kept_lines"),
     )
+
+
+class IncrementalMinHashIndex:
+    """MinHash-LSH near-dup index maintained incrementally from document
+    batches — the STREAMING sibling of :func:`minhash_lsh_pairs`, and
+    the near-dup counterpart of the exact streaming dedup (the reference
+    has only tx-time exact match; this is part of the pipeline-operator
+    extension family, like IncrementalVectorIndex / IncrementalTextIndex
+    which follow the reference's register-index! replay seam,
+    crux-core/src/crux/tx.clj).
+
+    State is the banded-signature postings table (id, sig, band, bucket)
+    — one row per LSH posting, exactly the relation
+    :func:`banded_signatures` calls "the persistable incremental LSH
+    index" — plus (in exact mode) the shingle sets used for
+    verification. Each ``add_batch``:
+
+      1. shingles + signs the NEW docs only (one projection, no
+         full-corpus pass);
+      2. joins new postings against new+existing postings on
+         (band, bucket) — candidate generation stays a bucket equi-join
+         at any corpus size, the same shuffle shape as the batch
+         operator;
+      3. verifies candidates (exact shingle-set Jaccard, or signature
+         agreement in ``verify="est"`` mode) and RETURNS the pairs that
+         involve at least one new doc;
+      4. merges the new postings/sets in by id (left-anti + union, the
+         tx-batch merge shape of IncrementalVectorIndex).
+
+    Invariant (pytest-pinned): the union of add_batch outputs over any
+    partition of a corpus equals the batch ``minhash_lsh_pairs`` output
+    on the whole corpus — each qualifying pair is emitted exactly once,
+    in the batch where its LATER member arrived. Re-putting an id
+    replaces its postings and re-evaluates its pairs (documented: the
+    pair re-emits against the new text).
+
+    100 TB posture: postings are ~bands rows/doc and partition by
+    (band, bucket); the exact-mode shingle-set table is the verification
+    cost the batch operator pays too — drop to ``verify="est"`` where
+    storing sets is not worth signature-only precision. No driver-side
+    state.
+
+    Checkpointable through CheckpointStore's ``indexes=`` seam like the
+    other incremental indexes: save() writes postings (partitioned by
+    band) + sets + params; load() localCheckpoints so restores survive
+    deletion of the source checkpoint dir.
+    """
+
+    def __init__(self, spark, n: int = 3, num_hashes: int = 32,
+                 bands: int = 16, threshold: float = 0.5,
+                 verify: str = "exact"):
+        if num_hashes % bands:
+            raise ValueError("num_hashes must be divisible by bands")
+        if verify not in ("exact", "est"):
+            raise ValueError(f"unknown verify mode {verify!r}")
+        self.spark = spark
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self.verify = verify
+        self.postings: DataFrame | None = None  # id, sig, band, bucket
+        self.sets: DataFrame | None = None      # id, sh (exact mode)
+        self.last_tx_id: int = -1
+
+    def add_batch(self, docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+        """Index a batch of documents; return the near-dup pairs this
+        batch creates: (id_a, id_b, jaccard|est_jaccard) with every pair
+        involving >=1 doc from this batch, ordered id_a < id_b."""
+        ex = shingle_hashes(docs, id_col, text_col, self.n)
+        if self.verify == "exact":
+            ex = ex.localCheckpoint(eager=False)
+        sigs = minhash_signatures(
+            docs, id_col, text_col, self.n, self.num_hashes, exploded=ex
+        )
+        new_banded = banded_signatures(
+            sigs, self.num_hashes, self.bands
+        ).localCheckpoint()  # eager: feeds the join AND the state merge
+        touched = new_banded.select("id").distinct()
+
+        # candidate generation: new x (existing + new). Half-open on the
+        # NEW side only — cross pairs take both orders in the raw join,
+        # so normalize to (min, max); in-batch pairs use a.id < b.id
+        # directly like the batch operator.
+        a = new_banded.alias("a")
+        inb = a.join(
+            new_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        if self.postings is not None:
+            old = self.postings.join(touched, "id", "left_anti").alias("o")
+            cross = a.join(
+                old,
+                (F.col("a.band") == F.col("o.band"))
+                & (F.col("a.bucket") == F.col("o.bucket")),
+            ).select(
+                F.least(F.col("a.id"), F.col("o.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("o.id")).alias("id_b"),
+                F.when(F.col("a.id") < F.col("o.id"), F.col("a.sig"))
+                .otherwise(F.col("o.sig")).alias("sig_a"),
+                F.when(F.col("a.id") < F.col("o.id"), F.col("o.sig"))
+                .otherwise(F.col("a.sig")).alias("sig_b"),
+            )
+            cands = inb.unionByName(cross)
+        else:
+            cands = inb
+
+        if self.verify == "exact":
+            pairs = cands.select("id_a", "id_b").dropDuplicates(
+                ["id_a", "id_b"]
+            )
+            new_sets = ex.groupBy("id").agg(F.collect_set("h").alias("sh"))
+            new_sets = new_sets.localCheckpoint()
+            if self.sets is not None:
+                all_sets = self.sets.join(
+                    touched, "id", "left_anti"
+                ).unionByName(new_sets)
+            else:
+                all_sets = new_sets
+            sa = all_sets.select(F.col("id").alias("id_a"),
+                                 F.col("sh").alias("sh_a"))
+            sb = all_sets.select(F.col("id").alias("id_b"),
+                                 F.col("sh").alias("sh_b"))
+            n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+            out = (
+                pairs.join(sa, "id_a").join(sb, "id_b")
+                .withColumn(
+                    "jaccard",
+                    F.round(
+                        n_inter
+                        / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+                    ),
+                )
+                .filter(F.col("jaccard") >= self.threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
+            self.sets = (
+                all_sets if self.sets is None
+                else all_sets.localCheckpoint(eager=False)
+            )
+        else:
+            agree = F.size(F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            ))
+            out = (
+                cands.withColumn(
+                    "est_jaccard", F.round(agree / F.lit(self.num_hashes), 6)
+                )
+                .filter(F.col("est_jaccard") >= self.threshold)
+                .dropDuplicates(["id_a", "id_b"])
+                .select("id_a", "id_b", "est_jaccard")
+            )
+
+        if self.postings is None:
+            self.postings = new_banded
+        else:
+            self.postings = (
+                self.postings.join(touched, "id", "left_anti")
+                .unionByName(new_banded)
+                .localCheckpoint(eager=False)
+            )
+        return out
+
+    def listener(self, epoch_id: int, ops_batch: DataFrame,
+                 text_field: str = "text") -> DataFrame:
+        """tx-log form (register-index! seam): extract each entity's
+        final put doc text from the batch and index it. Deletes/evicts
+        drop the entity's postings (its pairs stop being emitted against
+        future docs)."""
+        eff = ops_batch.filter(F.col("op").isin("put", "delete", "evict"))
+        last = eff.groupBy("eid").agg(
+            F.max_by(
+                F.struct("op", "doc_json"), F.struct("tx_id", "seq")
+            ).alias("last")
+        )
+        puts = (
+            last.filter(F.col("last.op") == "put")
+            .select(
+                F.col("eid").alias("doc_id"),
+                F.get_json_object(
+                    "last.doc_json", f"$.{text_field}"
+                ).alias("text"),
+            )
+            .filter(F.col("text").isNotNull())
+        )
+        gone = last.filter(F.col("last.op") != "put").select(
+            F.col("eid").alias("id")
+        )
+        if self.postings is not None:
+            self.postings = self.postings.join(
+                gone, "id", "left_anti"
+            ).localCheckpoint(eager=False)
+        if self.sets is not None:
+            self.sets = self.sets.join(
+                gone, "id", "left_anti"
+            ).localCheckpoint(eager=False)
+        out = self.add_batch(puts)
+        mx = ops_batch.agg(F.max("tx_id")).first()[0]
+        if mx is not None:
+            self.last_tx_id = max(self.last_tx_id, int(mx))
+        return out
+
+    # -- checkpoint persistence (same contract as the other indexes) --
+    def save(self, path: str) -> None:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        if self.postings is not None:
+            self.postings.write.mode("overwrite").partitionBy(
+                "band"
+            ).parquet(_os.path.join(path, "postings"))
+        if self.sets is not None:
+            self.sets.write.mode("overwrite").parquet(
+                _os.path.join(path, "sets")
+            )
+        with open(_os.path.join(path, "index.json"), "w") as f:
+            _json.dump(
+                {"n": self.n, "num_hashes": self.num_hashes,
+                 "bands": self.bands, "threshold": self.threshold,
+                 "verify": self.verify, "last_tx_id": self.last_tx_id},
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IncrementalMinHashIndex":
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "index.json")) as f:
+            meta = _json.load(f)
+        idx = cls(spark, n=meta["n"], num_hashes=meta["num_hashes"],
+                  bands=meta["bands"], threshold=meta["threshold"],
+                  verify=meta["verify"])
+        idx.last_tx_id = int(meta.get("last_tx_id", -1))
+        pd_dir = _os.path.join(path, "postings")
+        if _os.path.isdir(pd_dir):
+            # localCheckpoint: restores must survive deletion of the
+            # source checkpoint dir (r12 advice)
+            idx.postings = spark.read.parquet(pd_dir).localCheckpoint()
+        sd = _os.path.join(path, "sets")
+        if _os.path.isdir(sd):
+            idx.sets = spark.read.parquet(sd).localCheckpoint()
+        return idx

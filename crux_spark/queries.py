@@ -4718,3 +4718,64 @@ assert sorted(_r13_order) == sorted(_r13_names), "r13 rotation lost gates"
 _r13_reordered = {n: QUERIES[n] for n in _r13_order}
 QUERIES.clear()
 QUERIES.update(_r13_reordered)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MinHash-LSH dedup (r13): the near-dup sibling of
+# the exact streaming dedup. Registered AFTER the r13 rotation splice so
+# it lands in the overflow tail (mirror-checked per round; driver row via
+# the r14 rotation, the same path incremental_vector_index took in r12).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_minhash_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i, t FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def streaming_minhash_dedup(spark, sf_dir):
+    """Documents arrive in three batches through IncrementalMinHashIndex
+    (dedup.py); the UNION of per-batch outputs must equal the batch
+    exact-similarity join — the oracle is the same exact Jaccard join
+    that gates dedup_minhash_lsh, so a hash-match proves (a) banding
+    recall 1.0 at threshold 0.5 with 16x2 banding holds INCREMENTALLY,
+    and (b) each pair is emitted exactly once, in the batch where its
+    later member arrived. Candidate generation stays a (band, bucket)
+    equi-join of the new batch against the persisted postings — the
+    100 TB shape: per-batch cost is O(batch x collisions), never a
+    full-corpus rescan."""
+    from crux_spark.operators.dedup import IncrementalMinHashIndex
+
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents").select("doc_id", "text")
+    idx = IncrementalMinHashIndex(
+        spark, num_hashes=32, bands=16, threshold=0.5, verify="exact"
+    )
+    outs = [
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == b))
+        for b in range(3)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

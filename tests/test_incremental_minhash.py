@@ -1,0 +1,131 @@
+"""IncrementalMinHashIndex — streaming near-dup dedup. The invariant:
+the union of add_batch outputs over ANY partition of a corpus equals the
+batch minhash_lsh_pairs output on the whole corpus (each qualifying pair
+emitted exactly once, in the batch where its later member arrived)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crux_spark.operators.dedup import (
+    IncrementalMinHashIndex,
+    minhash_lsh_pairs,
+)
+
+
+def _corpus(spark, n=120):
+    """Synthetic docs with planted near-dups: every doc_id % 10 == 0 has
+    a shifted copy at id+1000 sharing most of its text."""
+    base = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "),
+            F.lit("eta theta iota kappa word"),
+            (F.col("id") % 37).cast("string"),
+            F.lit(" lambda mu nu xi omicron pi rho sigma tau"),
+        ).alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" upsilon")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r[2]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("verify", ["exact", "est"])
+@pytest.mark.parametrize("n_batches", [2, 4])
+def test_incremental_equals_batch(spark, verify, n_batches):
+    docs = _corpus(spark)
+    batch_out = _pairs(minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16, verify=verify,
+    ))
+    assert batch_out  # planted dups must actually qualify
+
+    idx = IncrementalMinHashIndex(
+        spark, num_hashes=32, bands=16, threshold=0.5, verify=verify
+    )
+    got = set()
+    for b in range(n_batches):
+        part = docs.filter(F.col("doc_id") % n_batches == b)
+        out = _pairs(idx.add_batch(part))
+        assert not (got & out), "a pair was emitted twice"
+        got |= out
+    assert got == batch_out
+
+
+def test_reput_replaces_postings(spark):
+    """Re-adding an id with new text replaces its postings: pairs
+    re-evaluate against the NEW text only."""
+    idx = IncrementalMinHashIndex(spark, num_hashes=32, bands=16,
+                                  threshold=0.5)
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    t = ("the quick brown fox jumps over the lazy dog and then "
+         "runs far away into the deep dark forest tonight")
+    out1 = idx.add_batch(mk([(1, t), (2, t + " again")]))
+    assert {(r.id_a, r.id_b) for r in out1.collect()} == {(1, 2)}
+    # re-put doc 2 with unrelated text: no pair against doc 1 anymore
+    out2 = idx.add_batch(mk([
+        (2, "completely different words entirely unrelated content "
+            "nothing shared with any earlier document at all here")]))
+    assert out2.count() == 0
+    # a third doc similar to the NEW doc 2 pairs with it, not with 1
+    out3 = idx.add_batch(mk([
+        (3, "completely different words entirely unrelated content "
+            "nothing shared with any earlier document at all there")]))
+    assert {(r.id_a, r.id_b) for r in out3.collect()} == {(2, 3)}
+
+
+def test_listener_tx_form_and_delete(spark):
+    """The tx-log listener form: puts index doc text, deletes drop the
+    entity's postings so later docs stop pairing against it."""
+    import json
+
+    idx = IncrementalMinHashIndex(spark, num_hashes=32, bands=16,
+                                  threshold=0.5)
+    t = ("shared sentence of many tokens that makes these documents "
+         "near duplicates for the minhash index to catch easily")
+
+    def ops(rows):
+        return spark.createDataFrame(
+            rows, ["eid", "tx_id", "seq", "op", "doc_json"]
+        )
+
+    out1 = idx.listener(0, ops([
+        ("a", 1, 0, "put", json.dumps({"id": "a", "text": t})),
+        ("b", 1, 1, "put", json.dumps({"id": "b", "text": t + " x"})),
+    ]))
+    assert {(r.id_a, r.id_b) for r in out1.collect()} == {("a", "b")}
+    assert idx.last_tx_id == 1
+    # delete b, then add c ~ t: pairs only against a
+    out2 = idx.listener(1, ops([
+        ("b", 2, 0, "delete", None),
+        ("c", 2, 1, "put", json.dumps({"id": "c", "text": t + " y"})),
+    ]))
+    assert {(r.id_a, r.id_b) for r in out2.collect()} == {("a", "c")}
+
+
+def test_checkpoint_roundtrip_survives_dir_deletion(spark, tmp_path):
+    import shutil
+
+    docs = _corpus(spark, 60)
+    idx = IncrementalMinHashIndex(spark, num_hashes=32, bands=16,
+                                  threshold=0.5)
+    first = docs.filter(F.col("doc_id") < 1000)
+    idx.add_batch(first)
+    cp = str(tmp_path / "mh_idx")
+    idx.save(cp)
+
+    idx2 = IncrementalMinHashIndex.load(spark, cp)
+    assert idx2.bands == 16 and idx2.threshold == 0.5
+    shutil.rmtree(cp)  # restore must not lazily depend on the dir
+    rest = docs.filter(F.col("doc_id") >= 1000)
+    out = idx2.add_batch(rest)
+    batch_out = minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16, verify="exact"
+    )
+    cross = {(r.id_a, r.id_b) for r in batch_out.collect()
+             if r.id_b >= 1000}
+    assert {(r.id_a, r.id_b) for r in out.collect()} == cross
