@@ -350,46 +350,29 @@ class StreamingNearDupDetector:
         self.id_col, self.text_col = id_col, text_col
         self.n, self.num_hashes, self.bands = n, num_hashes, bands
         self.threshold = threshold
-        self._dedup = _dedup
-        self.index: DataFrame | None = None  # (id, sig, band, bucket)
+        # r13: the band index + per-batch probe live in ONE place —
+        # IncrementalMinHashIndex (operators/dedup.py) — which also
+        # carries exact verification, tx-listener and checkpoint
+        # save/load forms. This class is its Structured Streaming
+        # wrapper (foreachBatch follower + accumulated pair table).
+        self._idx = _dedup.IncrementalMinHashIndex(
+            spark, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, verify="est",
+        )
         self.pairs: DataFrame = spark.createDataFrame(
             [], "id_a string, id_b string, est_jaccard double"
         )
         self._query = None
 
+    @property
+    def index(self) -> DataFrame | None:
+        return self._idx.postings
+
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        d = self._dedup
-        sigs = d.minhash_signatures(
-            batch_df, self.id_col, self.text_col, self.n, self.num_hashes
-        )
-        new = d.banded_signatures(sigs, self.num_hashes, self.bands).localCheckpoint()
-        probe = new if self.index is None else self.index.unionByName(new)
-        agree = F.size(
-            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-        )
-        a, b = new.alias("a"), probe.alias("b")
-        found = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") != F.col("b.id")),
-            )
-            .select(
-                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("b.sig").alias("sig_b"),
-            )
-            .withColumn("est_jaccard", F.round(agree / F.lit(self.num_hashes), 6))
-            .filter(F.col("est_jaccard") >= self.threshold)
-            .dropDuplicates(["id_a", "id_b"])
-            .select("id_a", "id_b", "est_jaccard")
-        )
+        found = self._idx.add_batch(batch_df, self.id_col, self.text_col)
         self.pairs = self.pairs.unionByName(found).dropDuplicates(
             ["id_a", "id_b"]
         ).localCheckpoint()
-        self.index = probe.localCheckpoint()
 
     def start(self, checkpoint_dir: str):
         # default micro-batch trigger (not availableNow): the detector is a
