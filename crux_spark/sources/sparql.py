@@ -28,6 +28,13 @@ Deliberate divergences from the reference (documented, not accidental):
   the zero-length case (subject = object over the bound endpoint) —
   the reference's ZeroLengthPath + min-length handling
   (sparql.clj:257, 286-290). One endpoint must be bound.
+- SPARQL 1.1 aggregates (COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT,
+  GROUP BY) are a SUPERSET of the reference (its translator has no
+  aggregates): they map onto the Datalog find-aggregate surface, whose
+  implicit grouping (query.clj:1504) equals SPARQL's GROUP BY keys —
+  so the projected non-aggregate vars must BE the group vars, and
+  HAVING is rejected (no post-aggregate filter in the Datalog surface;
+  nest the query instead).
 - ``p1/p2`` sequence paths chain through fresh intermediate variables.
 """
 
@@ -58,6 +65,16 @@ _KEYWORDS = {
     "NOT", "EXISTS", "MINUS", "A", "BIND", "AS", "VALUES", "IN",
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
+}
+
+# SPARQL aggregate -> Datalog aggregate head (aggregates.py registry).
+# A superset of the reference (labs sparql.clj translates no aggregates;
+# SPARQL 1.1 group-aggregation rides the Datalog find-aggregate surface
+# here, query.clj:1504's implicit grouping == SPARQL's GROUP BY keys).
+_AGG_FNS = {
+    "COUNT": "count", "SUM": "sum", "AVG": "avg",
+    "MIN": "min", "MAX": "max",
 }
 
 # SPARQL built-in call -> (datalog head, arity); the reference gets these
@@ -601,6 +618,7 @@ class _Parser:
             self.next()  # Datalog set semantics are already distinct
         find: list[str] = []
         select_binds: list = []  # (expr, var) from SELECT (expr AS ?v)
+        aggregates: list = []    # [datalog-agg, ?var|None, out-name]
         star = False
         if self.at("op", "*"):
             self.next()
@@ -611,13 +629,42 @@ class _Parser:
                     find.append(self.next().val)
                 elif self.at("op", "("):
                     # projection expression: SELECT (CONCAT(...) AS ?v)
+                    # or aggregate: SELECT (COUNT(DISTINCT ?y) AS ?n)
                     self.next()
-                    expr = self.or_expr()
-                    self.eat("KW", "AS")
-                    v = self.eat("var").val
-                    self.eat("op", ")")
-                    select_binds.append([expr, v])
-                    find.append(v)
+                    if self.peek() and self.peek().kind == "KW" and (
+                        self.peek().val in _AGG_FNS
+                    ):
+                        fn = self.next().val
+                        self.eat("op", "(")
+                        distinct = False
+                        if self.at("KW", "DISTINCT"):
+                            self.next()
+                            distinct = True
+                        if fn == "COUNT" and self.at("op", "*"):
+                            self.next()
+                            arg = None  # resolved after WHERE parses
+                        else:
+                            arg = self.eat("var").val
+                        self.eat("op", ")")
+                        self.eat("KW", "AS")
+                        v = self.eat("var").val
+                        self.eat("op", ")")
+                        head = _AGG_FNS[fn]
+                        if distinct:
+                            if fn != "COUNT":
+                                raise ValueError(
+                                    f"DISTINCT inside {fn} not supported"
+                                )
+                            head = "count-distinct"
+                        aggregates.append([head, arg, v[1:]])
+                        find.append(v)
+                    else:
+                        expr = self.or_expr()
+                        self.eat("KW", "AS")
+                        v = self.eat("var").val
+                        self.eat("op", ")")
+                        select_binds.append([expr, v])
+                        find.append(v)
                 else:
                     break
         if self.at("KW", "WHERE"):
@@ -629,6 +676,54 @@ class _Parser:
             seen: list[str] = []
             _collect_vars(where, seen)
             find = seen
+        if self.at("KW", "GROUP"):
+            self.next()
+            self.eat("KW", "BY")
+            group_vars = []
+            while self.at("var"):
+                group_vars.append(self.next().val)
+            if not aggregates:
+                raise ValueError("GROUP BY without an aggregate in SELECT")
+            plain = [v for v in find if not any(
+                a[2] == v[1:] for a in aggregates)]
+            if sorted(plain) != sorted(group_vars):
+                # Datalog grouping is implicit over the plain find vars
+                # (query.clj:1504), so the projected non-aggregates must
+                # BE the group keys — standard SPARQL queries satisfy
+                # this; grouping by an unprojected var is out of subset.
+                raise ValueError(
+                    "GROUP BY vars must equal the projected non-aggregate "
+                    f"vars (got {group_vars}, projected {plain})"
+                )
+        if self.at("KW", "HAVING"):
+            raise ValueError(
+                "HAVING is not supported — filter in an outer query "
+                "(the Datalog surface has no post-aggregate filter; the "
+                "reference's SPARQL translator has no aggregates at all)"
+            )
+        if aggregates:
+            agg_by_name = {a[2]: a for a in aggregates}
+            # COUNT(*) counts rows per group: any always-bound var works;
+            # group keys are non-null by construction, else fall back to
+            # the first variable the WHERE clauses bind.
+            fallback: list[str] = []
+            _collect_vars(where, fallback)
+            plain = [v for v in find if v[1:] not in agg_by_name]
+            star_var = plain[0] if plain else (
+                fallback[0] if fallback else None)
+            rewritten: list = []
+            for v in find:
+                a = agg_by_name.get(v[1:])
+                if a is None:
+                    rewritten.append(v)
+                    continue
+                head, arg, name = a
+                if arg is None:
+                    if star_var is None:
+                        raise ValueError("COUNT(*) over an empty pattern")
+                    arg = star_var
+                rewritten.append([head, arg, name])
+            find = rewritten
         out: dict = {"find": find, "where": where}
         if self.plus_attrs or self.var_plus:
             rules = []

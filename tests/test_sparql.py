@@ -542,3 +542,75 @@ def test_property_path_star_variable_predicate_both_unbound(knows_cat):
         (":name", A, "Ann"), (":name", B, "Bob"),
         (":name", C, "Cid"), (":name", D, "Dan"),
     }
+
+
+# -- SPARQL 1.1 aggregates (superset of the reference: labs sparql.clj
+# translates no aggregates; these ride the Datalog find-aggregate
+# surface, so GROUP BY keys == the implicit Datalog grouping) ----------
+
+
+def test_group_by_count(vcard_cat):
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (COUNT(?g) AS ?n)
+        WHERE { ?n0 vcard:Family ?family . ?n0 vcard:Given ?g }
+        GROUP BY ?family
+    """)
+    assert got == {("Jones", 2), ("Smith", 2)}
+
+
+def test_group_by_count_star_and_order(vcard_cat):
+    got = q(vcard_cat, sparql_to_datalog("""
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (COUNT(*) AS ?n)
+        WHERE { ?n0 vcard:Family ?family }
+        GROUP BY ?family
+        ORDER BY DESC(?n) ?family
+        LIMIT 1
+    """)).collect()
+    assert [tuple(r) for r in got] == [("Jones", 2)]
+
+
+def test_global_aggregates_min_max_avg_sum(vcard_cat):
+    got = run(vcard_cat, """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        SELECT (MIN(?age) AS ?lo) (MAX(?age) AS ?hi)
+               (SUM(?age) AS ?total) (AVG(?age) AS ?mean)
+        WHERE { ?p info:age ?age }
+    """)
+    assert got == {(23, 25, 48, 24.0)}
+
+
+def test_count_distinct(vcard_cat):
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT (COUNT(DISTINCT ?family) AS ?n)
+        WHERE { ?b vcard:Family ?family }
+    """)
+    assert got == {(2,)}
+
+
+def test_group_by_validation_errors(vcard_cat):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GROUP BY vars must equal"):
+        sparql_to_datalog("""
+            PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+            SELECT ?family (COUNT(?g) AS ?n)
+            WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+            GROUP BY ?g
+        """)
+    with _pytest.raises(ValueError, match="HAVING is not supported"):
+        sparql_to_datalog("""
+            PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+            SELECT ?family (COUNT(?g) AS ?n)
+            WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+            GROUP BY ?family
+            HAVING (?n > 1)
+        """)
+    with _pytest.raises(ValueError, match="GROUP BY without"):
+        sparql_to_datalog("""
+            PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+            SELECT ?family WHERE { ?b vcard:Family ?family }
+            GROUP BY ?family
+        """)
