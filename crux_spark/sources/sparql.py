@@ -28,8 +28,8 @@ Deliberate divergences from the reference (documented, not accidental):
   the zero-length case (subject = object over the bound endpoint) —
   the reference's ZeroLengthPath + min-length handling
   (sparql.clj:257, 286-290). One endpoint must be bound.
-- SPARQL 1.1 aggregates (COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT,
-  GROUP BY) are a SUPERSET of the reference (its translator has no
+- SPARQL 1.1 aggregates (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT,
+  COUNT DISTINCT, GROUP BY) are a SUPERSET of the reference (its translator has no
   aggregates): they map onto the Datalog find-aggregate surface, whose
   implicit grouping (query.clj:1504) equals SPARQL's GROUP BY keys —
   so the projected non-aggregate vars must BE the group vars, and
@@ -66,16 +66,39 @@ _KEYWORDS = {
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
+    "GROUP_CONCAT", "SAMPLE", "SEPARATOR",
 }
 
 # SPARQL aggregate -> Datalog aggregate head (aggregates.py registry).
 # A superset of the reference (labs sparql.clj translates no aggregates;
 # SPARQL 1.1 group-aggregation rides the Datalog find-aggregate surface
 # here, query.clj:1504's implicit grouping == SPARQL's GROUP BY keys).
+# SAMPLE returns an arbitrary group member per spec — min is a legal,
+# DETERMINISTIC choice (plain first()/any_value() would vary per run).
 _AGG_FNS = {
     "COUNT": "count", "SUM": "sum", "AVG": "avg",
-    "MIN": "min", "MAX": "max",
+    "MIN": "min", "MAX": "max", "SAMPLE": "min",
+    "GROUP_CONCAT": None,  # resolved per separator (see _group_concat)
 }
+
+
+def _group_concat_agg(sep: str) -> str:
+    """Register (idempotently) a Datalog aggregate for GROUP_CONCAT with
+    this separator and return its registry name. Values sort before
+    concatenation — the spec leaves order undefined; sorted is the
+    deterministic choice (oracle- and test-stable)."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog.aggregates import register_aggregate
+
+    name = "group-concat-" + sep.encode().hex()
+    register_aggregate(
+        name,
+        lambda c, _s=sep: F.concat_ws(
+            _s, F.sort_array(F.collect_list(c.cast("string")))
+        ),
+    )
+    return name
 
 # SPARQL built-in call -> (datalog head, arity); the reference gets these
 # through RDF4J's FunctionCall/SameTerm nodes (sparql.clj imports)
@@ -645,11 +668,19 @@ class _Parser:
                             arg = None  # resolved after WHERE parses
                         else:
                             arg = self.eat("var").val
+                        sep = " "  # SPARQL default GROUP_CONCAT separator
+                        if fn == "GROUP_CONCAT" and self.at("op", ";"):
+                            self.next()
+                            self.eat("KW", "SEPARATOR")
+                            self.eat("op", "=")
+                            raw = self.eat("str").val
+                            sep = raw[1:-1].encode().decode("unicode_escape")
                         self.eat("op", ")")
                         self.eat("KW", "AS")
                         v = self.eat("var").val
                         self.eat("op", ")")
-                        head = _AGG_FNS[fn]
+                        head = (_group_concat_agg(sep)
+                                if fn == "GROUP_CONCAT" else _AGG_FNS[fn])
                         if distinct:
                             if fn != "COUNT":
                                 raise ValueError(

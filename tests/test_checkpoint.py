@@ -539,3 +539,62 @@ def test_index_version_override(spark, tmp_path, monkeypatch):
     assert cp.checkpoint(restored, force=True)["index_version"] == v + 1
     again = cp.restore_latest(spark)  # no flag needed anymore
     assert again.entity("b")["v"] == 2
+
+
+def test_minhash_index_checkpoint_restore_and_parity(spark, tmp_path):
+    """IncrementalMinHashIndex rides the SAME indexes= checkpoint seam as
+    the text/vector indexes: a restored index (a) carries the watermark,
+    (b) replays the WAL tail (update + delete + new doc) via its
+    listener, and (c) then answers a fresh probe batch identically to a
+    live index that saw every batch."""
+    from crux_spark.operators.dedup import IncrementalMinHashIndex
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain stays mainly on the plain tonight")
+    wal = str(tmp_path / "wal.jsonl")
+    cp = CheckpointStore(str(tmp_path / "cps"))
+    store = TxStore(spark, wal_path=wal)
+    store.submit_tx([
+        ("put", {"id": "a", "text": base}),
+        ("put", {"id": "b", "text": base + " again"}),
+        ("put", {"id": "c", "text": "completely unrelated words about "
+                                    "nothing shared with the others"}),
+    ], tx_time=t(1))
+    store.commit()
+
+    live = IncrementalMinHashIndex(spark, num_hashes=32, bands=16,
+                                   threshold=0.5)
+    out1 = live.listener(0, _wal_ops_df(spark, wal))
+    assert {(r.id_a, r.id_b) for r in out1.collect()} == {("a", "b")}
+    cp.checkpoint(store, indexes={"mh": live})
+
+    # WAL tail past the checkpoint: b rewritten away, c deleted, d ~ a
+    store.submit_tx([
+        ("put", {"id": "b", "text": "different text now entirely with "
+                                    "no overlap left at all here"}),
+        ("delete", "c"),
+        ("put", {"id": "d", "text": base + " tomorrow"}),
+    ], tx_time=t(2))
+    store.commit()
+
+    _, idxs = cp.restore_latest(
+        spark, wal_path=wal,
+        index_loaders={"mh": IncrementalMinHashIndex.load},
+    )
+    ridx = idxs["mh"]
+    assert ridx.last_tx_id == store.latest_completed_tx()
+    assert ridx.bands == 16 and ridx.threshold == 0.5
+
+    # live index sees the tail batch directly
+    tail = _wal_ops_df(spark, wal).filter("tx_id >= 2")
+    live.listener(1, tail)
+
+    # both now answer a fresh probe batch identically: e ~ a/d
+    probe = spark.createDataFrame(
+        [("e", base + " yesterday")], ["doc_id", "text"]
+    )
+    want = {("a", "e"), ("d", "e")}
+    got_live = {(r.id_a, r.id_b) for r in live.add_batch(probe).collect()}
+    got_rest = {(r.id_a, r.id_b) for r in ridx.add_batch(probe).collect()}
+    assert got_live == want
+    assert got_rest == want

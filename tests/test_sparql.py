@@ -614,3 +614,27 @@ def test_group_by_validation_errors(vcard_cat):
             SELECT ?family WHERE { ?b vcard:Family ?family }
             GROUP BY ?family
         """)
+
+
+def test_group_concat_and_sample(vcard_cat):
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (GROUP_CONCAT(?g; SEPARATOR=", ") AS ?members)
+               (SAMPLE(?g) AS ?one)
+        WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+        GROUP BY ?family
+    """)
+    # GROUP_CONCAT sorts for determinism; SAMPLE is the deterministic min
+    assert got == {
+        ("Jones", "Matthew, Sarah", "Matthew"),
+        ("Smith", "John, Rebecca", "John"),
+    }
+
+
+def test_group_concat_default_separator(vcard_cat):
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT (GROUP_CONCAT(?f) AS ?fams)
+        WHERE { ?b vcard:Family ?f }
+    """)
+    assert got == {("Jones Jones Smith Smith",)}
