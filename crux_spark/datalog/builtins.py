@@ -495,14 +495,17 @@ class ExprBuilder:
     def _fn_trim(self, a):
         return F.trim(self.build(a[0]))
 
+    # the needle goes through build() too: a raw a[1] would treat a
+    # VARIABLE needle ("?g") as the literal string "?g" and silently
+    # match nothing (r13 find via SPARQL CONTAINS(?fn, ?g))
     def _fn_starts_withp(self, a):
-        return self.build(a[0]).startswith(a[1])
+        return self.build(a[0]).startswith(self.build(a[1]))
 
     def _fn_ends_withp(self, a):
-        return self.build(a[0]).endswith(a[1])
+        return self.build(a[0]).endswith(self.build(a[1]))
 
     def _fn_includesp(self, a):
-        return self.build(a[0]).contains(a[1])
+        return self.build(a[0]).contains(self.build(a[1]))
 
     @staticmethod
     def _unwrap_pattern(pattern):

@@ -589,6 +589,39 @@ class _Parser:
         return left
 
     def primary(self):
+        if getattr(self, "_in_having", False) and self.peek() is not None \
+                and self.peek().kind == "KW" and self.peek().val in _AGG_FNS:
+            # inline aggregate inside HAVING (COUNT(?y) > 3): allocate a
+            # hidden aggregate on the inner (grouped) query and reference
+            # its alias var here
+            fn = self.next().val
+            self.eat("op", "(")
+            distinct = False
+            if self.at("KW", "DISTINCT"):
+                self.next()
+                distinct = True
+            if fn == "COUNT" and self.at("op", "*"):
+                self.next()
+                arg = None
+            else:
+                arg = self.eat("var").val
+            sep = " "
+            if fn == "GROUP_CONCAT" and self.at("op", ";"):
+                self.next()
+                self.eat("KW", "SEPARATOR")
+                self.eat("op", "=")
+                raw = self.eat("str").val
+                sep = raw[1:-1].encode().decode("unicode_escape")
+            self.eat("op", ")")
+            head = (_group_concat_agg(sep)
+                    if fn == "GROUP_CONCAT" else _AGG_FNS[fn])
+            if distinct:
+                if fn != "COUNT":
+                    raise ValueError(f"DISTINCT inside {fn} not supported")
+                head = "count-distinct"
+            name = f"__h{len(self._having_hidden)}"
+            self._having_hidden.append([head, arg, name])
+            return f"?{name}"
         if self.at("KW", "REGEX"):
             self.next()
             self.eat("op", "(")
@@ -726,12 +759,23 @@ class _Parser:
                     "GROUP BY vars must equal the projected non-aggregate "
                     f"vars (got {group_vars}, projected {plain})"
                 )
+        having_preds: list = []
+        self._having_hidden = []
         if self.at("KW", "HAVING"):
-            raise ValueError(
-                "HAVING is not supported — filter in an outer query "
-                "(the Datalog surface has no post-aggregate filter; the "
-                "reference's SPARQL translator has no aggregates at all)"
-            )
+            if not aggregates:
+                raise ValueError("HAVING requires an aggregate SELECT")
+            self.next()
+            self._in_having = True
+            while self.at("op", "("):
+                self.next()
+                expr = self.or_expr()
+                self.eat("op", ")")
+                parts = (expr[1:] if isinstance(expr, list)
+                         and expr[0] == "and" else [expr])
+                having_preds.extend([p] for p in parts)
+            self._in_having = False
+            if not having_preds:
+                raise ValueError("HAVING needs a parenthesized condition")
         if aggregates:
             agg_by_name = {a[2]: a for a in aggregates}
             # COUNT(*) counts rows per group: any always-bound var works;
@@ -755,6 +799,35 @@ class _Parser:
                     arg = star_var
                 rewritten.append([head, arg, name])
             find = rewritten
+            if having_preds:
+                # HAVING = post-aggregate filter. The Datalog surface has
+                # no having, but it has the subquery pred with relation
+                # binding (query.clj:973-986) — so nest: the grouped
+                # query (plus any hidden aggregates HAVING itself
+                # introduced) runs inside [(q ...)], its relation binds
+                # the group keys + aggregate aliases, and the HAVING
+                # conditions become ordinary outer predicates.
+                hidden = []
+                for head, arg, name in self._having_hidden:
+                    if arg is None:
+                        if star_var is None:
+                            raise ValueError("COUNT(*) over an empty pattern")
+                        arg = star_var
+                    hidden.append([head, arg, name])
+                inner_find = find + hidden
+                bind_vars = [
+                    e if isinstance(e, str) else f"?{e[2]}"
+                    for e in inner_find
+                ]
+                outer_find = [
+                    e if isinstance(e, str) else f"?{e[2]}" for e in find
+                ]
+                where = [
+                    [["q", {"find": inner_find, "where": where}],
+                     [bind_vars]],
+                    *having_preds,
+                ]
+                find = outer_find
         out: dict = {"find": find, "where": where}
         if self.plus_attrs or self.var_plus:
             rules = []

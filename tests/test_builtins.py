@@ -373,3 +373,40 @@ def test_boolean_and_predicates(cat):
         },
     )
     assert [r.n for r in res.collect()] == [7]
+
+
+def test_string_preds_with_variable_needle(cat, spark):
+    """starts-with?/ends-with?/includes? with a VARIABLE second arg: the
+    needle must resolve to the bound column, not the literal "?v" text
+    (r13 regression — found via SPARQL CONTAINS(?fn, ?g) returning
+    empty across two scan groups)."""
+    from crux_spark.catalog import Catalog
+
+    c = Catalog(spark)
+    c.add_documents(
+        "strs",
+        spark.createDataFrame(
+            [("a", "Hello world", "Hello"), ("b", "Hello world", "nope"),
+             ("c", "say Hello", "Hello")],
+            ["id", "hay", "needle"],
+        ),
+        id_col="id",
+    )
+    got = {r.e for r in q(c, {
+        "find": ["?e"],
+        "where": [["?e", ":hay", "?h"], ["?e", ":needle", "?n"],
+                  [["includes?", "?h", "?n"]]],
+    }).collect()}
+    assert got == {"a", "c"}
+    got2 = {r.e for r in q(c, {
+        "find": ["?e"],
+        "where": [["?e", ":hay", "?h"], ["?e", ":needle", "?n"],
+                  [["starts-with?", "?h", "?n"]]],
+    }).collect()}
+    assert got2 == {"a"}
+    got3 = {r.e for r in q(c, {
+        "find": ["?e"],
+        "where": [["?e", ":hay", "?h"], ["?e", ":needle", "?n"],
+                  [["ends-with?", "?h", "?n"]]],
+    }).collect()}
+    assert got3 == {"c"}

@@ -600,13 +600,12 @@ def test_group_by_validation_errors(vcard_cat):
             WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
             GROUP BY ?g
         """)
-    with _pytest.raises(ValueError, match="HAVING is not supported"):
+    with _pytest.raises(ValueError, match="HAVING requires an aggregate"):
         sparql_to_datalog("""
             PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
-            SELECT ?family (COUNT(?g) AS ?n)
-            WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
-            GROUP BY ?family
-            HAVING (?n > 1)
+            SELECT ?family
+            WHERE { ?b vcard:Family ?family }
+            HAVING (?family > 1)
         """)
     with _pytest.raises(ValueError, match="GROUP BY without"):
         sparql_to_datalog("""
@@ -638,3 +637,43 @@ def test_group_concat_default_separator(vcard_cat):
         WHERE { ?b vcard:Family ?f }
     """)
     assert got == {("Jones Jones Smith Smith",)}
+
+
+def test_having_on_alias(vcard_cat):
+    """HAVING compiles to the Datalog subquery pred with relation
+    binding + outer predicates (there is no native post-aggregate
+    filter; query.clj:973-986 is the nesting the reference itself would
+    need)."""
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (COUNT(?g) AS ?n)
+        WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+        GROUP BY ?family
+        HAVING (?n > 1)
+    """)
+    assert got == {("Jones", 2), ("Smith", 2)}
+    got2 = run(vcard_cat, """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (SUM(?age) AS ?total)
+        WHERE { ?p vcard:FN ?fn . ?p info:age ?age .
+                ?b vcard:Family ?family . ?b vcard:Given ?g .
+                FILTER(CONTAINS(?fn, ?g)) }
+        GROUP BY ?family
+        HAVING (?total >= 25)
+    """)
+    # only John's FN contains his Given name ("Becky Smith" != "Rebecca")
+    assert got2 == {("Smith", 25)}
+
+
+def test_having_inline_aggregate(vcard_cat):
+    """Inline aggregates inside HAVING (COUNT(?g) >= 2) allocate hidden
+    aggregates on the inner grouped query."""
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (MAX(?g) AS ?m)
+        WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+        GROUP BY ?family
+        HAVING (COUNT(?g) >= 2 && ?m != "Sarah")
+    """)
+    assert got == {("Smith", "Rebecca")}
