@@ -464,11 +464,13 @@ class ExprBuilder:
         return F.concat(*[self.build(x).cast("string") for x in a])
 
     def _fn_subs(self, a):
+        # start/end may be VARIABLES ((subs ?s 0 ?n) — clojure.core subs);
+        # substr takes Column positions, so build() both
         s = self.build(a[0])
-        start = a[1]
+        start = self.build(a[1])
         if len(a) > 2:
-            return s.substr(F.lit(start + 1), F.lit(a[2] - start))
-        return s.substr(F.lit(start + 1), F.length(s))
+            return s.substr(start + 1, self.build(a[2]) - start)
+        return s.substr(start + 1, F.length(s))
 
     def _fn_count(self, a):
         # clojure count: string length or collection size (type-resolved
@@ -507,11 +509,14 @@ class ExprBuilder:
     def _fn_includesp(self, a):
         return self.build(a[0]).contains(self.build(a[1]))
 
-    @staticmethod
-    def _unwrap_pattern(pattern):
-        # accept (re-pattern "...") wrapping a literal pattern
+    def _unwrap_pattern(self, pattern):
+        # accept (re-pattern "...") wrapping a literal pattern, and an
+        # :in-bound var holding the pattern string (env-resolved — a raw
+        # "?p" would be a dangling-metacharacter regex error)
         if isinstance(pattern, (list, tuple)) and pattern and pattern[0] == "re-pattern":
-            return pattern[1]
+            pattern = pattern[1]
+        if isinstance(pattern, str) and pattern in self.env:
+            pattern = self.env[pattern]
         return pattern
 
     def _fn_re_find(self, a):
@@ -1016,10 +1021,11 @@ class ExprBuilder:
         return F.slice(c, 1, F.size(c) - 1)
 
     def _fn_subvec(self, a):
+        # bounds may be variables, like _fn_subs; F.slice takes Columns
         c = self.build(a[0])
-        start = a[1]
+        start = self.build(a[1])
         if len(a) > 2:
-            return F.slice(c, start + 1, a[2] - start)
+            return F.slice(c, start + 1, self.build(a[2]) - start)
         return F.slice(c, start + 1, F.size(c) - start)
 
     def _fn_split_at(self, a):

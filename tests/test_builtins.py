@@ -410,3 +410,42 @@ def test_string_preds_with_variable_needle(cat, spark):
                   [["ends-with?", "?h", "?n"]]],
     }).collect()}
     assert got3 == {"c"}
+
+
+def test_subs_subvec_variable_bounds_and_in_bound_regex(cat, spark):
+    """(subs ?s 0 ?n) / (subvec ?v 1 ?k) with VARIABLE bounds, and
+    re-find with an :in-bound pattern string (r13: positions and
+    patterns resolve through build()/env like any operand)."""
+    from crux_spark.catalog import Catalog
+
+    c = Catalog(spark)
+    c.add_documents(
+        "rows",
+        spark.createDataFrame(
+            [("a", "abcdef", 3, 2), ("b", "hello", 2, 1)],
+            ["id", "s", "n", "k"],
+        ),
+        id_col="id",
+    )
+    got = {(r.e, r.pre) for r in q(c, {
+        "find": ["?e", "?pre"],
+        "where": [["?e", ":s", "?s"], ["?e", ":n", "?n"],
+                  [["subs", "?s", 0, "?n"], "?pre"]],
+    }).collect()}
+    assert got == {("a", "abc"), ("b", "he")}
+    # subvec with a variable end over a computed array (array-valued doc
+    # attributes explode to cardinality-many in the EAV view, so build
+    # the vector in-query)
+    got2 = {(r.e, tuple(r.head)) for r in q(c, {
+        "find": ["?e", "?head"],
+        "where": [["?e", ":s", "?s"], ["?e", ":k", "?k"],
+                  [["vector", "?s", "?s", "?s"], "?v3"],
+                  [["subvec", "?v3", 0, "?k"], "?head"]],
+    }).collect()}
+    assert got2 == {("a", ("abcdef", "abcdef")), ("b", ("hello",))}
+    got3 = {r.e for r in q(c, {
+        "find": ["?e"],
+        "in": ["?pat"],
+        "where": [["?e", ":s", "?s"], [["re-find", "?pat", "?s"]]],
+    }, "^ab").collect()}
+    assert got3 == {"a"}
