@@ -852,9 +852,7 @@ class ExprBuilder:
 
     def _fn_re_seq(self, a):
         # (re-seq #"pat" s) -> all matches as array
-        pattern, s = a[0], a[1]
-        if isinstance(pattern, (list, tuple)) and pattern[0] == "re-pattern":
-            pattern = pattern[1]
+        pattern, s = self._unwrap_pattern(a[0]), a[1]
         return F.regexp_extract_all(self.build(s), F.lit(pattern), 0)
 
     def _fn_re_pattern(self, a):
