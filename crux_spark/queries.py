@@ -4779,3 +4779,47 @@ def streaming_minhash_dedup(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "sparql_group_agg",
+    """
+    SELECT n_name AS nname, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal,
+           round(max(c_acctbal), 2) AS top_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    HAVING count(*) >= 5
+    """,
+)
+def sparql_group_agg(spark, sf_dir):
+    """SPARQL 1.1 aggregation end-to-end (r13 superset of the reference,
+    whose labs translator has no aggregates): GROUP BY + COUNT(*)/SUM/
+    MAX with an inline-aggregate HAVING, compiled through the subquery
+    rewrite (sparql.py) onto the Datalog find-aggregate surface and
+    oracled against the equivalent SQL GROUP BY ... HAVING."""
+    from crux_spark.sources.sparql import sparql_to_datalog
+
+    cat = catalog_for(spark, sf_dir)
+    out = q(
+        cat,
+        sparql_to_datalog(
+            """
+            SELECT ?nname (COUNT(*) AS ?n_cust) (SUM(?bal) AS ?total_bal)
+                   (MAX(?bal) AS ?top_bal)
+            WHERE {
+              ?c <http://tpch/c_nationkey> ?nk .
+              ?c <http://tpch/c_acctbal> ?bal .
+              ?n <http://tpch/n_nationkey> ?nk .
+              ?n <http://tpch/n_name> ?nname .
+              FILTER (?bal > 0)
+            }
+            GROUP BY ?nname
+            HAVING (COUNT(*) >= 5)
+            """
+        ),
+    )
+    return out.withColumn("total_bal", F.round("total_bal", 2)).withColumn(
+        "top_bal", F.round("top_bal", 2)
+    )
