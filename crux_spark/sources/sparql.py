@@ -32,9 +32,12 @@ Deliberate divergences from the reference (documented, not accidental):
   COUNT DISTINCT, GROUP BY) are a SUPERSET of the reference (its translator has no
   aggregates): they map onto the Datalog find-aggregate surface, whose
   implicit grouping (query.clj:1504) equals SPARQL's GROUP BY keys —
-  so the projected non-aggregate vars must BE the group vars, and
-  HAVING is rejected (no post-aggregate filter in the Datalog surface;
-  nest the query instead).
+  so the projected non-aggregate vars must BE the group vars. HAVING
+  compiles to the Datalog subquery pred with relation binding (the
+  grouped query nests inside [(q ...)], conditions become outer
+  predicates; inline aggregates in HAVING allocate hidden aggregates).
+  ASK compiles to the pattern projected to one var with LIMIT 1
+  (sparql_ask returns the boolean).
 - ``p1/p2`` sequence paths chain through fresh intermediate variables.
 """
 
@@ -66,7 +69,7 @@ _KEYWORDS = {
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
-    "GROUP_CONCAT", "SAMPLE", "SEPARATOR",
+    "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK",
 }
 
 # SPARQL aggregate -> Datalog aggregate head (aggregates.py registry).
@@ -669,7 +672,12 @@ class _Parser:
             pname = self.eat("pname").val
             iri = self.eat("iri").val[1:-1]
             self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri
-        self.eat("KW", "SELECT")
+        is_ask = False
+        if self.at("KW", "ASK"):
+            self.next()
+            is_ask = True
+        else:
+            self.eat("KW", "SELECT")
         if self.at("KW", "DISTINCT"):
             self.next()  # Datalog set semantics are already distinct
         find: list[str] = []
@@ -736,10 +744,19 @@ class _Parser:
         self.eat("op", "{")
         where = self.group()
         where.extend(select_binds)
-        if star:
+        if star or is_ask:
             seen: list[str] = []
             _collect_vars(where, seen)
-            find = seen
+            if is_ask:
+                # ASK needs one projected var to compile; a fully ground
+                # pattern has none (out of subset)
+                if not seen:
+                    raise ValueError(
+                        "ASK over a fully ground pattern: bind at least "
+                        "one variable")
+                find = seen[:1]
+            else:
+                find = seen
         if self.at("KW", "GROUP"):
             self.next()
             self.eat("KW", "BY")
@@ -883,6 +900,9 @@ class _Parser:
         if self.at("KW", "OFFSET"):
             self.next()
             out["offset"] = int(self.eat("num").val)
+        if is_ask:
+            # one solution decides the answer; CollectLimit short-circuits
+            out["limit"] = 1
         if self.peek() is not None:
             raise ValueError(f"trailing SPARQL input at {self.peek()!r}")
         return out
@@ -907,7 +927,19 @@ def _collect_vars(clauses: list, out: list[str]) -> None:
 
 
 def sparql_to_datalog(text: str, attr_fn=local_name) -> dict:
-    """Compile a SPARQL SELECT (subset) to the Datalog dict `crux_spark.q`
-    runs. ``attr_fn`` maps a predicate IRI to the catalog attribute local
-    name (default: last path/fragment segment, matching pivot_triples)."""
+    """Compile a SPARQL SELECT or ASK (subset) to the Datalog dict
+    `crux_spark.q` runs. ``attr_fn`` maps a predicate IRI to the catalog
+    attribute local name (default: last path/fragment segment, matching
+    pivot_triples). An ASK compiles to its pattern projected to one var
+    with LIMIT 1 — use :func:`sparql_ask` for the boolean directly."""
     return _Parser(_tokenize(text), attr_fn).query()
+
+
+def sparql_ask(catalog, text: str, attr_fn=local_name) -> bool:
+    """SPARQL ASK: True iff the pattern has at least one solution.
+    Compiles to the LIMIT-1 Datalog form, so the scan stops at the first
+    match (Spark's CollectLimit short-circuits)."""
+    from crux_spark.datalog import q as _q
+
+    d = sparql_to_datalog(text, attr_fn)
+    return len(_q(catalog, d).take(1)) > 0

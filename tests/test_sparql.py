@@ -677,3 +677,33 @@ def test_having_inline_aggregate(vcard_cat):
         HAVING (COUNT(?g) >= 2 && ?m != "Sarah")
     """)
     assert got == {("Smith", "Rebecca")}
+
+
+def test_ask(vcard_cat):
+    from crux_spark.sources.sparql import sparql_ask
+
+    assert sparql_ask(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        ASK { ?b vcard:Family "Smith" }
+    """) is True
+    assert sparql_ask(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        ASK WHERE { ?b vcard:Family "Nobody" }
+    """) is False
+    # ASK with a FILTER
+    assert sparql_ask(vcard_cat, """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        ASK { ?p info:age ?age . FILTER(?age > 24) }
+    """) is True
+    assert sparql_ask(vcard_cat, """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        ASK { ?p info:age ?age . FILTER(?age > 99) }
+    """) is False
+    # the compiled form carries LIMIT 1 (CollectLimit short-circuit)
+    from crux_spark.sources.sparql import sparql_to_datalog
+
+    d = sparql_to_datalog("""
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        ASK { ?b vcard:Family "Smith" }
+    """)
+    assert d["limit"] == 1 and len(d["find"]) == 1
