@@ -129,3 +129,27 @@ def test_checkpoint_roundtrip_survives_dir_deletion(spark, tmp_path):
     cross = {(r.id_a, r.id_b) for r in batch_out.collect()
              if r.id_b >= 1000}
     assert {(r.id_a, r.id_b) for r in out.collect()} == cross
+
+
+def test_listener_pure_delete_batch(spark):
+    """A tx batch containing ONLY deletes: postings drop, no pairs
+    emitted, the watermark still advances, and later docs no longer
+    pair against the deleted entity."""
+    import json
+
+    idx = IncrementalMinHashIndex(spark, num_hashes=32, bands=16,
+                                  threshold=0.5)
+    t = ("shared sentence of many tokens that makes these documents "
+         "near duplicates for the minhash index to catch easily")
+    SCHEMA = "eid string, tx_id long, seq long, op string, doc_json string"
+    ops = lambda rows: spark.createDataFrame(rows, SCHEMA)
+    idx.listener(0, ops([
+        ("a", 1, 0, "put", json.dumps({"id": "a", "text": t})),
+        ("b", 1, 1, "put", json.dumps({"id": "b", "text": t + " x"})),
+    ]))
+    out = idx.listener(1, ops([("b", 2, 0, "delete", None)]))
+    assert out.count() == 0
+    assert idx.last_tx_id == 2
+    out2 = idx.listener(2, ops([
+        ("c", 3, 0, "put", json.dumps({"id": "c", "text": t + " y"}))]))
+    assert {(r.id_a, r.id_b) for r in out2.collect()} == {("a", "c")}
