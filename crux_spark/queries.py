@@ -4823,3 +4823,112 @@ def sparql_group_agg(spark, sf_dir):
     return out.withColumn("total_bal", F.round("total_bal", 2)).withColumn(
         "top_bal", F.round("top_bal", 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 WINDOW ROTATION (policy block at the r11 rotation, ~4290): the
+# driver records correctness for the FIRST 50 entries only.
+#   r14: IN the ENTIRE stale queue promised by the r13 block + VERDICT
+#        r13 item 1 — (a) the 2 gates born in r13 at the registry tail
+#        that have NEVER had a driver row: streaming_minhash_dedup,
+#        sparql_group_agg; and (b) all 18 gates whose newest driver row
+#        is r11: ann_brute_force, ann_ivf, contamination_scores,
+#        datalog_or_join, dedup_exact, embedding_threshold_pairs,
+#        events_asof, events_json, kmeans_embeddings,
+#        mix_corpora_weighted, multimodal_decode, sparql_path_closure,
+#        text_analysis, text_pii_scrub, tpch_q3, tpch_q6, tpch_q9,
+#        tpch_q16. After this splice the stale queue is EMPTY: no gate's
+#        newest driver row is older than r12.
+#   OUT 20 gates, all holding fresh r13 driver-green rows AND whose
+#        operator surface stays covered in-window:
+#        asof_join_events (DuckDB-ASOF-oracled as-of join ->
+#        events_asof rotating in, same asof_join operator on the events
+#        table; bitemporal_store_asof stays for the store-level as-of),
+#        multimodal_features (mapInPandas feature extraction ->
+#        multimodal_decode rotating in, same real-codec mapInPandas
+#        family), embedding_near_dup_lsh (tiled cosine near-dup ->
+#        embedding_threshold_pairs rotating in, same threshold-cosine
+#        pair surface; incremental_vector_index stays),
+#        decontaminate_ngram (shingle equi-join decontamination ->
+#        contamination_scores rotating in, same shingle-join family),
+#        mix_temperature (temperature mixing -> mix_corpora_weighted
+#        rotating in, same sampling.py corpus-mixing family),
+#        sparql_snowflake_union (SPARQL UNION/joins ->
+#        sparql_path_closure + sparql_group_agg rotating in),
+#        streaming_dedup_oracle (streaming exact dedup ->
+#        streaming_minhash_dedup rotating in carries the incremental
+#        streaming-dedup surface; dedup_exact rotating in carries exact
+#        hash dedup), text_repetition (repetition scores ->
+#        text_analysis rotating in, textops composite),
+#        text_gopher_filter (gopher heuristics -> text_analysis +
+#        text_pii_scrub rotating in; unigram_lm_quality stays),
+#        dedup_canonical (canonical-form dedup -> dedup_exact rotating
+#        in), dedup_chunks + dedup_line_trim (chunk/line dedup ->
+#        dedup_substring_spans stays for span/shingle trimming;
+#        dedup_exact rotating in), tpch_q2 (correlated min subquery +
+#        multi-key sort -> tpch_q11 stays scalar subquery,
+#        datalog_subquery stays q-pred, datalog_mixed_type_order stays
+#        multi-key order/limit), tpch_q5 (6-way join tree -> tpch_q9
+#        rotating in, 6-way join + agg; tpch_q7 stays), tpch_q15
+#        (max-over-view subquery -> tpch_q11 stays scalar-subquery
+#        surface), tpch_q22 (not-exists anti + substring -> tpch_q16
+#        rotating in, anti-join + count-distinct; tpch_q4 stays exists/
+#        not-exists), window_topk (per-group top-n -> tpch_q3 rotating
+#        in top-n, window_lag_delta stays window functions, tpch_q21
+#        stays top-k limit), sample_hash_deterministic
+#        (hash-deterministic sampling -> stratified_sample stays, same
+#        family), dsir_weights (DSIR importance NLL ->
+#        unigram_lm_quality stays, same textops NLL surface),
+#        events_rollup (time-bucket rollup -> sql_rollup stays rollup/
+#        cube; events_asof + events_json rotating in carry the events
+#        table).
+#   All 20 rotated-out gates keep running in bench and in the per-round
+#   mirror (tools/check_oracles.py -> MIRROR_r{N}.json). r15 queue: the
+#   stale set becomes the 25 r12-verified gates rotated out in r13
+#   (tpch_q8/q10/q14/q17/q19/q20/q21_anti, select_token_budget,
+#   epoch_shard_shuffle, source_cap_topn, text_clf_score,
+#   bigram_lm_quality, bloom_decontaminate, ann_sq8, semantic_dedup,
+#   text_c4_filter, dedup_span_trim, events_sessionize, agg_min_max_n,
+#   bitemporal_store_history, sparql_star_filter,
+#   streaming_rollup_oracle, text_search_docs, dedup_ngram_jaccard,
+#   datalog_relation_in) — from here the cadence is self-sustaining.
+# ---------------------------------------------------------------------------
+
+_R14_IN = [
+    "streaming_minhash_dedup", "sparql_group_agg",
+    "ann_brute_force", "ann_ivf", "contamination_scores",
+    "datalog_or_join", "dedup_exact", "embedding_threshold_pairs",
+    "events_asof", "events_json", "kmeans_embeddings",
+    "mix_corpora_weighted", "multimodal_decode", "sparql_path_closure",
+    "text_analysis", "text_pii_scrub", "tpch_q3", "tpch_q6", "tpch_q9",
+    "tpch_q16",
+]
+_R14_OUT = [
+    "asof_join_events", "multimodal_features", "embedding_near_dup_lsh",
+    "decontaminate_ngram", "mix_temperature", "sparql_snowflake_union",
+    "streaming_dedup_oracle", "text_repetition", "text_gopher_filter",
+    "dedup_canonical", "dedup_chunks", "dedup_line_trim",
+    "tpch_q2", "tpch_q5", "tpch_q15", "tpch_q22", "window_topk",
+    "sample_hash_deterministic", "dsir_weights", "events_rollup",
+]
+_r14_names = list(QUERIES)
+for _n in _R14_IN + _R14_OUT:
+    assert _n in QUERIES, f"r14 rotation references unknown gate {_n!r}"
+for _n in _R14_OUT:
+    assert _r14_names.index(_n) < _WINDOW, (
+        f"r14 OUT gate {_n!r} is not inside the first-{_WINDOW} window")
+for _n in _R14_IN:
+    assert _r14_names.index(_n) >= _WINDOW, (
+        f"r14 IN gate {_n!r} already sits inside the first-{_WINDOW} window")
+assert len(_R14_IN) == len(_R14_OUT), "r14 rotation must preserve window size"
+_r14_keep = _WINDOW - len(_R14_OUT)
+_r14_order = [n for n in QUERIES if n not in _R14_IN and n not in _R14_OUT]
+assert sum(1 for n in _r14_order[:_r14_keep]
+           if _r14_names.index(n) < _WINDOW) == _r14_keep, (
+    "r14 retained prefix does not equal the surviving window gates")
+_r14_order = (_r14_order[:_r14_keep] + _R14_IN
+              + _r14_order[_r14_keep:] + _R14_OUT)
+assert sorted(_r14_order) == sorted(_r14_names), "r14 rotation lost gates"
+_r14_reordered = {n: QUERIES[n] for n in _r14_order}
+QUERIES.clear()
+QUERIES.update(_r14_reordered)
