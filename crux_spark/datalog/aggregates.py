@@ -107,6 +107,15 @@ def register_aggregate(name: str, fn) -> None:
     epoch.bump()
 
 
+def has_aggregate(name: str) -> bool:
+    """True iff ``name`` is already a registered custom aggregate.
+    Callers that register idempotently (e.g. SPARQL GROUP_CONCAT per
+    separator) should check this first: register_aggregate bumps the
+    plan-cache epoch, and a redundant re-register would needlessly
+    invalidate every cached plan."""
+    return name in _CUSTOM
+
+
 def is_agg_form(el: Any) -> bool:
     return (
         isinstance(el, (list, tuple))

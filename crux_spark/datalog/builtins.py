@@ -515,7 +515,9 @@ class ExprBuilder:
         # "?p" would be a dangling-metacharacter regex error)
         if isinstance(pattern, (list, tuple)) and pattern and pattern[0] == "re-pattern":
             pattern = pattern[1]
-        if isinstance(pattern, str) and pattern in self.env:
+        # env-substitute VARIABLES only: a literal pattern that happens
+        # to equal an env key (e.g. the regex "?p") must stay literal
+        if is_var(pattern) and pattern in self.env:
             pattern = self.env[pattern]
         return pattern
 

@@ -89,19 +89,33 @@ def _group_concat_agg(sep: str) -> str:
     """Register (idempotently) a Datalog aggregate for GROUP_CONCAT with
     this separator and return its registry name. Values sort before
     concatenation — the spec leaves order undefined; sorted is the
-    deterministic choice (oracle- and test-stable)."""
+    deterministic choice (oracle- and test-stable). Registration is
+    skipped when the separator's aggregate already exists: the register
+    bumps the global plan-cache epoch, and re-parsing the same query
+    must not invalidate cached plans."""
     from pyspark.sql import functions as F
 
-    from crux_spark.datalog.aggregates import register_aggregate
+    from crux_spark.datalog.aggregates import has_aggregate, register_aggregate
 
     name = "group-concat-" + sep.encode().hex()
-    register_aggregate(
-        name,
-        lambda c, _s=sep: F.concat_ws(
-            _s, F.sort_array(F.collect_list(c.cast("string")))
-        ),
-    )
+    if not has_aggregate(name):
+        register_aggregate(
+            name,
+            lambda c, _s=sep: F.concat_ws(
+                _s, F.sort_array(F.collect_list(c.cast("string")))
+            ),
+        )
     return name
+
+
+def _decode_escapes(raw: str) -> str:
+    """Decode SPARQL string escapes (\\n, \\t, \\uXXXX ...) without
+    mangling non-ASCII characters: the naive
+    ``s.encode().decode("unicode_escape")`` round-trips UTF-8 bytes
+    back through latin-1, turning e.g. an em-dash separator into
+    mojibake. Escaping non-latin1 chars to \\uXXXX first makes the
+    unicode_escape pass restore them exactly."""
+    return raw.encode("latin-1", "backslashreplace").decode("unicode_escape")
 
 # SPARQL built-in call -> (datalog head, arity); the reference gets these
 # through RDF4J's FunctionCall/SameTerm nodes (sparql.clj imports)
@@ -614,7 +628,7 @@ class _Parser:
                 self.eat("KW", "SEPARATOR")
                 self.eat("op", "=")
                 raw = self.eat("str").val
-                sep = raw[1:-1].encode().decode("unicode_escape")
+                sep = _decode_escapes(raw[1:-1])
             self.eat("op", ")")
             head = (_group_concat_agg(sep)
                     if fn == "GROUP_CONCAT" else _AGG_FNS[fn])
@@ -715,7 +729,7 @@ class _Parser:
                             self.eat("KW", "SEPARATOR")
                             self.eat("op", "=")
                             raw = self.eat("str").val
-                            sep = raw[1:-1].encode().decode("unicode_escape")
+                            sep = _decode_escapes(raw[1:-1])
                         self.eat("op", ")")
                         self.eat("KW", "AS")
                         v = self.eat("var").val
@@ -795,14 +809,30 @@ class _Parser:
                 raise ValueError("HAVING needs a parenthesized condition")
         if aggregates:
             agg_by_name = {a[2]: a for a in aggregates}
-            # COUNT(*) counts rows per group: any always-bound var works;
-            # group keys are non-null by construction, else fall back to
-            # the first variable the WHERE clauses bind.
-            fallback: list[str] = []
-            _collect_vars(where, fallback)
-            plain = [v for v in find if v[1:] not in agg_by_name]
-            star_var = plain[0] if plain else (
-                fallback[0] if fallback else None)
+            # COUNT(*) counts ROWS per group (SPARQL 1.1 §18.5.1), but
+            # Spark's count(col) skips NULLs — so the star column must be
+            # a var a REQUIRED pattern binds (never NULL in a solution).
+            # A var bound only inside OPTIONAL (the reference's LeftJoin,
+            # sparql.clj:139-152 — here a NULL binding) or a UNION branch
+            # would undercount. When no required-bound candidate exists,
+            # synthesize a constant-bound hidden var: count(1) is exactly
+            # row count.
+            needs_star = any(
+                a[1] is None for a in aggregates + self._having_hidden)
+            star_var = None
+            if needs_star:
+                required: list[str] = []
+                _collect_required_vars(where, required)
+                plain = [v for v in find if v[1:] not in agg_by_name]
+                star_var = next((v for v in plain if v in required), None)
+                if star_var is None:
+                    fallback: list[str] = []
+                    _collect_vars(where, fallback)
+                    star_var = next(
+                        (v for v in fallback if v in required), None)
+                if star_var is None:
+                    star_var = "?__star"
+                    where = where + [[["identity", 1], star_var]]
             rewritten: list = []
             for v in find:
                 a = agg_by_name.get(v[1:])
@@ -811,8 +841,6 @@ class _Parser:
                     continue
                 head, arg, name = a
                 if arg is None:
-                    if star_var is None:
-                        raise ValueError("COUNT(*) over an empty pattern")
                     arg = star_var
                 rewritten.append([head, arg, name])
             find = rewritten
@@ -827,8 +855,6 @@ class _Parser:
                 hidden = []
                 for head, arg, name in self._having_hidden:
                     if arg is None:
-                        if star_var is None:
-                            raise ValueError("COUNT(*) over an empty pattern")
                         arg = star_var
                     hidden.append([head, arg, name])
                 inner_find = find + hidden
@@ -924,6 +950,21 @@ def _collect_vars(clauses: list, out: list[str]) -> None:
                     out.append(x)
                 elif isinstance(x, list):
                     _collect_vars([x], out)
+
+
+def _collect_required_vars(clauses: list, out: list[str]) -> None:
+    """Vars bound by REQUIRED patterns only: a flat 3-element clause is
+    a triple pattern (or a generated closure-rule invocation), whose
+    vars are never NULL in a solution. get-attr (OPTIONAL) bindings,
+    or/not branches, BINDs and VALUES are skipped — conservative is
+    correct here, since the caller falls back to a synthesized
+    constant-bound var when nothing qualifies."""
+    for c in clauses:
+        if (isinstance(c, list) and len(c) == 3
+                and all(not isinstance(x, list) for x in c)):
+            for x in c:
+                if isinstance(x, str) and x.startswith("?") and x not in out:
+                    out.append(x)
 
 
 def sparql_to_datalog(text: str, attr_fn=local_name) -> dict:

@@ -707,3 +707,80 @@ def test_ask(vcard_cat):
         ASK { ?b vcard:Family "Smith" }
     """)
     assert d["limit"] == 1 and len(d["find"]) == 1
+
+
+def test_count_star_under_optional(vcard_cat):
+    """COUNT(*) counts ROWS (SPARQL 1.1 §18.5.1) even when the group key
+    is OPTIONAL-unbound: counting the ?age column itself (Spark count()
+    skips NULLs) would report 0 for the unbound group instead of 2.
+    The star column must come from a required pattern (here ?p)."""
+    got = run(vcard_cat, """
+        PREFIX info:  <http://somewhere/peopleInfo#>
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?age (COUNT(*) AS ?n)
+        WHERE { ?p vcard:FN ?name . OPTIONAL { ?p info:age ?age } }
+        GROUP BY ?age
+    """)
+    assert got == {(23, 1), (25, 1), (None, 2)}
+
+
+def test_count_star_under_optional_having(vcard_cat):
+    """Inline COUNT(*) in HAVING with an OPTIONAL group key: the hidden
+    aggregate must also count rows, not the nullable key."""
+    got = run(vcard_cat, """
+        PREFIX info:  <http://somewhere/peopleInfo#>
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?age (COUNT(*) AS ?n)
+        WHERE { ?p vcard:FN ?name . OPTIONAL { ?p info:age ?age } }
+        GROUP BY ?age
+        HAVING (COUNT(*) >= 2)
+    """)
+    assert got == {(None, 2)}
+
+
+def test_count_star_union_only_pattern(vcard_cat):
+    """When no var is bound by a required flat pattern (everything sits
+    inside UNION branches), COUNT(*) rides a synthesized constant-bound
+    hidden var — always exactly row count."""
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT (COUNT(*) AS ?n)
+        WHERE {
+          { ?y vcard:Family "Smith" } UNION { ?y vcard:Family "Jones" }
+        }
+    """)
+    assert got == {(4,)}
+
+
+def test_group_concat_non_ascii_separator(vcard_cat):
+    """Separator escape decode must survive non-latin1 characters (an
+    em-dash would mojibake through a bare unicode_escape round-trip)."""
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (GROUP_CONCAT(?g; SEPARATOR=" — ") AS ?members)
+        WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+        GROUP BY ?family
+    """)
+    assert got == {
+        ("Jones", "Matthew — Sarah"),
+        ("Smith", "John — Rebecca"),
+    }
+
+
+def test_group_concat_reparse_keeps_plan_epoch(vcard_cat):
+    """Re-parsing a GROUP_CONCAT query with an already-registered
+    separator must NOT bump the plan-cache epoch (a redundant
+    register_aggregate would invalidate every cached plan)."""
+    from crux_spark.datalog import epoch
+    from crux_spark.sources.sparql import sparql_to_datalog as _std
+
+    sparql = """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family (GROUP_CONCAT(?g; SEPARATOR="|") AS ?members)
+        WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+        GROUP BY ?family
+    """
+    _std(sparql)  # first parse may register the "|" aggregate
+    before = epoch.current()
+    _std(sparql)
+    assert epoch.current() == before
