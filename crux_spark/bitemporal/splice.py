@@ -90,6 +90,13 @@ class Version:
     # different txs sharing a tx_time would merge into one run.
     # 0 = unknown (legacy rows): falls back to tx_from.
     origin_tx: int = 0
+    # True iff this row's content_hash was BACK-COMPUTED at replay time
+    # because the WAL row carried none (a pre-typed-upgrade WAL) — the
+    # only rows where matches() may fall back to the legacy (untagged)
+    # hash. Rows written by this build carry submit-time hashes and
+    # must CAS strictly (r13 advice: the loose fallback let a typed
+    # expected doc match a stored doc that merely STRINGIFIES the same).
+    legacy_hash: bool = False
 
     def origin(self) -> int:
         return self.origin_tx or self.tx_from
@@ -193,6 +200,7 @@ def _splice(
     # an explicitly-passed hash (the WAL's submit-time hash) wins over
     # recomputation: the log's hashes are immutable even after eviction
     # redacts the doc content (the reference's content-addressed log)
+    backfilled = chash is None and doc is not None
     if chash is None:
         chash = content_hash(doc)
     for seg_from, seg_to in zip([vf] + splits, splits + [end]):
@@ -207,6 +215,7 @@ def _splice(
                 deleted=deleted,
                 content_hash=chash,
                 origin_tx=tx_id,
+                legacy_hash=backfilled,
             )
         )
     return out
@@ -286,9 +295,14 @@ def matches(
     # version stamp): a doc stored before the typed-sidecar upgrade
     # holds the legacy untagged hash, so a typed expected doc would
     # spuriously mismatch. Fall back to the legacy (no-sidecar) dump —
-    # identical bytes for untyped docs, so this fires only on the
-    # typed/legacy boundary.
-    if expected is not None and expected_hash is None:
+    # but ONLY for rows whose hash was back-computed from a hash-less
+    # WAL row (legacy_hash): for rows written by a typed build, the
+    # legacy dump's default=str would collapse datetime(2024,1,1) and
+    # the string "2024-01-01 00:00:00" to identical bytes and let a
+    # typed match succeed against a stored doc that merely stringifies
+    # the same (r13 advice — CAS must stay exact post-upgrade).
+    if (expected is not None and expected_hash is None
+            and getattr(cur, "legacy_hash", False)):
         legacy = hashlib.sha1(
             json.dumps(expected, sort_keys=True, default=str).encode()
         ).hexdigest()

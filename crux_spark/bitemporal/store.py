@@ -65,6 +65,12 @@ VERSIONS_SCHEMA = T.StructType(
         T.StructField("content_hash", T.StringType(), True),
         T.StructField("asserted", T.BooleanType(), False),
         T.StructField("origin_tx", T.LongType(), False),
+        # hash back-computed from a hash-less (pre-typed-upgrade) WAL
+        # row — the only rows where match may use the legacy-hash
+        # fallback (splice.matches). Nullable: rows from checkpoints
+        # written before this column default to True (tolerant — the
+        # fallback's original r12/r13 purpose) on load.
+        T.StructField("legacy_hash", T.BooleanType(), True),
     ]
 )
 
@@ -109,7 +115,17 @@ def _row_to_version(r) -> Version:
         content_hash=r.content_hash if isinstance(r.content_hash, str) else None,
         asserted=bool(r.asserted),
         origin_tx=int(getattr(r, "origin_tx", 0) or 0),
+        legacy_hash=_tolerant_bool(getattr(r, "legacy_hash", None)),
     )
+
+
+def _tolerant_bool(v) -> bool:
+    """Missing/NULL/NaN (pre-column state rows of unknown provenance)
+    reads as True — the tolerant legacy-fallback default; real booleans
+    pass through."""
+    if v is None or (isinstance(v, float) and v != v):
+        return True
+    return bool(v)
 
 
 def _history_cols(eid: str, history: list[Version]) -> dict[str, list]:
@@ -125,6 +141,7 @@ def _history_cols(eid: str, history: list[Version]) -> dict[str, list]:
         "content_hash": [v.content_hash for v in history],
         "asserted": [v.asserted for v in history],
         "origin_tx": [v.origin_tx for v in history],
+        "legacy_hash": [v.legacy_hash for v in history],
     }
 
 
@@ -217,6 +234,7 @@ def _bulk_put_versions(ops: DataFrame) -> DataFrame:
         F.col("__n.content_hash").alias("content_hash"),
         F.lit(True).alias("asserted"),
         F.col("tx_id").alias("origin_tx"),
+        F.lit(False).alias("legacy_hash"),
     )
     remainder = base.filter(F.col("__nt").isNotNull()).select(
         "eid",
@@ -230,6 +248,7 @@ def _bulk_put_versions(ops: DataFrame) -> DataFrame:
         F.col("__n.content_hash").alias("content_hash"),
         F.lit(False).alias("asserted"),
         F.col("tx_id").alias("origin_tx"),
+        F.lit(False).alias("legacy_hash"),
     )
     return asserted.unionByName(remainder)
 
@@ -1403,6 +1422,10 @@ class TxStore:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TxStore":
         df = spark.read.parquet(path).drop("bucket")
+        if "legacy_hash" not in df.columns:
+            # pre-legacy_hash checkpoints: provenance unknown -> True
+            # keeps the tolerant r12/r13 fallback for restored rows
+            df = df.withColumn("legacy_hash", F.lit(True))
         if "origin_tx" not in df.columns:
             # pre-origin_tx checkpoints: 0 = unknown, origin() falls
             # back to tx_from

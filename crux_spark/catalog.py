@@ -295,13 +295,48 @@ class Catalog:
         casts = {"inst": "timestamp", "instant": "timestamp",
                  "ldt": "timestamp_ntz", "date": "date",
                  "dec": "decimal(38,12)"}
+        candidates: dict[str, str] = {}
         for col, tags in col_tags.items():
             if len(tags) == 1 and col in docs.columns:
                 target = casts.get(next(iter(tags)))
                 if target:
-                    docs = docs.withColumn(
-                        col, _F.col(col).cast(target)
-                    )
+                    candidates[col] = target
+        if not candidates:
+            return docs
+        # Validate each cast against the WHOLE column before applying it
+        # (r13 advice): the tag sample only sees docs that carry the
+        # sidecar, so a column mixing tagged dates/decimals with untagged
+        # plain strings would "agree" and then the non-ANSI cast would
+        # silently NULL the untagged values. One aggregate pass checks
+        # (a) no non-null value try_casts to NULL, and (b) for dec, the
+        # decimal(38,12) narrowing loses no precision (scale > 12 would
+        # silently round). Any violation keeps the legacy string form —
+        # the EAV layer still types those through its own union. Cost is
+        # one scan at catalog-build time, the same order as the schema
+        # inference pass that precedes it; at scale callers pass
+        # ``schema`` and skip the inferred path entirely.
+        agg_exprs = []
+        for col, target in candidates.items():
+            c = _F.col(col)
+            agg_exprs.append(
+                _F.sum((c.isNotNull() & c.try_cast(target).isNull())
+                       .cast("long")).alias(f"__newnull_{col}")
+            )
+            if target.startswith("decimal"):
+                wide = c.try_cast("decimal(38,18)")
+                narrowed = c.try_cast(target).cast("decimal(38,18)")
+                agg_exprs.append(
+                    _F.sum((wide.isNotNull() & narrowed.isNotNull()
+                            & (wide != narrowed)).cast("long"))
+                    .alias(f"__rounded_{col}")
+                )
+        stats = docs.agg(*agg_exprs).collect()[0].asDict()
+        for col, target in candidates.items():
+            if (stats.get(f"__newnull_{col}") or 0) > 0:
+                continue
+            if (stats.get(f"__rounded_{col}") or 0) > 0:
+                continue
+            docs = docs.withColumn(col, _F.col(col).cast(target))
         return docs
 
     def add_documents(

@@ -168,15 +168,34 @@ def ngram_jaccard_pairs(
 
 
 def shingle_hashes(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Flat (id, h) rows: distinct 64-bit xxhash shingle values per doc —
     the shared input of MinHash signatures AND exact set verification.
     h stays full-width 64-bit (collision odds ~1e-10 at test scale); the
-    signature step reduces mod p itself."""
+    signature step reduces mod p itself.
+
+    ``hash_fn`` (Column -> integer Column) overrides the shingle hash;
+    the default is xxhash64 (fast, JVM-native). Oracle-gated tests pass
+    an external-engine-reproducible hash (e.g. an md5-prefix integer)
+    so a SQL system with no xxhash64 can recompute identical
+    signatures."""
+    h = (hash_fn or F.xxhash64)(F.col("s"))
     return exploded_shingles(df, id_col, text_col, n).select(
-        "id", F.xxhash64("s").alias("h")
+        "id", h.alias("h")
     )
+
+
+def md5_prefix_hash(c):
+    """Portable shingle hash: the first 15 hex digits of md5 as a 60-bit
+    non-negative integer — byte-identical in any engine with md5 +
+    hex parsing (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT)).
+    Slower than xxhash64; used where an external oracle must reproduce
+    MinHash signatures exactly."""
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
 
 
 def minhash_signatures(

@@ -359,6 +359,63 @@ def test_match_falls_back_to_legacy_hash():
     v1_doc_json = json.dumps(doc, sort_keys=True, default=str)
     hist = [Version(valid_from=0, valid_to=2**62, tx_from=1,
                     tx_to=END_OF_TX, tx_time=1, doc_json=v1_doc_json,
-                    deleted=False, content_hash=legacy_hash)]
+                    deleted=False, content_hash=legacy_hash,
+                    legacy_hash=True)]
     assert matches(hist, doc, 10, 10)          # typed expected, v1 store
     assert not matches(hist, {**doc, "amt": Decimal("1.00")}, 10, 10)
+
+
+def test_match_legacy_fallback_gated_on_provenance():
+    """r13 advice: the legacy fallback must NOT fire for rows written by
+    a typed build (legacy_hash=False). json.dumps default=str collapses
+    datetime(2024,1,2,3,4,5) and the string "2024-01-02 03:04:05" to
+    identical bytes, so without the gate a typed expected doc would CAS
+    against a stored doc that merely STRINGIFIES the same."""
+    import hashlib
+
+    from crux_spark.bitemporal.splice import (END_OF_TX, Version, content_hash,
+                                              matches)
+
+    stored = {"id": "e1", "when": "2024-01-02 03:04:05"}  # a real STRING
+    hist = [Version(valid_from=0, valid_to=2**62, tx_from=1,
+                    tx_to=END_OF_TX, tx_time=1,
+                    doc_json=json.dumps(stored, sort_keys=True),
+                    deleted=False, content_hash=content_hash(stored),
+                    legacy_hash=False)]
+    typed_expected = {"id": "e1", "when": dt.datetime(2024, 1, 2, 3, 4, 5)}
+    # same legacy bytes — but the stored value is a string, not a datetime
+    assert hashlib.sha1(
+        json.dumps(typed_expected, sort_keys=True, default=str).encode()
+    ).hexdigest() == hashlib.sha1(
+        json.dumps(stored, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    assert not matches(hist, typed_expected, 10, 10)
+    assert matches(hist, stored, 10, 10)  # the true string doc still CASes
+
+
+def test_legacy_hash_provenance_survives_state_round_trip(spark):
+    """A hash-less op row (pre-typed WAL) replayed through apply_ops_df
+    back-computes its hash and is stamped legacy_hash=True in the
+    versions state; a put written by THIS build (submit-time hash)
+    stamps False. The flag persists across batches (VERSIONS_SCHEMA
+    round trip), so a later match replay still knows which rows may use
+    the tolerant fallback."""
+    from crux_spark.bitemporal.splice import to_us
+    from crux_spark.bitemporal.store import OPS_SCHEMA, TxStore
+
+    doc = {"id": "e1", "when": dt.datetime(2024, 1, 2, 3, 4, 5)}
+    legacy_json = json.dumps(doc, sort_keys=True, default=str)
+    ts = to_us(dt.datetime(2024, 1, 1))
+    ops = spark.createDataFrame(
+        [("e1", 1, 0, "put", ts, legacy_json, None, None, None, None, None)],
+        OPS_SCHEMA,
+    )
+    store = TxStore(spark)
+    store.apply_ops_df(ops)  # batch 1: the hash-less legacy row
+    store.submit_tx([("put", {"id": "e2", "v": 1})],
+                    tx_time=dt.datetime(2024, 1, 2))
+    store.commit()           # batch 2: a current-build row (hash recorded)
+    flags = {r["eid"]: r["legacy_hash"]
+             for r in store.versions.select("eid", "legacy_hash").collect()}
+    assert flags["e1"] is True, "back-computed hash must stamp legacy"
+    assert flags["e2"] is False, "submit-time hash must stamp strict"

@@ -1232,19 +1232,28 @@ def test_bulk_ingest_fast_path_equivalence(spark):
         _history_cols,
     )
 
+    import hashlib
+    import json as _json
+
     rng = random.Random(17)
     rows = []
     for e in range(12):
         times = sorted(rng.sample(range(1, 2_000), rng.randint(1, 40)))
         for t in times:
+            dj = '{"v": %d, "w": "x%d"}' % (t, e)
+            # submit-time hash (canonical dump), like the real WAL rows —
+            # hash-less ops would legitimately stamp legacy_hash=True on
+            # the splice path while the bulk path computes hashes
+            ch = hashlib.sha1(_json.dumps(
+                _json.loads(dj), sort_keys=True, default=str
+            ).encode()).hexdigest()
             rows.append((f"e{e}", t * 1_000_000, 0, "put", t * 1_000_000,
-                         '{"v": %d, "w": "x%d"}' % (t, e), None,
-                         t * 1_000_000, None))
+                         dj, None, ch, t * 1_000_000, None))
     ops = spark.createDataFrame(
         rows,
         "eid string, tx_id long, seq long, op string, tx_time long, "
-        "doc_json string, expected_json string, valid_from long, "
-        "valid_to long",
+        "doc_json string, expected_json string, content_hash string, "
+        "valid_from long, valid_to long",
     )
     fast = _bulk_put_versions(ops)
 

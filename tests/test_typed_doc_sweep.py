@@ -13,6 +13,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from crux_spark.bitemporal.store import TxStore
+from crux_spark.catalog import ID_COL as Catalog_ID_COL
 from crux_spark.catalog import Catalog
 
 
@@ -186,3 +187,44 @@ def test_with_tx_property_roundtrip(spark, body):
     assert out == {"id": "px", **body}
     for k, v in body.items():
         assert type(out[k]) is type(v), (k, out[k], v)
+
+
+def test_from_store_skips_cast_on_mixed_untagged_column(spark):
+    """r13 advice: the sidecar tag sample only sees docs that CARRY the
+    sidecar — a column mixing tagged dates (e1) with untagged plain
+    strings (e2) would "agree" on the date tag and the non-ANSI cast
+    would silently NULL e2's value. The whole-column try_cast validation
+    must skip the cast and keep the legacy string form instead."""
+    store = TxStore(spark)
+    store.submit_tx([
+        ("put", {"id": "e1", "v": dt.date(2024, 6, 1)}),
+        ("put", {"id": "e2", "v": "not-a-date"}),
+    ])
+    store.commit()
+    cat = Catalog.from_store(store, name="mixed")
+    tbl = cat.table("mixed")
+    vals = {r["v"] for r in tbl.select("v").collect()}
+    assert None not in vals, "cast silently nulled an untagged value"
+    assert "not-a-date" in vals
+    assert len(vals) == 2
+
+
+def test_from_store_skips_decimal_cast_on_precision_loss(spark):
+    """decimal(38,12) narrowing would silently round a value with scale
+    greater than 12; the precision-loss probe must keep the legacy
+    form (no value drift through catalog inference)."""
+    store = TxStore(spark)
+    store.submit_tx([
+        ("put", {"id": "d1", "amt": Decimal("1.2345678901234567")}),
+        ("put", {"id": "d2", "amt": Decimal("2.5")}),
+    ])
+    store.commit()
+    cat = Catalog.from_store(store, name="decs")
+    tbl = cat.table("decs")
+    got = {r[0]: r["amt"] for r in
+           tbl.select(Catalog_ID_COL, "amt").collect()}
+    d1 = got["d1"]
+    # the exact in-scale value must survive; the over-scale one must not
+    # have been rounded to 12 places
+    assert str(d1).startswith("1.2345678901234"), d1
+    assert Decimal(str(got["d2"])) == Decimal("2.5")
