@@ -831,12 +831,13 @@ class IncrementalMinHashIndex:
 
     def __init__(self, spark, n: int = 3, num_hashes: int = 32,
                  bands: int = 16, threshold: float = 0.5,
-                 verify: str = "exact"):
+                 verify: str = "exact", hash_fn=None):
         if num_hashes % bands:
             raise ValueError("num_hashes must be divisible by bands")
         if verify not in ("exact", "est"):
             raise ValueError(f"unknown verify mode {verify!r}")
         self.spark = spark
+        self.hash_fn = hash_fn  # None = xxhash64; see shingle_hashes
         self.n = n
         self.num_hashes = num_hashes
         self.bands = bands
@@ -851,7 +852,8 @@ class IncrementalMinHashIndex:
         """Index a batch of documents; return the near-dup pairs this
         batch creates: (id_a, id_b, jaccard|est_jaccard) with every pair
         involving >=1 doc from this batch, ordered id_a < id_b."""
-        ex = shingle_hashes(docs, id_col, text_col, self.n)
+        ex = shingle_hashes(docs, id_col, text_col, self.n,
+                            hash_fn=self.hash_fn)
         if self.verify == "exact":
             ex = ex.localCheckpoint(eager=False)
         sigs = minhash_signatures(

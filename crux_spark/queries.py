@@ -4932,3 +4932,86 @@ assert sorted(_r14_order) == sorted(_r14_names), "r14 rotation lost gates"
 _r14_reordered = {n: QUERIES[n] for n in _r14_order}
 QUERIES.clear()
 QUERIES.update(_r14_reordered)
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash est-mode (r14): the signature-agreement estimator
+# path of IncrementalMinHashIndex (verify="est", dedup.py) was
+# pytest-only — VERDICT r13 item 3 asks for a full oracle. The shingle
+# hash is parameterized to an md5-prefix integer (dedup.md5_prefix_hash)
+# that DuckDB reproduces bit-exactly, so the oracle recomputes the SAME
+# 32 affine-permutation minima, bands them, and derives the identical
+# (candidate, est_jaccard) relation in pure SQL. Registered AFTER the
+# r14 rotation splice -> overflow tail (mirror-gated now, driver row via
+# the r15 rotation, the streaming_minhash_dedup path).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_minhash_est",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i, t FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM pos
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM sh
+    ), mins AS (
+      SELECT doc_id, gs.i AS i,
+             min((h * (2 * gs.i + 1) + (7 * gs.i + 3)) % 2147483647) AS m
+      FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS i) gs
+      GROUP BY doc_id, gs.i
+    ), bands AS (
+      SELECT doc_id, i // 2 AS band, list(m ORDER BY i) AS sl
+      FROM mins GROUP BY doc_id, i // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+    ), agree AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS n_eq
+      FROM cand c
+      JOIN mins ma ON ma.doc_id = c.id_a
+      JOIN mins mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(n_eq / 32.0, 6) AS est_jaccard
+    FROM agree
+    WHERE n_eq >= 16
+    """,
+)
+def streaming_minhash_est(spark, sf_dir):
+    """verify="est" mode of IncrementalMinHashIndex: candidates still
+    come from the (band, bucket) postings equi-join, but verification is
+    the signature-agreement fraction (#equal positions / num_hashes) —
+    the path a 100 TB corpus takes when storing exact shingle sets is
+    not worth it. The oracle recomputes the same md5-prefix shingle
+    hashes, the same 32 affine permutations mod 2^31-1, the same 16x2
+    banding (band-slice equality == bucket equality modulo murmur
+    collisions), and the same agreement fraction — a hash-match pins
+    the estimator arithmetic end-to-end, incrementally across 3
+    batches."""
+    from crux_spark.operators.dedup import (IncrementalMinHashIndex,
+                                            md5_prefix_hash)
+
+    cat = catalog_for(spark, sf_dir)
+    docs = cat.table("documents").select("doc_id", "text")
+    idx = IncrementalMinHashIndex(
+        spark, num_hashes=32, bands=16, threshold=0.5, verify="est",
+        hash_fn=md5_prefix_hash,
+    )
+    outs = [
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == b))
+        for b in range(3)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
