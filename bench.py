@@ -319,8 +319,11 @@ def main() -> None:
     # itself). Round inference: CRUX_SPARK_ROUND env > VERDICT.md header
     # (written at the END of round N, so current = N+1) > max BENCH_r+1.
     regr_flags: list[str] = []
+    regr_env: list[str] = []
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     cur_round = _current_round(repo_dir)
+    prev_plans: dict = {}
+    prev_probe: dict = {}
     try:
         prev_q: dict = {}
         hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
@@ -333,6 +336,8 @@ def main() -> None:
                         continue
                     if h.get("sf") == sf and h.get("round", 0) < cur_round:
                         prev_q = h.get("queries") or prev_q  # newest wins
+                        prev_plans = h.get("plans") or prev_plans
+                        prev_probe = h.get("box_probe") or prev_probe
         if not prev_q:
             # first run since the history file shipped: fall back to the
             # newest driver record from a round strictly below this one
@@ -358,10 +363,36 @@ def main() -> None:
             bar = 2 * sd if n in bars else 0.25 * prev
             if cur - prev > max(bar, 0.1):
                 regr_flags.append(n)
+        # Probe-normalized adjudication (r13 verdict item 6: all 8 r13
+        # flags were environment — byte-identical plans on a box probing
+        # 87 vs 110 MB/s). A flag whose executed-plan fingerprint is
+        # IDENTICAL to the prior round's while the box probe sits >20%
+        # off the prior round's band is environment, not code: it moves
+        # to regr_env so adjudication effort goes to real drift. Flags
+        # with a changed/absent fingerprint, or on a comparable box,
+        # stay hard.
+        def _probe_off_band() -> bool:
+            if not prev_probe or not box_probe:
+                return False
+            for k in ("write_mb_s", "read_mb_s", "sha256_kops_s"):
+                a, b = prev_probe.get(k), box_probe.get(k)
+                if a and b and (max(a, b) / min(a, b)) > 1.2:
+                    return True
+            return False
+
+        if regr_flags and _probe_off_band():
+            for n in list(regr_flags):
+                p = plans.get(n)
+                if p and p == prev_plans.get(n):
+                    regr_flags.remove(n)
+                    regr_env.append(n)
     except Exception as e:
         print(f"# regression check failed: {e}", file=sys.stderr)
     if regr_flags:
         print(f"# regression flags (>2-sigma vs prior round): {regr_flags}", file=sys.stderr)
+    if regr_env:
+        print(f"# env-adjudicated regressions (identical plan, off-band box "
+              f"probe): {regr_env}", file=sys.stderr)
 
     # plan-drift check vs the prior round's fingerprints (persisted in
     # BENCH_HISTORY.jsonl alongside timings): a CartesianProduct
@@ -371,17 +402,7 @@ def main() -> None:
     # into a wall. Flags are advisory (named in the artifact).
     plan_drift: list[str] = []
     try:
-        prev_plans: dict = {}
-        hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
-        if os.path.exists(hist_path):
-            with open(hist_path) as f:
-                for line in f:
-                    try:
-                        h = json.loads(line)
-                    except ValueError:
-                        continue
-                    if h.get("sf") == sf and h.get("round", 0) < cur_round:
-                        prev_plans = h.get("plans") or prev_plans
+        # prev_plans loaded once with the regression baseline above
         for n, p in plans.items():
             if not p:
                 continue
@@ -468,6 +489,7 @@ def main() -> None:
                     },
                     "bars": bars,  # mean±sd for the 10 most variable gates
                     "regr_flags": regr_flags,
+                    "regr_env": regr_env,
                     "plan_drift": plan_drift,
                     "box_probe": box_probe,
                     "plans": plans,
@@ -537,6 +559,9 @@ def main() -> None:
         # samples in BENCH_PLANS.json)
         "bars": bars,
         "regr": regr_flags,
+        # flags adjudicated to ENVIRONMENT automatically: identical plan
+        # fingerprint vs prior round + box probe >20% off the prior band
+        "regr_env": regr_env,
         # gates whose executed plan drifted structurally vs the prior
         # round (cartesian appeared / broadcast->SMJ flip / shuffle
         # doubling) — the wall-time-invisible regressions

@@ -184,3 +184,31 @@ def test_est_mode_md5_hash_fn_matches_xxhash_relation_shape(spark):
     sig0 = (idx.postings.filter(F.col("id") == 0)
             .select("sig").first()["sig"][0])
     assert sig0 == expect_m0
+
+
+def test_long_stream_lineage_stays_bounded(spark):
+    """50-batch listener-length stream (r13 verdict item 5): with the
+    checkpoint_every cadence (default 8), the state's unmaterialized
+    lineage resets at every eager point, so the analyzed-plan size at
+    batch 50 is the size of a ~cadence-deep chain, NOT a 50-deep one —
+    and the union-of-outputs == batch-operator invariant still holds."""
+    docs = _corpus(spark, n=100)
+    idx = IncrementalMinHashIndex(
+        spark, num_hashes=32, bands=16, threshold=0.5, verify="exact",
+        checkpoint_every=8,
+    )
+    got = set()
+    plan_lens = []
+    for b in range(50):
+        got |= _pairs(idx.add_batch(docs.filter(F.col("doc_id") % 50 == b)))
+        plan_lens.append(
+            len(idx.postings._jdf.queryExecution().analyzed().toString())
+        )
+    # lineage bound: the deepest plan anywhere in the stream is at most
+    # one cadence window deep — it must not scale with stream length
+    # (without the cadence the batch-50 plan is ~6x the batch-8 one)
+    assert max(plan_lens) <= max(plan_lens[:8]) * 2, plan_lens
+    batch_out = _pairs(minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16, verify="exact",
+    ))
+    assert got == batch_out
