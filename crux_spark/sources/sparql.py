@@ -50,14 +50,14 @@ _TOKEN_RE = re.compile(
     r"""
     \s+
   | \#[^\n]*                              # comment
-  | (?P<iri><[^>]*>)
+  | (?P<iri><[^>\s]*>)
   | (?P<str>"[^"\\]*(?:\\.[^"\\]*)*")
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/?])
     """,
     re.VERBOSE,
 )
@@ -69,7 +69,7 @@ _KEYWORDS = {
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
-    "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK",
+    "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK", "UNDEF",
 }
 
 # SPARQL aggregate -> Datalog aggregate head (aggregates.py registry).
@@ -171,6 +171,9 @@ def local_name(iri: str) -> str:
 
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# marker for an UNDEF cell in a VALUES row (never leaks into the IR)
+_UNDEF = object()
 
 
 class _Parser:
@@ -297,7 +300,9 @@ class _Parser:
                 clauses.append([expr, v])
             elif self.at("KW", "VALUES"):
                 self.next()
-                clauses.append(self.values_block())
+                vb = self.values_block()
+                if vb:
+                    clauses.append(vb)
             elif self.at("op", "{"):
                 clauses.append(self.union_block())
             else:
@@ -308,14 +313,31 @@ class _Parser:
     def values_block(self) -> list:
         """VALUES ?x { v... } / VALUES (?x ?y) { (a b) ... } -> a literal
         collection/relation binding clause (the reference's
-        BindingSetAssignment)."""
+        BindingSetAssignment). Rows containing UNDEF (the reference maps
+        them to :crux.sparql/undefined :args entries) compile to a
+        disjunctive equality FILTER over the defined cells instead — an
+        UNDEF cell constrains nothing, so the row is an AND of the
+        remaining cells' equalities. This form requires the vars to be
+        bound elsewhere in the pattern (they are, in every spec example:
+        VALUES-with-UNDEF refines an existing solution set); a row of
+        ONLY UNDEFs is compatible with everything, making the whole
+        VALUES a no-op -> [] (caller drops it)."""
         if self.at("var"):
             v = self.next().val
             self.eat("op", "{")
             vals = []
+            any_undef = False
             while not self.at("op", "}"):
-                vals.append(self.term())
+                if self.at("KW", "UNDEF"):
+                    self.next()
+                    any_undef = True
+                else:
+                    vals.append(self.term())
             self.next()
+            if any_undef:
+                # a row binding nothing is compatible with every
+                # solution: the VALUES constrains nothing at all
+                return []
             return [["vector", *vals], [v, "..."]]
         self.eat("op", "(")
         vars_ = []
@@ -324,15 +346,31 @@ class _Parser:
         self.eat("op", ")")
         self.eat("op", "{")
         rows = []
+        any_undef = False
         while self.at("op", "("):
             self.next()
             row = []
             while not self.at("op", ")"):
-                row.append(self.term())
+                if self.at("KW", "UNDEF"):
+                    self.next()
+                    row.append(_UNDEF)
+                    any_undef = True
+                else:
+                    row.append(self.term())
             self.next()
-            rows.append(["vector", *row])
+            rows.append(row)
         self.eat("op", "}")
-        return [["vector", *rows], [vars_]]
+        if not any_undef:
+            return [["vector", *[["vector", *r] for r in rows]], [vars_]]
+        branches = []
+        for row in rows:
+            conj = [["==", v, c] for v, c in zip(vars_, row)
+                    if c is not _UNDEF]
+            if not conj:
+                return []  # all-UNDEF row -> compatible with everything
+            branches.append(conj[0] if len(conj) == 1 else ["and", *conj])
+        expr = branches[0] if len(branches) == 1 else ["or", *branches]
+        return [expr]
 
     def union_block(self) -> list:
         branches = []
@@ -364,6 +402,10 @@ class _Parser:
         elif self.at("op", "*"):
             self.next()
             path = "STAR"
+        elif self.at("op", "?"):
+            self.next()
+            path = "OPT"  # zero-or-one (the reference's ZeroLengthPath
+            # union with a single step, labs sparql_test.clj knows?)
         return attr, path
 
     def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o):
@@ -371,10 +413,14 @@ class _Parser:
             clauses.append([s, attr, o])
             return
         if attr.startswith("?"):
-            # variable predicate: closure is computed per ?p binding by a
-            # shared rule carrying the predicate as an argument
-            self.var_plus = True
-            plus = ["__varpred-PLUS", attr, s, o]
+            if path == "OPT":
+                # zero-or-one: ONE EAV step instead of the closure rule
+                plus = [s, attr, o]
+            else:
+                # variable predicate: closure is computed per ?p binding
+                # by a shared rule carrying the predicate as an argument
+                self.var_plus = True
+                plus = ["__varpred-PLUS", attr, s, o]
             if path == "PLUS":
                 clauses.append(plus)
                 return
@@ -428,8 +474,13 @@ class _Parser:
             )
             clauses.append(["or-join", jv, ["and", plus], zero])
             return
-        self.plus_attrs.add(attr)
-        plus = [f"{attr[1:]}-PLUS", s, o]
+        if path == "OPT":
+            # p? = zero-or-one: the single edge unioned with the
+            # zero-length path — no closure rule needed
+            plus = [s, attr, o]
+        else:
+            self.plus_attrs.add(attr)
+            plus = [f"{attr[1:]}-PLUS", s, o]
         if path == "PLUS":
             clauses.append(plus)
             return
@@ -926,6 +977,14 @@ class _Parser:
         if self.at("KW", "OFFSET"):
             self.next()
             out["offset"] = int(self.eat("num").val)
+        if self.at("KW", "VALUES"):
+            # trailing ValuesClause (SPARQL grammar: after the solution
+            # modifiers) — joins the final result, so it appends to the
+            # top-level where (post-HAVING nesting included)
+            self.next()
+            vb = self.values_block()
+            if vb:
+                out["where"] = list(out["where"]) + [vb]
         if is_ask:
             # one solution decides the answer; CollectLimit short-circuits
             out["limit"] = 1

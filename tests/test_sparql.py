@@ -784,3 +784,213 @@ def test_group_concat_reparse_keeps_plan_epoch(vcard_cat):
     before = epoch.current()
     _std(sparql)
     assert epoch.current() == before
+
+
+# ---------------------------------------------------------------------------
+# 1:1 sweep of the reference's OWN conformance surface (r14, VERDICT
+# item 4): crux-test/test/crux/sparql_test.clj (8 result-level asserts
+# over the Jena vcard data — all covered by the tests above: literal
+# object, var object, join, regex+prefix, numeric filter, OPTIONAL,
+# inner join, OPTIONAL+FILTER) and labs/crux-rdf/test/crux/
+# sparql_test.clj (the translation suite). Each labs case maps to a
+# test here or a documented divergence:
+#   bound-IRI-subject triple        -> test_literal_iri_subject
+#   foaf name/mbox join             -> test_join (above)
+#   var in predicate position       -> reference THROWS; ours executes
+#                                      (EAV var-attr scan) —
+#                                      test_variable_predicate_superset
+#   language-tagged literal         -> test_language_tagged_literal
+#   BIND(CONCAT) / select-expr      -> test_bind_concat_and_select_expression
+#   FILTER regex ^anchor            -> test_regex_anchor_filter
+#   decimal filter BETWEEN triples  -> test_filter_between_triples (also
+#                                      pins the '<' vs later-IRI lexer fix)
+#   OPTIONAL / OPTIONAL+FILTER      -> covered above (NULL, not the
+#                                      reference's :crux.sparql/optional)
+#   UNION same/disjoint branch vars -> test_union, test_union_disjoint_vars
+#   FILTER NOT EXISTS / EXISTS      -> test_not_exists, test_filter_exists
+#   MINUS                           -> reference THROWS ("use NOT
+#                                      EXISTS"); ours compiles the spec
+#                                      semantics — test_minus (superset)
+#   subClassOf* / knows+            -> property-path tests above
+#   knows? (zero-or-one)            -> test_zero_or_one_path (r14)
+#   nested group join               -> reference THROWS on the nested-
+#                                      expression query; plain adjacent
+#                                      groups JOIN here per spec —
+#                                      test_adjacent_group_join
+#   VALUES inline / UNDEF rows      -> test_values_multi_var,
+#                                      test_values_undef_rows (r14)
+#   trailing VALUES clause          -> test_trailing_values (r14)
+#   ORDER BY + LIMIT                -> test_order_limit
+#   WatDiv SELECT *                 -> test_select_star (r14)
+# ---------------------------------------------------------------------------
+
+BOOKS_NT = """\
+<http://example/book1> <http://purl.org/dc/elements/1.1/title> "SPARQL Tutorial" .
+<http://example/book1> <http://example.org/ns#price> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://example/book2> <http://purl.org/dc/elements/1.1/title> "The Semantic Web" .
+<http://example/book2> <http://example.org/ns#price> "23"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://example/book3> <http://purl.org/dc/elements/1.1/title> "Learning Webs" .
+"""
+
+
+@pytest.fixture(scope="module")
+def books_cat(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("books") / "books.nt"
+    path.write_text(BOOKS_NT)
+    cat = Catalog(spark)
+    cat.add_documents(
+        "books", pivot_triples(read_ntriples(spark, str(path))).localCheckpoint()
+    )
+    return cat
+
+
+def test_literal_iri_subject(books_cat):
+    """labs: a bound IRI in SUBJECT position (book1 dc:title ?title)."""
+    got = run(books_cat, """
+        SELECT ?title
+        WHERE { <http://example/book1> <http://purl.org/dc/elements/1.1/title> ?title . }
+    """)
+    assert got == {("SPARQL Tutorial",)}
+
+
+def test_variable_predicate_superset(books_cat):
+    """labs: `?v ?p "..."` THROWS in the reference ("Does not support
+    variables in predicate position"); here it executes as an EAV
+    var-attr scan — a documented superset."""
+    got = run(books_cat, """
+        SELECT ?v ?p WHERE { ?v ?p "SPARQL Tutorial" }
+    """)
+    assert got == {("http://example/book1", ":title")}
+
+
+def test_regex_anchor_filter(books_cat):
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        SELECT ?title
+        WHERE { ?x dc:title ?title FILTER regex(?title, "^SPARQL") }
+    """)
+    assert got == {("SPARQL Tutorial",)}
+    got_i = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        SELECT ?title
+        WHERE { ?x dc:title ?title FILTER regex(?title, "web", "i") }
+    """)
+    assert got_i == {("The Semantic Web",), ("Learning Webs",)}
+
+
+def test_filter_between_triples(books_cat):
+    """labs: FILTER sits BETWEEN two triple patterns and compares with
+    '<' against a decimal literal — also pins the lexer fix (an IRI
+    cannot span whitespace, so `< 30.5)` followed by a later IRI no
+    longer lexes as one giant IRI token)."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?title ?price
+        WHERE { ?x ns:price ?price .
+                FILTER (?price < 30.5)
+                ?x dc:title ?title . }
+    """)
+    assert got == {("The Semantic Web", 23)}
+
+
+def test_union_disjoint_vars(books_cat):
+    """labs: UNION branches binding DIFFERENT object vars; only the
+    shared ?book projects (the reference compiles an or-join on ?book
+    and notes the same limitation in its TODO)."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?book
+        WHERE { { ?book dc:title ?x } UNION { ?book ns:price ?y } }
+    """)
+    assert got == {("http://example/book1",), ("http://example/book2",),
+                   ("http://example/book3",)}
+
+
+def test_filter_exists(books_cat):
+    """labs: FILTER EXISTS inlines its pattern (set semantics make the
+    semi-join equivalent)."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?title
+        WHERE { ?b dc:title ?title . FILTER EXISTS { ?b ns:price ?p } }
+    """)
+    assert got == {("SPARQL Tutorial",), ("The Semantic Web",)}
+
+
+def test_adjacent_group_join(books_cat):
+    """labs: adjacent braced groups JOIN (SPARQL group-graph-pattern
+    semantics). The reference throws on its nested-expression variant;
+    the plain group join is in-subset here."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?title
+        WHERE { { ?x ns:price ?p . } { ?x dc:title ?title . } FILTER(?p > 30) }
+    """)
+    assert got == {("SPARQL Tutorial",)}
+
+
+def test_zero_or_one_path(knows_cat):
+    """labs knows? case: zero-or-one = the endpoint itself UNION one
+    step (the reference parses DISTINCT + ZeroLengthPath in a union)."""
+    got = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/A> ex:knows? ?y . ?y ex:name ?n }
+    """)
+    assert got == {("Ann",), ("Bob",)}
+
+
+def test_values_undef_rows(books_cat):
+    """labs: VALUES rows with UNDEF cells (the reference emits
+    :crux.sparql/undefined args). An UNDEF cell constrains nothing, so
+    the rows compile to a disjunctive equality filter over the defined
+    cells."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?book ?title ?price
+        WHERE {
+          ?book dc:title ?title ;
+                ns:price ?price .
+          VALUES (?book ?title)
+          { (UNDEF "SPARQL Tutorial")
+            (<http://example/book2> UNDEF) }
+        }
+    """)
+    assert got == {("http://example/book1", "SPARQL Tutorial", 42),
+                   ("http://example/book2", "The Semantic Web", 23)}
+
+
+def test_trailing_values(books_cat):
+    """labs: the ValuesClause AFTER the WHERE block (SPARQL grammar puts
+    it after the solution modifiers) joins the final result."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?book ?title ?price
+        WHERE {
+          ?book dc:title ?title ;
+                ns:price ?price .
+        }
+        VALUES (?book ?title)
+        { (UNDEF "SPARQL Tutorial")
+          (<http://example/book2> UNDEF) }
+    """)
+    assert got == {("http://example/book1", "SPARQL Tutorial", 42),
+                   ("http://example/book2", "The Semantic Web", 23)}
+
+
+def test_select_star(books_cat):
+    """labs WatDiv shape: SELECT * projects every variable in order of
+    first appearance."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        PREFIX ns: <http://example.org/ns#>
+        SELECT * WHERE { ?b dc:title ?t . ?b ns:price ?p . }
+    """)
+    assert got == {("http://example/book1", "SPARQL Tutorial", 42),
+                   ("http://example/book2", "The Semantic Web", 23)}
