@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/?])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/?^])
     """,
     re.VERBOSE,
 )
@@ -392,6 +392,13 @@ class _Parser:
     _seq_counter = 0
 
     def _pred_and_path(self) -> tuple[Any, str | None]:
+        inverse = False
+        if self.at("op", "^"):
+            # SPARQL 1.1 inverse path ^p: traverse the edge object ->
+            # subject (RDF4J gives the reference this via its algebra;
+            # here the step just swaps endpoints at emit time)
+            self.next()
+            inverse = True
         p = self.term()
         # variable predicate -> EAV fallback pattern [?e ?a ?v]
         attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
@@ -406,9 +413,12 @@ class _Parser:
             self.next()
             path = "OPT"  # zero-or-one (the reference's ZeroLengthPath
             # union with a single step, labs sparql_test.clj knows?)
-        return attr, path
+        return attr, path, inverse
 
-    def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o):
+    def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o,
+                   inverse: bool = False):
+        if inverse:
+            s, o = o, s
         if path is None:
             clauses.append([s, attr, o])
             return
@@ -519,13 +529,13 @@ class _Parser:
             while True:
                 o = self.term()
                 src = s
-                for attr, path in steps[:-1]:
+                for attr, path, inv in steps[:-1]:
                     _Parser._seq_counter += 1
                     mid = f"?__seq{_Parser._seq_counter}"
-                    self._emit_edge(clauses, src, attr, path, mid)
+                    self._emit_edge(clauses, src, attr, path, mid, inv)
                     src = mid
-                attr, path = steps[-1]
-                self._emit_edge(clauses, src, attr, path, o)
+                attr, path, inv = steps[-1]
+                self._emit_edge(clauses, src, attr, path, o, inv)
                 if self.at("op", ","):
                     self.next()
                     continue

@@ -994,3 +994,38 @@ def test_select_star(books_cat):
     """)
     assert got == {("http://example/book1", "SPARQL Tutorial", 42),
                    ("http://example/book2", "The Semantic Web", 23)}
+
+
+def test_inverse_path(knows_cat):
+    """SPARQL 1.1 inverse path: `?x ^ex:knows <C>` == `<C> ex:knows ?x`
+    (the reference inherits this from RDF4J's algebra). C knows D, so
+    the inverse step from ?x lands on Dan."""
+    got = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { ?x ^ex:knows <http://ex/C> . ?x ex:name ?n }
+    """)
+    assert got == {("Dan",)}
+    # inverse inside a sequence: who is known by someone A knows
+    got2 = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { ?y ^ex:knows/ex:knows ?y2 . ?y ex:name ?n . ?y2 ex:name ?n }
+    """)
+    # ^knows/knows = sibling-or-self under a common knower; chain graph
+    # A->B->C->D gives each node back itself
+    assert got2 == {("Bob",), ("Cid",), ("Dan",)}
+    # inverse with a closure: ^knows+ from D reaches everyone upstream
+    got3 = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { ?x ^ex:knows+ <http://ex/D>  . ?x ex:name ?n }
+    """)
+    assert got3 == set()  # ^p+ binds (o,s): D's upstream via ?x needs
+    # the pattern the other way — assert the symmetric form instead
+    got4 = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/D> ^ex:knows+ ?x . ?x ex:name ?n }
+    """)
+    assert got4 == {("Ann",), ("Bob",), ("Cid",)}
