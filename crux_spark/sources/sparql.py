@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-\.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<lang>@[A-Za-z][A-Za-z0-9\-]*)
-  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/?^])
+  | (?P<op>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*=<>!a+\-/?^|])
     """,
     re.VERBOSE,
 )
@@ -304,7 +304,12 @@ class _Parser:
                 if vb:
                     clauses.append(vb)
             elif self.at("op", "{"):
-                clauses.append(self.union_block())
+                nxt = (self.toks[self.i + 1]
+                       if self.i + 1 < len(self.toks) else None)
+                if nxt is not None and nxt.kind == "KW" and nxt.val == "SELECT":
+                    clauses.append(self.subselect())
+                else:
+                    clauses.append(self.union_block())
             else:
                 clauses.extend(self.triple_block())
         self.eat("op", "}")
@@ -371,6 +376,38 @@ class _Parser:
             branches.append(conj[0] if len(conj) == 1 else ["and", *conj])
         expr = branches[0] if len(branches) == 1 else ["or", *branches]
         return [expr]
+
+    def subselect(self) -> list:
+        """SPARQL 1.1 subquery: { SELECT ... WHERE {...} [GROUP BY/
+        HAVING/ORDER/LIMIT/OFFSET] } inside a group pattern. Compiles to
+        the Datalog subquery pred with relation binding (query.clj:
+        973-986, the same seam HAVING rides): the inner query's find
+        columns bind outer vars of the same names, so shared vars
+        equi-join with the enclosing pattern — SPARQL's bottom-up
+        subquery-join semantics."""
+        self.eat("op", "{")
+        depth = 1
+        start = self.i
+        j = self.i
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t.kind == "op" and t.val == "{":
+                depth += 1
+            elif t.kind == "op" and t.val == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError("unterminated subquery group")
+        sub = _Parser(self.toks[start:j], self.attr_fn)
+        sub.prefixes.update(self.prefixes)  # outer PREFIXes are in scope
+        d = sub.query()
+        self.i = j + 1  # past the closing '}'
+        bind_vars = [
+            e if isinstance(e, str) else f"?{e[2]}" for e in d["find"]
+        ]
+        return [["q", d], [bind_vars]]
 
     def union_block(self) -> list:
         branches = []
@@ -516,26 +553,54 @@ class _Parser:
         )
         clauses.append(["or-join", jv, ["and", plus], zero])
 
+    def _path_sequence(self) -> list:
+        """One PathSequence: step ('/' step)*, steps = (attr, path, inv)."""
+        steps = [self._pred_and_path()]
+        while self.at("op", "/"):
+            self.next()
+            steps.append(self._pred_and_path())
+        return steps
+
+    def _emit_sequence(self, clauses: list, s, steps: list, o) -> None:
+        src = s
+        for attr, path, inv in steps[:-1]:
+            _Parser._seq_counter += 1
+            mid = f"?__seq{_Parser._seq_counter}"
+            self._emit_edge(clauses, src, attr, path, mid, inv)
+            src = mid
+        attr, path, inv = steps[-1]
+        self._emit_edge(clauses, src, attr, path, o, inv)
+
     def triple_block(self) -> list:
         """subject predicate object (',' object)* (';' pred obj...)*
-        with property paths: p+ / p* / p1/p2 sequences."""
+        with property paths: p+ / p* / p? / ^p / p1/p2 sequences /
+        p1|p2 alternatives (SPARQL 1.1 PathAlternative: alternatives of
+        sequences — each branch emits with fresh intermediates into an
+        or-join on the endpoint vars)."""
         clauses = []
         s = self.term()
         while True:
-            steps = [self._pred_and_path()]
-            while self.at("op", "/"):  # sequence path p1/p2/...
+            alts = [self._path_sequence()]
+            while self.at("op", "|"):  # alternative path p1|p2
                 self.next()
-                steps.append(self._pred_and_path())
+                alts.append(self._path_sequence())
             while True:
                 o = self.term()
-                src = s
-                for attr, path, inv in steps[:-1]:
-                    _Parser._seq_counter += 1
-                    mid = f"?__seq{_Parser._seq_counter}"
-                    self._emit_edge(clauses, src, attr, path, mid, inv)
-                    src = mid
-                attr, path, inv = steps[-1]
-                self._emit_edge(clauses, src, attr, path, o, inv)
+                if len(alts) == 1:
+                    self._emit_sequence(clauses, s, alts[0], o)
+                else:
+                    jv = [v for v in (s, o)
+                          if isinstance(v, str) and v.startswith("?")]
+                    branches = []
+                    for steps in alts:
+                        bc: list = []
+                        self._emit_sequence(bc, s, steps, o)
+                        branches.append(bc[0] if len(bc) == 1
+                                        else ["and", *bc])
+                    clauses.append(
+                        ["or-join", jv, *branches] if jv
+                        else ["or", *branches]
+                    )
                 if self.at("op", ","):
                     self.next()
                     continue

@@ -1029,3 +1029,56 @@ def test_inverse_path(knows_cat):
         WHERE { <http://ex/D> ^ex:knows+ ?x . ?x ex:name ?n }
     """)
     assert got4 == {("Ann",), ("Bob",), ("Cid",)}
+
+
+def test_alternative_path(vcard_cat):
+    """SPARQL 1.1 PathAlternative p1|p2: union of the two edges (fresh
+    intermediates per branch, or-join on the endpoint vars)."""
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?v WHERE { ?b vcard:Given|vcard:Family ?v }
+    """)
+    assert got == {("Matthew",), ("Sarah",), ("John",), ("Rebecca",),
+                   ("Jones",), ("Smith",)}
+
+
+def test_alternative_path_with_sequence(knows_cat):
+    """Alternatives of SEQUENCES: knows/knows | knows — 1- or 2-step
+    reach from A."""
+    got = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n
+        WHERE { <http://ex/A> ex:knows/ex:knows|ex:knows ?y . ?y ex:name ?n }
+    """)
+    assert got == {("Bob",), ("Cid",)}
+
+
+def test_subquery_max(vcard_cat):
+    """SPARQL 1.1 subquery: the inner SELECT computes MAX(?a) AS ?age;
+    the outer pattern joins on ?age — 'who has the maximum age'
+    (compiles to the Datalog subquery pred with relation binding, the
+    same seam HAVING uses)."""
+    got = run(vcard_cat, """
+        PREFIX info:  <http://somewhere/peopleInfo#>
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?name WHERE {
+          ?p vcard:FN ?name . ?p info:age ?age .
+          { SELECT (MAX(?a) AS ?age) WHERE { ?x info:age ?a } }
+        }
+    """)
+    assert got == {("John Smith",)}
+
+
+def test_subquery_grouped(vcard_cat):
+    """Grouped subquery joining on the group key: per-family Given
+    count, outer filters to families with 2 members."""
+    got = run(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        SELECT ?family ?n WHERE {
+          { SELECT ?family (COUNT(?g) AS ?n)
+            WHERE { ?b vcard:Family ?family . ?b vcard:Given ?g }
+            GROUP BY ?family }
+          FILTER (?n >= 2)
+        }
+    """)
+    assert got == {("Jones", 2), ("Smith", 2)}
