@@ -70,6 +70,7 @@ _KEYWORDS = {
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
     "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK", "UNDEF",
+    "ABS", "CEIL", "FLOOR", "ROUND", "SUBSTR",
 }
 
 # SPARQL aggregate -> Datalog aggregate head (aggregates.py registry).
@@ -131,6 +132,15 @@ _FNS = {
     "CONCAT": ("str", None),  # variadic; clojure str concatenates
     "BOUND": ("some?", 1),    # OPTIONAL vars bind NULL here, so
                               # BOUND(?x) = non-nil (sparql.clj Bound)
+    # SPARQL 1.1 numerics (r14): map straight onto the clojure.core
+    # allowlist heads
+    "ABS": ("abs", 1),
+    "CEIL": ("ceil", 1),
+    "FLOOR": ("floor", 1),
+    "ROUND": ("round", 1),
+    # SUBSTR(s, start[, len]) is 1-based with optional length — exactly
+    # the SQL "substring" dispatcher (variadic: 2 or 3 args)
+    "SUBSTR": ("substring", None),
 }
 
 
@@ -190,6 +200,10 @@ class _Parser:
         # EAV fallback scan, closure per predicate binding (the reference
         # compiles RDF4J's ArbitraryLengthPath generally, sparql.clj:21-28)
         self.var_plus = False
+        # negated property sets !p / !(p1|p2): fresh hidden attr var ->
+        # the banned attribute names (emitted as != filters beside the
+        # var-attr EAV scan)
+        self._neg_sets: dict[str, list[str]] = {}
 
     # -- token plumbing ---------------------------------------------------
 
@@ -428,6 +442,17 @@ class _Parser:
 
     _seq_counter = 0
 
+    def _negated_pred(self) -> str:
+        if self.at("op", "^"):
+            raise NotImplementedError(
+                "inverse members inside a negated property set (!^p) are "
+                "out of subset — split into forward and inverse patterns"
+            )
+        if self.at("KW", "A"):
+            self.next()
+            return ":" + self.attr_fn(_RDF_TYPE)
+        return ":" + self.attr_fn(self.term())
+
     def _pred_and_path(self) -> tuple[Any, str | None]:
         inverse = False
         if self.at("op", "^"):
@@ -436,6 +461,25 @@ class _Parser:
             # here the step just swaps endpoints at emit time)
             self.next()
             inverse = True
+        if self.at("op", "!"):
+            # negated property set: any predicate EXCEPT the listed ones
+            # — a fresh hidden attr var over the EAV var-attr scan, with
+            # != filters emitted beside the edge
+            self.next()
+            banned = []
+            if self.at("op", "("):
+                self.next()
+                banned.append(self._negated_pred())
+                while self.at("op", "|"):
+                    self.next()
+                    banned.append(self._negated_pred())
+                self.eat("op", ")")
+            else:
+                banned.append(self._negated_pred())
+            _Parser._seq_counter += 1
+            attr = f"?__np{_Parser._seq_counter}"
+            self._neg_sets[attr] = banned
+            return attr, None, inverse
         p = self.term()
         # variable predicate -> EAV fallback pattern [?e ?a ?v]
         attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
@@ -458,6 +502,8 @@ class _Parser:
             s, o = o, s
         if path is None:
             clauses.append([s, attr, o])
+            for banned in self._neg_sets.get(attr, ()):  # !p / !(p1|p2)
+                clauses.append([["!=", attr, banned]])
             return
         if attr.startswith("?"):
             if path == "OPT":

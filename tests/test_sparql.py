@@ -1082,3 +1082,48 @@ def test_subquery_grouped(vcard_cat):
         }
     """)
     assert got == {("Jones", 2), ("Smith", 2)}
+
+
+def test_numeric_builtins_and_substr(books_cat):
+    """SPARQL 1.1 numeric built-ins (ABS/CEIL/FLOOR/ROUND) and
+    SUBSTR(s, start[, len]) — 1-based like SQL substring."""
+    got = run(books_cat, """
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?x WHERE { ?x ns:price ?p . FILTER (ABS(?p - 30) < 8) }
+    """)
+    assert got == {("http://example/book2",)}
+    got2 = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        SELECT ?s WHERE { ?x dc:title ?t . BIND(SUBSTR(?t, 1, 6) AS ?s)
+                          FILTER(STRSTARTS(?t, "SPARQL")) }
+    """)
+    assert got2 == {("SPARQL",)}
+    got3 = run(books_cat, """
+        PREFIX ns: <http://example.org/ns#>
+        SELECT ?x WHERE { ?x ns:price ?p .
+                          FILTER (CEIL(?p / 10) = 3 && FLOOR(?p / 10) = 2
+                                  && ROUND(?p / 10) = 2) }
+    """)
+    assert got3 == {("http://example/book2",)}
+
+
+def test_negated_property_set(knows_cat):
+    """SPARQL 1.1 negated property set: !p and !(p1|p2) match any
+    predicate EXCEPT the listed ones — compiled as a hidden var-attr
+    EAV scan plus != filters."""
+    got = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/A> !ex:name ?o }
+    """)
+    assert got == {("http://ex/B",)}  # only the knows edge survives
+    got2 = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/A> !(ex:name|ex:knows) ?o }
+    """)
+    assert got2 == set()
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="inverse members"):
+        sparql_to_datalog(
+            "PREFIX ex: <http://ex/> SELECT ?o "
+            "WHERE { <http://ex/A> !(^ex:name) ?o }"
+        )
