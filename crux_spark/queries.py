@@ -5015,3 +5015,55 @@ def streaming_minhash_est(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 subquery gate (r14): { SELECT ... GROUP BY } nested inside
+# WHERE — the per-group-max join shape (tpch_q15's correlated-max class,
+# here expressed in SPARQL). Registered after the r14 rotation splice ->
+# overflow tail (mirror-gated now; driver row via the r15 rotation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sparql_subquery",
+    """
+    SELECT n_name AS nname, c_name AS cname, c_acctbal AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN (
+      SELECT c_nationkey AS nk, max(c_acctbal) AS mb
+      FROM customer GROUP BY 1
+    ) m ON c_nationkey = m.nk AND c_acctbal = m.mb
+    """,
+)
+def sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery (r14 superset surface — the reference's labs
+    translator has no subqueries): the inner { SELECT ?nk (MAX(?b) AS
+    ?bal) GROUP BY ?nk } computes each nation's max customer balance;
+    the outer pattern joins on BOTH ?nk and ?bal, yielding the
+    max-balance customer(s) per nation. Compiles to the Datalog
+    subquery pred with relation binding (query.clj:973-986), the same
+    seam HAVING rides."""
+    from crux_spark.sources.sparql import sparql_to_datalog
+
+    cat = catalog_for(spark, sf_dir)
+    return q(
+        cat,
+        sparql_to_datalog(
+            """
+            SELECT ?nname ?cname ?bal
+            WHERE {
+              ?c <http://tpch/c_nationkey> ?nk .
+              ?c <http://tpch/c_acctbal> ?bal .
+              ?c <http://tpch/c_name> ?cname .
+              ?n <http://tpch/n_nationkey> ?nk .
+              ?n <http://tpch/n_name> ?nname .
+              { SELECT ?nk (MAX(?b) AS ?bal)
+                WHERE { ?x <http://tpch/c_nationkey> ?nk .
+                        ?x <http://tpch/c_acctbal> ?b }
+                GROUP BY ?nk }
+            }
+            """
+        ),
+    )

@@ -69,7 +69,7 @@ _KEYWORDS = {
     "SAMETERM", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
-    "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK", "UNDEF",
+    "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK", "UNDEF", "CONSTRUCT",
     "ABS", "CEIL", "FLOOR", "ROUND", "SUBSTR",
 }
 
@@ -859,9 +859,33 @@ class _Parser:
             iri = self.eat("iri").val[1:-1]
             self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri
         is_ask = False
+        construct_tmpl: list | None = None
         if self.at("KW", "ASK"):
             self.next()
             is_ask = True
+        elif self.at("KW", "CONSTRUCT"):
+            # CONSTRUCT { template } WHERE { ... } — the template is
+            # plain triples (vars/IRIs/literals; property paths and
+            # negated sets are out of subset in the template). Compiles
+            # to a SELECT of the template's vars; sparql_construct()
+            # instantiates the template per solution and unions.
+            self.next()
+            self.eat("op", "{")
+            construct_tmpl = []
+            while not self.at("op", "}"):
+                if self.at("op", "."):
+                    self.next()
+                    continue
+                for c in self.triple_block():
+                    if not (isinstance(c, list) and len(c) == 3
+                            and all(not isinstance(x, list) for x in c)):
+                        raise NotImplementedError(
+                            "CONSTRUCT templates take plain triples only "
+                            "(no property paths / negated sets)")
+                    construct_tmpl.append(c)
+            self.eat("op", "}")
+            if not construct_tmpl:
+                raise ValueError("empty CONSTRUCT template")
         else:
             self.eat("KW", "SELECT")
         if self.at("KW", "DISTINCT"):
@@ -930,6 +954,20 @@ class _Parser:
         self.eat("op", "{")
         where = self.group()
         where.extend(select_binds)
+        if construct_tmpl is not None:
+            tvars: list[str] = []
+            _collect_vars(construct_tmpl, tvars)
+            if tvars:
+                find = tvars
+            else:
+                # all-constant template: one solution decides emission
+                seen0: list[str] = []
+                _collect_vars(where, seen0)
+                if not seen0:
+                    raise ValueError(
+                        "CONSTRUCT over a fully ground pattern: bind at "
+                        "least one variable")
+                find = seen0[:1]
         if star or is_ask:
             seen: list[str] = []
             _collect_vars(where, seen)
@@ -1109,6 +1147,8 @@ class _Parser:
         if is_ask:
             # one solution decides the answer; CollectLimit short-circuits
             out["limit"] = 1
+        if construct_tmpl is not None:
+            out["construct"] = construct_tmpl
         if self.peek() is not None:
             raise ValueError(f"trailing SPARQL input at {self.peek()!r}")
         return out
@@ -1154,6 +1194,35 @@ def sparql_to_datalog(text: str, attr_fn=local_name) -> dict:
     pivot_triples). An ASK compiles to its pattern projected to one var
     with LIMIT 1 — use :func:`sparql_ask` for the boolean directly."""
     return _Parser(_tokenize(text), attr_fn).query()
+
+
+def sparql_construct(catalog, text: str, attr_fn=local_name):
+    """SPARQL CONSTRUCT: run the WHERE pattern, instantiate the template
+    per solution, union + distinct. Returns a DataFrame (s, p, o) — all
+    string-typed (object values stringified so heterogeneous template
+    rows union; predicates use the catalog attr names, e.g. ':title').
+    The reference's labs translator is SELECT-only (sparql.clj) — this
+    is a superset surface."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog import q as _q
+
+    d = sparql_to_datalog(text, attr_fn)
+    tmpl = d.pop("construct")
+    bind = _q(catalog, d)
+
+    def cell(x):
+        if isinstance(x, str) and x.startswith("?"):
+            return F.col(x[1:]).cast("string")
+        return F.lit(x).cast("string")
+
+    out = None
+    for (ts, tp, to) in tmpl:
+        row = bind.select(
+            cell(ts).alias("s"), cell(tp).alias("p"), cell(to).alias("o")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.distinct()
 
 
 def sparql_ask(catalog, text: str, attr_fn=local_name) -> bool:

@@ -1127,3 +1127,30 @@ def test_negated_property_set(knows_cat):
             "PREFIX ex: <http://ex/> SELECT ?o "
             "WHERE { <http://ex/A> !(^ex:name) ?o }"
         )
+
+
+def test_construct(vcard_cat):
+    """SPARQL CONSTRUCT: instantiate the template per solution, union +
+    distinct; (s, p, o) all strings. The reference's translator is
+    SELECT-only — superset surface."""
+    from crux_spark.sources.sparql import sparql_construct
+
+    out = sparql_construct(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        PREFIX foaf:  <http://xmlns.com/foaf/0.1/>
+        CONSTRUCT { ?x foaf:name ?name . ?x foaf:kind "person" }
+        WHERE { ?x vcard:FN ?name }
+    """)
+    rows = {tuple(r) for r in out.collect()}
+    assert (JOHN, ":name", "John Smith") in rows
+    assert (JOHN, ":kind", "person") in rows
+    assert len(rows) == 8  # 4 names + 4 kind triples
+    # template with a constant subject + filtered WHERE
+    out2 = sparql_construct(vcard_cat, """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        CONSTRUCT { <http://g/adults> <http://g/member> ?p }
+        WHERE { ?p info:age ?a . FILTER (?a >= 24) }
+    """)
+    assert {tuple(r) for r in out2.collect()} == {
+        ("http://g/adults", ":member", JOHN)
+    }
