@@ -1154,3 +1154,102 @@ def test_construct(vcard_cat):
     assert {tuple(r) for r in out2.collect()} == {
         ("http://g/adults", ":member", JOHN)
     }
+
+
+@pytest.fixture(scope="module")
+def random_graph_cat(spark, tmp_path_factory):
+    """Seeded random triple graph (15 nodes, 3 predicates, ~70 edges)
+    for operator-equivalence laws — denser than the fixtures above, so
+    the laws are checked over non-trivial shapes."""
+    import random as _random
+
+    rng = _random.Random(20260816)
+    nodes = [f"http://g/n{i}" for i in range(15)]
+    preds = ["http://g/p", "http://g/q", "http://g/r"]
+    seen = set()
+    lines = []
+    for _ in range(70):
+        s, p, o = rng.choice(nodes), rng.choice(preds), rng.choice(nodes)
+        if (s, p, o) in seen:
+            continue
+        seen.add((s, p, o))
+        lines.append(f"<{s}> <{p}> <{o}> .")
+    path = tmp_path_factory.mktemp("rg") / "rg.nt"
+    path.write_text("\n".join(lines) + "\n")
+    cat = Catalog(spark)
+    cat.add_documents(
+        "rg", pivot_triples(read_ntriples(spark, str(path))).localCheckpoint()
+    )
+    return cat
+
+
+def test_law_alternative_path_is_union(random_graph_cat):
+    """`?s (p|q) ?o` == `?s p ?o` UNION `?s q ?o` (set semantics)."""
+    alt = run(random_graph_cat, """
+        PREFIX g: <http://g/>
+        SELECT ?s ?o WHERE { ?s g:p|g:q ?o }
+    """)
+    a = run(random_graph_cat,
+            "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:p ?o }")
+    b = run(random_graph_cat,
+            "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:q ?o }")
+    assert alt == a | b and alt
+
+
+def test_law_inverse_path_is_swap(random_graph_cat):
+    """`?s ^p ?o` == `?o p ?s` with columns swapped."""
+    inv = run(random_graph_cat,
+              "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s ^g:p ?o }")
+    fwd = run(random_graph_cat,
+              "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?o g:p ?s }")
+    assert inv == fwd and inv
+
+
+def test_law_negated_set_is_complement(random_graph_cat):
+    """`?s !p ?o` == all (s, o) edges minus the p edges (per-edge
+    complement over the predicate domain)."""
+    neg = run(random_graph_cat,
+              "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s !g:p ?o }")
+    allp = run(random_graph_cat,
+               "SELECT ?s ?o WHERE { ?s ?anypred ?o }")
+    only_p = run(random_graph_cat,
+                 "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:p ?o }")
+    # a pair can ride several predicates: the complement is per-EDGE, so
+    # compare against pairs that have at least one non-p predicate
+    q_edges = run(random_graph_cat,
+                  "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:q ?o }")
+    r_edges = run(random_graph_cat,
+                  "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:r ?o }")
+    assert neg == q_edges | r_edges and neg <= allp
+    assert not (neg - (allp - only_p) - (q_edges | r_edges))
+
+
+def test_law_zero_or_one_is_self_union_step(random_graph_cat):
+    """`<n0> p? ?o` == {n0} UNION p-neighbors of n0."""
+    zoo = run(random_graph_cat, """
+        PREFIX g: <http://g/>
+        SELECT ?o WHERE { <http://g/n0> g:p? ?o }
+    """)
+    step = run(random_graph_cat, """
+        PREFIX g: <http://g/>
+        SELECT ?o WHERE { <http://g/n0> g:p ?o }
+    """)
+    assert zoo == step | {("http://g/n0",)}
+
+
+def test_law_values_undef_is_manual_filter(random_graph_cat):
+    """VALUES rows with UNDEF == the disjunction of the defined-cell
+    equalities applied manually."""
+    base = run(random_graph_cat,
+               "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:p ?o }")
+    some_s = sorted({s for s, _ in base})[0]
+    some_o = sorted({o for _, o in base})[-1]
+    got = run(random_graph_cat, f"""
+        PREFIX g: <http://g/>
+        SELECT ?s ?o WHERE {{
+          ?s g:p ?o .
+          VALUES (?s ?o) {{ (<{some_s}> UNDEF) (UNDEF <{some_o}>) }}
+        }}
+    """)
+    manual = {(s, o) for s, o in base if s == some_s or o == some_o}
+    assert got == manual and got
