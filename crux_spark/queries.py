@@ -5067,3 +5067,134 @@ def sparql_subquery(spark, sf_dir):
             """
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-15 driver-window rotation (VERDICT r14 item 1).
+#
+# The driver grades the FIRST 50 registry entries. r14 verified all 50
+# in-window gates (CORRECTNESS_r14: 50/50 rows+schema+hash). The r15 IN
+# set is the full 27-gate stale queue named by the r14 verdict:
+#   * streaming_minhash_est + sparql_subquery — born r14 at the registry
+#     tail, mirror-green at both SFs but NEVER driver-verified; they
+#     lead the rotation exactly as their r13-born siblings led r14.
+#   * the 25 r13-OUT gates whose newest driver rows are r12 (stalest).
+# The OUT set is 27 gates that all hold fresh r14 driver rows: 19 of
+# the 20 r14-IN gates (multimodal_decode stays — the sole in-window
+# multimodal representative) plus 8 long-resident window gates whose
+# surfaces the incoming set covers.
+#
+# Per-gate surface coverage for the 27 OUT gates (each maps to a gate
+# that sits in the post-splice window):
+#   streaming_minhash_dedup (incremental LSH index, foreachBatch) ->
+#     streaming_minhash_est IN (same IncrementalMinHashIndex/add_batch
+#     path, est-verify mode); streaming_rollup_oracle IN carries the
+#     watermarked foreachBatch streaming surface.
+#   sparql_group_agg (SPARQL aggregates + HAVING) -> sparql_subquery IN
+#     (grouped subquery + MAX rides the same aggregate seam);
+#     sparql_star_filter IN keeps the SELECT*/FILTER surface.
+#   sparql_path_closure (p+/p* fixpoint paths) -> sparql_star_filter +
+#     sparql_subquery IN keep SPARQL; datalog_recursive_reach stays for
+#     the fixpoint-closure operator itself.
+#   ann_brute_force (exact cosine top-k) -> ann_sq8 IN (same top-k
+#     ranking, SQ8-quantized scan); semantic_dedup IN carries cosine.
+#   ann_ivf (cell-pruned ANN) -> ann_sq8 IN (quantized ANN family;
+#     incremental_vector_index stays for the IVF cell-partitioned
+#     index).
+#   ann_pq (PQ-codebook ANN) -> ann_sq8 IN (quantization family).
+#   kmeans_embeddings (broadcast-centroid assignment) -> semantic_dedup
+#     IN (cell/centroid bucketing); ann_sq8 IN (centroid codebooks).
+#   embedding_threshold_pairs (cosine threshold pairs) -> semantic_dedup
+#     IN (same tiled cosine-pair surface, cell-bucketed).
+#   contamination_scores (shingle-overlap scoring) ->
+#     bloom_decontaminate IN (same decontamination surface) +
+#     dedup_ngram_jaccard IN (shingle equi-join).
+#   dedup_exact (md5 groupBy dedup) -> dedup_ngram_jaccard IN (dedup
+#     family); dedup_minhash_lsh stays for hash-bucketed dedup.
+#   dedup_substring_spans (span/shingle trimming) -> dedup_span_trim IN
+#     (same span-trim surface).
+#   datalog_or_join (or-join branches) -> tpch_q7 stays (or-join over
+#     nation pairs); tpch_q13 stays (count over or-join).
+#   datalog_subquery (q-pred scalar subquery) -> sparql_subquery IN
+#     (the same compile.py q-pred relation-binding seam) +
+#     datalog_relation_in IN (:in relation binding); tpch_q11 stays
+#     scalar-subquery.
+#   events_asof (as-of join on events) -> bitemporal_store_asof stays
+#     (as-of semantics); events_sessionize IN carries the events table.
+#   events_json (JSON extraction on events) -> events_sessionize IN
+#     (events table); sql_surface stays (scalar/JSON fn surface).
+#   mix_corpora_weighted (weighted corpus mixing) -> source_cap_topn +
+#     epoch_shard_shuffle IN (same sampling/mixing family).
+#   stratified_sample (per-stratum hash sampling) -> source_cap_topn IN
+#     (per-source capping) + epoch_shard_shuffle IN (hash-deterministic
+#     shuffling).
+#   pack_sequences (greedy token packing) -> select_token_budget IN
+#     (same token-accounting cumsum surface).
+#   unigram_lm_quality (unigram NLL scoring) -> bigram_lm_quality IN
+#     (same textops LM-NLL surface, higher order).
+#   text_analysis (language-id/quality composite) -> text_c4_filter +
+#     text_clf_score IN (same textops column-expression family).
+#   text_pii_scrub (regexp_replace chain) -> text_c4_filter IN (regex
+#     textops); text_clf_score IN.
+#   sql_rollup (ROLLUP/CUBE/grouping sets) -> streaming_rollup_oracle
+#     IN (time-bucket rollup); agg_stats stays for the aggregate
+#     registry surface.
+#   bitemporal_history_bounded (bounded history scan) ->
+#     bitemporal_store_history IN (same store.history path, full-range
+#     variant); bitemporal_store_asof stays.
+#   tpch_q3 (top-n over 3-way join) -> tpch_q10 IN (same
+#     top-n-over-join shape); tpch_q21 stays top-k.
+#   tpch_q6 (range-pushdown scan agg) -> tpch_q14 + tpch_q19 IN (range
+#     + predicate pushdown scans).
+#   tpch_q9 (6-way join + agg) -> tpch_q8 IN (8-way join tree, the
+#     widest TPC-H join surface).
+#   tpch_q16 (anti-join + count-distinct) -> tpch_q21_anti IN
+#     (exists/not-exists anti-join); agg_stats stays count-distinct.
+# All 27 rotated-out gates keep running in bench and in the per-round
+# mirror (tools/check_oracles.py -> MIRROR_r{N}.json). r16 queue: the
+# 20 gates rotated out in r14 (newest rows r13) re-enter — from here
+# the cadence remains self-sustaining.
+# ---------------------------------------------------------------------------
+
+_R15_IN = [
+    "streaming_minhash_est", "sparql_subquery",
+    "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q17", "tpch_q19",
+    "tpch_q20", "tpch_q21_anti", "select_token_budget",
+    "epoch_shard_shuffle", "source_cap_topn", "text_clf_score",
+    "bigram_lm_quality", "bloom_decontaminate", "ann_sq8",
+    "semantic_dedup", "text_c4_filter", "dedup_span_trim",
+    "events_sessionize", "agg_min_max_n", "bitemporal_store_history",
+    "sparql_star_filter", "streaming_rollup_oracle", "text_search_docs",
+    "dedup_ngram_jaccard", "datalog_relation_in",
+]
+_R15_OUT = [
+    "streaming_minhash_dedup", "sparql_group_agg", "ann_brute_force",
+    "ann_ivf", "contamination_scores", "datalog_or_join", "dedup_exact",
+    "embedding_threshold_pairs", "events_asof", "events_json",
+    "kmeans_embeddings", "mix_corpora_weighted", "sparql_path_closure",
+    "text_analysis", "text_pii_scrub", "tpch_q3", "tpch_q6", "tpch_q9",
+    "tpch_q16", "dedup_substring_spans", "bitemporal_history_bounded",
+    "sql_rollup", "unigram_lm_quality", "stratified_sample",
+    "pack_sequences", "ann_pq", "datalog_subquery",
+]
+_r15_names = list(QUERIES)
+for _n in _R15_IN + _R15_OUT:
+    assert _n in QUERIES, f"r15 rotation references unknown gate {_n!r}"
+for _n in _R15_OUT:
+    assert _r15_names.index(_n) < _WINDOW, (
+        f"r15 OUT gate {_n!r} is not inside the first-{_WINDOW} window")
+for _n in _R15_IN:
+    assert _r15_names.index(_n) >= _WINDOW, (
+        f"r15 IN gate {_n!r} already sits inside the first-{_WINDOW} window")
+assert len(_R15_IN) == len(_R15_OUT), "r15 rotation must preserve window size"
+_r15_keep = _WINDOW - len(_R15_OUT)
+_r15_order = [n for n in QUERIES if n not in _R15_IN and n not in _R15_OUT]
+assert sum(1 for n in _r15_order[:_r15_keep]
+           if _r15_names.index(n) < _WINDOW) == _r15_keep, (
+    "r15 retained prefix does not equal the surviving window gates")
+_r15_order = (_r15_order[:_r15_keep] + _R15_IN
+              + _r15_order[_r15_keep:] + _R15_OUT)
+assert sorted(_r15_order) == sorted(_r15_names), "r15 rotation lost gates"
+_r15_reordered = {n: QUERIES[n] for n in _r15_order}
+QUERIES.clear()
+QUERIES.update(_r15_reordered)
