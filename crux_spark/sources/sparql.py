@@ -203,7 +203,13 @@ class _Parser:
         # negated property sets !p / !(p1|p2): fresh hidden attr var ->
         # the banned attribute names (emitted as != filters beside the
         # var-attr EAV scan)
-        self._neg_sets: dict[str, list[str]] = {}
+        # parse-time marker var -> (banned_forward, banned_inverse)
+        # predicate lists for negated property sets. The marker NEVER
+        # reaches the compiled clauses: _emit_edge remaps it to a fresh
+        # hidden var per emitted edge (an object list `?s !p ?o1, ?o2`
+        # is two INDEPENDENT patterns — sharing the var would spuriously
+        # require both edges to ride the same predicate).
+        self._neg_sets: dict[str, tuple[list[str], list[str]]] = {}
 
     # -- token plumbing ---------------------------------------------------
 
@@ -442,16 +448,18 @@ class _Parser:
 
     _seq_counter = 0
 
-    def _negated_pred(self) -> str:
+    def _negated_pred(self) -> tuple[str, bool]:
+        """One member of a negated property set: `p` or `^p` (SPARQL 1.1
+        §9.1 allows inverse members; the reference gets this free from
+        RDF4J's algebra). Returns (":attr", is_inverse)."""
+        inverse = False
         if self.at("op", "^"):
-            raise NotImplementedError(
-                "inverse members inside a negated property set (!^p) are "
-                "out of subset — split into forward and inverse patterns"
-            )
+            self.next()
+            inverse = True
         if self.at("KW", "A"):
             self.next()
-            return ":" + self.attr_fn(_RDF_TYPE)
-        return ":" + self.attr_fn(self.term())
+            return ":" + self.attr_fn(_RDF_TYPE), inverse
+        return ":" + self.attr_fn(self.term()), inverse
 
     def _pred_and_path(self) -> tuple[Any, str | None]:
         inverse = False
@@ -466,19 +474,21 @@ class _Parser:
             # — a fresh hidden attr var over the EAV var-attr scan, with
             # != filters emitted beside the edge
             self.next()
-            banned = []
+            members = []
             if self.at("op", "("):
                 self.next()
-                banned.append(self._negated_pred())
+                members.append(self._negated_pred())
                 while self.at("op", "|"):
                     self.next()
-                    banned.append(self._negated_pred())
+                    members.append(self._negated_pred())
                 self.eat("op", ")")
             else:
-                banned.append(self._negated_pred())
+                members.append(self._negated_pred())
+            banned_fwd = [a for a, inv in members if not inv]
+            banned_inv = [a for a, inv in members if inv]
             _Parser._seq_counter += 1
             attr = f"?__np{_Parser._seq_counter}"
-            self._neg_sets[attr] = banned
+            self._neg_sets[attr] = (banned_fwd, banned_inv)
             return attr, None, inverse
         p = self.term()
         # variable predicate -> EAV fallback pattern [?e ?a ?v]
@@ -501,9 +511,11 @@ class _Parser:
         if inverse:
             s, o = o, s
         if path is None:
+            neg = self._neg_sets.get(attr)
+            if neg is not None:  # !p / !(p1|^p2|...)
+                self._emit_negated_set(clauses, s, neg, o)
+                return
             clauses.append([s, attr, o])
-            for banned in self._neg_sets.get(attr, ()):  # !p / !(p1|p2)
-                clauses.append([["!=", attr, banned]])
             return
         if attr.startswith("?"):
             if path == "OPT":
@@ -598,6 +610,39 @@ class _Parser:
             else ["and", [["identity", s], o]]
         )
         clauses.append(["or-join", jv, ["and", plus], zero])
+
+    def _emit_negated_set(self, clauses: list, s, neg, o) -> None:
+        """Emit ONE edge of a negated property set (SPARQL 1.1 §9.1).
+        A FRESH hidden attr var is allocated per emitted edge — object
+        lists (`?s !p ?o1, ?o2`) and ';'-continuations re-emit the same
+        parsed step as INDEPENDENT patterns, so sharing the parse-time
+        var would spuriously join the edges on their predicate.
+        Forward members ban predicates on the (s, a, o) var-attr EAV
+        scan; inverse members (`^q`) ban predicates on the swapped
+        (o, a, s) scan; with both kinds present the two complement
+        scans union via an or-join on the endpoint vars — the
+        reference gets the same algebra from RDF4J (sparql.clj)."""
+        banned_fwd, banned_inv = neg
+
+        def branch(src, dst, banned):
+            _Parser._seq_counter += 1
+            a = f"?__np{_Parser._seq_counter}"
+            return [[src, a, dst]] + [[["!=", a, b]] for b in banned]
+
+        if banned_fwd and banned_inv:
+            jv = [v for v in (s, o)
+                  if isinstance(v, str) and v.startswith("?")]
+            branches = [
+                c[0] if len(c) == 1 else ["and", *c]
+                for c in (branch(s, o, banned_fwd),
+                          branch(o, s, banned_inv))
+            ]
+            clauses.append(["or-join", jv, *branches]
+                           if jv else ["or", *branches])
+        elif banned_inv:
+            clauses.extend(branch(o, s, banned_inv))
+        else:
+            clauses.extend(branch(s, o, banned_fwd))
 
     def _path_sequence(self) -> list:
         """One PathSequence: step ('/' step)*, steps = (attr, path, inv)."""

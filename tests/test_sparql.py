@@ -1121,12 +1121,46 @@ def test_negated_property_set(knows_cat):
         SELECT ?o WHERE { <http://ex/A> !(ex:name|ex:knows) ?o }
     """)
     assert got2 == set()
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="inverse members"):
-        sparql_to_datalog(
-            "PREFIX ex: <http://ex/> SELECT ?o "
-            "WHERE { <http://ex/A> !(^ex:name) ?o }"
-        )
+
+
+def test_negated_set_inverse_members(knows_cat):
+    """SPARQL 1.1 §9.1 inverse members: !(^q) matches ONLY reverse
+    edges whose predicate is not q; !(p|^q) is the union of the forward
+    complement of {p} and the reverse complement of {q} (r15 — was a
+    documented NotImplementedError)."""
+    # edges into B: only (A knows B); knows != name, so A qualifies
+    got = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/B> !(^ex:name) ?o }
+    """)
+    assert got == {("http://ex/A",)}
+    # reverse edges into B with pred != knows: none
+    got2 = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/B> !(^ex:knows) ?o }
+    """)
+    assert got2 == set()
+    # mixed: forward-not-name (knows C) UNION reverse-not-knows (none)
+    got3 = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/B> !(ex:name|^ex:knows) ?o }
+    """)
+    assert got3 == {("http://ex/C",)}
+
+
+def test_negated_set_object_list_independent(knows_cat):
+    """An object list re-emits the negated-set step as INDEPENDENT
+    patterns: `?s !p ?o1, ?o2` must NOT require both edges to ride the
+    same predicate (each emission gets a fresh hidden attr var). A has
+    a knows edge and a name edge — the cross product is 4 pairs."""
+    got = run(knows_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o1 ?o2 WHERE { <http://ex/A> !ex:absent ?o1, ?o2 }
+    """)
+    assert got == {
+        ("http://ex/B", "http://ex/B"), ("http://ex/B", "Ann"),
+        ("Ann", "http://ex/B"), ("Ann", "Ann"),
+    }
 
 
 def test_construct(vcard_cat):
@@ -1222,6 +1256,32 @@ def test_law_negated_set_is_complement(random_graph_cat):
                   "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s g:r ?o }")
     assert neg == q_edges | r_edges and neg <= allp
     assert not (neg - (allp - only_p) - (q_edges | r_edges))
+
+
+def test_law_negated_inverse_is_swapped_complement(random_graph_cat):
+    """`?s !(^p) ?o` == `?s !p ?o` with columns swapped (the reverse
+    complement ranges over inverse edges only, SPARQL 1.1 §9.1)."""
+    inv = run(random_graph_cat,
+              "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s !(^g:p) ?o }")
+    fwd = run(random_graph_cat,
+              "PREFIX g: <http://g/> SELECT ?s ?o WHERE { ?s !g:p ?o }")
+    assert inv == {(b, a) for (a, b) in fwd} and inv
+
+
+def test_law_negated_mixed_is_union_of_complements(random_graph_cat):
+    """`?s !(p|^q) ?o` == forward complement of {p} UNION swapped
+    reverse complement of {q}."""
+    mixed = run(random_graph_cat, """
+        PREFIX g: <http://g/>
+        SELECT ?s ?o WHERE { ?s !(g:p|^g:q) ?o }
+    """)
+    def edges(p):
+        return run(random_graph_cat,
+                   f"PREFIX g: <http://g/> SELECT ?s ?o "
+                   f"WHERE {{ ?s g:{p} ?o }}")
+    fwd_part = edges("q") | edges("r")               # not-p, forward
+    inv_part = {(b, a) for (a, b) in edges("p") | edges("r")}  # not-q, rev
+    assert mixed == fwd_part | inv_part and mixed
 
 
 def test_law_zero_or_one_is_self_union_step(random_graph_cat):
