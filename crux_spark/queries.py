@@ -5198,3 +5198,62 @@ assert sorted(_r15_order) == sorted(_r15_names), "r15 rotation lost gates"
 _r15_reordered = {n: QUERIES[n] for n in _r15_order}
 QUERIES.clear()
 QUERIES.update(_r15_reordered)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL CONSTRUCT oracle gate (r15, VERDICT r14 item 3): CONSTRUCT
+# (sparql.py sparql_construct) was pytest-only — template instantiation
+# per solution, union + distinct, all cells stringified, and (r15) the
+# SPARQL 1.1 §16.2 unbound-template-row omission. This gate pins the
+# whole path under the DuckDB oracle: the oracle rebuilds the identical
+# (s, p, o) union in pure SQL — entity subjects stringify as the
+# catalog's _id (concat of the pkey, catalog.py PKEYS), template
+# predicates as the ':'-prefixed attr local names, objects via the same
+# string cast. Registered AFTER the r15 rotation splice -> registry
+# tail (mirror-gated now, driver row via the r16 rotation). The §16.2
+# NULL-omission branch is pinned by pytest (vcard OPTIONAL test) —
+# TPC-H columns are NULL-free, so this gate pins instantiation/union/
+# distinct/stringification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sparql_construct",
+    """
+    WITH bind AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS c, n_name AS nname,
+             c_mktsegment AS seg
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > 9900
+    )
+    SELECT DISTINCT s, p, o FROM (
+      SELECT c AS s, ':in_nation' AS p, nname AS o FROM bind
+      UNION ALL
+      SELECT c, ':segment', seg FROM bind
+      UNION ALL
+      SELECT c, ':flag', 'hi_bal' FROM bind
+    )
+    """,
+)
+def sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT over the TPC-H graph: three template triples
+    per solution (variable object, variable object, constant object)
+    instantiated for every high-balance customer, unioned + distinct —
+    the reference's labs translator (sparql.clj) is SELECT-only, so
+    this is superset surface; template semantics follow SPARQL 1.1
+    §16.2."""
+    from crux_spark.sources.sparql import sparql_construct as _construct
+
+    cat = catalog_for(spark, sf_dir)
+    return _construct(cat, """
+        PREFIX t: <http://tpch/>
+        CONSTRUCT { ?c t:in_nation ?nname .
+                    ?c t:segment ?seg .
+                    ?c t:flag "hi_bal" }
+        WHERE { ?c t:c_nationkey ?nk .
+                ?c t:c_mktsegment ?seg .
+                ?c t:c_acctbal ?bal .
+                ?n t:n_nationkey ?nk .
+                ?n t:n_name ?nname .
+                FILTER (?bal > 9900) }
+    """)

@@ -1266,6 +1266,14 @@ def sparql_construct(catalog, text: str, attr_fn=local_name):
         row = bind.select(
             cell(ts).alias("s"), cell(tp).alias("p"), cell(to).alias("o")
         )
+        # SPARQL 1.1 §16.2: a template triple containing an UNBOUND
+        # variable (e.g. one bound only inside OPTIONAL) is omitted
+        # from the constructed graph, not emitted with a NULL slot.
+        row = row.where(
+            F.col("s").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("o").isNotNull()
+        )
         out = row if out is None else out.unionByName(row)
     return out.distinct()
 

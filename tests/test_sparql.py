@@ -1190,6 +1190,27 @@ def test_construct(vcard_cat):
     }
 
 
+def test_construct_omits_unbound_template_rows(vcard_cat):
+    """SPARQL 1.1 §16.2: template triples containing a variable UNBOUND
+    in a solution (here ?a, bound only inside OPTIONAL — NULL for
+    Matt/Sarah) are omitted from the constructed graph, not emitted
+    with a NULL slot."""
+    from crux_spark.sources.sparql import sparql_construct
+
+    out = sparql_construct(vcard_cat, """
+        PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+        PREFIX info:  <http://somewhere/peopleInfo#>
+        PREFIX foaf:  <http://xmlns.com/foaf/0.1/>
+        CONSTRUCT { ?x foaf:name ?name . ?x foaf:age ?a }
+        WHERE { ?x vcard:FN ?name OPTIONAL { ?x info:age ?a } }
+    """)
+    rows = {tuple(r) for r in out.collect()}
+    assert len(rows) == 6  # 4 name triples + ONLY 2 bound age triples
+    assert (JOHN, ":age", "25") in rows
+    assert (BECKY, ":age", "23") in rows
+    assert not any(any(c is None for c in r) for r in rows)
+
+
 @pytest.fixture(scope="module")
 def random_graph_cat(spark, tmp_path_factory):
     """Seeded random triple graph (15 nodes, 3 predicates, ~70 edges)
