@@ -184,6 +184,74 @@ _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 # marker for an UNDEF cell in a VALUES row (never leaks into the IR)
 _UNDEF = object()
+# head of the deferred VALUES-with-UNDEF marker clause; resolved by
+# _resolve_values_markers once the full pattern's vars are known
+_VALUES_UNDEF = "__values-undef__"
+
+
+def _expand_values_undef(vars_: list, rows: list, bound: set) -> list:
+    """Resolve one VALUES-with-UNDEF block against the vars the rest of
+    the pattern binds. All vars bound elsewhere -> disjunctive equality
+    FILTER (UNDEF cells constrain nothing; an all-UNDEF row makes the
+    whole VALUES a no-op). No var bound elsewhere -> relation binding
+    with NULL cells (VALUES introduces the bindings; UNDEF stays
+    unbound/NULL, the reference's ::undefined :args mapping,
+    sparql.clj:266-274). Mixed -> NotImplementedError (would need a
+    NULL-tolerant compatibility join)."""
+    flags = [v in bound for v in vars_]
+    if all(flags):
+        branches = []
+        for row in rows:
+            conj = [["==", v, c] for v, c in zip(vars_, row)
+                    if c is not _UNDEF]
+            if not conj:
+                return []  # all-UNDEF row -> compatible with everything
+            branches.append(conj[0] if len(conj) == 1 else ["and", *conj])
+        expr = branches[0] if len(branches) == 1 else ["or", *branches]
+        return [[expr]]
+    if not any(flags):
+        cells = [[None if c is _UNDEF else c for c in r] for r in rows]
+        if len(vars_) == 1:
+            return [[["vector", *[r[0] for r in cells]],
+                     [vars_[0], "..."]]]
+        return [[["vector", *[["vector", *r] for r in cells]], [vars_]]]
+    raise NotImplementedError(
+        "VALUES with UNDEF where some vars are bound by the pattern and "
+        f"others are not ({vars_}) is out of subset — split the VALUES "
+        "or bind all its vars in the pattern"
+    )
+
+
+def _assert_no_values_marker(form) -> None:
+    if isinstance(form, list):
+        if form and form[0] == _VALUES_UNDEF:
+            raise NotImplementedError(
+                "VALUES with UNDEF inside a UNION/OPTIONAL branch is "
+                "out of subset — lift it to the enclosing group"
+            )
+        for x in form:
+            _assert_no_values_marker(x)
+
+
+def _resolve_values_markers(clauses: list) -> list:
+    """Rewrite top-level VALUES-with-UNDEF marker clauses now that the
+    whole clause list is known (called after WHERE parses and again for
+    the trailing ValuesClause)."""
+    def is_marker(c):
+        return isinstance(c, list) and bool(c) and c[0] == _VALUES_UNDEF
+
+    pattern_vars: list[str] = []
+    if any(is_marker(c) for c in clauses):
+        _collect_vars([c for c in clauses if not is_marker(c)],
+                      pattern_vars)
+    out: list = []
+    for c in clauses:
+        if is_marker(c):
+            out.extend(_expand_values_undef(c[1], c[2], set(pattern_vars)))
+        else:
+            _assert_no_values_marker(c)  # nested in UNION/OPTIONAL
+            out.append(c)
+    return out
 
 
 class _Parser:
@@ -338,32 +406,30 @@ class _Parser:
     def values_block(self) -> list:
         """VALUES ?x { v... } / VALUES (?x ?y) { (a b) ... } -> a literal
         collection/relation binding clause (the reference's
-        BindingSetAssignment). Rows containing UNDEF (the reference maps
-        them to :crux.sparql/undefined :args entries) compile to a
-        disjunctive equality FILTER over the defined cells instead — an
-        UNDEF cell constrains nothing, so the row is an AND of the
-        remaining cells' equalities. This form requires the vars to be
-        bound elsewhere in the pattern (they are, in every spec example:
-        VALUES-with-UNDEF refines an existing solution set); a row of
-        ONLY UNDEFs is compatible with everything, making the whole
-        VALUES a no-op -> [] (caller drops it)."""
+        BindingSetAssignment). Rows containing UNDEF parse to a DEFERRED
+        marker clause resolved once the whole pattern is known
+        (_resolve_values_markers): if every VALUES var is bound
+        elsewhere, the rows compile to a disjunctive equality FILTER
+        over the defined cells (an UNDEF cell constrains nothing); if
+        NO var is bound elsewhere, the rows compile to the relation-
+        binding form with NULL cells for UNDEF — VALUES that INTRODUCES
+        bindings works, matching the reference's ::undefined :args
+        mapping (sparql.clj:266-274). The mixed case is a clear
+        NotImplementedError instead of a silent wrong answer."""
         if self.at("var"):
             v = self.next().val
             self.eat("op", "{")
-            vals = []
-            any_undef = False
+            cells = []
             while not self.at("op", "}"):
                 if self.at("KW", "UNDEF"):
                     self.next()
-                    any_undef = True
+                    cells.append(_UNDEF)
                 else:
-                    vals.append(self.term())
+                    cells.append(self.term())
             self.next()
-            if any_undef:
-                # a row binding nothing is compatible with every
-                # solution: the VALUES constrains nothing at all
-                return []
-            return [["vector", *vals], [v, "..."]]
+            if any(c is _UNDEF for c in cells):
+                return [_VALUES_UNDEF, [v], [[c] for c in cells]]
+            return [["vector", *cells], [v, "..."]]
         self.eat("op", "(")
         vars_ = []
         while self.at("var"):
@@ -387,15 +453,7 @@ class _Parser:
         self.eat("op", "}")
         if not any_undef:
             return [["vector", *[["vector", *r] for r in rows]], [vars_]]
-        branches = []
-        for row in rows:
-            conj = [["==", v, c] for v, c in zip(vars_, row)
-                    if c is not _UNDEF]
-            if not conj:
-                return []  # all-UNDEF row -> compatible with everything
-            branches.append(conj[0] if len(conj) == 1 else ["and", *conj])
-        expr = branches[0] if len(branches) == 1 else ["or", *branches]
-        return [expr]
+        return [_VALUES_UNDEF, vars_, rows]
 
     def subselect(self) -> list:
         """SPARQL 1.1 subquery: { SELECT ... WHERE {...} [GROUP BY/
@@ -999,6 +1057,9 @@ class _Parser:
         self.eat("op", "{")
         where = self.group()
         where.extend(select_binds)
+        # VALUES-with-UNDEF markers resolve once the full pattern is
+        # known (bound-elsewhere vs introduces-bindings split)
+        where = _resolve_values_markers(where)
         if construct_tmpl is not None:
             tvars: list[str] = []
             _collect_vars(construct_tmpl, tvars)
@@ -1188,7 +1249,8 @@ class _Parser:
             self.next()
             vb = self.values_block()
             if vb:
-                out["where"] = list(out["where"]) + [vb]
+                out["where"] = _resolve_values_markers(
+                    list(out["where"]) + [vb])
         if is_ask:
             # one solution decides the answer; CollectLimit short-circuits
             out["limit"] = 1

@@ -984,6 +984,54 @@ def test_trailing_values(books_cat):
                    ("http://example/book2", "The Semantic Web", 23)}
 
 
+def test_values_undef_introduces_bindings(books_cat):
+    """r15 (was a silent capability gap vs the reference): VALUES whose
+    vars are NOT bound by the pattern still introduces bindings — UNDEF
+    cells stay unbound (NULL), matching the reference's ::undefined
+    :args mapping (sparql.clj:266-274)."""
+    got = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        SELECT ?title ?tag
+        WHERE { ?book dc:title ?title .
+                VALUES ?tag { "new" UNDEF } }
+    """)
+    titles = {"SPARQL Tutorial", "The Semantic Web", "Learning Webs"}
+    assert got == {(t, tag) for t in titles for tag in ("new", None)}
+    # multi-var form: rows with UNDEF cells bind NULL positionally
+    got2 = run(books_cat, """
+        PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        SELECT ?title ?a ?b
+        WHERE { ?book dc:title ?title .
+                VALUES (?a ?b) { ("x" "y") (UNDEF "z") } }
+    """)
+    assert got2 == {(t, a, b) for t in titles
+                    for (a, b) in [("x", "y"), (None, "z")]}
+
+
+def test_values_undef_mixed_raises(books_cat):
+    """r15: mixed bound/unbound VALUES vars with UNDEF rows raise a
+    clear NotImplementedError instead of a downstream compile error or
+    a silently-dropped VALUES."""
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="VALUES with UNDEF"):
+        sparql_to_datalog("""
+            PREFIX dc: <http://purl.org/dc/elements/1.1/>
+            SELECT ?title WHERE {
+              ?book dc:title ?title .
+              VALUES (?title ?unbound) { ("SPARQL Tutorial" UNDEF) }
+            }
+        """)
+    with _pytest.raises(NotImplementedError, match="UNION/OPTIONAL"):
+        sparql_to_datalog("""
+            PREFIX dc: <http://purl.org/dc/elements/1.1/>
+            SELECT ?title WHERE {
+              { ?book dc:title ?title . VALUES ?x { UNDEF "a" } }
+              UNION
+              { ?book dc:title ?title }
+            }
+        """)
+
+
 def test_select_star(books_cat):
     """labs WatDiv shape: SELECT * projects every variable in order of
     first appearance."""
