@@ -215,13 +215,26 @@ def _bulk_put_versions(ops: DataFrame) -> DataFrame:
             hs.append(hashlib.sha1(d.encode()).hexdigest())
         return pd.DataFrame({"doc_json": outs, "content_hash": hs})
 
+    # Hash/provenance parity with the per-op splice (splice.py:203-218):
+    # an explicitly-passed submit-time hash (a content_hash column, the
+    # WAL's immutable identity — stable across evict redaction) wins
+    # over recomputation, and a NULL cell marks the hash as BACK-
+    # COMPUTED (legacy_hash=True -> tolerant CAS fallback). When the
+    # column is ABSENT the caller asserts the docs are born typed and
+    # canonical at ingest (bulk_ingest builds doc_json itself), so the
+    # computed hash IS the submit-time hash: legacy_hash=False.
+    has_hash_col = "content_hash" in ops.columns
     w = Window.partitionBy("eid").orderBy("tx_id", "seq")
     base = ops.select(
         "eid", "tx_id", "tx_time", "valid_from",
         norm(F.col("doc_json")).alias("__n"),
+        (F.col("content_hash") if has_hash_col
+         else F.lit(None).cast("string")).alias("__ch"),
         F.lead("tx_id").over(w).alias("__nt"),
         F.lead("valid_from").over(w).alias("__nv"),
     )
+    chash = F.coalesce(F.col("__ch"), F.col("__n.content_hash"))
+    legacy = F.col("__ch").isNull() if has_hash_col else F.lit(False)
     asserted = base.select(
         "eid",
         F.col("valid_from").alias("valid_from"),
@@ -231,10 +244,10 @@ def _bulk_put_versions(ops: DataFrame) -> DataFrame:
         "tx_time",
         F.col("__n.doc_json").alias("doc_json"),
         F.lit(False).alias("deleted"),
-        F.col("__n.content_hash").alias("content_hash"),
+        chash.alias("content_hash"),
         F.lit(True).alias("asserted"),
         F.col("tx_id").alias("origin_tx"),
-        F.lit(False).alias("legacy_hash"),
+        legacy.alias("legacy_hash"),
     )
     remainder = base.filter(F.col("__nt").isNotNull()).select(
         "eid",
@@ -245,10 +258,10 @@ def _bulk_put_versions(ops: DataFrame) -> DataFrame:
         "tx_time",
         F.col("__n.doc_json").alias("doc_json"),
         F.lit(False).alias("deleted"),
-        F.col("__n.content_hash").alias("content_hash"),
+        chash.alias("content_hash"),
         F.lit(False).alias("asserted"),
         F.col("tx_id").alias("origin_tx"),
-        F.lit(False).alias("legacy_hash"),
+        legacy.alias("legacy_hash"),
     )
     return asserted.unionByName(remainder)
 

@@ -1268,6 +1268,22 @@ def test_bulk_ingest_fast_path_equivalence(spark):
     b = sorted(tuple(r) for r in slow.select(*cols).collect())
     assert a == b
 
+    # r15: HASH-LESS ops (pre-typed-WAL shape, content_hash cell NULL)
+    # must agree too — INCLUDING legacy_hash=True provenance (the
+    # tolerant-CAS flag), which the bulk path now stamps from the ops
+    # column instead of F.lit(False)
+    ops_nohash = ops.withColumn(
+        "content_hash", F.lit(None).cast("string"))
+    fast_nh = _bulk_put_versions(ops_nohash)
+    slow_nh = _bucketed_cogroup(
+        empty, ops_nohash, apply_fn, VERSIONS_SCHEMA, 4)
+    a_nh = sorted(tuple(r) for r in fast_nh.select(*cols).collect())
+    b_nh = sorted(tuple(r) for r in slow_nh.select(*cols).collect())
+    assert a_nh == b_nh
+    assert all(r.legacy_hash for r in fast_nh.select("legacy_hash").collect())
+    # with submit-time hashes the flag stays strict on both paths
+    assert not any(r.legacy_hash for r in fast.select("legacy_hash").collect())
+
     # API-level: a bulk-ingested store answers as-of / history / latest
     # like the per-op path
     df = spark.createDataFrame(
