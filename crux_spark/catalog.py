@@ -324,17 +324,33 @@ class Catalog:
             )
             if target.startswith("decimal"):
                 wide = c.try_cast("decimal(38,18)")
-                narrowed = c.try_cast(target).cast("decimal(38,18)")
+                # try_cast here too: a target-accepted value whose
+                # integer part exceeds (38,18) would be an ANSI
+                # ArithmeticException under a hard cast
+                narrowed = c.try_cast(target).try_cast("decimal(38,18)")
                 agg_exprs.append(
                     _F.sum((wide.isNotNull() & narrowed.isNotNull()
                             & (wide != narrowed)).cast("long"))
                     .alias(f"__rounded_{col}")
+                )
+                # (38,18) holds only 20 integer digits, so a value with
+                # a huge integer part NULLs the wide probe while the
+                # (38,12) target still accepts it — the rounding
+                # comparison above can't see such a value, and >12
+                # fractional digits on it would silently round. Any
+                # value the probe can't check keeps the string form.
+                agg_exprs.append(
+                    _F.sum((c.isNotNull() & wide.isNull()
+                            & c.try_cast(target).isNotNull())
+                           .cast("long")).alias(f"__uncheck_{col}")
                 )
         stats = docs.agg(*agg_exprs).collect()[0].asDict()
         for col, target in candidates.items():
             if (stats.get(f"__newnull_{col}") or 0) > 0:
                 continue
             if (stats.get(f"__rounded_{col}") or 0) > 0:
+                continue
+            if (stats.get(f"__uncheck_{col}") or 0) > 0:
                 continue
             docs = docs.withColumn(col, _F.col(col).cast(target))
         return docs

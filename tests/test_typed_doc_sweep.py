@@ -228,3 +228,26 @@ def test_from_store_skips_decimal_cast_on_precision_loss(spark):
     # have been rounded to 12 places
     assert str(d1).startswith("1.2345678901234"), d1
     assert Decimal(str(got["d2"])) == Decimal("2.5")
+
+
+def test_from_store_skips_decimal_cast_when_probe_cannot_check(spark):
+    """r14 advice: a value with >20 integer digits NULLs the (38,18)
+    wide probe (only 20 integer digits fit) while the (38,12) target
+    still accepts it — the rounding comparison never sees it, and its
+    >12 fractional digits would silently round. Any value the probe
+    cannot check must keep the legacy string form."""
+    big = Decimal("123456789012345678901234.1234567890123456")
+    store = TxStore(spark)
+    store.submit_tx([
+        ("put", {"id": "d1", "amt": big}),
+        ("put", {"id": "d2", "amt": Decimal("2.5")}),
+    ])
+    store.commit()
+    cat = Catalog.from_store(store, name="bigdecs")
+    tbl = cat.table("bigdecs")
+    got = {r[0]: r["amt"] for r in
+           tbl.select(Catalog_ID_COL, "amt").collect()}
+    # the column must NOT have been cast (the probe could not validate
+    # d1): the full-precision string survives untouched
+    assert str(got["d1"]) == str(big), got["d1"]
+    assert Decimal(str(got["d2"])) == Decimal("2.5")
