@@ -259,11 +259,31 @@ class HttpNode:
             # the reference's SPARQL endpoint (http_server.clj /_crux/sparql;
             # api_test.clj test-sparql drives it through RDF4J's
             # SPARQLRepository) — compiled through sources/sparql.py
-            from crux_spark.sources.sparql import sparql_to_datalog
+            from crux_spark.sources.sparql import (
+                sparql_construct,
+                sparql_describe,
+                sparql_to_datalog,
+            )
 
             offset = int(qs.get("offset", "0"))
+            d = sparql_to_datalog(qs["query"])
+            if "describe" in d or "construct" in d:
+                # graph-valued verbs (r14/r15 superset — the reference's
+                # endpoint is SELECT-only): page the (s, p, o) triples
+                # with the same bounded-response rule as tuple results
+                db = self._db(qs)
+                runner = (sparql_describe if "describe" in d
+                          else sparql_construct)
+                df = runner(db.catalog(), qs["query"])
+                if qs.get("paged") == "true" or offset > 0:
+                    df = df.orderBy("s", "p", "o")
+                if offset:
+                    df = df.offset(offset)
+                return [list(r)
+                        for r in df.limit(_page_limit(qs.get("limit")))
+                        .collect()]
             rows = self._db(qs).q_stream(
-                sparql_to_datalog(qs["query"]),
+                d,
                 limit=_page_limit(qs.get("limit")),
                 offset=offset,
                 stable=qs.get("paged") == "true" or offset > 0,

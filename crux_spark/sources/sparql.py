@@ -70,7 +70,7 @@ _KEYWORDS = {
     "STRSTARTS", "STRENDS", "CONCAT", "BOUND",
     "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP", "HAVING",
     "GROUP_CONCAT", "SAMPLE", "SEPARATOR", "ASK", "UNDEF", "CONSTRUCT",
-    "ABS", "CEIL", "FLOOR", "ROUND", "SUBSTR",
+    "DESCRIBE", "ABS", "CEIL", "FLOOR", "ROUND", "SUBSTR",
 }
 
 # SPARQL aggregate -> Datalog aggregate head (aggregates.py registry).
@@ -963,6 +963,41 @@ class _Parser:
             self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri
         is_ask = False
         construct_tmpl: list | None = None
+        if self.at("KW", "DESCRIBE"):
+            # DESCRIBE VarOrIri+ [WHERE { ... }] — returns the concise
+            # bounded description of the named/bound resources as
+            # (s, p, o) triples (sparql_describe() runs it). DESCRIBE *
+            # is out of subset. The reference's protocol surface
+            # (crux.sparql.protocol) is SELECT-shaped — superset here.
+            self.next()
+            targets: list = []
+            while True:
+                if self.at("var"):
+                    targets.append(self.next().val)
+                elif self.at("iri") or self.at("pname"):
+                    targets.append(self.term())
+                else:
+                    break
+            if not targets:
+                raise NotImplementedError(
+                    "DESCRIBE needs explicit resources or variables "
+                    "(DESCRIBE * is out of subset)")
+            dwhere: list = []
+            if self.at("KW", "WHERE") or self.at("op", "{"):
+                if self.at("KW", "WHERE"):
+                    self.next()
+                self.eat("op", "{")
+                dwhere = _resolve_values_markers(self.group())
+            for t in targets:
+                if (isinstance(t, str) and t.startswith("?")
+                        and not _mentions(dwhere, t)):
+                    raise ValueError(
+                        f"DESCRIBE variable {t} is not bound by the "
+                        "WHERE pattern")
+            if self.peek() is not None:
+                raise ValueError(
+                    f"trailing SPARQL input at {self.peek()!r}")
+            return {"describe": targets, "where": dwhere}
         if self.at("KW", "ASK"):
             self.next()
             is_ask = True
@@ -1337,6 +1372,54 @@ def sparql_construct(catalog, text: str, attr_fn=local_name):
             & F.col("o").isNotNull()
         )
         out = row if out is None else out.unionByName(row)
+    return out.distinct()
+
+
+def sparql_describe(catalog, text: str, attr_fn=local_name):
+    """SPARQL DESCRIBE: the concise bounded description of each target
+    resource — every (subject, attribute, value) triple the catalog
+    holds for it — as a distinct (s, p, o) DataFrame with the same
+    stringification as CONSTRUCT (p = ':'-prefixed attr local name).
+    IRI targets compile to a literal-entity var-attr EAV scan (the id
+    equality pushes into every table scan); variable targets run the
+    WHERE pattern joined to the scan on the entity var. The reference's
+    SPARQL protocol surface is SELECT-shaped (crux.sparql.protocol) —
+    this is superset surface, built on the same machinery as entity()
+    doc fetch, pivoted to triples."""
+    from pyspark.sql import functions as F
+
+    from crux_spark.datalog import q as _q
+
+    d = sparql_to_datalog(text, attr_fn)
+    targets = d["describe"]
+    where = d["where"]
+    frames = []
+    for t in targets:
+        if isinstance(t, str) and t.startswith("?"):
+            bind = _q(catalog, {
+                "find": [t, "?__da", "?__dv"],
+                "where": where + [[t, "?__da", "?__dv"]],
+            })
+            cols = bind.columns
+            frames.append(bind.select(
+                F.col(cols[0]).cast("string").alias("s"),
+                F.col(cols[1]).cast("string").alias("p"),
+                F.col(cols[2]).cast("string").alias("o"),
+            ))
+        else:
+            bind = _q(catalog, {
+                "find": ["?__da", "?__dv"],
+                "where": [[t, "?__da", "?__dv"]],
+            })
+            cols = bind.columns
+            frames.append(bind.select(
+                F.lit(str(t)).alias("s"),
+                F.col(cols[0]).cast("string").alias("p"),
+                F.col(cols[1]).cast("string").alias("o"),
+            ))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out.distinct()
 
 

@@ -136,6 +136,36 @@ def test_http_sparql_endpoint(http_node):
     assert res == [["u2"]]
 
 
+def test_http_sparql_graph_verbs(http_node):
+    """r15: DESCRIBE and CONSTRUCT route through the same endpoint,
+    returning paged (s, p, o) triples (the reference's endpoint is
+    SELECT-only — superset surface)."""
+    import urllib.parse
+
+    post(http_node.url + "/_crux/submit-tx", {"tx-ops": [
+        ["put", {"id": "u1", "name": "ann", "score": 10}],
+        ["put", {"id": "u2", "name": "bob", "score": 25}],
+    ]})
+    get(http_node.url + "/_crux/await-tx")
+
+    def go(q, extra=""):
+        return get(http_node.url + "/_crux/sparql?query="
+                   + urllib.parse.quote(q) + extra)
+
+    rows = {tuple(r) for r in go("DESCRIBE <u2>")}
+    assert ("u2", ":name", "bob") in rows
+    assert ("u2", ":score", "25") in rows
+    rows2 = {tuple(r) for r in go(
+        'CONSTRUCT { ?e <http://x/tag> "hi" } WHERE '
+        '{ ?e <http://juxt.pro/crux/unqualified/score> ?s . '
+        'FILTER (?s > 20) }')}
+    assert rows2 == {("u2", ":tag", "hi")}
+    # paged graph results are stable-ordered and offset correctly
+    all_rows = go("DESCRIBE <u1> <u2>", "&paged=true")
+    page2 = go("DESCRIBE <u1> <u2>", "&paged=true&offset=2")
+    assert page2 == all_rows[2:]
+
+
 def test_remote_node_client(spark):
     """crux-http-client parity: the RemoteNode client drives the same
     api surface over HTTP — the reference's API-parity-matrix idea

@@ -1238,6 +1238,41 @@ def test_construct(vcard_cat):
     }
 
 
+def test_describe_iri_and_var(vcard_cat):
+    """SPARQL DESCRIBE (r15 superset — the reference's protocol is
+    SELECT-shaped): an IRI target yields every (s, p, o) triple of that
+    entity; a variable target describes each resource the WHERE
+    pattern binds it to; multiple targets union."""
+    from crux_spark.sources.sparql import sparql_describe
+
+    out = sparql_describe(vcard_cat, f"DESCRIBE <{JOHN}>")
+    rows = {tuple(r) for r in out.collect()}
+    assert (JOHN, ":FN", "John Smith") in rows
+    assert (JOHN, ":age", "25") in rows
+    assert all(s == JOHN for (s, _, _) in rows)
+    # variable target: describe everyone older than 24
+    out2 = sparql_describe(vcard_cat, """
+        PREFIX info: <http://somewhere/peopleInfo#>
+        DESCRIBE ?p WHERE { ?p info:age ?a . FILTER (?a >= 24) }
+    """)
+    rows2 = {tuple(r) for r in out2.collect()}
+    assert {s for (s, _, _) in rows2} == {JOHN}
+    assert rows2 == rows
+    # two IRI targets union their descriptions
+    out3 = sparql_describe(vcard_cat, f"DESCRIBE <{JOHN}> <{BECKY}>")
+    subs = {s for (s, _, _) in {tuple(r) for r in out3.collect()}}
+    assert subs == {JOHN, BECKY}
+
+
+def test_describe_errors(vcard_cat):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bound"):
+        sparql_to_datalog("DESCRIBE ?p WHERE { ?x <http://a/b> ?y }")
+    with _pytest.raises(NotImplementedError, match="DESCRIBE"):
+        sparql_to_datalog("DESCRIBE * WHERE { ?x <http://a/b> ?y }")
+
+
 def test_construct_omits_unbound_template_rows(vcard_cat):
     """SPARQL 1.1 §16.2: template triples containing a variable UNBOUND
     in a solution (here ?a, bound only inside OPTIONAL — NULL for
