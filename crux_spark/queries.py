@@ -5257,3 +5257,57 @@ def sparql_construct(spark, sf_dir):
                 ?n t:n_name ?nname .
                 FILTER (?bal > 9900) }
     """)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL DESCRIBE oracle gate (r15, VERDICT r14 item 6): DESCRIBE landed
+# this round (sparql.py sparql_describe — concise bounded description
+# via the literal-entity / entity-var var-attr EAV scan, the same
+# machinery as entity() doc fetch). This gate pins the variable-target
+# path under the DuckDB oracle: describe every lineitem of the first 32
+# orders. Lineitem _ids are the composite "orderkey_linenumber" strings
+# (catalog.py PKEYS), which no other table's _id space can collide
+# with, so the description is exactly the lineitem attribute pivot —
+# the oracle rebuilds it as an 11-way UNION ALL with the same
+# stringification (doubles/timestamps cast to VARCHAR). Registered at
+# the registry tail (mirror-gated now, driver row via the r16
+# rotation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sparql_describe",
+    """
+    WITH li AS (
+      SELECT CAST(l_orderkey AS VARCHAR) || '_'
+             || CAST(l_linenumber AS VARCHAR) AS s, *
+      FROM lineitem WHERE l_orderkey <= 32
+    )
+    SELECT DISTINCT s, p, o FROM (
+      SELECT s, ':l_orderkey' AS p, CAST(l_orderkey AS VARCHAR) AS o FROM li
+      UNION ALL SELECT s, ':l_partkey', CAST(l_partkey AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_suppkey', CAST(l_suppkey AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_linenumber', CAST(l_linenumber AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_quantity', CAST(l_quantity AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_extendedprice', CAST(l_extendedprice AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_discount', CAST(l_discount AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_tax', CAST(l_tax AS VARCHAR) FROM li
+      UNION ALL SELECT s, ':l_returnflag', l_returnflag FROM li
+      UNION ALL SELECT s, ':l_linestatus', l_linestatus FROM li
+      UNION ALL SELECT s, ':l_shipdate', CAST(l_shipdate AS VARCHAR) FROM li
+    )
+    """,
+)
+def sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE with a pattern-bound variable target: the
+    concise bounded description of every lineitem entity of the first
+    32 orders — (s, p, o) triples over the var-attr EAV scan joined to
+    the WHERE pattern on the entity var (superset surface: the
+    reference's SPARQL protocol is SELECT-shaped)."""
+    from crux_spark.sources.sparql import sparql_describe as _describe
+
+    cat = catalog_for(spark, sf_dir)
+    return _describe(cat, """
+        PREFIX t: <http://tpch/>
+        DESCRIBE ?l WHERE { ?l t:l_orderkey ?k . FILTER (?k <= 32) }
+    """)
