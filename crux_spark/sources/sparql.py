@@ -278,6 +278,12 @@ class _Parser:
         # is two INDEPENDENT patterns — sharing the var would spuriously
         # require both edges to ride the same predicate).
         self._neg_sets: dict[str, tuple[list[str], list[str]]] = {}
+        # parenthesized path groups with modifiers (r15): generated
+        # one-traversal rule defs, the subset needing -PLUS closure
+        # rules, and the per-parsed-group memo (id(alts) -> rule name)
+        self.group_rules: list = []
+        self.group_plus: set[str] = set()
+        self._group_rule_names: dict[int, str] = {}
 
     # -- token plumbing ---------------------------------------------------
 
@@ -527,7 +533,22 @@ class _Parser:
             # here the step just swaps endpoints at emit time)
             self.next()
             inverse = True
-        if self.at("op", "!"):
+        if self.at("op", "("):
+            # parenthesized path group (SPARQL 1.1 PathPrimary):
+            # alternatives of sequences, with an optional modifier on
+            # the whole group — (p1/p2)+, (p|q)*, ^(p/q)? ... (r15; the
+            # reference gets grouped paths from RDF4J's algebra). The
+            # group is a marker tuple dispatched by _emit_edge; a
+            # modified group compiles through a generated rule so the
+            # closure runs over the COMPOSITE traversal.
+            self.next()
+            alts = [self._path_sequence()]
+            while self.at("op", "|"):
+                self.next()
+                alts.append(self._path_sequence())
+            self.eat("op", ")")
+            attr: Any = ("group", alts)
+        elif self.at("op", "!"):
             # negated property set: any predicate EXCEPT the listed ones
             # — a fresh hidden attr var over the EAV var-attr scan, with
             # != filters emitted beside the edge
@@ -547,10 +568,11 @@ class _Parser:
             _Parser._seq_counter += 1
             attr = f"?__np{_Parser._seq_counter}"
             self._neg_sets[attr] = (banned_fwd, banned_inv)
-            return attr, None, inverse
-        p = self.term()
-        # variable predicate -> EAV fallback pattern [?e ?a ?v]
-        attr = p if (isinstance(p, str) and p.startswith("?")) else ":" + self.attr_fn(p)
+        else:
+            p = self.term()
+            # variable predicate -> EAV fallback pattern [?e ?a ?v]
+            attr = (p if (isinstance(p, str) and p.startswith("?"))
+                    else ":" + self.attr_fn(p))
         path = None
         if self.at("op", "+"):
             self.next()
@@ -562,12 +584,20 @@ class _Parser:
             self.next()
             path = "OPT"  # zero-or-one (the reference's ZeroLengthPath
             # union with a single step, labs sparql_test.clj knows?)
+        if path is not None and isinstance(attr, str) and attr in self._neg_sets:
+            # a MODIFIED negated set (!p+, !(p|^q)*): wrap as a
+            # single-step group so the closure rule traverses the
+            # complement edge, not a var-predicate closure
+            attr = ("group", [[(attr, None, False)]])
         return attr, path, inverse
 
-    def _emit_edge(self, clauses: list, s, attr: str, path: str | None, o,
+    def _emit_edge(self, clauses: list, s, attr, path: str | None, o,
                    inverse: bool = False):
         if inverse:
             s, o = o, s
+        if isinstance(attr, tuple) and attr[0] == "group":
+            self._emit_group(clauses, s, attr[1], path, o)
+            return
         if path is None:
             neg = self._neg_sets.get(attr)
             if neg is not None:  # !p / !(p1|^p2|...)
@@ -668,6 +698,128 @@ class _Parser:
             else ["and", [["identity", s], o]]
         )
         clauses.append(["or-join", jv, ["and", plus], zero])
+
+    def _emit_group(self, clauses: list, s, alts: list, path, o) -> None:
+        """Emit one edge of a parenthesized path group (r15). Unmodified
+        groups inline (single alternative) or or-join on the endpoint
+        vars; a MODIFIED group compiles through a generated one-
+        traversal rule (memoized per parsed group — rule invocations
+        are relation joins, so object-list re-emissions stay
+        independent) so PLUS/STAR close over the COMPOSITE traversal
+        via the semi-naive fixpoint, exactly like single-attr closures
+        (compile.py _fixpoint_group)."""
+        if path is None:
+            if len(alts) == 1:
+                self._emit_sequence(clauses, s, alts[0], o)
+                return
+            jv = [v for v in (s, o)
+                  if isinstance(v, str) and v.startswith("?")]
+            branches = []
+            for steps in alts:
+                bc: list = []
+                self._emit_sequence(bc, s, steps, o)
+                branches.append(bc[0] if len(bc) == 1 else ["and", *bc])
+            clauses.append(["or-join", jv, *branches]
+                           if jv else ["or", *branches])
+            return
+        rule = self._group_rule(alts)
+        if path == "OPT":
+            plus = [rule, s, o]  # one traversal, no closure
+        else:
+            self.group_plus.add(rule)
+            plus = [f"{rule}-PLUS", s, o]
+        if path == "PLUS":
+            clauses.append(plus)
+            return
+        # (p...)* / (p...)? = traversal UNION the zero-length path —
+        # the same bound-endpoint logic as single-attr p* above
+        s_var = isinstance(s, str) and s.startswith("?")
+        o_var = isinstance(o, str) and o.startswith("?")
+        jv = [v for v, isv in ((s, s_var), (o, o_var)) if isv]
+        if not jv:
+            if s != o:
+                clauses.append(plus)
+            return
+        zero = (
+            ["and", [["identity", o], s]]
+            if (s_var and not o_var)
+            else ["and", [["identity", s], o]]
+        )
+        clauses.append(["or-join", jv, ["and", plus], zero])
+
+    def _build_rules(self) -> list:
+        """Rule definitions for every closure this query needs: the
+        shared variable-predicate rule, per-attr -PLUS pairs, and (r15)
+        the generated group-traversal rules + their -PLUS pairs."""
+        rules: list = []
+        if self.var_plus:
+            # shared transitive-closure rule over the EAV scan, with
+            # the predicate as the leading rule argument — the join on
+            # ?__pa keeps each predicate's closure separate
+            rules.append(
+                [
+                    ["__varpred-PLUS", "?__pa", "?__px", "?__py"],
+                    ["?__px", "?__pa", "?__py"],
+                ]
+            )
+            rules.append(
+                [
+                    ["__varpred-PLUS", "?__pa", "?__px", "?__py"],
+                    ["?__px", "?__pa", "?__pz"],
+                    ["__varpred-PLUS", "?__pa", "?__pz", "?__py"],
+                ]
+            )
+        for attr in sorted(self.plus_attrs):
+            rule = f"{attr[1:]}-PLUS"
+            rules.append(
+                [[rule, "?__px", "?__py"], ["?__px", attr, "?__py"]]
+            )
+            rules.append(
+                [
+                    [rule, "?__px", "?__py"],
+                    ["?__px", attr, "?__pz"],
+                    [rule, "?__pz", "?__py"],
+                ]
+            )
+        rules.extend(self.group_rules)
+        for name in sorted(self.group_plus):
+            rules.append(
+                [[f"{name}-PLUS", "?__px", "?__py"],
+                 [name, "?__px", "?__py"]]
+            )
+            rules.append(
+                [
+                    [f"{name}-PLUS", "?__px", "?__py"],
+                    [name, "?__px", "?__pz"],
+                    [f"{name}-PLUS", "?__pz", "?__py"],
+                ]
+            )
+        return rules
+
+    def _group_rule(self, alts: list) -> str:
+        """Define (once per parsed group) the rule computing ONE
+        traversal of the group path; returns the rule name."""
+        key = id(alts)
+        got = self._group_rule_names.get(key)
+        if got:
+            return got
+        _Parser._seq_counter += 1
+        c = _Parser._seq_counter
+        name, x, y = f"__grp{c}", f"?__g{c}x", f"?__g{c}y"
+        branches = []
+        for steps in alts:
+            bc: list = []
+            self._emit_sequence(bc, x, steps, y)
+            branches.append(bc)
+        if len(branches) == 1:
+            body = branches[0]
+        else:
+            wrapped = [b[0] if len(b) == 1 else ["and", *b]
+                       for b in branches]
+            body = [["or-join", [x, y], *wrapped]]
+        self.group_rules.append([[name, x, y], *body])
+        self._group_rule_names[key] = name
+        return name
 
     def _emit_negated_set(self, clauses: list, s, neg, o) -> None:
         """Emit ONE edge of a negated property set (SPARQL 1.1 §9.1).
@@ -997,7 +1149,11 @@ class _Parser:
             if self.peek() is not None:
                 raise ValueError(
                     f"trailing SPARQL input at {self.peek()!r}")
-            return {"describe": targets, "where": dwhere}
+            out = {"describe": targets, "where": dwhere}
+            drules = self._build_rules()
+            if drules:
+                out["rules"] = drules
+            return out
         if self.at("KW", "ASK"):
             self.next()
             is_ask = True
@@ -1223,37 +1379,8 @@ class _Parser:
                 ]
                 find = outer_find
         out: dict = {"find": find, "where": where}
-        if self.plus_attrs or self.var_plus:
-            rules = []
-            if self.var_plus:
-                # shared transitive-closure rule over the EAV scan, with
-                # the predicate as the leading rule argument — the join on
-                # ?__pa keeps each predicate's closure separate
-                rules.append(
-                    [
-                        ["__varpred-PLUS", "?__pa", "?__px", "?__py"],
-                        ["?__px", "?__pa", "?__py"],
-                    ]
-                )
-                rules.append(
-                    [
-                        ["__varpred-PLUS", "?__pa", "?__px", "?__py"],
-                        ["?__px", "?__pa", "?__pz"],
-                        ["__varpred-PLUS", "?__pa", "?__pz", "?__py"],
-                    ]
-                )
-            for attr in sorted(self.plus_attrs):
-                rule = f"{attr[1:]}-PLUS"
-                rules.append(
-                    [[rule, "?__px", "?__py"], ["?__px", attr, "?__py"]]
-                )
-                rules.append(
-                    [
-                        [rule, "?__px", "?__py"],
-                        ["?__px", attr, "?__pz"],
-                        [rule, "?__pz", "?__py"],
-                    ]
-                )
+        rules = self._build_rules()
+        if rules:
             out["rules"] = rules
         if self.at("KW", "ORDER"):
             self.next()
@@ -1403,7 +1530,10 @@ def sparql_describe(catalog, text: str, attr_fn=local_name):
     spark = catalog.spark
     for t in targets:
         if isinstance(t, str) and t.startswith("?"):
-            bind = _q(catalog, {"find": [t], "where": where})
+            dq = {"find": [t], "where": where}
+            if d.get("rules"):
+                dq["rules"] = d["rules"]
+            bind = _q(catalog, dq)
             id_frames.append(bind.select(
                 F.col(bind.columns[0]).cast("string").alias("s")))
         else:

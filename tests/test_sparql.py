@@ -1401,6 +1401,105 @@ def test_law_zero_or_one_is_self_union_step(random_graph_cat):
     assert zoo == step | {("http://g/n0",)}
 
 
+def _closure(pairs):
+    """Transitive closure of a set of (s, o) pairs (python oracle)."""
+    out = set(pairs)
+    while True:
+        new = {(a, d) for (a, b) in out for (c, d) in out if b == c}
+        if new <= out:
+            return out
+        out |= new
+
+
+GROUP_CHAIN_NT = """\
+<http://ex/A> <http://ex/p> <http://ex/B> .
+<http://ex/B> <http://ex/q> <http://ex/C> .
+<http://ex/C> <http://ex/p> <http://ex/D> .
+<http://ex/D> <http://ex/q> <http://ex/E> .
+"""
+
+
+@pytest.fixture(scope="module")
+def chain_cat(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("chain") / "chain.nt"
+    path.write_text(GROUP_CHAIN_NT)
+    cat = Catalog(spark)
+    cat.add_documents(
+        "chain",
+        pivot_triples(read_ntriples(spark, str(path))).localCheckpoint(),
+    )
+    return cat
+
+
+def test_grouped_path_sequence_closure(chain_cat):
+    """r15 grouped paths: (p/q)+ closes over the COMPOSITE two-hop
+    traversal — on the chain A-p-B-q-C-p-D-q-E, (p/q)+ from A reaches
+    C (one traversal) and E (two)."""
+    got = run(chain_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/A> (ex:p/ex:q)+ ?o }
+    """)
+    assert got == {("http://ex/C",), ("http://ex/E",)}
+    # (p/q)* adds the zero-length self
+    got2 = run(chain_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/A> (ex:p/ex:q)* ?o }
+    """)
+    assert got2 == got | {("http://ex/A",)}
+    # (p/q)? is self plus ONE traversal only
+    got3 = run(chain_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { <http://ex/A> (ex:p/ex:q)? ?o }
+    """)
+    assert got3 == {("http://ex/A",), ("http://ex/C",)}
+    # inverse of a grouped path swaps the whole composite traversal
+    got4 = run(chain_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { <http://ex/C> ^(ex:p/ex:q) ?s }
+    """)
+    assert got4 == {("http://ex/A",)}
+
+
+def test_law_grouped_alt_closure_is_union_closure(random_graph_cat):
+    """`?s (p|q)+ ?o` == the transitive closure of the UNION of the p
+    and q edge sets (python-oracle closure over the seeded graph)."""
+    got = run(random_graph_cat, """
+        PREFIX g: <http://g/>
+        SELECT ?s ?o WHERE { ?s (g:p|g:q)+ ?o }
+    """)
+    def edges(p):
+        return run(random_graph_cat,
+                   f"PREFIX g: <http://g/> SELECT ?s ?o "
+                   f"WHERE {{ ?s g:{p} ?o }}")
+    assert got == _closure(edges("p") | edges("q")) and got
+
+
+def test_law_negated_set_closure(random_graph_cat):
+    """`?s !g:p+ ?o` (modified negated set, r15) == the closure of the
+    per-edge complement of p — here exactly (q|r)+ since the graph has
+    three predicates."""
+    got = run(random_graph_cat, """
+        PREFIX g: <http://g/>
+        SELECT ?s ?o WHERE { ?s !g:p+ ?o }
+    """)
+    def edges(p):
+        return run(random_graph_cat,
+                   f"PREFIX g: <http://g/> SELECT ?s ?o "
+                   f"WHERE {{ ?s g:{p} ?o }}")
+    assert got == _closure(edges("q") | edges("r")) and got
+
+
+def test_grouped_path_object_list_independent(chain_cat):
+    """Object lists re-emit a modified group as independent rule
+    invocations: A (p/q)+ ?o1, ?o2 yields the cross product."""
+    got = run(chain_cat, """
+        PREFIX ex: <http://ex/>
+        SELECT ?o1 ?o2 WHERE { <http://ex/A> (ex:p/ex:q)+ ?o1, ?o2 }
+    """)
+    reach = {"http://ex/C", "http://ex/E"}
+    assert got == {(a, b) for a in reach for b in reach}
+
+
 def test_law_values_undef_is_manual_filter(random_graph_cat):
     """VALUES rows with UNDEF == the disjunction of the defined-cell
     equalities applied manually."""
