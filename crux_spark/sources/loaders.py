@@ -251,6 +251,48 @@ DECIMAL_EAV_TYPE = "decimal(38,12)"
 
 BIGINT_EAV_TYPE = "decimal(38,0)"
 
+# slot key -> (output column name, Spark cast type). Ordered: this IS the
+# EAV schema's typed-column order.
+_EAV_SLOTS: dict[str, tuple[str, str]] = {
+    "long": ("v_long", "long"),
+    "double": ("v_double", "double"),
+    "dec": ("v_dec", DECIMAL_EAV_TYPE),
+    "string": ("v_string", "string"),
+    "boolean": ("v_bool", "boolean"),
+    "timestamp": ("v_ts", "timestamp"),
+    "char": ("v_char", "string"),
+    "bigint": ("v_bigint", BIGINT_EAV_TYPE),
+    "date": ("v_date", "date"),
+    "localtime": ("v_time", "long"),
+    "localdatetime": ("v_ldt", "timestamp_ntz"),
+    "instant": ("v_inst", "timestamp"),
+    "duration": ("v_dur", "interval day to second"),
+}
+
+# Memoized aliased NULL slot columns (r15 optimization): Column objects
+# are immutable unresolved expression trees, so the 12 typed-null
+# columns every _typed_row piece carries can be built once per JVM
+# gateway instead of per piece — a catalog-wide triples_view used to
+# spend ~45 py4j round trips per (table, attribute) piece on these
+# constants alone, which dominated EAV view construction time on wide
+# catalogs. Keyed by gateway id so a fresh JVM rebuilds them.
+_NULL_SLOT_CACHE: dict[int, dict[str, object]] = {}
+
+
+def _null_slot_cols() -> dict[str, object]:
+    from pyspark import SparkContext
+
+    key = id(getattr(SparkContext, "_gateway", None))
+    cols = _NULL_SLOT_CACHE.get(key)
+    if cols is None:
+        cols = {
+            s: F.lit(None).cast(t).alias(name)
+            for s, (name, t) in _EAV_SLOTS.items()
+        }
+        _NULL_SLOT_CACHE.clear()
+        _NULL_SLOT_CACHE[key] = cols
+    return cols
+
 
 def _typed_row(df: DataFrame, a, dtype, pos, meta=None):
     import pyspark.sql.types as T
@@ -259,21 +301,7 @@ def _typed_row(df: DataFrame, a, dtype, pos, meta=None):
     # exactly one typed slot is populated per value-type class
     # (codec.clj's 1-byte type tag); the rest stay typed nulls so the
     # union across attributes/tables keeps one schema
-    slots = {
-        "long": F.lit(None).cast("long"),
-        "double": F.lit(None).cast("double"),
-        "dec": F.lit(None).cast(DECIMAL_EAV_TYPE),
-        "string": F.lit(None).cast("string"),
-        "boolean": F.lit(None).cast("boolean"),
-        "timestamp": F.lit(None).cast("timestamp"),
-        "char": F.lit(None).cast("string"),
-        "bigint": F.lit(None).cast(BIGINT_EAV_TYPE),
-        "date": F.lit(None).cast("date"),
-        "localtime": F.lit(None).cast("long"),
-        "localdatetime": F.lit(None).cast("timestamp_ntz"),
-        "instant": F.lit(None).cast("timestamp"),
-        "duration": F.lit(None).cast("interval day to second"),
-    }
+    slots = dict(_null_slot_cols())
     crux_type = (meta or {}).get("crux_type")
     if crux_type == "char":
         # tag 9 (codec.clj:258-263): sorts after strings
@@ -321,23 +349,11 @@ def _typed_row(df: DataFrame, a, dtype, pos, meta=None):
             "interval day to second")
     else:
         v_type, slot, expr = "string", "string", val.cast("string")
-    slots[slot] = expr
+    slots[slot] = expr.alias(_EAV_SLOTS[slot][0])
     return df.select(
         F.col("e"),
         a.alias("a"),
         F.lit(v_type).alias("v_type"),
-        slots["long"].alias("v_long"),
-        slots["double"].alias("v_double"),
-        slots["dec"].alias("v_dec"),
-        slots["string"].alias("v_string"),
-        slots["boolean"].alias("v_bool"),
-        slots["timestamp"].alias("v_ts"),
-        slots["char"].alias("v_char"),
-        slots["bigint"].alias("v_bigint"),
-        slots["date"].alias("v_date"),
-        slots["localtime"].alias("v_time"),
-        slots["localdatetime"].alias("v_ldt"),
-        slots["instant"].alias("v_inst"),
-        slots["duration"].alias("v_dur"),
+        *[slots[s] for s in _EAV_SLOTS],
         pos.alias("pos"),
     )
