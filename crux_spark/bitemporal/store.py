@@ -235,35 +235,46 @@ def _bulk_put_versions(ops: DataFrame) -> DataFrame:
     )
     chash = F.coalesce(F.col("__ch"), F.col("__n.content_hash"))
     legacy = F.col("__ch").isNull() if has_hash_col else F.lit(False)
-    asserted = base.select(
-        "eid",
-        F.col("valid_from").alias("valid_from"),
-        F.lit(END_OF_TIME).alias("valid_to"),
-        F.col("tx_id").alias("tx_from"),
-        F.coalesce("__nt", F.lit(END_OF_TX)).alias("tx_to"),
-        "tx_time",
-        F.col("__n.doc_json").alias("doc_json"),
-        F.lit(False).alias("deleted"),
-        chash.alias("content_hash"),
-        F.lit(True).alias("asserted"),
-        F.col("tx_id").alias("origin_tx"),
-        legacy.alias("legacy_hash"),
+
+    # ONE pass (r15 optimization): the asserted row and the remainder row
+    # derive from the same base projection — as a union of two selects,
+    # Catalyst executed the scan + eid-window + norm UDF once per BRANCH
+    # (two shuffles, two ArrowEvalPython nodes over the full ops).
+    # Emitting both rows per input row with an inline explode keeps a
+    # single window shuffle and a single UDF evaluation; row content is
+    # identical (versions is an unordered relation downstream).
+    def _ver(valid_to, tx_from, tx_to, is_asserted):
+        return F.struct(
+            F.col("valid_from").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            tx_from.alias("tx_from"),
+            tx_to.alias("tx_to"),
+            F.col("tx_time").alias("tx_time"),
+            F.col("__n.doc_json").alias("doc_json"),
+            F.lit(False).alias("deleted"),
+            chash.alias("content_hash"),
+            F.lit(is_asserted).alias("asserted"),
+            F.col("tx_id").alias("origin_tx"),
+            legacy.alias("legacy_hash"),
+        )
+
+    asserted = _ver(
+        F.lit(END_OF_TIME),
+        F.col("tx_id"),
+        F.coalesce("__nt", F.lit(END_OF_TX)),
+        True,
     )
-    remainder = base.filter(F.col("__nt").isNotNull()).select(
-        "eid",
-        F.col("valid_from").alias("valid_from"),
-        F.col("__nv").alias("valid_to"),
-        F.col("__nt").alias("tx_from"),
-        F.lit(END_OF_TX).alias("tx_to"),
-        "tx_time",
-        F.col("__n.doc_json").alias("doc_json"),
-        F.lit(False).alias("deleted"),
-        chash.alias("content_hash"),
-        F.lit(False).alias("asserted"),
-        F.col("tx_id").alias("origin_tx"),
-        legacy.alias("legacy_hash"),
+    remainder = _ver(
+        F.col("__nv"), F.col("__nt"), F.lit(END_OF_TX), False
     )
-    return asserted.unionByName(remainder)
+    return base.select(
+        "eid",
+        F.explode(
+            F.when(
+                F.col("__nt").isNotNull(), F.array(asserted, remainder)
+            ).otherwise(F.array(asserted))
+        ).alias("__v"),
+    ).select("eid", "__v.*")
 
 
 def _apply_ops(history: list[Version], op_rows: list, aborted: set[int]):
@@ -862,31 +873,51 @@ class TxStore:
         # history, and any out-of-order/duplicate valid times, fall back
         # to the splice cogroup; the two paths are row-identical
         # (test_bulk_ingest_fast_path_equivalence).
+        # ONE probe job (r15 optimization): the ordering check, the
+        # slow-side emptiness check and the ops-side max tx (which
+        # advances the tx counter below) previously ran as three
+        # separate jobs plus a post-merge max aggregate over the whole
+        # store. All three are computable in a single pass over the ops
+        # left-joined against the existing-eid set: a left join keeps
+        # every ops row, so the per-eid lag window sees exactly the rows
+        # the old anti-join probe saw for fresh entities (existing is
+        # keyed by eid — anti-join removed whole entities, never
+        # individual rows).
         existing = self.versions.select("eid").distinct()
-        fresh = ops_df.join(existing, "eid", "left_anti")
-        slow = ops_df.join(existing, "eid", "left_semi")
         w = Window.partitionBy("eid").orderBy("tx_id", "seq")
-        probe = fresh.select(
-            "eid", "tx_id", "valid_from",
+        probe = ops_df.join(
+            existing.withColumn("__ex", F.lit(1)), "eid", "left"
+        ).select(
+            "tx_id", "valid_from", "__ex",
             F.lag("tx_id").over(w).alias("__pt"),
             F.lag("valid_from").over(w).alias("__pv"),
         )
-        bad = probe.filter(
-            F.col("__pt").isNotNull()
-            & (
-                (F.col("tx_id") <= F.col("__pt"))
-                | (F.col("valid_from") <= F.col("__pv"))
-            )
-        ).limit(1).count()
+        stats = probe.agg(
+            F.count(
+                F.when(
+                    F.col("__ex").isNull()
+                    & F.col("__pt").isNotNull()
+                    & (
+                        (F.col("tx_id") <= F.col("__pt"))
+                        | (F.col("valid_from") <= F.col("__pv"))
+                    ),
+                    1,
+                )
+            ).alias("bad"),
+            F.count("__ex").alias("n_slow"),
+            F.max("tx_id").alias("max_tx"),
+        ).first()
+        bad = int(stats["bad"] or 0)
+        slow_has_rows = int(stats["n_slow"] or 0) > 0
+        ops_max_tx = int(stats["max_tx"] or 0)
+        fresh = ops_df.join(existing, "eid", "left_anti")
+        slow = ops_df.join(existing, "eid", "left_semi")
         if bad:
-            slow, fresh = ops_df, None
+            slow, fresh, slow_has_rows = ops_df, None, True
 
         parts = []
         if fresh is not None:
             parts.append(_bulk_put_versions(fresh))
-            slow_has_rows = slow.limit(1).count() > 0
-        else:
-            slow_has_rows = True
         if slow_has_rows:
 
             def apply_fn(eid, hist, op_rows):
@@ -906,8 +937,12 @@ class TxStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         self.versions = out.localCheckpoint()
-        row = self.versions.agg(F.max("tx_from").alias("m")).first()
-        self._tx_id = max(self._tx_id, int(row.m or 0))
+        # post-merge max(tx_from) == max(existing max, ops max): new
+        # version rows only carry tx ids from the ops stream, and every
+        # construction/load/restore path seeds _tx_id to >= the existing
+        # store's max — so the probe job's ops-side max advances the
+        # counter without a second aggregate over the full store.
+        self._tx_id = max(self._tx_id, ops_max_tx)
         # bulk rows never pass the driver; re-seed lazily on first use
         self._schema_eids = None
 

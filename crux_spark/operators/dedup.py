@@ -25,6 +25,31 @@ from pyspark.sql import functions as F
 # a*h + b inside int64 under ANSI arithmetic.
 MERSENNE_P = (1 << 31) - 1
 
+# Memoized constant Column lists (r15 optimization): the MinHash
+# permutation aggregates, LSH band structs and SimHash bit
+# aggregates/packing are pure unresolved expression trees that depend
+# only on their integer parameters — building them costs hundreds of
+# py4j round trips per call (the 64-bit SimHash pack alone is ~400),
+# which dominated these operators' driver-side build time. Cached per
+# (JVM gateway, params); a fresh JVM invalidates the cache.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _gateway_key() -> int:
+    from pyspark import SparkContext
+
+    return id(getattr(SparkContext, "_gateway", None))
+
+
+def _expr_cached(tag: str, params: tuple, build):
+    key = (_gateway_key(), tag, params)
+    hit = _EXPR_CACHE.get(key)
+    if hit is None:
+        if any(k[0] != key[0] for k in _EXPR_CACHE):
+            _EXPR_CACHE.clear()  # fresh JVM: old handles are dead
+        hit = _EXPR_CACHE[key] = build()
+    return hit
+
 
 def _norm_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
@@ -216,15 +241,18 @@ def minhash_signatures(
     if exploded is None:
         exploded = shingle_hashes(df, id_col, text_col, n)
     hp = (F.abs(F.col("h")) % MERSENNE_P).alias("h")
-    aggs = [
+    aggs = _expr_cached("minhash_aggs", (num_hashes,), lambda: [
         F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(7 * i + 3)) % MERSENNE_P).alias(
             f"m{i}"
         )
         for i in range(num_hashes)
-    ]
+    ])
+    sig_arr = _expr_cached("minhash_sig_arr", (num_hashes,), lambda: F.array(
+        *[F.col(f"m{i}") for i in range(num_hashes)]
+    ).alias("sig"))
     sigs = exploded.select("id", hp).groupBy("id").agg(*aggs)
     return sigs.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+        "id", sig_arr
     ).localCheckpoint(eager=False)  # signatures feed both sides of the LSH self-join
 
 
@@ -235,21 +263,20 @@ def banded_signatures(
     the persistable incremental LSH index (each row is one posting in a
     band's bucket)."""
     rows = num_hashes // bands
-    return sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    bb = _expr_cached("lsh_bands", (num_hashes, bands), lambda: F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.hash(F.slice("sig", bi * rows + 1, rows)).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    ).alias("bb"))
+    return sigs.select("id", "sig", bb).select(
+        "id", "sig", "bb.band", "bb.bucket"
+    )
 
 
 def minhash_lsh_pairs(
@@ -347,19 +374,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("t")
     ).select("id", F.xxhash64("t").alias("h"))
-    aggs = [F.count("*").alias("n")] + [
+    aggs = _expr_cached("simhash_aggs", (), lambda: [
+        F.count("*").alias("n")
+    ] + [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         for b in range(64)
-    ]
+    ])
+
+    def _build_packed():
+        packed = F.lit(0).cast("long")
+        for b in range(64):
+            bit = (
+                F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            packed = packed.bitwiseOR(F.shiftleft(bit, b))
+        return packed.alias("simhash")
+
     counts = exploded.groupBy("id").agg(*aggs)
-    packed = F.lit(0).cast("long")
-    for b in range(64):
-        bit = (
-            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        packed = packed.bitwiseOR(F.shiftleft(bit, b))
-    return counts.select("id", packed.alias("simhash"))
+    return counts.select("id", _expr_cached("simhash_pack", (), _build_packed))
 
 
 def simhash_near_pairs(
@@ -873,9 +906,19 @@ class IncrementalMinHashIndex:
         sigs = minhash_signatures(
             docs, id_col, text_col, self.n, self.num_hashes, exploded=ex
         )
+        # lazy checkpoint (r15 optimization): the batch's banded postings
+        # feed the candidate join AND the state merge, so the checkpoint
+        # guarantees one computation — but materializing EAGERLY here ran
+        # a synchronous job per batch before any consumer needed it.
+        # Lazy keeps the single-computation guarantee (first consumer
+        # materializes, later ones read the cached blocks) while letting
+        # the whole batch pipeline run as one job. Lineage stays bounded:
+        # the checkpoint truncates the logical plan either way, and the
+        # state-merge cadence (checkpoint_every) still forces eager
+        # materialization of the ACCUMULATED state.
         new_banded = banded_signatures(
             sigs, self.num_hashes, self.bands
-        ).localCheckpoint()  # eager: feeds the join AND the state merge
+        ).localCheckpoint(eager=False)
         touched = new_banded.select("id").distinct()
 
         # candidate generation: new x (existing + new). Half-open on the
@@ -915,7 +958,7 @@ class IncrementalMinHashIndex:
                 ["id_a", "id_b"]
             )
             new_sets = ex.groupBy("id").agg(F.collect_set("h").alias("sh"))
-            new_sets = new_sets.localCheckpoint()
+            new_sets = new_sets.localCheckpoint(eager=False)
             if self.sets is not None:
                 all_sets = self.sets.join(
                     touched, "id", "left_anti"
