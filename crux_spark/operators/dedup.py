@@ -59,8 +59,30 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's parallelism before CPU-heavy per-row
     expression work. Document corpora often arrive as few large files, and
     AQE coalesces byte-small shuffles — but shingling/hashing cost is per
-    ROW, not per byte, so an explicit spread keeps all cores busy."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ROW, not per byte, so an explicit spread keeps all cores busy.
+
+    Conditional (r15 optimization, guide §2.4): the spread only pays off
+    when the source scan CANNOT fill the session's cores on its own. A
+    corpus whose Catalyst size estimate already spans >= parallelism scan
+    splits (estimate / maxPartitionBytes) gains nothing from the
+    repartition — it would shuffle the full text payload just to land at
+    the same parallelism the scan provides, which at 100 TB is a
+    pointless full-corpus exchange. Small inputs (the few-large-files
+    case this helper exists for) keep the spread."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_pb = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", f"{128 << 20}b").rstrip("b")
+        )
+        if est >= par * max_pb:
+            return df
+    except Exception:
+        pass
+    return df.repartition(par)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
