@@ -25,7 +25,7 @@ import json
 import os
 import shutil
 
-from crux_spark.bitemporal.store import TxStore
+from crux_spark.bitemporal.store import TxStore, _call_listener
 
 _META = "checkpoint.json"
 
@@ -227,7 +227,13 @@ class CheckpointStore:
                     [tuple(r.get(f.name) for f in OPS_SCHEMA.fields) for r in rows],
                     OPS_SCHEMA,
                 )
-                idx.listener(0, batch)
+                # the replay rows are driver-resident: hand the batch max
+                # down so the index's watermark keeping costs no extra
+                # aggregate job (listeners without the kwarg fall back)
+                _call_listener(
+                    idx.listener, 0, batch,
+                    max(int(r["tx_id"]) for r in rows),
+                )
         if index_loaders is not None:
             return store, indexes
         return store

@@ -52,6 +52,28 @@ from crux_spark.bitemporal.splice import END_OF_TIME, END_OF_TX, Version, to_us
 SCHEMA_DOC_ATTR = "crux.sql.table/name"
 _SCHEMA_NEEDLE = f'"{SCHEMA_DOC_ATTR}"'
 
+
+def _call_listener(fn: Callable, epoch: int, batch: DataFrame,
+                   max_tx: int | None) -> Any:
+    """Invoke an indexed-tx listener, handing down the batch's max tx id
+    when the callable can take it (saves watermark-keeping indexes a full
+    extra aggregate pass over the batch). Arbitrary two-arg listeners are
+    still called with the original (epoch, batch) signature — feature
+    detection via the signature, NOT try/except TypeError, so a TypeError
+    raised INSIDE a listener is never masked by a silent re-call."""
+    import inspect
+
+    if max_tx is not None:
+        try:
+            params = inspect.signature(fn).parameters
+            if "max_tx" in params or any(
+                p.kind == p.VAR_KEYWORD for p in params.values()
+            ):
+                return fn(epoch, batch, max_tx=max_tx)
+        except (TypeError, ValueError):
+            pass
+    return fn(epoch, batch)
+
 VERSIONS_SCHEMA = T.StructType(
     [
         T.StructField("eid", T.StringType(), False),
@@ -651,7 +673,7 @@ class TxStore:
                                 keep[e].add(r[k])
                 for e in evict_pos:
                     self._docs.evict_eid(e, keep_hashes=keep[e])
-        self._pending = []
+        pending_rows, self._pending = self._pending, []
         all_aborted = aborted | fn_aborted
         # registered secondary indexes (the reference's register-index!
         # seam, crux-core/src/crux/tx.clj:400-410) get ONE committed-rows
@@ -664,9 +686,20 @@ class TxStore:
                 committed = ops_df.filter(
                     ~F.col("tx_id").isin(sorted(int(a) for a in aborted))
                 )
+            # the committed batch's max tx id is known DRIVER-side here —
+            # handing it down saves every watermark-keeping listener a
+            # full extra pass over the batch (listeners that don't take
+            # the kwarg keep the old two-arg call)
+            mx_committed = max(
+                (
+                    int(r["tx_id"]) for r in pending_rows
+                    if r["tx_id"] is not None and int(r["tx_id"]) not in aborted
+                ),
+                default=None,
+            )
             self._index_epoch += 1
             for fn in list(self.index_listeners):
-                fn(self._index_epoch, committed)
+                _call_listener(fn, self._index_epoch, committed, mx_committed)
         return all_aborted
 
     def apply_ops_df(self, ops_df: DataFrame, has_match: bool | None = None) -> set[int]:

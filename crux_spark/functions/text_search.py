@@ -107,7 +107,8 @@ class IncrementalTextIndex:
     :meth:`listener` to a TxLogStream; each batch's puts merge into the
     postings (delete = drop the entity's postings)."""
 
-    def __init__(self, spark, text_field: str = "text"):
+    def __init__(self, spark, text_field: str = "text",
+                 checkpoint_every: int = 8):
         self.spark = spark
         self.text_field = text_field
         self.postings: DataFrame | None = None
@@ -117,8 +118,16 @@ class IncrementalTextIndex:
         # the KV index and tails the log from the indexed-tx watermark,
         # crux-lucene + crux-core/src/crux/checkpoint.clj)
         self.last_tx_id: int = -1
+        # Lineage bound, same contract as IncrementalMinHashIndex:
+        # per-batch merges chain LAZY localCheckpoints (plan truncation
+        # without a synchronous job per batch); every
+        # `checkpoint_every`-th batch materializes eagerly, resetting
+        # lazy-chain depth to O(1). <=0 disables the cadence.
+        self.checkpoint_every = checkpoint_every
+        self._batches_since_eager = 0
 
-    def listener(self, epoch_id: int, ops_batch: DataFrame) -> None:
+    def listener(self, epoch_id: int, ops_batch: DataFrame,
+                 max_tx: int | None = None) -> None:
         # a micro-batch can carry several txs touching the SAME entity
         # (availableNow batches everything pending): only each entity's
         # FINAL effective op (by tx order) may index, or a put+put batch
@@ -139,7 +148,15 @@ class IncrementalTextIndex:
             )
             .filter(F.col("body").isNotNull())
         )
-        new_postings, _, _ = build_text_index(puts, "eid", "body")
+        # postings construction inlined from build_text_index WITHOUT its
+        # n_docs count(): the listener never uses doc_freq/n_docs, and the
+        # count was an eager full-batch scan per micro-batch
+        toks = puts.select(
+            "eid", F.explode(_tokenize(F.col("body"))).alias("term")
+        ).filter(F.length("term") > 0)
+        new_postings = toks.groupBy("term", "eid").agg(
+            F.count("*").alias("tf")
+        )
         # every touched eid drops its old postings — including a put whose
         # new doc version no longer carries the text field
         touched = last.select("eid")
@@ -148,10 +165,19 @@ class IncrementalTextIndex:
         else:
             kept = self.postings.join(touched, "eid", "left_anti")
             merged = kept.unionByName(new_postings)
-        self.postings = merged.localCheckpoint()
-        mx = ops_batch.agg(F.max("tx_id")).first()[0]
-        if mx is not None:
-            self.last_tx_id = max(self.last_tx_id, int(mx))
+        self._batches_since_eager += 1
+        eager = (self.checkpoint_every > 0
+                 and self._batches_since_eager >= self.checkpoint_every)
+        if eager:
+            self._batches_since_eager = 0
+        self.postings = merged.localCheckpoint(eager=eager)
+        # `max_tx` lets the commit/ingest path hand down the batch max it
+        # already knows; without it the watermark costs an extra pass.
+        if max_tx is None:
+            mx = ops_batch.agg(F.max("tx_id")).first()[0]
+            max_tx = int(mx) if mx is not None else None
+        if max_tx is not None:
+            self.last_tx_id = max(self.last_tx_id, int(max_tx))
 
     # -- checkpoint persistence (crux-lucene checkpoints its index dir
     # through crux.checkpoint alongside the KV index; here the postings

@@ -1033,7 +1033,8 @@ class IncrementalMinHashIndex:
         return out
 
     def listener(self, epoch_id: int, ops_batch: DataFrame,
-                 text_field: str = "text") -> DataFrame:
+                 text_field: str = "text",
+                 max_tx: int | None = None) -> DataFrame:
         """tx-log form (register-index! seam): extract each entity's
         final put doc text from the batch and index it. Deletes/evicts
         drop the entity's postings (its pairs stop being emitted against
@@ -1066,9 +1067,13 @@ class IncrementalMinHashIndex:
                 gone, "id", "left_anti"
             ).localCheckpoint(eager=False)
         out = self.add_batch(puts)
-        mx = ops_batch.agg(F.max("tx_id")).first()[0]
-        if mx is not None:
-            self.last_tx_id = max(self.last_tx_id, int(mx))
+        # `max_tx` lets the commit/ingest path hand down the batch max it
+        # already knows; without it the watermark costs an extra pass.
+        if max_tx is None:
+            mx = ops_batch.agg(F.max("tx_id")).first()[0]
+            max_tx = int(mx) if mx is not None else None
+        if max_tx is not None:
+            self.last_tx_id = max(self.last_tx_id, int(max_tx))
         return out
 
     # -- checkpoint persistence (same contract as the other indexes) --

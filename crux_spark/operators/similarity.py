@@ -1142,14 +1142,24 @@ class IncrementalVectorIndex:
     past its watermark.
     """
 
-    def __init__(self, spark, centroids: np.ndarray, vec_field: str = "embedding"):
+    def __init__(self, spark, centroids: np.ndarray, vec_field: str = "embedding",
+                 checkpoint_every: int = 8):
         self.spark = spark
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.vec_field = vec_field
         self.cells: DataFrame | None = None
         self.last_tx_id: int = -1
+        # Lineage bound, same contract as IncrementalMinHashIndex: the
+        # per-batch state merge chains LAZY localCheckpoints (plan
+        # truncation without a synchronous job per batch — the first
+        # consumer materializes); every `checkpoint_every`-th batch the
+        # merge materializes EAGERLY, resetting lineage/lazy-chain depth
+        # to O(1). <=0 disables the cadence.
+        self.checkpoint_every = checkpoint_every
+        self._batches_since_eager = 0
 
-    def listener(self, epoch_id: int, ops_batch: DataFrame) -> None:
+    def listener(self, epoch_id: int, ops_batch: DataFrame,
+                 max_tx: int | None = None) -> None:
         eff = ops_batch.filter(F.col("op").isin("put", "delete", "evict"))
         last = eff.groupBy("eid").agg(
             F.max_by(F.struct("op", "doc_json"), F.struct("tx_id", "seq")).alias("last")
@@ -1176,10 +1186,21 @@ class IncrementalVectorIndex:
             merged = self.cells.join(touched, "eid", "left_anti").unionByName(
                 new_cells
             )
-        self.cells = merged.localCheckpoint()
-        mx = ops_batch.agg(F.max("tx_id")).first()[0]
-        if mx is not None:
-            self.last_tx_id = max(self.last_tx_id, int(mx))
+        self._batches_since_eager += 1
+        eager = (self.checkpoint_every > 0
+                 and self._batches_since_eager >= self.checkpoint_every)
+        if eager:
+            self._batches_since_eager = 0
+        self.cells = merged.localCheckpoint(eager=eager)
+        # `max_tx` lets the commit/ingest path hand down the batch's max
+        # tx id it already knows (driver-side in TxStore.commit, one
+        # aggregate shared across every listener in TxIngest) — without
+        # it the watermark costs a full extra pass over the batch here.
+        if max_tx is None:
+            mx = ops_batch.agg(F.max("tx_id")).first()[0]
+            max_tx = int(mx) if mx is not None else None
+        if max_tx is not None:
+            self.last_tx_id = max(self.last_tx_id, int(max_tx))
 
     def search(self, query_vec, k: int = 5, nprobe: int = 4) -> DataFrame:
         """Top-k nearest entities by cosine. The single query vector is

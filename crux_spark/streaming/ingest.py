@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crux_spark.bitemporal.splice import to_us
-from crux_spark.bitemporal.store import OPS_SCHEMA, TxStore
+from crux_spark.bitemporal.store import OPS_SCHEMA, TxStore, _call_listener
 
 # parquet schema for the on-disk tx log (one row per op; tx_id orders txs)
 TX_LOG_SCHEMA = OPS_SCHEMA
@@ -169,13 +169,23 @@ class TxLogStream:
         fine. Per-entity op ordering happens inside the splice (sorted by
         tx_id, seq within each entity group); only max(tx_id) and match
         verdicts come back to the driver."""
-        mx = batch_df.agg(F.max("tx_id").alias("m")).first().m
+        # ONE probe pass per micro-batch: max tx id AND match-op presence
+        # (apply_ops_df would otherwise re-scan the batch for its own
+        # has_match head(1) probe), and the max is handed to every
+        # watermark-keeping listener so none re-aggregates the batch.
+        stats = batch_df.agg(
+            F.max("tx_id").alias("m"),
+            F.max(F.when(F.col("op") == "match", 1)).alias("has_match"),
+        ).first()
+        mx = stats.m
         if mx is None:  # empty batch
             return
-        self.store.apply_ops_df(batch_df)
+        self.store.apply_ops_df(
+            batch_df, has_match=stats.has_match is not None
+        )
         self.store._tx_id = max(self.store._tx_id, int(mx))
         for fn in self.listeners:
-            fn(epoch_id, batch_df)
+            _call_listener(fn, epoch_id, batch_df, int(mx))
 
     def start(self, checkpoint_dir: str):
         stream = self._build_stream()

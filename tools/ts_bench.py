@@ -187,6 +187,26 @@ _WEATHER_SCHEMA = T.StructType(
      T.StructField("condition/humidity", T.DoubleType())]
 )
 
+# Raw-CSV schemas for the single-pass read (guide §6): declared to be
+# EXACTLY what inferSchema derives from the generated files (pinned by
+# test_ts_csv_schema_matches_inference), so the ingested documents are
+# byte-identical to the inference path while the inference's full extra
+# scan of every CSV disappears from the timed ingest.
+_RAW_DEVICE_INFO = (
+    "device_id string, api_version int, manufacturer string, "
+    "model string, os_name string"
+)
+_RAW_READINGS = (
+    "time timestamp, device_id string, battery_level double, "
+    "battery_status string, battery_temperature double, bssid string, "
+    "cpu_avg_1min double, cpu_avg_5min double, cpu_avg_15min double, "
+    "mem_free double, mem_used double, rssi double, ssid string"
+)
+_RAW_LOCATIONS = "device_id string, location string, environment string"
+_RAW_CONDITIONS = (
+    "time timestamp, device_id string, temperature double, humidity double"
+)
+
 
 def run_devices_suite(spark, datadir: str) -> dict[str, float]:
     """ts_devices.clj:256-270 — :ingest, :recent-battery-readings,
@@ -199,10 +219,12 @@ def run_devices_suite(spark, datadir: str) -> dict[str, float]:
 
     t0 = time.perf_counter()
     info_raw = read_csv_documents(
-        spark, os.path.join(datadir, "device_info"), id_col="device_id"
+        spark, os.path.join(datadir, "device_info"), id_col="device_id",
+        schema=_RAW_DEVICE_INFO,
     )
     readings_raw = read_csv_documents(
-        spark, os.path.join(datadir, "readings"), id_col="device_id"
+        spark, os.path.join(datadir, "readings"), id_col="device_id",
+        schema=_RAW_READINGS,
     ).withColumn("time", F.to_timestamp("time"))
     info = info_raw.select(
         F.concat(F.lit("device-info/"), F.col("device_id")).alias("_id"),
@@ -378,10 +400,12 @@ def run_weather_suite(spark, datadir: str) -> dict[str, float]:
 
     t0 = time.perf_counter()
     locs_raw = read_csv_documents(
-        spark, os.path.join(datadir, "locations"), id_col="device_id"
+        spark, os.path.join(datadir, "locations"), id_col="device_id",
+        schema=_RAW_LOCATIONS,
     )
     conditions_raw = read_csv_documents(
-        spark, os.path.join(datadir, "conditions"), id_col="device_id"
+        spark, os.path.join(datadir, "conditions"), id_col="device_id",
+        schema=_RAW_CONDITIONS,
     ).withColumn("time", F.to_timestamp("time"))
     locs = locs_raw.select(
         F.concat(F.lit("location/"), F.col("device_id")).alias("_id"),
