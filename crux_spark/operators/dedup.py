@@ -252,10 +252,16 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     exploded: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     h_i(xxhash64(shingle)). All JVM-side array ops — one projection, no
-    shuffle."""
+    shuffle.
+
+    ``checkpoint=False`` skips the trailing localCheckpoint: callers
+    whose FIRST consumer is itself checkpointed (banded_signatures in
+    the LSH paths) get nothing from it but a synchronous Catalyst
+    planning pass (~0.5s/call of pure driver time)."""
     # flat (id, base_hash) rows + ONE hash-aggregate computing all k
     # minhash permutations as min() aggs — vectorized hash agg instead of
     # k nested array transforms per row (an order of magnitude faster at
@@ -273,9 +279,38 @@ def minhash_signatures(
         *[F.col(f"m{i}") for i in range(num_hashes)]
     ).alias("sig"))
     sigs = exploded.select("id", hp).groupBy("id").agg(*aggs)
-    return sigs.select(
-        "id", sig_arr
-    ).localCheckpoint(eager=False)  # signatures feed both sides of the LSH self-join
+    out = sigs.select("id", sig_arr)
+    if checkpoint:
+        # signatures feed both sides of the LSH self-join
+        out = out.localCheckpoint(eager=False)
+    return out
+
+
+def _per_doc_sig_sets(ex: DataFrame, num_hashes: int) -> DataFrame:
+    """ONE aggregation computing each doc's minhash signature AND its
+    distinct shingle-hash set from flat (id, h) rows: (id, sh, sig).
+
+    The exact-verify LSH paths previously ran two aggregations over a
+    checkpointed exploded frame (collect_set for verification, min-aggs
+    for signatures) — same shuffle key, two planning passes, plus the
+    big flat (id, h) relation held as cached blocks. Fusing them keeps
+    one shuffle, one synchronous planning pass, and caches only the
+    per-doc rows. The min-agg arithmetic inlines the abs(h) % p
+    projection unchanged (p = 2^31-1, so h' * 63 + c fits a long) —
+    signature values are byte-identical to minhash_signatures'."""
+    aggs = _expr_cached("minhash_aggs_raw", (num_hashes,), lambda: [
+        F.min(
+            ((F.abs(F.col("h")) % MERSENNE_P) * F.lit(2 * i + 1)
+             + F.lit(7 * i + 3)) % MERSENNE_P
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ])
+    sig_arr = _expr_cached("minhash_sig_arr", (num_hashes,), lambda: F.array(
+        *[F.col(f"m{i}") for i in range(num_hashes)]
+    ).alias("sig"))
+    return ex.groupBy("id").agg(
+        F.collect_set("h").alias("sh"), *aggs
+    ).select("id", "sh", sig_arr)
 
 
 def banded_signatures(
@@ -327,11 +362,20 @@ def minhash_lsh_pairs(
     compared.
     """
     # one shingling pass feeds BOTH the signatures and (in exact mode)
-    # the verification sets
+    # the verification sets — in exact mode fused into a single per-doc
+    # aggregation (_per_doc_sig_sets): one shuffle, one checkpoint
     ex = shingle_hashes(df, id_col, text_col, n)
+    per_doc = None
     if verify == "exact":
-        ex = ex.localCheckpoint(eager=False)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, exploded=ex)
+        per_doc = _per_doc_sig_sets(ex, num_hashes).localCheckpoint(
+            eager=False
+        )
+        sigs = per_doc.select("id", "sig")
+    else:
+        sigs = minhash_signatures(
+            df, id_col, text_col, n, num_hashes, exploded=ex,
+            checkpoint=False,  # banded is checkpointed right below
+        )
     banded = banded_signatures(sigs, num_hashes, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -347,7 +391,7 @@ def minhash_lsh_pairs(
         cand = joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).dropDuplicates(["id_a", "id_b"])
-        sets = ex.groupBy("id").agg(F.collect_set("h").alias("sh"))
+        sets = per_doc.select("id", "sh")
         sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -923,11 +967,23 @@ class IncrementalMinHashIndex:
             self._batches_since_eager = 0
         ex = shingle_hashes(docs, id_col, text_col, self.n,
                             hash_fn=self.hash_fn)
+        # exact mode: ONE fused per-doc aggregation yields signature +
+        # shingle set — replaces three checkpointed frames (exploded,
+        # sigs, new_sets) with one, cutting the per-batch synchronous
+        # Catalyst planning cost (the dominant add_batch cost at bench
+        # scale: ~6 planning passes x 0.2-0.6s) in half while keeping
+        # the same single-computation guarantees.
+        per_doc = None
         if self.verify == "exact":
-            ex = ex.localCheckpoint(eager=False)
-        sigs = minhash_signatures(
-            docs, id_col, text_col, self.n, self.num_hashes, exploded=ex
-        )
+            per_doc = _per_doc_sig_sets(
+                ex, self.num_hashes
+            ).localCheckpoint(eager=False)
+            sigs = per_doc.select("id", "sig")
+        else:
+            sigs = minhash_signatures(
+                docs, id_col, text_col, self.n, self.num_hashes,
+                exploded=ex, checkpoint=False,  # new_banded ckpt'd below
+            )
         # lazy checkpoint (r15 optimization): the batch's banded postings
         # feed the candidate join AND the state merge, so the checkpoint
         # guarantees one computation — but materializing EAGERLY here ran
@@ -941,7 +997,12 @@ class IncrementalMinHashIndex:
         new_banded = banded_signatures(
             sigs, self.num_hashes, self.bands
         ).localCheckpoint(eager=False)
-        touched = new_banded.select("id").distinct()
+        # exact mode: per_doc is already one checkpointed row per doc —
+        # its id column IS the touched set, no distinct shuffle needed
+        # in the consuming left-anti merges (est mode keeps the distinct
+        # over the checkpointed postings)
+        touched = (per_doc.select("id") if per_doc is not None
+                   else new_banded.select("id").distinct())
 
         # candidate generation: new x (existing + new). Half-open on the
         # NEW side only — cross pairs take both orders in the raw join,
@@ -979,12 +1040,15 @@ class IncrementalMinHashIndex:
             pairs = cands.select("id_a", "id_b").dropDuplicates(
                 ["id_a", "id_b"]
             )
-            new_sets = ex.groupBy("id").agg(F.collect_set("h").alias("sh"))
-            new_sets = new_sets.localCheckpoint(eager=False)
+            new_sets = per_doc.select("id", "sh")
+            # one checkpoint serves BOTH the verify join (which reads
+            # all_sets twice) and the accumulated state — previously the
+            # verify read the unmaterialized merge (left-anti computed
+            # twice at exec) and the state checkpointed it again.
             if self.sets is not None:
                 all_sets = self.sets.join(
                     touched, "id", "left_anti"
-                ).unionByName(new_sets)
+                ).unionByName(new_sets).localCheckpoint(eager=eager_merge)
             else:
                 all_sets = new_sets
             sa = all_sets.select(F.col("id").alias("id_a"),
@@ -1004,10 +1068,7 @@ class IncrementalMinHashIndex:
                 .filter(F.col("jaccard") >= self.threshold)
                 .select("id_a", "id_b", "jaccard")
             )
-            self.sets = (
-                all_sets if self.sets is None
-                else all_sets.localCheckpoint(eager=eager_merge)
-            )
+            self.sets = all_sets
         else:
             agree = F.size(F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
