@@ -408,6 +408,12 @@ class TxStore:
     ):
         self.spark = spark
         self.versions = versions or spark.createDataFrame([], VERSIONS_SCHEMA)
+        # True only while the store PROVABLY holds zero version rows: set
+        # at construction-without-versions, cleared on every write path.
+        # Lets commit() route an all-fresh all-put first batch through the
+        # closed-form bulk splice with NO probe job (the driver can verify
+        # every other precondition from _pending itself).
+        self._versions_empty = versions is None
         self._mutex = threading.RLock()  # see _locked / snapshot()
         self._tx_id = 0
         self._pending: list[dict] = []
@@ -642,7 +648,33 @@ class TxStore:
             OPS_SCHEMA,
         )
         has_match = any(r["op"] == "match" for r in self._pending)
-        aborted = self.apply_ops_df(ops_df, has_match=has_match)
+        if self._versions_empty and self._commit_fast_path_ok():
+            # FAST PATH (guide §1.2 — the distributed algorithm): the
+            # first commit into a provably-empty store whose batch is
+            # all unranged puts with strictly increasing per-entity
+            # (tx, effective-valid-from) has the same closed form as
+            # bulk_ingest's initial load — two lead() windows + the norm
+            # UDF instead of the per-entity Python splice cogroup
+            # (row-identical: test_commit_fast_path_equivalence, plus
+            # the canonical splice batteries which now ride this path
+            # for every fresh-store commit in the suite). EVERY
+            # precondition is checked driver-side from _pending (the
+            # rows are already on the driver), so unlike bulk_ingest no
+            # probe job is needed, and ineligible batches — matches,
+            # deletes, evicts, ranged puts, valid-time ties, non-empty
+            # store — take the cogroup exactly as before. The splice
+            # stores vf=None puts at valid_from=tx_time; the coalesce
+            # below feeds the closed form that same effective value.
+            ops_eff = ops_df.withColumn(
+                "valid_from", F.coalesce("valid_from", "tx_time")
+            )
+            self.versions = _bulk_put_versions(ops_eff).localCheckpoint()
+            aborted = set()
+            self._versions_empty = False
+        else:
+            aborted = self.apply_ops_df(ops_df, has_match=has_match)
+        # fully-observed batch: restore the registry side-set (the fast
+        # path never nulled it — the same assignment is a no-op + adds)
         if prev_schema is not None:
             self._schema_eids = prev_schema | schema_adds
         if self._docs is not None:
@@ -701,6 +733,42 @@ class TxStore:
             for fn in list(self.index_listeners):
                 _call_listener(fn, self._index_epoch, committed, mx_committed)
         return all_aborted
+
+    def _commit_fast_path_ok(self) -> bool:
+        """Driver-side eligibility of the pending batch for the closed-
+        form first-commit splice: every row an unranged put (no match /
+        delete / evict / valid_to / expected), and per entity the
+        (tx_id, effective valid_from) sequence strictly increasing in
+        (tx_id, seq) order — the exact precondition bulk_ingest's probe
+        verifies distributively, checkable here for free because
+        _pending is already driver-resident."""
+        last: dict[str, tuple[int, int]] = {}
+        try:
+            rows = sorted(
+                self._pending,
+                key=lambda r: (int(r["tx_id"]), int(r.get("seq") or 0)),
+            )
+        except (KeyError, TypeError, ValueError):
+            return False  # malformed/legacy rows -> cogroup handles them
+        for r in rows:
+            # .get() throughout: recover() splices raw WAL dicts into
+            # _pending, which may omit optional keys entirely
+            if (
+                r.get("op") != "put"
+                or r.get("valid_to") is not None
+                or r.get("expected_json") is not None
+                or r.get("doc_json") is None
+                or r.get("tx_time") is None
+                or r.get("eid") is None
+            ):
+                return False
+            vf = r.get("valid_from")
+            vf = int(vf) if vf is not None else int(r["tx_time"])
+            prev = last.get(r["eid"])
+            if prev is not None and (int(r["tx_id"]) <= prev[0] or vf <= prev[1]):
+                return False
+            last[r["eid"]] = (int(r["tx_id"]), vf)
+        return True
 
     def apply_ops_df(self, ops_df: DataFrame, has_match: bool | None = None) -> set[int]:
         """Apply a whole ops DataFrame (OPS_SCHEMA) through the cogrouped
@@ -812,6 +880,7 @@ class TxStore:
         self.versions = _bucketed_cogroup(
             self.versions, ops_df, apply_fn, VERSIONS_SCHEMA, self._nbuckets()
         ).localCheckpoint()
+        self._versions_empty = False
         self.aborted_txs |= aborted
         # a distributed ops frame may carry registry docs this driver
         # never saw — invalidate the side-set (commit(), which DOES see
@@ -981,6 +1050,7 @@ class TxStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         self.versions = out.localCheckpoint()
+        self._versions_empty = False
         # post-merge max(tx_from) == max(existing max, ops max): new
         # version rows only carry tx ids from the ops stream, and every
         # construction/load/restore path seeds _tx_id to >= the existing

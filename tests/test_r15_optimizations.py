@@ -158,3 +158,107 @@ def test_commit_hands_max_tx_to_index_listeners(spark):
     aborted = store.commit()
     assert t4 in aborted
     assert calls[-1] == t3
+
+
+def test_commit_fast_path_equivalence(spark):
+    """r15 session 2: the first commit into a provably-empty store whose
+    batch is all unranged puts routes through the closed-form bulk
+    splice (no probe job). The version rows must be IDENTICAL to the
+    per-op cogroup splice, for vf=None (tx-time-valid) and explicit-vf
+    puts alike; ineligible batches (matches, deletes, ranged puts,
+    second commits) must still take the cogroup and agree with the
+    serial semantics."""
+    import datetime as dt
+
+    from crux_spark.bitemporal.store import VERSIONS_SCHEMA, TxStore
+
+    def mk_ops():
+        ts = lambda s: dt.datetime(2024, 1, 1, 0, 0, s, tzinfo=dt.timezone.utc)
+        txs = []
+        for i in range(6):
+            txs.append((
+                [("put", {"id": f"e{j}", "v": i * 10 + j, "w": {"n": j}})
+                 for j in range(4)],
+                ts(i + 1),
+            ))
+        # explicit valid_from puts, still strictly increasing per entity
+        txs.append(([("put", {"id": "e0", "v": 99}, ts(30))], ts(10)))
+        txs.append(([("put", {"id": "e1", "v": 98}, ts(31))], ts(11)))
+        return txs
+
+    cols = [f.name for f in VERSIONS_SCHEMA.fields]
+
+    fast = TxStore(spark)
+    for ops, t in mk_ops():
+        fast.submit_tx(ops, tx_time=t)
+    assert fast._versions_empty and fast._commit_fast_path_ok()
+    assert fast.commit() == set()
+    assert not fast._versions_empty
+
+    slow = TxStore(spark)
+    for ops, t in mk_ops():
+        slow.submit_tx(ops, tx_time=t)
+    slow._versions_empty = False  # force the cogroup path
+    assert slow.commit() == set()
+
+    a = sorted(tuple(r) for r in fast.versions.select(*cols).collect())
+    b = sorted(tuple(r) for r in slow.versions.select(*cols).collect())
+    assert a == b
+
+    # second round over the SAME entities must route through the
+    # cogroup on both stores (flag cleared) and stay identical —
+    # including a match abort, which is fast-path-ineligible anyway
+    def round2(store):
+        t = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+        for j in range(4):
+            store.submit_tx(
+                [("put", {"id": f"e{j}", "v": 1000 + j})], tx_time=t)
+        bad = store.submit_tx(
+            [("match", "e0", {"id": "e0", "v": -1}),
+             ("put", {"id": "e0", "v": 2000})],
+            tx_time=t,
+        )
+        aborted = store.commit()
+        assert aborted == {bad}
+
+    round2(fast)
+    round2(slow)
+    a2 = sorted(tuple(r) for r in fast.versions.select(*cols).collect())
+    b2 = sorted(tuple(r) for r in slow.versions.select(*cols).collect())
+    assert a2 == b2
+
+
+def test_commit_fast_path_ineligible_batches(spark):
+    """Deletes, ranged puts, valid-time ties and matches must NOT take
+    the closed form — and produce correct results via the cogroup."""
+    import datetime as dt
+
+    from crux_spark.bitemporal.store import TxStore
+
+    t = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+
+    s = TxStore(spark)
+    s.submit_tx([("put", {"id": "a", "v": 1})], tx_time=t)
+    s.submit_tx([("delete", "a")], tx_time=t + dt.timedelta(seconds=1))
+    assert not s._commit_fast_path_ok()
+    s.commit()
+    assert s.db().count() == 0  # delete applied
+
+    s2 = TxStore(spark)
+    s2.submit_tx(
+        [("put", {"id": "a", "v": 1}, t, t + dt.timedelta(days=1))],
+        tx_time=t,
+    )
+    assert not s2._commit_fast_path_ok()  # ranged put
+
+    s3 = TxStore(spark)
+    # two puts of the same entity in ONE tx: (tx, vf) tie -> ineligible
+    s3.submit_tx(
+        [("put", {"id": "a", "v": 1}), ("put", {"id": "a", "v": 2})],
+        tx_time=t,
+    )
+    assert not s3._commit_fast_path_ok()
+    s3.commit()
+    import json as _json
+
+    assert [_json.loads(r.doc_json)["v"] for r in s3.db().collect()] == [2]
