@@ -415,7 +415,15 @@ class TxStore:
         # every other precondition from _pending itself).
         self._versions_empty = versions is None
         self._mutex = threading.RLock()  # see _locked / snapshot()
-        self._tx_id = 0
+        # tx-id counter. A versions frame passed WHOLESALE to the public
+        # constructor may already hold tx ids, and bulk_ingest no longer
+        # runs a post-merge max(tx_from) aggregate to self-heal that
+        # case (r15 advice) — so the counter is seeded LAZILY from
+        # max(tx_from) on first read (one aggregate, once); every other
+        # construction path (load/recover/fork/checkpoint) assigns
+        # _tx_id directly, which marks it seeded with no probe.
+        self._tx_id_v = 0
+        self._tx_seeded = versions is None
         self._pending: list[dict] = []
         self._pending_aborted: set[int] = set()  # fn-returned-false txs
         self._tx_fns: dict[str, Callable] = {}
@@ -446,6 +454,19 @@ class TxStore:
         # persisted there at submit time (the reference writes docs to
         # the doc store BEFORE the tx log) and `documents()` reads it.
         self.doc_store = doc_store
+
+    @property
+    def _tx_id(self) -> int:
+        if not self._tx_seeded:
+            self._tx_seeded = True
+            row = self.versions.agg(F.max("tx_from").alias("m")).first()
+            self._tx_id_v = max(self._tx_id_v, int(row["m"] or 0))
+        return self._tx_id_v
+
+    @_tx_id.setter
+    def _tx_id(self, v: int) -> None:
+        self._tx_seeded = True
+        self._tx_id_v = int(v)
 
     @property
     def doc_store(self):

@@ -128,9 +128,9 @@ _VAR_ATTR_COLS_CACHE: dict[tuple[int, str], list] = {}
 
 
 def _var_attr_typed_cols(vc: str) -> list:
-    from pyspark import SparkContext
+    from crux_spark._jvmcache import gateway_token
 
-    key = (id(getattr(SparkContext, "_gateway", None)), vc)
+    key = (gateway_token(), vc)
     cached = _VAR_ATTR_COLS_CACHE.get(key)
     if cached is not None:
         return cached

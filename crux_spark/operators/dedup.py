@@ -36,9 +36,9 @@ _EXPR_CACHE: dict[tuple, object] = {}
 
 
 def _gateway_key() -> int:
-    from pyspark import SparkContext
+    from crux_spark._jvmcache import gateway_token
 
-    return id(getattr(SparkContext, "_gateway", None))
+    return gateway_token()
 
 
 def _expr_cached(tag: str, params: tuple, build):
@@ -69,14 +69,22 @@ def _spread(df: DataFrame) -> DataFrame:
     the same parallelism the scan provides, which at 100 TB is a
     pointless full-corpus exchange. Small inputs (the few-large-files
     case this helper exists for) keep the spread."""
+    from crux_spark._conf import parse_byte_size
+
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        max_pb = int(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", f"{128 << 20}b").rstrip("b")
+        # unit-suffixed values ("128m", "64MB") parse correctly (r15
+        # advice: the rstrip('b')+int form raised and silently disabled
+        # the skip under any human-readable config)
+        max_pb = parse_byte_size(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", None
+            ),
+            128 << 20,
         )
         if est >= par * max_pb:
             return df

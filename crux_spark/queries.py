@@ -3917,34 +3917,32 @@ def _stream_state_shuffle(spark, input_dir: str, n_source_splits: int):
     the exchange. Override with CRUX_SPARK_STREAM_SHUFFLE (a large-state
     cluster deployment sizes this like batch shuffle.partitions).
     Measured (sf0.1, local[32]): 32 state partitions -> 7-9s per
-    streaming gate, 4 -> ~2.4s, identical rows."""
+    streaming gate, 4 -> ~2.4s, identical rows.
+
+    NOTE: mutates the session-global shuffle.partitions for the
+    stream's duration (restored on exit). The bench runs gates
+    single-threaded, so no concurrent query observes the window; a
+    multi-tenant deployment should set CRUX_SPARK_STREAM_SHUFFLE or
+    plan streams on a dedicated session (spark.newSession())."""
     import math as _math
     import os as _os
+
+    from crux_spark._conf import input_size_bytes, parse_byte_size
 
     env = _os.environ.get("CRUX_SPARK_STREAM_SHUFFLE")
     if env:
         parts = int(env)
     else:
-        try:
-            nbytes = sum(
-                _os.path.getsize(_os.path.join(r, f))
-                for r, _, fs in _os.walk(input_dir)
-                for f in fs
-            )
-        except OSError:
-            nbytes = 0
-        adv = 64 << 20  # AQE advisoryPartitionSizeInBytes default
-        try:
-            raw = spark.conf.get(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-            )
-            m = re.fullmatch(r"(\d+)([bkmg]?)b?", raw.strip().lower())
-            if m:
-                adv = int(m.group(1)) << {
-                    "": 0, "b": 0, "k": 10, "m": 20, "g": 30
-                }[m.group(2)]
-        except Exception:
-            pass
+        # Hadoop FS content summary (r15 advice): works for any input
+        # scheme the cluster can read (hdfs://, s3a://), not only paths
+        # on the driver's local disk like the old os.walk form.
+        nbytes = input_size_bytes(spark, input_dir)
+        adv = parse_byte_size(
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", None
+            ),
+            64 << 20,  # AQE advisoryPartitionSizeInBytes default
+        )
         parts = max(n_source_splits, _math.ceil(nbytes / max(adv, 1)))
         parts = max(1, min(parts, spark.sparkContext.defaultParallelism))
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -290,9 +290,9 @@ _NULL_SLOT_CACHE: dict[int, dict[str, object]] = {}
 
 
 def _null_slot_cols() -> dict[str, object]:
-    from pyspark import SparkContext
+    from crux_spark._jvmcache import gateway_token
 
-    key = id(getattr(SparkContext, "_gateway", None))
+    key = gateway_token()
     cols = _NULL_SLOT_CACHE.get(key)
     if cols is None:
         cols = {
