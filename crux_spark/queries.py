@@ -5367,3 +5367,109 @@ def sparql_describe(spark, sf_dir):
         PREFIX t: <http://tpch/>
         DESCRIBE ?l WHERE { ?l t:l_orderkey ?k . FILTER (?k <= 32) }
     """)
+
+
+# ---------------------------------------------------------------------------
+# Round-16 driver-window rotation (VERDICT r15 "Next round" item 3 — the
+# standing cadence). The driver grades the FIRST 50 registry entries;
+# r15 verified all 50 in-window gates (CORRECTNESS_r15: 50/50
+# rows+schema+hash), so every current window gate holds a fresh r15 row.
+# The r16 IN set is exactly the queue the r14/r15 blocks promised: the
+# 20 gates rotated out in r14, whose newest driver rows are r13 — after
+# this splice no gate's newest driver row is older than r14.
+# The OUT set is 20 of the 27 r15-IN gates (all holding fresh r15 rows);
+# the 7 r15-IN gates staying keep their families' only in-window
+# representative (streaming_minhash_est, sparql_subquery,
+# select_token_budget, ann_sq8, semantic_dedup, dedup_ngram_jaccard,
+# datalog_relation_in).
+#
+# Per-gate surface coverage for the 20 OUT gates (each maps to gates
+# that sit in the post-splice window):
+#   tpch_q8 (8-way join tree) -> tpch_q5 IN (6-way join tree);
+#     tpch_q7 stays (multi-join or-join).
+#   tpch_q10 (top-n over join) -> window_topk IN (per-group top-n);
+#     tpch_q21 stays top-k limit.
+#   tpch_q14 (range-pushdown scan agg) -> tpch_q1 stays (range filter
+#     agg); tpch_q12 stays (range + IN predicates).
+#   tpch_q17 (avg scalar subquery) -> tpch_q2 IN (correlated min
+#     subquery); tpch_q11 stays scalar-subquery.
+#   tpch_q19 (multi-branch predicate pushdown) -> tpch_q12 stays;
+#     tpch_q22 IN (substring + anti predicates).
+#   tpch_q20 (nested exists subqueries) -> tpch_q2 IN (nested
+#     correlated subquery); tpch_q4 stays exists.
+#   tpch_q21_anti (not-exists anti-join) -> tpch_q22 IN (not-exists
+#     anti + substring); tpch_q4 stays exists/not-exists.
+#   select_token_budget STAYS; pack_sequences remains tail-resident —
+#     no OUT here (listed for the r17 queue note below).
+#   epoch_shard_shuffle (hash-deterministic shuffling) ->
+#     sample_hash_deterministic IN (same deterministic-hash sampling).
+#   source_cap_topn (per-source capping) -> mix_temperature IN
+#     (sampling.py corpus-mixing family); sample_hash_deterministic IN.
+#   text_clf_score (classifier textops) -> text_gopher_filter IN
+#     (heuristic textops composite); text_repetition IN.
+#   bigram_lm_quality (LM-NLL textops) -> dsir_weights IN (DSIR
+#     importance NLL, same textops NLL surface).
+#   bloom_decontaminate (bloom-bitset decontamination) ->
+#     decontaminate_ngram IN (same decontamination surface,
+#     shingle equi-join form).
+#   text_c4_filter (regex/heuristic filters) -> text_gopher_filter IN
+#     (same textops filter family); text_repetition IN.
+#   dedup_span_trim (span/shingle trimming) -> dedup_line_trim +
+#     dedup_chunks IN (same trim family); dedup_canonical IN.
+#   events_sessionize (events sessionization) -> events_rollup IN +
+#     asof_join_events IN (events table, window + as-of surfaces).
+#   agg_min_max_n (min/max/n aggregate registry) -> agg_stats stays
+#     (same aggregate registry surface).
+#   bitemporal_store_history (store.history full range) ->
+#     bitemporal_store_asof stays (store-level as-of); sql_temporal
+#     stays (temporal SQL surface).
+#   sparql_star_filter (SELECT*/FILTER) -> sparql_snowflake_union IN
+#     (SPARQL star joins + UNION); sparql_subquery stays.
+#   streaming_rollup_oracle (stateful streaming rollup) ->
+#     streaming_dedup_oracle IN (same stateful foreachBatch streaming
+#     oracle family); events_rollup IN (time-bucket rollup).
+#   text_search_docs (text search scoring) -> lucene_multi_field stays
+#     (inverted-index multi-field search).
+# All 20 rotated-out gates keep running in bench and in the per-round
+# mirror (tools/check_oracles.py -> MIRROR_r{N}.json). r17 queue: the
+# 27 gates rotated out in r15 (newest driver rows r14) re-enter —
+# the cadence remains self-sustaining.
+# ---------------------------------------------------------------------------
+
+_R16_IN = [
+    "asof_join_events", "multimodal_features", "embedding_near_dup_lsh",
+    "decontaminate_ngram", "mix_temperature", "sparql_snowflake_union",
+    "streaming_dedup_oracle", "text_repetition", "text_gopher_filter",
+    "dedup_canonical", "dedup_chunks", "dedup_line_trim",
+    "tpch_q2", "tpch_q5", "tpch_q15", "tpch_q22", "window_topk",
+    "sample_hash_deterministic", "dsir_weights", "events_rollup",
+]
+_R16_OUT = [
+    "tpch_q8", "tpch_q10", "tpch_q14", "tpch_q17", "tpch_q19",
+    "tpch_q20", "tpch_q21_anti", "epoch_shard_shuffle",
+    "source_cap_topn", "text_clf_score", "bigram_lm_quality",
+    "bloom_decontaminate", "text_c4_filter", "dedup_span_trim",
+    "events_sessionize", "agg_min_max_n", "bitemporal_store_history",
+    "sparql_star_filter", "streaming_rollup_oracle", "text_search_docs",
+]
+_r16_names = list(QUERIES)
+for _n in _R16_IN + _R16_OUT:
+    assert _n in QUERIES, f"r16 rotation references unknown gate {_n!r}"
+for _n in _R16_OUT:
+    assert _r16_names.index(_n) < _WINDOW, (
+        f"r16 OUT gate {_n!r} is not inside the first-{_WINDOW} window")
+for _n in _R16_IN:
+    assert _r16_names.index(_n) >= _WINDOW, (
+        f"r16 IN gate {_n!r} already sits inside the first-{_WINDOW} window")
+assert len(_R16_IN) == len(_R16_OUT), "r16 rotation must preserve window size"
+_r16_keep = _WINDOW - len(_R16_OUT)
+_r16_order = [n for n in QUERIES if n not in _R16_IN and n not in _R16_OUT]
+assert sum(1 for n in _r16_order[:_r16_keep]
+           if _r16_names.index(n) < _WINDOW) == _r16_keep, (
+    "r16 retained prefix does not equal the surviving window gates")
+_r16_order = (_r16_order[:_r16_keep] + _R16_IN
+              + _r16_order[_r16_keep:] + _R16_OUT)
+assert sorted(_r16_order) == sorted(_r16_names), "r16 rotation lost gates"
+_r16_reordered = {n: QUERIES[n] for n in _r16_order}
+QUERIES.clear()
+QUERIES.update(_r16_reordered)
