@@ -128,6 +128,11 @@ class IncrementalTextIndex:
 
     def listener(self, epoch_id: int, ops_batch: DataFrame,
                  max_tx: int | None = None) -> None:
+        # CONTRACT: state merges chain LAZY localCheckpoints, so
+        # `ops_batch` must stay recomputable until `checkpoint_every`
+        # batches later (TxLogStream pins each batch to executor blocks
+        # before dispatch; direct callers must pass a re-readable frame
+        # or set checkpoint_every=1).
         # a micro-batch can carry several txs touching the SAME entity
         # (availableNow batches everything pending): only each entity's
         # FINAL effective op (by tx order) may index, or a put+put batch

@@ -1107,7 +1107,13 @@ class IncrementalMinHashIndex:
         """tx-log form (register-index! seam): extract each entity's
         final put doc text from the batch and index it. Deletes/evicts
         drop the entity's postings (its pairs stop being emitted against
-        future docs)."""
+        future docs).
+
+        CONTRACT: state merges chain LAZY localCheckpoints, so
+        ``ops_batch`` must stay recomputable until ``checkpoint_every``
+        batches later (TxLogStream pins each batch to executor blocks
+        before dispatch; direct callers must pass a re-readable frame or
+        set checkpoint_every=1)."""
         eff = ops_batch.filter(F.col("op").isin("put", "delete", "evict"))
         last = eff.groupBy("eid").agg(
             F.max_by(

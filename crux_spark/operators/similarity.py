@@ -1160,6 +1160,11 @@ class IncrementalVectorIndex:
 
     def listener(self, epoch_id: int, ops_batch: DataFrame,
                  max_tx: int | None = None) -> None:
+        # CONTRACT: state merges chain LAZY localCheckpoints, so
+        # `ops_batch` must stay recomputable until `checkpoint_every`
+        # batches later (TxLogStream pins each batch to executor blocks
+        # before dispatch; direct callers must pass a re-readable frame
+        # or set checkpoint_every=1).
         eff = ops_batch.filter(F.col("op").isin("put", "delete", "evict"))
         last = eff.groupBy("eid").agg(
             F.max_by(F.struct("op", "doc_json"), F.struct("tx_id", "seq")).alias("last")

@@ -169,6 +169,17 @@ class TxLogStream:
         fine. Per-entity op ordering happens inside the splice (sorted by
         tx_id, seq within each entity group); only max(tx_id) and match
         verdicts come back to the driver."""
+        # Listener state chains LAZY localCheckpoints (cadenced eager) —
+        # a deferred plan must stay recomputable PAST this micro-batch's
+        # lifetime, which a streaming batch frame cannot promise (log
+        # retention may prune the underlying files; a Kafka batch is not
+        # re-fetchable at all). Pin the batch to executor blocks ONCE,
+        # eagerly, before anything keeps a reference: every listener's
+        # lazy chain then roots at checkpointed RDD blocks, and the
+        # stats probe + splice below read those same blocks instead of
+        # re-scanning the source (r15 advice, re-readability contract).
+        if self.listeners:
+            batch_df = batch_df.localCheckpoint()
         # ONE probe pass per micro-batch: max tx id AND match-op presence
         # (apply_ops_df would otherwise re-scan the batch for its own
         # has_match head(1) probe), and the max is handed to every

@@ -113,3 +113,176 @@ def test_txstore_constructor_seeds_tx_id_lazily(spark):
     # and the lazy seed ran (seeded flag set, counter past the max)
     assert st._tx_seeded
     assert st._tx_id >= tx_id
+
+
+# ---------------------------------------------------------------------------
+# r16: append-splice closed form — commits of all-unranged-put batches
+# into a NON-empty store route through _append_splice (JVM-only) when
+# every touched entity's current belief can only overlap its open tail
+# row; everything else falls back to the cogroup. Row-identity matrix
+# mirrors test_commit_fast_path_equivalence (940ad54).
+# ---------------------------------------------------------------------------
+
+def _mk_pair(spark):
+    """(fast, slow) stores with identical state; slow is pinned to the
+    cogroup by disabling the shape check on the instance."""
+    from crux_spark.bitemporal.store import TxStore
+
+    fast, slow = TxStore(spark), TxStore(spark)
+    slow._commit_fast_path_ok = lambda: False
+    return fast, slow
+
+
+def _versions_set(store):
+    from crux_spark.bitemporal.store import VERSIONS_SCHEMA
+
+    cols = [f.name for f in VERSIONS_SCHEMA.fields]
+    return sorted(tuple(r) for r in store.versions.select(*cols).collect())
+
+
+def _spy_append(store, calls):
+    orig = store._append_splice
+
+    def spy(ops_eff):
+        out = orig(ops_eff)
+        calls.append(out is not None)
+        return out
+
+    store._append_splice = spy
+
+
+def test_commit_append_splice_equivalence(spark):
+    import datetime as dt
+
+    ts = lambda s: dt.datetime(2024, 5, 1, 0, 0, s, tzinfo=dt.timezone.utc)
+    fast, slow = _mk_pair(spark)
+    calls: list[bool] = []
+    _spy_append(fast, calls)
+
+    # round 1: fresh store (empty-store closed form on fast)
+    for st in (fast, slow):
+        for j in range(4):
+            st.submit_tx([("put", {"id": f"e{j}", "v": j})], tx_time=ts(1 + j))
+        assert st.commit() == set()
+    assert calls == []  # empty-store path, not the append splice
+
+    # round 2: re-put every existing entity later (sorted_maps shape),
+    # plus brand-new entities in the same batch (mixed fresh+append)
+    for st in (fast, slow):
+        for j in range(4):
+            st.submit_tx([("put", {"id": f"e{j}", "v": 100 + j})],
+                         tx_time=ts(20 + j))
+        st.submit_tx([("put", {"id": "n1", "v": -1})], tx_time=ts(25))
+        assert st.commit() == set()
+    assert calls == [True]
+    assert _versions_set(fast) == _versions_set(slow)
+
+    # round 3: multiple appends per entity in ONE batch (explicit vfs,
+    # strictly increasing)
+    for st in (fast, slow):
+        for k in range(3):
+            st.submit_tx(
+                [("put", {"id": "e0", "v": 200 + k}, ts(40 + k))],
+                tx_time=ts(30 + k),
+            )
+        assert st.commit() == set()
+    assert calls == [True, True]
+    assert _versions_set(fast) == _versions_set(slow)
+
+
+def test_commit_append_splice_tombstone_and_ranged_history(spark):
+    import datetime as dt
+
+    ts = lambda s: dt.datetime(2024, 6, 1, 0, 0, s, tzinfo=dt.timezone.utc)
+    fast, slow = _mk_pair(spark)
+    calls: list[bool] = []
+    _spy_append(fast, calls)
+
+    for st in (fast, slow):
+        # a: open tombstone tail (put then delete)
+        st.submit_tx([("put", {"id": "a", "v": 1})], tx_time=ts(1))
+        st.submit_tx([("delete", "a")], tx_time=ts(2))
+        # b: history ends in a RANGED put — no open row at all
+        st.submit_tx(
+            [("put", {"id": "b", "v": 1}, ts(3), ts(5))], tx_time=ts(3)
+        )
+        st.commit()  # delete/ranged -> cogroup on both stores
+
+        # append past both histories: a's tombstone tail gets clipped,
+        # b has no overlapping current row (pure append)
+        st.submit_tx([("put", {"id": "a", "v": 2})], tx_time=ts(10))
+        st.submit_tx([("put", {"id": "b", "v": 2})], tx_time=ts(11))
+        assert st.commit() == set()
+    assert calls == [True]
+    assert _versions_set(fast) == _versions_set(slow)
+
+    # reads agree end-to-end too
+    for vt in (ts(1), ts(4), ts(12)):
+        fa = sorted(tuple(r) for r in fast.db(vt).collect())
+        sl = sorted(tuple(r) for r in slow.db(vt).collect())
+        assert fa == sl
+
+
+def test_commit_append_splice_ineligible_overlaps(spark):
+    """Batches whose first new put lands INSIDE an entity's existing
+    belief (not past the open tail) must fail the probe and take the
+    cogroup — results identical."""
+    import datetime as dt
+
+    ts = lambda s: dt.datetime(2024, 7, 1, 0, 0, s, tzinfo=dt.timezone.utc)
+    fast, slow = _mk_pair(spark)
+    calls: list[bool] = []
+    _spy_append(fast, calls)
+
+    for st in (fast, slow):
+        st.submit_tx([("put", {"id": "x", "v": 1}, ts(10))], tx_time=ts(1))
+        st.submit_tx([("put", {"id": "x", "v": 2}, ts(20))], tx_time=ts(2))
+        st.commit()
+        # put BEFORE the open tail's valid_from (20): overlaps the tail
+        # remainder AND the open row -> ineligible
+        st.submit_tx([("put", {"id": "x", "v": 3}, ts(15))], tx_time=ts(3))
+        st.commit()
+        # put exactly AT the open tail's valid_from: vf == tail vf is
+        # ineligible (no remainder form)
+        st.submit_tx([("put", {"id": "x", "v": 4}, ts(20))], tx_time=ts(4))
+        st.commit()
+    assert calls == [False, False]
+    assert _versions_set(fast) == _versions_set(slow)
+
+
+def test_txlog_listener_state_survives_log_pruning(spark, tmp_path):
+    """r15 advice (re-readability): listener state chains lazy
+    localCheckpoints, so TxLogStream must pin each micro-batch to
+    executor blocks BEFORE dispatch — deleting the tx-log files after
+    the stream drains must not break a later index read. (On this Spark
+    build DSv1 file-source batches arrive as LogicalRDD and happen to
+    survive pruning even unpinned; the pin is what the CONTRACT
+    guarantees — it also covers non-refetchable sources like Kafka —
+    and this test pins the contract's observable outcome.)"""
+    import datetime as dt
+    import shutil
+
+    from crux_spark.functions.text_search import IncrementalTextIndex
+    from crux_spark.streaming.ingest import TxLogStream, write_tx_log
+
+    log_dir = str(tmp_path / "txlog")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2023, 2, 1)
+    write_tx_log(
+        spark,
+        log_dir,
+        [
+            (1, [("put", {"id": "d1", "text": "merge the sorted runs"}, t0)]),
+            (2, [("put", {"id": "d2", "text": "sorted maps microbench"}, t0)]),
+        ],
+    )
+    # large cadence -> every per-batch merge stays LAZY
+    idx = IncrementalTextIndex(spark, checkpoint_every=1000)
+    stream = TxLogStream(spark, log_dir)
+    stream.listen(idx.listener)
+    stream.start(ckpt).awaitTermination(120)
+    # prune the source log entirely, then force the deferred state
+    shutil.rmtree(log_dir)
+    rows = idx.postings.collect()  # must not touch the pruned files
+    assert {r.eid for r in rows} == {"d1", "d2"}
+    assert idx.last_tx_id == 2
