@@ -165,6 +165,7 @@ def prop_spark(spark):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(docs=docs_strategy, clauses=query_strategy)
+@pytest.mark.full
 def test_conjunctive_queries_match_brute_force(prop_spark, docs, clauses):
     spark = prop_spark
     # var typing soundness: our typed-column engine can't bind one var to

@@ -36,7 +36,10 @@ def _pairs(df):
 
 
 @pytest.mark.parametrize("verify", ["exact", "est"])
-@pytest.mark.parametrize("n_batches", [2, 4])
+@pytest.mark.parametrize(
+    "n_batches",
+    [2, pytest.param(4, marks=pytest.mark.full)],
+)
 def test_incremental_equals_batch(spark, verify, n_batches):
     docs = _corpus(spark)
     batch_out = _pairs(minhash_lsh_pairs(
@@ -186,6 +189,7 @@ def test_est_mode_md5_hash_fn_matches_xxhash_relation_shape(spark):
     assert sig0 == expect_m0
 
 
+@pytest.mark.full
 def test_long_stream_lineage_stays_bounded(spark):
     """50-batch listener-length stream (r13 verdict item 5): with the
     checkpoint_every cadence (default 8), the state's unmaterialized

@@ -48,6 +48,7 @@ def test_empty_database_returns_empty(spark):
     assert rows(node.db().q(TS("Ivan"))) == []
 
 
+@pytest.mark.full
 def test_can_search_string(spark):
     node = mknode(spark, [{"id": "ivan", "name": "Ivan"}])
     db = node.db()

@@ -226,6 +226,7 @@ def test_parser_roundtrip_property():
     total()
 
 
+@pytest.mark.full
 def test_evaluator_matches_python_model(spark):
     """Randomized evaluator check: random ASTs over a small corpus must
     score exactly like a pure-Python model of the same semantics

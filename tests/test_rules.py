@@ -423,6 +423,7 @@ def test_rules_false_arguments(spark):
         assert {int(r[0]) for r in res.collect()} == want
 
 
+@pytest.mark.full
 def test_deep_chain_transitive_closure_doubling(spark):
     """A 300-deep chain exceeds any linear fixpoint's iteration budget;
     the TC-shape specialization evaluates it by relation squaring in

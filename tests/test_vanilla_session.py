@@ -10,6 +10,7 @@ like nanosAsLong stick per-JVM once set, this test spawns a FRESH subprocess
 that builds a bare session — same shape as the driver's harness.
 """
 
+import pytest
 import json
 import subprocess
 import sys
@@ -49,6 +50,7 @@ SCRIPT = textwrap.dedent(
 )
 
 
+@pytest.mark.full
 def test_gates_run_on_vanilla_session():
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT],
