@@ -698,7 +698,7 @@ class TxStore:
             if self._versions_empty:
                 self.versions = _bulk_put_versions(ops_eff).localCheckpoint()
                 applied_fast = True
-            else:
+            elif self._append_splice_worthwhile():
                 spliced = self._append_splice(ops_eff)
                 if spliced is not None:
                     self.versions = spliced.localCheckpoint()
@@ -804,6 +804,40 @@ class TxStore:
                 return False
             last[r["eid"]] = (int(r["tx_id"]), vf)
         return True
+
+    def _append_splice_worthwhile(self) -> bool:
+        """Size-aware routing for the append splice (guide §1.2: measure
+        first). The cogroup ships the WHOLE store through Arrow+Python
+        per commit — O(store bytes) — while the append splice pays a
+        fixed probe job + an ops-side window; measured at sf0.1
+        (25k-entity store, ~2.5 MB) the cogroup wins by ~1.7s because
+        the Python splice over tiny histories is cheaper than the probe
+        + window overhead, and the trade inverts once the store's
+        Python-shipping cost exceeds those ~2 fixed seconds. Threshold
+        on the store's Catalyst size estimate (localCheckpoint preserves
+        real stats through LogicalRDD), default 64 MB, env-overridable:
+        CRUX_SPARK_APPEND_SPLICE=always|never|auto and
+        CRUX_SPARK_APPEND_SPLICE_MIN_BYTES (Spark size forms)."""
+        import os
+
+        from crux_spark._conf import parse_byte_size
+
+        mode = os.environ.get("CRUX_SPARK_APPEND_SPLICE", "auto")
+        if mode == "always":
+            return True
+        if mode == "never":
+            return False
+        try:
+            est = int(
+                self.versions._jdf.queryExecution()
+                .optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return False  # unknown size -> the status-quo cogroup
+        thr = parse_byte_size(
+            os.environ.get("CRUX_SPARK_APPEND_SPLICE_MIN_BYTES"), 64 << 20
+        )
+        return est >= thr
 
     def _append_splice(self, ops_eff: DataFrame) -> DataFrame | None:
         """Closed-form splice of a shape-eligible batch (all unranged

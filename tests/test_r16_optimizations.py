@@ -129,6 +129,10 @@ def _mk_pair(spark):
     from crux_spark.bitemporal.store import TxStore
 
     fast, slow = TxStore(spark), TxStore(spark)
+    # force the splice on `fast` regardless of store size (the size
+    # router keeps small stores on the cogroup); pin `slow` to the
+    # cogroup by disabling the shape check on the instance.
+    fast._append_splice_worthwhile = lambda: True
     slow._commit_fast_path_ok = lambda: False
     return fast, slow
 
@@ -286,3 +290,23 @@ def test_txlog_listener_state_survives_log_pruning(spark, tmp_path):
     rows = idx.postings.collect()  # must not touch the pruned files
     assert {r.eid for r in rows} == {"d1", "d2"}
     assert idx.last_tx_id == 2
+
+
+def test_append_splice_size_router(spark, monkeypatch):
+    """auto mode routes small stores to the cogroup and large estimates
+    to the splice; always/never override; failure -> cogroup."""
+    from crux_spark.bitemporal.store import TxStore
+
+    st = TxStore(spark)
+    st.submit_tx([("put", {"id": "e", "v": 1})])
+    st.commit()
+    assert not st._append_splice_worthwhile()  # tiny store -> cogroup
+    monkeypatch.setenv("CRUX_SPARK_APPEND_SPLICE", "always")
+    assert st._append_splice_worthwhile()
+    monkeypatch.setenv("CRUX_SPARK_APPEND_SPLICE", "never")
+    assert not st._append_splice_worthwhile()
+    monkeypatch.setenv("CRUX_SPARK_APPEND_SPLICE", "auto")
+    monkeypatch.setenv("CRUX_SPARK_APPEND_SPLICE_MIN_BYTES", "16b")
+    assert st._append_splice_worthwhile()  # threshold below the estimate
+    monkeypatch.setenv("CRUX_SPARK_APPEND_SPLICE_MIN_BYTES", "1g")
+    assert not st._append_splice_worthwhile()
