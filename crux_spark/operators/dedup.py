@@ -148,6 +148,37 @@ def exploded_shingles(
     return t.select("id", F.explode(F.array_distinct(arr)).alias("s"))
 
 
+def _exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, h) rows: DISTINCT 64-bit hashes of word n-gram shingles,
+    hashing each token window DIRECTLY with multi-arg xxhash64 — no
+    per-position slice+concat string allocation and long (not string)
+    array_distinct/explode. Measured 2x the string form (sf0.1, warm
+    0.52 -> 0.27s noop). ONLY for consumers whose results are provably
+    hash-independent (ngram_jaccard_pairs: prefix filtering is exact
+    under ANY global order and candidates are exact-verified); MinHash
+    paths keep hashing the shingle STRING (shingle_hashes) because
+    signature values — and the oracle-pinned banding-recall property —
+    depend on them. Tokens carry no spaces (split on ' '), so
+    string-concat identity and token-tuple identity coincide; collision
+    odds are the same 64-bit ~1e-10 class as the string form."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    t = _spread(df).select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    k = F.size("__toks") - (n - 1)
+    harr = F.when(
+        k <= 0, F.array(F.xxhash64(F.concat_ws(" ", F.col("__toks"))))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__toks"), i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return t.select("id", F.explode(F.array_distinct(harr)).alias("h"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -171,10 +202,11 @@ def ngram_jaccard_pairs(
     # while the result set stays exactly the same.
     # shingles are carried as 64-bit xxhash values from here on: set
     # operations on long arrays are far cheaper than on strings, and at
-    # ~2^32 distinct shingles the collision probability is still ~1e-10
+    # ~2^32 distinct shingles the collision probability is still ~1e-10.
+    # r16: hash the token windows directly (_exploded_shingle_hashes) —
+    # same sets, no transient shingle strings.
     ex = (
-        exploded_shingles(df, id_col, text_col, n)
-        .select("id", F.xxhash64("s").alias("h"))
+        _exploded_shingle_hashes(df, id_col, text_col, n)
         .localCheckpoint(eager=False)  # reused by dfreq + join-back
     )
     dfreq = ex.groupBy("h").agg(F.count("*").alias("c"))
