@@ -1034,9 +1034,16 @@ class IncrementalMinHashIndex:
         # the checkpoint truncates the logical plan either way, and the
         # state-merge cadence (checkpoint_every) still forces eager
         # materialization of the ACCUMULATED state.
-        new_banded = banded_signatures(
-            sigs, self.num_hashes, self.bands
-        ).localCheckpoint(eager=False)
+        # r16: in EXACT mode the banding explode is a narrow map over
+        # the checkpointed per_doc frame, so checkpointing it again only
+        # paid another synchronous physical-planning pass per batch
+        # (measured ~0.5-1s each, the dominant add_batch cost at bench
+        # scale); consumers re-run the cheap explode from per_doc's
+        # cached blocks instead. Est mode keeps the checkpoint — there
+        # new_banded is the batch's ONLY plan-truncation point.
+        new_banded = banded_signatures(sigs, self.num_hashes, self.bands)
+        if per_doc is None:
+            new_banded = new_banded.localCheckpoint(eager=False)
         # exact mode: per_doc is already one checkpointed row per doc —
         # its id column IS the touched set, no distinct shuffle needed
         # in the consuming left-anti merges (est mode keeps the distinct
