@@ -310,3 +310,34 @@ def test_append_splice_size_router(spark, monkeypatch):
     assert st._append_splice_worthwhile()  # threshold below the estimate
     monkeypatch.setenv("CRUX_SPARK_APPEND_SPLICE_MIN_BYTES", "1g")
     assert not st._append_splice_worthwhile()
+
+
+def test_av_text_index_size_aware_persist(spark, monkeypatch, tmp_path):
+    """Below the source-size threshold — and for size-less plans
+    (plain createDataFrame reports Long.MaxValue = unknown) — the
+    postings stay lazy (measured faster cold at bench scale); above it
+    they persist so every search_av consumer shares one tokenize pass —
+    identical results."""
+    from crux_spark.functions.text_search import build_av_text_index, search_av
+
+    local = spark.createDataFrame(
+        [("a", "merge the sorted runs"), ("b", "sorted maps microbench")],
+        "id string, body string",
+    )
+    pq = str(tmp_path / "docs_pq")
+    local.write.parquet(pq)
+    df = spark.read.parquet(pq)  # real size stats from the files
+
+    p1, d1, n1 = build_av_text_index(df, "id", "body")
+    assert p1.storageLevel.useMemory is False  # lazy below threshold
+
+    monkeypatch.setenv("CRUX_SPARK_TEXT_INDEX_PERSIST_MIN_BYTES", "1b")
+    # unknown-size plans must STAY lazy even below any threshold
+    pl, _, _ = build_av_text_index(local, "id", "body")
+    assert pl.storageLevel.useMemory is False
+    p2, d2, n2 = build_av_text_index(df, "id", "body")
+    assert p2.storageLevel.useMemory and p2.storageLevel.useDisk
+    r1 = sorted(map(tuple, search_av(p1, d1, n1, "sorted").collect()))
+    r2 = sorted(map(tuple, search_av(p2, d2, n2, "sorted").collect()))
+    assert r1 == r2 and r1
+    p2.unpersist(); d2.unpersist()
