@@ -400,43 +400,49 @@ METADATA_SCHEMA = T.StructType(
 )
 
 
+def _meta_one(b):
+    """Per-blob format sniff + metadata tuple (kind, width, height,
+    sample_rate, duration_s, bitrate_kbps) — the media_metadata codec
+    path, hoisted so the fused verification pass exercises the SAME
+    function."""
+    if b is None:
+        return ("unknown", None, None, None, None, None)
+    arr = _decode_image(b)
+    if arr is not None:
+        kind = (
+            "ppm" if b[:2] == b"P6"
+            else "png" if b[:8] == b"\x89PNG\r\n\x1a\n"
+            else "jpeg"
+        )
+        return (kind, int(arr.shape[1]), int(arr.shape[0]), None, None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from crux_spark.operators.avi import parse_avi
+
+        avi = parse_avi(b)
+        if avi is not None:
+            return ("avi", avi.get("width"), avi.get("height"), None,
+                    round(avi["duration_ms"] / 1000.0, 3)
+                    if avi.get("duration_ms") is not None else None,
+                    None)
+    wav = decode_wav(b)
+    if wav is not None:
+        rate, samples = wav
+        return ("wav", None, None, int(rate),
+                round(len(samples) / rate, 3), None)
+    mp3 = parse_mp3(b)
+    if mp3 is not None:
+        return ("mp3", None, None, int(mp3["sample_rate"]),
+                mp3["duration_s"], int(mp3["bitrate_kbps"]))
+    return ("unknown", None, None, None, None, None)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Per-blob format sniff + metadata: real parses for PPM/PNG/JPEG
     (dimensions), WAV (rate/duration) and MP3 (frame-walk duration /
     bitrate); 'unknown' otherwise. Arrow-batched, partition-preserving
     — the cataloging pass a media pipeline runs before deciding what to
     decode where."""
-
-    def meta(b):
-        if b is None:
-            return ("unknown", None, None, None, None, None)
-        arr = _decode_image(b)
-        if arr is not None:
-            kind = (
-                "ppm" if b[:2] == b"P6"
-                else "png" if b[:8] == b"\x89PNG\r\n\x1a\n"
-                else "jpeg"
-            )
-            return (kind, int(arr.shape[1]), int(arr.shape[0]), None, None, None)
-        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-            from crux_spark.operators.avi import parse_avi
-
-            avi = parse_avi(b)
-            if avi is not None:
-                return ("avi", avi.get("width"), avi.get("height"), None,
-                        round(avi["duration_ms"] / 1000.0, 3)
-                        if avi.get("duration_ms") is not None else None,
-                        None)
-        wav = decode_wav(b)
-        if wav is not None:
-            rate, samples = wav
-            return ("wav", None, None, int(rate),
-                    round(len(samples) / rate, 3), None)
-        mp3 = parse_mp3(b)
-        if mp3 is not None:
-            return ("mp3", None, None, int(mp3["sample_rate"]),
-                    mp3["duration_s"], int(mp3["bitrate_kbps"]))
-        return ("unknown", None, None, None, None, None)
+    meta = _meta_one
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -485,6 +491,43 @@ def _fake_decode(blob: bytes, n_features: int = 8) -> list[float]:
     return [b / total for b in buckets]
 
 
+def _features_one(b, n_features: int = 8):
+    """Per-blob decoded feature vector — the extract_features codec
+    path, hoisted so the fused verification pass exercises the SAME
+    function."""
+    arr = _decode_image(b)
+    if arr is not None:  # real decode for P6 / PNG / baseline JPEG
+        return _image_features(arr, n_features)
+    if b is not None and bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"AVI ":
+        # real video features for MJPEG AVI: middle frame's pixels
+        from crux_spark.operators.avi import avi_frames
+
+        fr = avi_frames(bytes(b))
+        if fr:
+            mid = _decode_image(fr[len(fr) // 2])
+            if mid is not None:
+                return _image_features(mid, n_features)
+    wav = decode_wav(b)
+    if wav is not None:  # real decode for 16-bit PCM WAV
+        return _audio_features(*wav, n_features)
+    if b is not None and len(b) > 4 and (
+        b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0)
+    ):
+        # real sample decode for MPEG-1 Layer I (PQMF synthesis,
+        # mpeg_audio.py); Layer II/III raise there (labeled stub:
+        # their allocation/huffman tables are numeric spec tables)
+        # and fall through to the byte-histogram fake
+        try:
+            from crux_spark.operators.mpeg_audio import decode_layer1
+
+            dec = decode_layer1(b)
+            if dec is not None:
+                return _audio_features(*dec, n_features)
+        except NotImplementedError:
+            pass
+    return _fake_decode(b, n_features)
+
+
 def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary blobs.
 
@@ -493,37 +536,7 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     """
 
     def feats(b):
-        arr = _decode_image(b)
-        if arr is not None:  # real decode for P6 / PNG / baseline JPEG
-            return _image_features(arr, n_features)
-        if b is not None and bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"AVI ":
-            # real video features for MJPEG AVI: middle frame's pixels
-            from crux_spark.operators.avi import avi_frames
-
-            fr = avi_frames(bytes(b))
-            if fr:
-                mid = _decode_image(fr[len(fr) // 2])
-                if mid is not None:
-                    return _image_features(mid, n_features)
-        wav = decode_wav(b)
-        if wav is not None:  # real decode for 16-bit PCM WAV
-            return _audio_features(*wav, n_features)
-        if b is not None and len(b) > 4 and (
-            b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0)
-        ):
-            # real sample decode for MPEG-1 Layer I (PQMF synthesis,
-            # mpeg_audio.py); Layer II/III raise there (labeled stub:
-            # their allocation/huffman tables are numeric spec tables)
-            # and fall through to the byte-histogram fake
-            try:
-                from crux_spark.operators.mpeg_audio import decode_layer1
-
-                dec = decode_layer1(b)
-                if dec is not None:
-                    return _audio_features(*dec, n_features)
-            except NotImplementedError:
-                pass
-        return _fake_decode(b, n_features)
+        return _features_one(b, n_features)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -731,22 +744,67 @@ def synthetic_verification_media(docs: DataFrame) -> "tuple[DataFrame, DataFrame
                 {"media_id": ids, "blob": [make(int(d)) for d in ids]}
             )
 
-    def make_ppm(d: int) -> bytes:
-        w, h = 3 + d % 13, 2 + d % 7
-        x = np.arange(w)[None, :]
-        y = np.arange(h)[:, None]
-        arr = np.stack(
-            [(x + y) % 256, (2 * x + y) % 256, 255 - (x + y) % 256], axis=2
-        )
-        return encode_ppm(np.broadcast_to(arr, (h, w, 3)))
-
-    def make_wav(d: int) -> bytes:
-        amp, n = 1000 + 500 * (d % 4), 9 * (1 + d % 5)
-        i = np.arange(n)
-        return encode_wav((i % 9 - 4) * amp, rate=8000)
-
     base = docs.select("doc_id")
     schema = "media_id long, blob binary"
-    images = base.mapInPandas(lambda it: build(it, make_ppm), schema)
-    wavs = base.mapInPandas(lambda it: build(it, make_wav), schema)
+    images = base.mapInPandas(lambda it: build(it, _make_verification_ppm), schema)
+    wavs = base.mapInPandas(lambda it: build(it, _make_verification_wav), schema)
     return images, wavs
+
+
+def _make_verification_ppm(d: int) -> bytes:
+    w, h = 3 + d % 13, 2 + d % 7
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    arr = np.stack(
+        [(x + y) % 256, (2 * x + y) % 256, 255 - (x + y) % 256], axis=2
+    )
+    return encode_ppm(np.broadcast_to(arr, (h, w, 3)))
+
+
+def _make_verification_wav(d: int) -> bytes:
+    amp, n = 1000 + 500 * (d % 4), 9 * (1 + d % 5)
+    i = np.arange(n)
+    return encode_wav((i % 9 - 4) * amp, rate=8000)
+
+
+def decode_verification_media(docs: DataFrame) -> DataFrame:
+    """ONE Arrow pass for the multimodal verification harness (guide
+    §4: the gate previously ran FOUR mapInPandas passes — each of which
+    re-synthesized its blobs — and re-joined them on media_id three
+    times). Per doc: synthesize the PPM + WAV blobs and push each
+    through the SAME per-blob codec functions the batch operators run
+    (_meta_one = media_metadata's parser, _features_one =
+    extract_features' decoder), emitting every decoded value in one
+    row. Raw doubles come back untouched so the caller applies the
+    identical rounding expressions the four-pass form used."""
+    schema = (
+        "media_id long, width long, height long, f0 double, f1 double, "
+        "f2 double, sample_rate long, rms double, peak double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "f0", "f1", "f2",
+                "sample_rate", "rms", "peak",
+            )}
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                img = _make_verification_ppm(d)
+                wav = _make_verification_wav(d)
+                m_img = _meta_one(img)
+                m_wav = _meta_one(wav)
+                f_img = _features_one(img)
+                f_wav = _features_one(wav)
+                rows["media_id"].append(d)
+                rows["width"].append(m_img[1])
+                rows["height"].append(m_img[2])
+                rows["f0"].append(f_img[0])
+                rows["f1"].append(f_img[1])
+                rows["f2"].append(f_img[2])
+                rows["sample_rate"].append(m_wav[3])
+                rows["rms"].append(f_wav[1])
+                rows["peak"].append(f_wav[3])
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(run, schema)

@@ -4176,35 +4176,20 @@ def multimodal_decode(spark, sf_dir):
     shape, not a hot path."""
     cat = catalog_for(spark, sf_dir)
     docs = cat.table("documents")
-    images, wavs = _mm.synthetic_verification_media(docs)
-    img_meta = _mm.media_metadata(images).select(
-        "media_id",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-    )
-    img_feat = _mm.extract_features(images).select(
-        "media_id",
-        F.round(F.col("features")[0] * 510, 0).cast("long").alias("mean2_r"),
-        F.round(F.col("features")[1] * 510, 0).cast("long").alias("mean2_g"),
-        F.round(F.col("features")[2] * 510, 0).cast("long").alias("mean2_b"),
-    )
-    wav_meta = _mm.media_metadata(wavs).select(
-        "media_id", F.col("sample_rate").cast("long").alias("sample_rate")
-    )
-    wav_feat = _mm.extract_features(wavs).select(
-        "media_id",
-        F.col("features")[1].alias("rms"),
-        F.col("features")[3].alias("peak"),
-    )
-    return (
-        img_meta.join(img_feat, "media_id")
-        .join(wav_meta, "media_id")
-        .join(wav_feat, "media_id")
-        .select(
-            F.col("media_id").alias("doc_id"),
-            "width", "height", "mean2_r", "mean2_g", "mean2_b",
-            "sample_rate", "rms", "peak",
-        )
+    # r16 (guide §4): the four-pass + three-join form re-synthesized the
+    # blobs in every pass and crossed the Python boundary eight times;
+    # decode_verification_media runs the SAME per-blob codec functions
+    # (hoisted _meta_one/_features_one) once per doc in ONE Arrow pass,
+    # and the identical rounding expressions below keep every output
+    # value byte-equal (oracle-verified).
+    fused = _mm.decode_verification_media(docs)
+    return fused.select(
+        F.col("media_id").alias("doc_id"),
+        "width", "height",
+        F.round(F.col("f0") * 510, 0).cast("long").alias("mean2_r"),
+        F.round(F.col("f1") * 510, 0).cast("long").alias("mean2_g"),
+        F.round(F.col("f2") * 510, 0).cast("long").alias("mean2_b"),
+        "sample_rate", "rms", "peak",
     )
 
 
