@@ -205,19 +205,21 @@ def ngram_jaccard_pairs(
     # ~2^32 distinct shingles the collision probability is still ~1e-10.
     # r16: hash the token windows directly (_exploded_shingle_hashes) —
     # same sets, no transient shingle strings.
-    ex = (
-        _exploded_shingle_hashes(df, id_col, text_col, n)
-        .localCheckpoint(eager=False)  # reused by dfreq + join-back
-    )
-    dfreq = ex.groupBy("h").agg(F.count("*").alias("c"))
+    # r16: document frequency as count() OVER (PARTITION BY h) instead
+    # of groupBy(h)+join-back — (id, h) rows are distinct per doc
+    # (array_distinct upstream), so the window count equals the groupBy
+    # count row for row, and the self-join on h (plus the checkpoint
+    # that existed only to share the exploded relation between the
+    # aggregate and the join side) disappears: one exchange on h feeds
+    # the frequency directly into each row. Same-session interleaved
+    # A/B at sf0.1: 3.53/4.18/3.36 -> 3.22/3.20/2.85s e2e, identical
+    # 256 pairs; one fewer synchronous checkpoint planning pass.
+    ex = _exploded_shingle_hashes(df, id_col, text_col, n)
+    dfc = F.count("*").over(Window.partitionBy("h"))
     base = (
-        ex.join(dfreq, "h")
+        ex.select("id", F.struct(dfc.alias("c"), F.col("h")).alias("__st"))
         .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("c"), F.col("h")))
-            ).alias("shc")
-        )
+        .agg(F.array_sort(F.collect_list("__st")).alias("shc"))
         .select(
             "id",
             F.transform("shc", lambda st: st["h"]).alias("sh"),

@@ -341,3 +341,41 @@ def test_av_text_index_size_aware_persist(spark, monkeypatch, tmp_path):
     r2 = sorted(map(tuple, search_av(p2, d2, n2, "sorted").collect()))
     assert r1 == r2 and r1
     p2.unpersist(); d2.unpersist()
+
+
+def test_ngram_jaccard_window_dfreq_matches_brute_force(spark):
+    """r16: document frequency via count() OVER (PARTITION BY h) — the
+    pairs (incl. exact jaccard values) must still match a brute-force
+    all-pairs python computation on a corpus with hot AND rare shared
+    shingles (the prefix filter must stay exact under the window-count
+    global order)."""
+    from itertools import combinations
+
+    from crux_spark.operators import dedup
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy cat today",
+        3: "the quick brown fox leaps over the lazy dog today",
+        4: "pack my box with five dozen liquor jugs now ok",
+        5: "pack my box with five dozen liquor jugs now ok",
+        6: "completely unrelated text goes right here alone forever",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def sh(t, n=3):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} or {t}
+
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.4:
+            expect[(a, b)] = round(j, 6)
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    assert got == expect
