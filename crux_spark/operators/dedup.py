@@ -239,8 +239,17 @@ def ngram_jaccard_pairs(
     )
     sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # r16: explicit repartition, not _spread — the verify is per-ROW CPU
+    # (array_intersect over full shingle arrays) on a byte-tiny pair
+    # list, so AQE coalesces it to a handful of tasks, and _spread's
+    # byte estimate is useless here (Catalyst's self-join cardinality
+    # estimate inflates it past the skip threshold). The (id_a, id_b)
+    # shuffle is ~16 bytes/row and parallelism scales with the cluster.
+    # Interleaved A/B at sf0.1: 3.35-3.81 -> 2.15-2.35s e2e, same 256
+    # pairs (verify stage 3 -> 32 tasks).
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     return (
-        _spread(cand).join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
