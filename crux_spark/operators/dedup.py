@@ -772,7 +772,11 @@ def trim_duplicate_spans(
         .agg(F.collect_list(F.struct("s", "e")).alias("__cuts"))
     )
     ws = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), ws.alias("__ws"))
+    # r16: spread the reassembly side too — the per-row filter+concat
+    # below is CPU-heavy per row, and a single-split corpus file
+    # otherwise runs it in one task (window_hashes above already
+    # spreads its own scan)
+    base = _spread(docs).select(F.col(id_col), ws.alias("__ws"))
     joined = base.join(isl.withColumnRenamed("id", id_col), id_col, "left")
     cuts = F.coalesce(
         F.col("__cuts"), F.array().cast("array<struct<s:int,e:int>>")
@@ -813,7 +817,11 @@ def _line_relation(
     are ineligible for dedup (blank separators and one-char bullets
     shouldn't glue unrelated documents together)."""
     lines = F.split(F.col(text_col), sep, -1)
-    t = docs.select(
+    # r16: spread before the split+explode — line splitting (and any
+    # upstream per-row rewrap expression the caller stacked on
+    # text_col) is per-row CPU that a single-split corpus file would
+    # otherwise run in one task
+    t = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.posexplode(lines).alias("__p0", "line"),
     ).select("id", (F.col("__p0") + 1).alias("idx"), "line")
@@ -911,7 +919,8 @@ def trim_duplicate_lines(
         )
     cuts = cut.groupBy("id").agg(F.collect_list("idx").alias("__cuts"))
     lines = F.split(F.col(text_col), sep, -1)
-    base = docs.select(F.col(id_col), lines.alias("__ls"))
+    # r16: same spread as trim_duplicate_spans' reassembly side
+    base = _spread(docs).select(F.col(id_col), lines.alias("__ls"))
     joined = base.join(
         cuts.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(

@@ -184,7 +184,15 @@ def repetition_metrics(df: DataFrame, doc_id_col: str = "doc_id",
     Σ len over occurrences − Σ len over distinct) at O(tokens) map work
     plus the partial-agg shuffle the top-gram stat already paid for —
     and both families ride the SAME explode pass."""
+    from crux_spark.operators.dedup import _spread
+
     t = F.col(text_col)
+    # r16: both scans below do heavy per-row text work (line stats,
+    # tokenize + two n-gram window slides); a single-split corpus file
+    # otherwise runs each in ONE task (measured: 1.23s single-task
+    # stage at sf0.1). _spread repartitions only when the scan cannot
+    # fill the cores on its own.
+    df = _spread(df)
     base = df.select(
         doc_id_col,
         F.round(dup_line_fraction(t), 6).alias("dup_line_frac"),
