@@ -1159,15 +1159,29 @@ class TxStore:
         # the old anti-join probe saw for fresh entities (existing is
         # keyed by eid — anti-join removed whole entities, never
         # individual rows).
-        existing = self.versions.select("eid").distinct()
+        # r16: a provably-empty store (the _versions_empty flag the
+        # commit fast path maintains) has NO existing eids — every op is
+        # fresh by construction, so the probe drops the join against the
+        # (empty) eid set and the fresh/slow splits below are closed-form.
+        # This removes the empty-side distinct+broadcast from the FIRST
+        # ingest of every store (the initial-load shape).
         w = Window.partitionBy("eid").orderBy("tx_id", "seq")
-        probe = ops_df.join(
-            existing.withColumn("__ex", F.lit(1)), "eid", "left"
-        ).select(
-            "tx_id", "valid_from", "__ex",
-            F.lag("tx_id").over(w).alias("__pt"),
-            F.lag("valid_from").over(w).alias("__pv"),
-        )
+        if self._versions_empty:
+            existing = None
+            probe = ops_df.select(
+                "tx_id", "valid_from", F.lit(None).cast("int").alias("__ex"),
+                F.lag("tx_id").over(w).alias("__pt"),
+                F.lag("valid_from").over(w).alias("__pv"),
+            )
+        else:
+            existing = self.versions.select("eid").distinct()
+            probe = ops_df.join(
+                existing.withColumn("__ex", F.lit(1)), "eid", "left"
+            ).select(
+                "tx_id", "valid_from", "__ex",
+                F.lag("tx_id").over(w).alias("__pt"),
+                F.lag("valid_from").over(w).alias("__pv"),
+            )
         stats = probe.agg(
             F.count(
                 F.when(
@@ -1186,8 +1200,11 @@ class TxStore:
         bad = int(stats["bad"] or 0)
         slow_has_rows = int(stats["n_slow"] or 0) > 0
         ops_max_tx = int(stats["max_tx"] or 0)
-        fresh = ops_df.join(existing, "eid", "left_anti")
-        slow = ops_df.join(existing, "eid", "left_semi")
+        if existing is None:
+            fresh, slow = ops_df, None
+        else:
+            fresh = ops_df.join(existing, "eid", "left_anti")
+            slow = ops_df.join(existing, "eid", "left_semi")
         if bad:
             slow, fresh, slow_has_rows = ops_df, None, True
 
@@ -1206,7 +1223,7 @@ class TxStore:
                     self._nbuckets(),
                 )
             )
-        elif fresh is not None:
+        elif fresh is not None and not self._versions_empty:
             # no slow ops: existing entities pass through untouched
             parts.append(self.versions)
         out = parts[0]
