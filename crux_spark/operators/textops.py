@@ -625,25 +625,42 @@ def dsir_log_ratios(
         bucketed(target).groupBy("__b").agg(F.count("*").alias("__ct"))
     )
     raw_counts = raw_toks.groupBy("__b").agg(F.count("*").alias("__cr"))
-    t_total = tgt_counts.agg(F.sum("__ct")).first()[0] or 0
-    r_total = raw_counts.agg(F.sum("__cr")).first()[0] or 0
-    t_denom = float(t_total) + alpha * n_buckets
-    r_denom = float(r_total) + alpha * n_buckets
+    # r16: the corpus totals ride the plan as a broadcast 1-row frame
+    # instead of two EAGER .first() jobs at build time (each was a full
+    # serial tokenize+count pass whose aggregates were then recomputed
+    # at execution; the count subtrees below now feed both consumers
+    # through exchange reuse). Arithmetic is bit-identical: the denoms
+    # are the same integer-total + alpha*n_buckets doubles, now built
+    # by the SQL engine instead of the driver.
+    tot = F.broadcast(
+        raw_counts.agg(
+            (F.coalesce(F.sum("__cr"), F.lit(0)).cast("double")
+             + F.lit(float(alpha * n_buckets))).alias("__rd")
+        ).crossJoin(
+            tgt_counts.agg(
+                (F.coalesce(F.sum("__ct"), F.lit(0)).cast("double")
+                 + F.lit(float(alpha * n_buckets))).alias("__td")
+            )
+        )
+    )
     lam = (
         raw_counts.join(tgt_counts, "__b", "full")
+        .crossJoin(tot)
         .select(
             "__b",
             (
-                F.log((F.coalesce("__ct", F.lit(0)) + F.lit(alpha)) / F.lit(t_denom))
-                - F.log((F.coalesce("__cr", F.lit(0)) + F.lit(alpha)) / F.lit(r_denom))
+                F.log((F.coalesce("__ct", F.lit(0)) + F.lit(alpha)) / F.col("__td"))
+                - F.log((F.coalesce("__cr", F.lit(0)) + F.lit(alpha)) / F.col("__rd"))
             ).alias("__lam"),
         )
     )
-    import math
-
-    floor = math.log(alpha / t_denom) - math.log(alpha / r_denom)
-    scored = raw_toks.join(F.broadcast(lam), "__b", "left").select(
-        doc_id_col, F.coalesce("__lam", F.lit(floor)).alias("__lam")
+    floor = (
+        F.log(F.lit(alpha) / F.col("__td")) - F.log(F.lit(alpha) / F.col("__rd"))
+    )
+    scored = (
+        raw_toks.join(F.broadcast(lam), "__b", "left")
+        .crossJoin(tot)
+        .select(doc_id_col, F.coalesce("__lam", floor).alias("__lam"))
     )
     return scored.groupBy(doc_id_col).agg(
         F.count("*").alias("n_tokens"),
