@@ -511,6 +511,12 @@ def hashed_classifier_score(df: DataFrame, doc_id_col: str = "doc_id",
     the array order, so scores are bit-deterministic and
     oracle-checkable. Returns (doc_id, n_tokens, raw, score); docs with
     no tokens are dropped (nothing to average)."""
+    from crux_spark.operators.dedup import _spread
+
+    # r16: one heavy per-row md5-per-token pass, single consumer —
+    # same single-task-scan fix as c4_quality_flags (0.80s one-task
+    # stage at sf0.1)
+    df = _spread(df)
     toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
     w = F.transform(
         toks,
@@ -548,6 +554,13 @@ def c4_quality_flags(df: DataFrame, doc_id_col: str = "doc_id",
 
     All per-row Catalyst expressions over one split — zero shuffle; at
     100 TB this is a map-only pass like the Gopher filter."""
+    from crux_spark.operators.dedup import _spread
+
+    # r16: the rules below are one heavy per-row regex/array pass; a
+    # single-split corpus file otherwise runs it in ONE task (measured
+    # 1.12s single-task stage at sf0.1). Size-conditional, single
+    # consumer — the pass runs once, 32-wide, above the exchange.
+    df = _spread(df)
     lines = F.split(F.col(text_col), "\n")
     is_kept = lambda l: (  # noqa: E731
         F.rtrim(l).rlike(r'[.!?"]$')
