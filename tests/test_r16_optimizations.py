@@ -379,3 +379,76 @@ def test_ngram_jaccard_window_dfreq_matches_brute_force(spark):
         for r in dedup.ngram_jaccard_pairs(df, threshold=0.4).collect()
     }
     assert got == expect
+
+
+def test_bulk_ingest_empty_store_probe_skip_routing(spark):
+    """r16: bulk_ingest into a provably-empty store skips the
+    existing-eid join. (a) ordered ops take the closed form and match a
+    per-op submit_tx store row-for-row; (b) an out-of-order valid_from
+    stream must still be detected (bad > 0 with the join-less probe)
+    and fall back to the splice cogroup, again matching submit_tx."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crux_spark.bitemporal.store import TxStore
+
+    def ops_df(pairs):
+        # (eid, vf_us) put rows, doc {"v": vf}
+        return spark.createDataFrame(
+            [(e, v, {"v": v}) for e, v in pairs],
+            "eid string, vf long, doc struct<v:long>",
+        ).select(
+            "eid",
+            F.col("doc.v").alias("v"),
+            F.timestamp_micros(F.col("vf")).alias("vf_ts"),
+        )
+
+    def reference(pairs):
+        # bulk tx ids are the vf micros, so the per-op reference must
+        # commit in vf order for the tx-rank structure to line up
+        ref = TxStore(spark)
+        for e, v in sorted(pairs, key=lambda p: p[1]):
+            ref.submit_tx(
+                [("put", {"id": e, "v": v},
+                  dt.datetime.fromtimestamp(v / 1e6, dt.timezone.utc))],
+                tx_time=dt.datetime.fromtimestamp(v / 1e6, dt.timezone.utc),
+            )
+            ref.commit()
+        return ref
+
+    def versions_key(store):
+        # interval structure only: submit_tx docs carry "id" inside
+        # doc_json (the put contract) while bulk doc_cols don't (hash
+        # differs), and bulk tx ids are the vf micros while submit_tx
+        # assigns sequential ids - compare tx values by RANK
+        cols = ["eid", "valid_from", "valid_to", "tx_from", "tx_to",
+                "deleted"]
+        rows = [tuple(r) for r in store.versions.select(*cols).collect()]
+        txs = {v: i for i, v in enumerate(
+            sorted({r[3] for r in rows} | {r[4] for r in rows}))}
+        return sorted(
+            (r[0], r[1], r[2], txs[r[3]], txs[r[4]], r[5]) for r in rows
+        )
+
+    ordered = [("a", 1_000_000), ("a", 2_000_000), ("b", 1_500_000)]
+    st = TxStore(spark)
+    assert st._versions_empty
+    st.bulk_ingest(ops_df(ordered), id_expr="eid", doc_cols=["v"],
+                   valid_from_col="vf_ts")
+    assert not st._versions_empty
+    assert versions_key(st) == versions_key(reference(ordered))
+    assert st._tx_id == 2_000_000
+
+    # out-of-order per entity: valid_from decreases at equal-increasing
+    # tx would be fine, but here tx_id defaults to vf micros, so a
+    # DUPLICATE vf per entity violates strict ordering -> cogroup
+    # strict-ordering violation (duplicate (tx, vf) per entity): the
+    # join-less probe must still count it bad and route through the
+    # splice cogroup (fresh=None), producing a consistent store
+    disordered = [("c", 3_000_000), ("c", 3_000_000), ("d", 1_000_000)]
+    st2 = TxStore(spark)
+    st2.bulk_ingest(ops_df(disordered), id_expr="eid", doc_cols=["v"],
+                    valid_from_col="vf_ts")
+    assert st2.db().count() == 2  # one current belief per entity
+    assert not st2._versions_empty
