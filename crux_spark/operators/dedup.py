@@ -225,7 +225,14 @@ def ngram_jaccard_pairs(
             F.transform("shc", lambda st: st["h"]).alias("sh"),
             F.size("shc").alias("n_sh"),
         )
-        .localCheckpoint(eager=False)  # reused for prefixes + both verify sides
+        # r16: NO localCheckpoint here — the three consumers (prefixes +
+        # both verify sides) share the groupBy's exchange via
+        # ReusedExchange, so the checkpoint bought only its synchronous
+        # toRdd planning pass (~0.8s warm, ~1.9s cold at sf0.1; A/B:
+        # warm build 1.15-1.37 -> 0.44-0.57s, exec +0.4-0.6s, net
+        # better, identical 256 pairs). Callers that want a hard
+        # materialization barrier (the bench's cross-gate share memo)
+        # add their own checkpoint on the RESULT.
     )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefixes = base.select(
