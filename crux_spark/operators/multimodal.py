@@ -776,7 +776,16 @@ def decode_verification_media(docs: DataFrame) -> DataFrame:
     (_meta_one = media_metadata's parser, _features_one =
     extract_features' decoder), emitting every decoded value in one
     row. Raw doubles come back untouched so the caller applies the
-    identical rounding expressions the four-pass form used."""
+    identical rounding expressions the four-pass form used.
+
+    The doc_id list is spread to the session's parallelism before the
+    pass (guide §2.4): the per-row codec work is CPU-bound and the id
+    column is 8 bytes/row, while the source corpus often arrives as a
+    single scan split — without the spread the fused pass runs in ONE
+    task (the four-pass form at least overlapped four 1-task stages).
+    `_spread` skips the exchange whenever the scan already fills the
+    cores, so at scale this is a no-op."""
+    from crux_spark.operators.dedup import _spread
     schema = (
         "media_id long, width long, height long, f0 double, f1 double, "
         "f2 double, sample_rate long, rms double, peak double"
@@ -807,4 +816,4 @@ def decode_verification_media(docs: DataFrame) -> DataFrame:
                 rows["peak"].append(f_wav[3])
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return _spread(docs.select("doc_id")).mapInPandas(run, schema)
