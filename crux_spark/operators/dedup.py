@@ -225,15 +225,34 @@ def ngram_jaccard_pairs(
             F.transform("shc", lambda st: st["h"]).alias("sh"),
             F.size("shc").alias("n_sh"),
         )
-        # r16: NO localCheckpoint here — the three consumers (prefixes +
-        # both verify sides) share the groupBy's exchange via
-        # ReusedExchange, so the checkpoint bought only its synchronous
-        # toRdd planning pass (~0.8s warm, ~1.9s cold at sf0.1; A/B:
-        # warm build 1.15-1.37 -> 0.44-0.57s, exec +0.4-0.6s, net
-        # better, identical 256 pairs). Callers that want a hard
-        # materialization barrier (the bench's cross-gate share memo)
-        # add their own checkpoint on the RESULT.
+        # Size-aware pin (guide §5). base feeds THREE consumers (the
+        # prefix explode + both verify sides). Below the threshold it
+        # stays lazy: the AQE stage cache already shares the shuffle map
+        # outputs, and an interleaved warm-codegen A/B at sf0.1 is a
+        # wash (4.3-5.3s lazy vs 4.8-5.4s pinned), so the small-corpus
+        # case keeps the cheaper no-checkpoint plan. Above it, the pin
+        # is decisive: at 10x (sf1, 1.2M candidates) the verify stage
+        # over the UNPINNED lineage burns 257-333s CPU (21-22s gate
+        # wall) where the pinned form's verify runs in 48-62s CPU
+        # (5.0-5.9s wall, interleaved fresh-JVM A/B, identical 2560
+        # pairs) — the join's build sides and the jaccard condition
+        # evaluate far cheaper over a materialized scan than over the
+        # recomputed aggregate lineage, and the gap grows with the
+        # candidate count.
     )
+    import os
+
+    from crux_spark._conf import parse_byte_size
+
+    thr = parse_byte_size(
+        os.environ.get("CRUX_SPARK_PAIRGEN_PIN_MIN_BYTES"), 4 << 20
+    )
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if 0 < est < (1 << 62) and est >= thr:
+        base = base.localCheckpoint()
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefixes = base.select(
         "id", F.explode(F.slice("sh", 1, prefix_len.cast("int"))).alias("s")

@@ -487,3 +487,41 @@ def test_decode_verification_media_matches_operator_composition(spark):
         assert f["f2"] == feat_img[d]["features"][2]
         assert f["rms"] == feat_wav[d]["features"][1]
         assert f["peak"] == feat_wav[d]["features"][3]
+
+
+def test_ngram_pairgen_size_aware_pin(spark, monkeypatch, tmp_path):
+    """ngram_jaccard_pairs pins its per-doc base (localCheckpoint) only
+    when the input's size estimate crosses the threshold; unknown-size
+    plans (plain createDataFrame reports Long.MaxValue) stay lazy; the
+    pinned and lazy forms return identical pairs."""
+    from crux_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (i, f"the quick brown fox jumps over dog {i % 7} again and again")
+        for i in range(60)
+    ]
+    local = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs_pq")
+    local.write.parquet(pq)
+    df = spark.read.parquet(pq)  # real size stats from the files
+
+    def pinned(pairs):
+        # pinned = the base (window + collect_list lineage) was replaced
+        # by a checkpoint scan, so collect_list no longer appears in the
+        # pair plan (a LogicalRDD scan test would false-positive on
+        # createDataFrame sources, which are LogicalRDD-backed)
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        return "collect_list" not in plan
+
+    lazy = ngram_jaccard_pairs(df, threshold=0.4)
+    assert not pinned(lazy)  # tiny corpus below the default threshold
+
+    monkeypatch.setenv("CRUX_SPARK_PAIRGEN_PIN_MIN_BYTES", "1b")
+    # unknown-size plans must STAY lazy even below any threshold
+    assert not pinned(ngram_jaccard_pairs(local, threshold=0.4))
+    hard = ngram_jaccard_pairs(df, threshold=0.4)
+    assert pinned(hard)
+
+    r_lazy = sorted(map(tuple, lazy.collect()))
+    r_hard = sorted(map(tuple, hard.collect()))
+    assert r_lazy == r_hard and r_lazy
